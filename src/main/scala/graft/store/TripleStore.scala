@@ -1,0 +1,119 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Triple-table materialization — the columnar analog of TDB2's storage
+ * layout: three index permutations SPO / POS / OSP
+ * (reference: jena-db/.../dboe/sys/Names.java:43–47, wired in
+ * jena-tdb2/.../params/StoreParamsConst.java:78–84), realized as
+ * range-partitioned, sorted Parquet so Catalyst's min/max stats give the
+ * same "pick the index for the pattern shape" behavior as Jena's three
+ * hash maps (mem/store/fast/FastTripleStore.java:36–85).
+ *
+ * Dedup before write = Graph set semantics ("add does nothing if the triple
+ * is already present", mem/store/TripleStore.java:43–47).
+ *
+ * Snapshots are Iceberg-style without the Iceberg runtime (not on the
+ * offline classpath): each commit is an immutable directory
+ * `snapshots/<id>/` with the three table dirs, a `lineage/` metrics table,
+ * and a `manifest.json` written atomically (temp file + move). Resume =
+ * "does a committed manifest for this stage+input exist" — idempotent
+ * stages re-run only what is missing (north rule resumability).
+ */
+object TripleStore {
+
+  /** Flatten struct terms to 12 scalar columns for columnar stats/pruning. */
+  def flatten(triples: DataFrame): DataFrame =
+    triples.select(
+      col("s.kind").as("s_kind"), col("s.lex").as("s_lex"),
+      col("s.dt").as("s_dt"), col("s.lang").as("s_lang"),
+      col("p.kind").as("p_kind"), col("p.lex").as("p_lex"),
+      col("p.dt").as("p_dt"), col("p.lang").as("p_lang"),
+      col("o.kind").as("o_kind"), col("o.lex").as("o_lex"),
+      col("o.dt").as("o_dt"), col("o.lang").as("o_lang"),
+      col("repo"), col("lang"))
+
+  private val termCols = Seq(
+    "s_kind", "s_lex", "s_dt", "s_lang",
+    "p_kind", "p_lex", "p_dt", "p_lang",
+    "o_kind", "o_lex", "o_dt", "o_lang")
+
+  /** Dedup (set semantics) + the three sorted layouts + lineage + manifest.
+   * One wide shuffle for dedup, then one range shuffle per layout. */
+  def materialize(triples: DataFrame, snapshotDir: String,
+                  parent: Option[String], partitions: Int = 32): Long = {
+    val spark = triples.sparkSession
+    val t0 = System.nanoTime()
+
+    val flat = flatten(triples)
+    val deduped = flat.dropDuplicates(termCols).cache()
+    val total = deduped.count()
+
+    def sortedWrite(name: String, keys: Seq[String]): Unit =
+      deduped
+        .repartitionByRange(partitions, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$snapshotDir/$name")
+
+    sortedWrite("spo", Seq("s_lex", "p_lex", "o_lex"))
+    sortedWrite("pos", Seq("p_lex", "o_lex", "s_lex"))
+    sortedWrite("osp", Seq("o_lex", "s_lex", "p_lex"))
+
+    // per-partition lineage + metrics rows (north rule): counts by the
+    // pipeline's partition key (repo, lang)
+    deduped.groupBy("repo", "lang")
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("s_lex")).as("n_subjects"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
+    deduped.unpersist()
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
+      "snapshot" -> Paths.get(snapshotDir).getFileName.toString,
+      "parent" -> parent.getOrElse(""),
+      "layouts" -> "spo,pos,osp",
+      "n_triples" -> total.toString,
+      "wall_ms" -> wallMs.toString))
+    total
+  }
+
+  /** Atomic manifest commit: write temp, then move into place. A snapshot
+   * without manifest.json is by definition uncommitted → safely re-runnable. */
+  def writeManifest(path: Path, fields: Map[String, String]): Unit = {
+    Files.createDirectories(path.getParent)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = fields.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def isCommitted(snapshotDir: String): Boolean =
+    Files.exists(Paths.get(snapshotDir, "manifest.json"))
+
+  /** Pattern-shaped read: pick the layout whose leading sort column is
+   * bound — the FastTripleStore index-selection rule, columnar edition
+   * (mem/pattern/PatternClassifier.java:51). */
+  def scan(spark: SparkSession, snapshotDir: String,
+           s: Option[String], p: Option[String], o: Option[String]): DataFrame = {
+    val layout = (s, p, o) match {
+      case (Some(_), _, _) => "spo"
+      case (None, Some(_), _) => "pos"
+      case (None, None, Some(_)) => "osp"
+      case _ => "spo"
+    }
+    var df = spark.read.parquet(s"$snapshotDir/$layout")
+    s.foreach(v => df = df.where(col("s_lex") === v))
+    p.foreach(v => df = df.where(col("p_lex") === v))
+    o.foreach(v => df = df.where(col("o_lex") === v))
+    df
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Extractor
+import graft.fixtures.CorpusGen
+import graft.model.Term
+import graft.pipeline.Pipeline
+
+/** End-to-end golden test (FIXTURES.md §2, BASELINE.md): pipeline output
+ * triples vs the by-construction golden set, P/R ≥ 0.95 (exact match
+ * expected on fixtures); sha256 invariant; resumability. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ntOf(r: Row, prefix: String): String =
+    Term(r.getAs[Byte](s"${prefix}_kind"), r.getAs[String](s"${prefix}_lex"),
+      r.getAs[String](s"${prefix}_dt"), r.getAs[String](s"${prefix}_lang")).toNTriples
+
+  test("pipeline end-to-end: P/R >= 0.95 vs golden triples, then exact") {
+    val out = Files.createTempDirectory("graft_pipe").toString
+    val (nRepos, filesPerRepo) = (20, 6)
+    Pipeline.run(spark, nRepos, filesPerRepo, out)
+
+    val got = spark.read.parquet(s"$out/stages/materialize/spo")
+      .collect()
+      .map(r => s"${ntOf(r, "s")} ${ntOf(r, "p")} ${ntOf(r, "o")} .")
+      .toSet
+    val golden = CorpusGen.goldenTriples(CorpusGen.generate(42, nRepos, filesPerRepo))
+
+    val tp = (got & golden).size.toDouble
+    val precision = tp / got.size
+    val recall = tp / golden.size
+    info(f"P=$precision%.4f R=$recall%.4f got=${got.size} golden=${golden.size}")
+    assert(precision >= 0.95 && recall >= 0.95,
+      s"missing=${(golden -- got).take(5)} extra=${(got -- golden).take(5)}")
+    // fixtures are fully deterministic — expect exact equality, not just 0.95
+    assert(got == golden)
+  }
+
+  test("sha256 invariant: Spark sha2 == JVM digest on every row") {
+    import spark.implicits._
+    val corpus = spark.createDataset(CorpusGen.generate(42, 10, 5))
+    assert(Extractor.shaViolations(corpus).count() == 0)
+  }
+
+  test("resume: second run skips all committed stages") {
+    val out = Files.createTempDirectory("graft_resume").toString
+    val first = Pipeline.run(spark, 5, 3, out)
+    assert(first.forall(!_.skipped))
+    val second = Pipeline.run(spark, 5, 3, out)
+    assert(second.forall(_.skipped))
+  }
+
+  test("resume: a stage without committed manifest re-runs") {
+    val out = Files.createTempDirectory("graft_resume2").toString
+    Pipeline.run(spark, 5, 3, out)
+    // simulate a crash between writing canon output and committing it
+    val manifest = java.nio.file.Paths.get(s"$out/stages/canon/manifest.json")
+    Files.delete(manifest)
+    val rerun = Pipeline.run(spark, 5, 3, out)
+    assert(rerun.find(_.name == "canon").exists(!_.skipped))
+    assert(rerun.find(_.name == "ingest").exists(_.skipped))
+  }
+
+  test("salted linking produces identical triples to broadcast linking") {
+    val outA = Files.createTempDirectory("graft_bc").toString
+    val outB = Files.createTempDirectory("graft_salt").toString
+    Pipeline.run(spark, 10, 4, outA, saltFactor = 0)
+    Pipeline.run(spark, 10, 4, outB, saltFactor = 8)
+    def nts(dir: String) = spark.read.parquet(s"$dir/stages/materialize/spo")
+      .collect().map(r => s"${ntOf(r, "s")} ${ntOf(r, "p")} ${ntOf(r, "o")} .").toSet
+    assert(nts(outA) == nts(outB))
+  }
+}
