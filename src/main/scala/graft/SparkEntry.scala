@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Each `queries` entry is one implemented operator family from SURVEY.md §2;
  * `oracleSql` holds the DuckDB-equivalent SQL with identical column names. */
 object SparkEntry {
-  import graft.queries.Relational
+  import graft.queries.{OpsQueries, Relational}
 
   /** Flagship: the KG-construction pipeline's extraction+agg slice on
    * sf0.001; driver smoke-checks rows>0. */
@@ -29,6 +29,23 @@ object SparkEntry {
     "q13_explode"       -> Relational.q13_explode _,
     "q14_groupconcat"   -> Relational.q14_groupconcat _,
     "q15_window"        -> Relational.q15_window _,
+    // training-data ops (SURVEY §2 + pipeline additions)
+    "d1_dedup_exact"    -> OpsQueries.d1_dedup_exact _,
+    "d2_dedup_ngram"    -> OpsQueries.d2_dedup_ngram _,
+    "d3_minhash_sig"    -> OpsQueries.d3_minhash_sig _,
+    "d4_dedup_lsh"      -> OpsQueries.d4_dedup_lsh _,
+    "d5_simhash"        -> OpsQueries.d5_simhash _,
+    "d6_simhash_pairs"  -> OpsQueries.d6_simhash_pairs _,
+    "s1_ann_topk"       -> OpsQueries.s1_ann_topk _,
+    "s2_ann_lsh"        -> OpsQueries.s2_ann_lsh _,
+    "e1_embed_pairs"    -> OpsQueries.e1_embed_pairs _,
+    "t1_text_stats"     -> OpsQueries.t1_text_stats _,
+    "t3_fingerprint"    -> OpsQueries.t3_fingerprint _,
+    "t4_rolling_fp"     -> OpsQueries.t4_rolling_fingerprint _,
+    "t5_token_count"    -> OpsQueries.t5_token_count _,
+    "g1_path_closure"   -> OpsQueries.g1_path_closure _,
+    "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
+      graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,5 +120,176 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
          WHERE rn = 1""",
+    "d1_dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+         SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+           CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS is_dup
+         FROM all_docs""",
+    "d2_dedup_ngram" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, length(text)-1),
+             i -> substr(text, CAST(i AS INT), 3))) AS grams
+           FROM documents WHERE doc_id < 200)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           (1000 * len(list_intersect(a.grams, b.grams)))
+             // (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jac_permille
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE (1000 * len(list_intersect(a.grams, b.grams)))
+             // (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 700""",
+    "d3_minhash_sig" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' '))),
+             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
+             AS shingles
+           FROM documents)
+         SELECT doc_id, CAST(i AS INT) AS h_idx,
+           list_aggregate(list_transform(shingles,
+             s -> CAST(('0x' || substr(md5(s || '|' || i), 1, 15)) AS BIGINT)), 'min') AS minhash
+         FROM sh, range(0, 8) t(i)""",
+    "d4_dedup_lsh" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  substr(text, instr(text, ' ') + 1) AS text FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' '))),
+             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
+             AS shingles
+           FROM docs),
+         sig AS (
+           SELECT doc_id, shingles, list_transform(range(0, 8), i ->
+             list_aggregate(list_transform(shingles,
+               s -> CAST(('0x' || substr(md5(s || '|' || i), 1, 15)) AS BIGINT)), 'min')) AS mh
+           FROM sh),
+         banded AS (
+           SELECT doc_id, shingles, b AS band,
+                  mh[CAST(2*b+1 AS INT)] || '_' || mh[CAST(2*b+2 AS INT)] AS bucket
+           FROM sig, range(0, 4) t(b)),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                  l.shingles AS a_sh, r.shingles AS b_sh
+           FROM banded l JOIN banded r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         SELECT DISTINCT a_id, b_id,
+           (1000 * len(list_intersect(a_sh, b_sh)))
+             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jac_permille
+         FROM cand
+         WHERE (1000 * len(list_intersect(a_sh, b_sh)))
+             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 500""",
+    "d5_simhash" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+           FROM documents)
+         SELECT doc_id,
+           list_aggregate(list_transform(range(0, 60), j ->
+             CASE WHEN list_aggregate(list_transform(hs,
+                    h2 -> CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+             'sum')::BIGINT AS simhash
+         FROM h""",
+    "d6_simhash_pairs" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+           FROM documents WHERE doc_id < 200),
+         s AS (
+           SELECT doc_id,
+             list_aggregate(list_transform(range(0, 60), j ->
+               CASE WHEN list_aggregate(list_transform(hs,
+                      h2 -> CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+               'sum')::BIGINT AS simhash
+           FROM h)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 18""",
+    "s1_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> q.v[CAST(i AS INT)] * c.v[CAST(i AS INT)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> q.v[CAST(i AS INT)] * q.v[CAST(i AS INT)]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> c.v[CAST(i AS INT)] * c.v[CAST(i AS INT)]), 'sum'))) AS sim
+           FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim4
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rk FROM p)
+         WHERE rk <= 5""",
+    "e1_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 300),
+         p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum'))) AS sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, round(sim, 4) AS sim4 FROM p WHERE sim >= 0.35""",
+    "t1_text_stats" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+             t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS token_chars,
+           (1000 * len(list_distinct(string_split(text, ' '))))
+             // len(string_split(text, ' ')) AS distinct_permille,
+           (1000 * len(list_filter(string_split(text, ' '),
+             t -> t IN ('the', 'a', 'of', 'and'))))
+             // len(string_split(text, ' ')) AS stopword_permille
+         FROM documents""",
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+         FROM documents""",
+    "t4_rolling_fp" ->
+      """SELECT doc_id,
+           list_reduce(list_concat([CAST(0 AS BIGINT)],
+             list_transform(string_split(text, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+         FROM documents""",
+    "t5_token_count" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS bpe_tokens
+         FROM documents""",
+    "g1_path_closure" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT user_id % 50 AS src, (user_id * 7 + 3) % 50 AS dst
+           FROM events WHERE user_id % 50 != (user_id * 7 + 3) % 50),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+         SELECT src, dst FROM reach""",
+    "m1_media_meta" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(16 + (length(text) % 640) AS INT) AS width,
+           CAST(16 + ((length(text) * 7) % 480) AS INT) AS height,
+           CAST(1 + (length(text) % 3) AS INT) AS channels,
+           list_reduce(list_concat([CAST(0 AS BIGINT)],
+             list_transform(range(1, least(length(text), 8) + 1),
+               i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+             (a, b) -> a * 31 + b) AS checksum
+         FROM documents""",
   )
 }

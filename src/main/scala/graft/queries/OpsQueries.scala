@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Training-data pipeline operators over the `documents` / `embeddings` /
+ * `events` tables: deduplication (exact, n-gram Jaccard, MinHash-LSH,
+ * SimHash), similarity search (brute-force + LSH-bucketed ANN), text
+ * analysis, fingerprinting and transitive closure. Each query has a DuckDB
+ * oracle built from the same portable primitives.
+ *
+ * Portability note: Spark's hash()/xxhash64() do not exist in DuckDB, so all
+ * hash-derived features use hash60 = first 15 hex chars of md5 as a 60-bit
+ * int — identical in both engines (Spark `conv(substr(md5..))`, DuckDB
+ * `cast('0x'||substr(md5..) as bigint)`), deterministic across partitions.
+ *
+ * Scale notes: every pairwise query here is LSH/band-blocked or id-bounded;
+ * the only full shuffles are groupBy(bucket) and dropDuplicates. At 100 TB
+ * the same code paths hold: band buckets bound candidate pairs, and the
+ * exact verifications run per bucket, not per corpus².
+ */
+object OpsQueries {
+
+  /** 60-bit portable hash of a string expression (see above). */
+  private def hash60(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+
+  private def tokensExpr = "split(text, ' ')"
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup via content-hash groupBy. Input is documents ∪ an exact
+   * copy (ids +100000) so real duplicate groups exist; canonical id = min
+   * doc_id of the group (hash-groupBy dedup — no sort, one shuffle). */
+  def d1_dedup_exact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = docs.withColumn("doc_id", col("doc_id") + 100000)
+    val all = docs.union(dup)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    all.withColumn("canon_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canon_id")).cast("int"))
+      .select(col("doc_id"), col("canon_id"), col("is_dup"))
+  }
+
+  /** Character-3-gram Jaccard near-dup pairs (exact, id-bounded block):
+   * the brute-force baseline the LSH variant is checked against. */
+  def d2_dedup_ngram(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
+        .as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("uni",
+        size(col("a_grams")) + size(col("b_grams")) - col("inter"))
+      .withColumn("jac_permille", expr("(cast(inter as bigint) * 1000) div uni"))
+      .where(col("jac_permille") >= 700)
+      .select(col("a_id"), col("b_id"), col("jac_permille"))
+  }
+
+  /** MinHash signatures (K=8) over word-bigram shingles — flattened to
+   * (doc_id, h_idx, minhash) rows so the oracle compare is scalar. */
+  def d3_minhash_sig(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(1, size($tokensExpr)-1),
+            j -> concat(element_at($tokensExpr, j), '_', element_at($tokensExpr, j+1))))""")
+        .as("shingles"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, 7), i ->
+              array_min(transform(shingles, sh -> ${hash60("concat(sh, '|', i)")})))"""))
+        .as(Seq("h_idx", "minhash")))
+
+  /** MinHash-LSH near-dup pairs: 4 bands × 2 rows; pairs sharing a band
+   * bucket are candidates, then verified by exact shingle Jaccard ≥ 0.5.
+   * This is the scale path: candidates come from equi-joining band keys
+   * (shuffle on bucket), never from an n² cross join. */
+  def d4_dedup_lsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // plant near-duplicates: copy of each doc with the first token dropped
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val all = docs.union(mutated)
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(1, size($tokensExpr)-1),
+            j -> concat(element_at($tokensExpr, j), '_', element_at($tokensExpr, j+1))))""")
+        .as("shingles"))
+    val sig = all.withColumn("mh", expr(
+      s"""transform(sequence(0, 7), i ->
+            array_min(transform(shingles, sh -> ${hash60("concat(sh, '|', i)")})))"""))
+    val banded = sig.select(col("doc_id"), col("shingles"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), '_', element_at(mh, 2*b+2)))"))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jac_permille", expr("(cast(inter as bigint) * 1000) div uni"))
+      .where(col("jac_permille") >= 500)
+      .select(col("a_id"), col("b_id"), col("jac_permille"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash per document over distinct-token hash60s. */
+  def d5_simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr(s"transform(array_distinct($tokensExpr), t -> ${hash60("t")})").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, j) ->
+             acc + if(aggregate(hs, 0L,
+                       (a, h) -> a + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
+                      shiftleft(1L, j), 0L))""").as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 18 among doc_id < 200. */
+  def d6_simhash_pairs(s: SparkSession, d: String): DataFrame = {
+    val sh = d5_simhash(s, d).where(col("doc_id") < 200)
+    val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+      .where(col("hamming") <= 18)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  private def cosineExpr(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+                  0D, (acc, v) -> acc + v)
+        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+           * sqrt(aggregate($b, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))""")
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 — the
+   * exactness baseline for the LSH-bucketed variant. */
+  def s1_ann_topk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("sim"), 4).as("sim4"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 among vec_id < 300. */
+  def e1_embed_pairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).where(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosineExpr("av", "bv"))
+      .where(col("sim") >= 0.35)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim4"))
+  }
+
+  /** LSH-bucketed ANN (scale path): 4 hash tables × 4 deterministic
+   * random-hyperplane bits (signs from hash60 of (dim, plane)); candidates
+   * are vectors sharing a (table, bucket) key — an equi-join, never n².
+   * Rows-only gate (no SQL oracle); AnnSpec checks recall vs s1. */
+  def s2_ann_lsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // per-table 4-bit bucket; hyperplane weights in [-1,1] derived from hash60
+    val withBuckets = e.select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        s"""transform(sequence(0, 3), t ->
+              aggregate(sequence(0, 3), 0L, (acc, p) -> acc + if(
+                aggregate(zip_with(embedding, sequence(0, size(embedding)-1),
+                    (x, i) -> cast(x as double) *
+                      (cast(${hash60("concat(i, '|', t * 4 + p)")} % 1001 as double) / 500.0 - 1.0)),
+                  0D, (a, v) -> a + v) > 0,
+                shiftleft(1L, p), 0L)))""")).as(Seq("tbl", "bucket")))
+    val q = withBuckets.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("tbl"), col("bucket"))
+    val c = withBuckets.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"), col("tbl"), col("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("tbl", "bucket")).where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv")).distinct()
+      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("sim"), 4).as("sim4"))
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Integer-exact text metrics + quality score (per-mille, integer
+   * division ⇒ bit-exact vs oracle). */
+  def t1_text_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      expr(s"size($tokensExpr)").cast("long").as("n_tokens"),
+      expr(s"size(array_distinct($tokensExpr))").cast("long").as("n_distinct"),
+      expr(s"aggregate($tokensExpr, 0L, (a, t) -> a + length(t))").as("token_chars"),
+      expr(s"(1000 * size(array_distinct($tokensExpr))) div size($tokensExpr)")
+        .as("distinct_permille"),
+      expr(s"""(1000 * size(filter($tokensExpr, t -> t in ('the', 'a', 'of', 'and'))))
+               div size($tokensExpr)""").as("stopword_permille"))
+
+  /** Document fingerprint: md5 of the sorted distinct-token set — equal
+   * fingerprints ⇔ equal bags-of-words (order/multiplicity-insensitive). */
+  def t3_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr(s"md5(array_join(array_sort(array_distinct($tokensExpr)), ' '))")
+        .as("fingerprint"))
+
+  /** Rolling polynomial fingerprint (Rabin–Karp, base 31 mod 2^31-1) over
+   * token hash60s — order-sensitive (detects shuffled near-dups). */
+  def t4_rolling_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(
+      s"""aggregate($tokensExpr, 0L,
+            (acc, t) -> pmod(acc * 31 + ${hash60("t")}, 2147483647))""")
+      .as("rolling_fp"))
+
+  /** Token counting with a BPE-ish regex (word pieces + punctuation),
+   * the `tiktoken`-style approximation: count of regex matches. */
+  def t5_token_count(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
+        .cast("long").as("bpe_tokens"))
+
+  // ---------------------------------------------------------------- graphs
+
+  /** Transitive closure (SPARQL `p+`, SURVEY §2.8) over a bounded synthetic
+   * edge list derived from events; oracle = DuckDB WITH RECURSIVE. */
+  def g1_path_closure(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.events(s, d)
+      .select((col("user_id") % 50).as("src"),
+        ((col("user_id") * 7 + 3) % 50).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    graft.ops.Graphs.transitiveClosure(edges)
+  }
+}

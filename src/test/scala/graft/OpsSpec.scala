@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.OpsQueries
+import graft.ops.Multimodal
+
+/** Quality gates for the rows-only operators (no SQL oracle): LSH recall vs
+ * exact baselines, multimodal batch plumbing, planted-near-dup recovery. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ann: LSH-bucketed results are a high-recall subset of brute force") {
+    val exact = OpsQueries.s1_ann_topk(spark, sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = OpsQueries.s2_ann_lsh(spark, sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.2f (exact=${exact.size}, lsh=${lsh.size})")
+    assert(recall >= 0.25, s"LSH recall too low: $recall")
+    // every LSH hit must be a real vector pair with the claimed rank ceiling
+    assert(lsh.forall { case (q, n) => q < 10 && n != q })
+  }
+
+  test("dedup LSH recovers the planted near-duplicates") {
+    // d4 plants, for every doc d, a copy d+100000 with the first token
+    // dropped (bigram-Jaccard ≈ (n-2)/n) — LSH must find nearly all of them
+    val pairs = OpsQueries.d4_dedup_lsh(spark, sf)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = Tables.documents(spark, sf).count()
+    val planted = (0L until n).map(i => (i, i + 100000L)).toSet
+    val recall = (pairs & planted).size.toDouble / planted.size
+    info(f"planted near-dup recall = $recall%.2f of $n")
+    assert(recall >= 0.9)
+  }
+
+  test("multimodal: batched decode keeps every row, metadata is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.asMedia(docs)
+    val meta1 = Multimodal.extractMeta(media, batchSize = 7).collect().sortBy(_.doc_id)
+    val meta2 = Multimodal.extractMeta(media.repartition(13), batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    assert(meta1.length == docs.count())
+    assert(meta1.toSeq == meta2.toSeq) // batch size / partitioning invariant
+    assert(meta1.forall(m => m.width >= 16 && m.channels >= 1 && m.n_bytes > 0))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).where(col("doc_id") < 30)
+      .select("doc_id", "text")
+    // mutate a single token
+    val mutated = base
+      .withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", expr("concat('zzz ', substring(text, instr(text, ' ') + 1))"))
+    val all = base.union(mutated)
+    all.createOrReplaceTempView("documents_tmp")
+    val sh = all.select(col("doc_id"),
+      expr("transform(array_distinct(split(text, ' ')), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, j) ->
+             acc + if(aggregate(hs, 0L,
+                       (a, h) -> a + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
+                      shiftleft(1L, j), 0L))""").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = (0L until 30L).map(i =>
+      java.lang.Long.bitCount(sh(i) ^ sh(i + 1000)))
+    info(s"hamming distances planted pairs: min=${dists.min} max=${dists.max}")
+    assert(dists.max <= 20) // one-token mutation moves few bits
+  }
+}
