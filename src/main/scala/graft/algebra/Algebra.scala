@@ -1,0 +1,133 @@
+package graft.algebra
+
+import org.apache.spark.sql.Column
+
+import graft.model.Term
+
+/**
+ * SPARQL algebra — the Spark-native equivalent of Jena's `Op` tree
+ * (reference: 44 classes under
+ * jena-arq/src/main/java/org/apache/jena/sparql/algebra/op/, executed by
+ * jena-arq/.../sparql/engine/main/OpExecutor.java:64; inventory in
+ * SURVEY.md §2). This ADT is the IR the compiler (`Compiler.scala`) lowers
+ * to DataFrame operations; Catalyst then does physical planning, so the
+ * reference's optimizer passes that Catalyst subsumes (filter placement,
+ * TopN fusion, join strategy — SURVEY.md §4.1) never appear here.
+ *
+ * A solution set ("binding table", reference
+ * jena-arq/.../sparql/engine/binding/Binding.java:45) is a DataFrame with
+ * one 4-field term struct column `(kind, lex, dt, lang)` per visible
+ * variable; an unbound variable is a NULL struct (SPARQL "absent mapping"
+ * compiled to SQL NULL with explicit compatible-binding join conditions —
+ * SURVEY.md §2.3 caveat).
+ */
+sealed trait TermPat
+/** Concrete term — a constant in the pattern. */
+final case class TConst(t: Term) extends TermPat
+/** Named variable — becomes a solution column. */
+final case class TVar(name: String) extends TermPat
+/** Wildcard that binds nothing (Node.ANY, Node.java:57). */
+case object TAny extends TermPat
+
+object TermPat {
+  def iri(s: String): TermPat = TConst(Term.iri(s))
+  def v(name: String): TermPat = TVar(name)
+}
+
+/** One triple pattern of a BGP (Graph.find shape, Graph.java:123–129). */
+final case class TriplePattern(s: TermPat, p: TermPat, o: TermPat) {
+  def vars: Seq[String] =
+    Seq(s, p, o).collect { case TVar(n) => n }.distinct
+}
+
+/**
+ * Property-path algebra (reference AST: jena-arq/.../sparql/path/P_*.java,
+ * 19 classes; evaluated by the ALP visited-set BFS,
+ * jena-arq/.../sparql/path/eval/PathEngine.java:96–129). Closure paths are
+ * evaluated as semi-naive iterative DataFrame joins (SURVEY.md §2.8).
+ */
+sealed trait Path
+final case class PLink(iri: String) extends Path              // P_Link
+final case class PInverse(p: Path) extends Path               // P_Inverse  ^p
+final case class PSeq(a: Path, b: Path) extends Path          // P_Seq      p1/p2
+final case class PAlt(a: Path, b: Path) extends Path          // P_Alt      p1|p2
+final case class POneOrMore(p: Path) extends Path             // P_OneOrMore  p+
+final case class PZeroOrMore(p: Path) extends Path            // P_ZeroOrMore p*
+final case class PZeroOrOne(p: Path) extends Path             // P_ZeroOrOne  p?
+/** !(:p1|...|:pn) — any forward predicate not in the set (P_NegPropSet). */
+final case class PNegPropSet(iris: Seq[String]) extends Path
+/** p{n,m} fixed/bounded repetition (P_FixedLength / P_Mod). */
+final case class PFixedLength(p: Path, n: Int) extends Path
+
+/** Column expression over a solution row: given a resolver from variable
+ * name to its term-struct Column, produce the Spark Column. Used where an
+ * expression must be evaluated against columns that do not yet exist as a
+ * plain DataFrame (e.g. inside a left-join condition, OpExecutor.java:233). */
+trait RowExpr extends Serializable {
+  def apply(v: String => Column): Column
+}
+object RowExpr {
+  def apply(f: (String => Column) => Column): RowExpr = new RowExpr {
+    def apply(v: String => Column): Column = f(v)
+  }
+}
+
+final case class SortKey(v: String, ascending: Boolean = true)
+
+sealed trait Op
+
+// ---- scans (§2.1)
+/** Basic graph pattern: conjunction of triple patterns joined on shared
+ * variables (OpBGP, OpExecutor.java:127 → StageGeneratorGeneric). */
+final case class Bgp(patterns: Seq[TriplePattern]) extends Op
+/** Single property-path pattern (OpPath, OpExecutor.java:183). */
+final case class PathPattern(s: TermPat, path: Path, o: TermPat) extends Op
+
+// ---- projections / filters / binds (§2.2)
+final case class Project(vars: Seq[String], input: Op) extends Op
+/** EBV filter; expression evaluation errors compile to NULL ⇒ row dropped
+ * (QueryIterFilterExpr.java:52–63 semantics for free via SQL NULL). */
+final case class Filter(cond: RowExpr, input: Op) extends Op
+/** BIND/LET — add a computed term column; eval error ⇒ NULL = unbound, row
+ * kept (QueryIterAssign.java:67–69). `expr` must yield a term struct. */
+final case class Extend(v: String, expr: RowExpr, input: Op) extends Op
+/** VALUES — inline constant solution table (OpTable, OpExecutor.java:335). */
+final case class Table(vars: Seq[String], rows: Seq[Map[String, Term]]) extends Op
+
+// ---- joins (§2.3)
+final case class Join(l: Op, r: Op) extends Op
+/** OPTIONAL — SPARQL left join with optional embedded condition evaluated
+ * over the merged row (OpLeftJoin, OpExecutor.java:233). */
+final case class LeftJoin(l: Op, r: Op, cond: Option[RowExpr] = None) extends Op
+/** EXISTS { } — keep left rows with ≥1 compatible right row
+ * (OpSemiJoin, QueryIterHalfJoin.java:32). */
+final case class SemiJoin(l: Op, r: Op) extends Op
+/** NOT EXISTS { } (OpAntiJoin, QueryIterHalfJoin.java:38). */
+final case class AntiJoin(l: Op, r: Op) extends Op
+/** MINUS — removes left rows compatible with some right row sharing ≥1
+ * *bound* variable; disjoint-domain rows survive (differs from AntiJoin!
+ * OpExecutor.java:267–277, QueryIterMinus.java:35). */
+final case class Minus(l: Op, r: Op) extends Op
+
+// ---- aggregation (§2.4); HAVING = Filter above a Group (SURVEY.md §3.A)
+/** groupBy keys + named aggregate expressions. Each aggregate Column must
+ * produce a term struct (use TermCols.intAgg/decAgg/strAgg wrappers). */
+final case class Group(keys: Seq[String], aggs: Seq[(String, RowExpr)], input: Op) extends Op
+
+// ---- sort / slice / dedup (§2.6)
+/** ORDER BY with the SPARQL total order across term kinds:
+ * unbound < blank < IRI < literal < triple term (NodeCmp.java:54). */
+final case class Order(keys: Seq[SortKey], input: Op) extends Op
+final case class Slice(offset: Long, limit: Long, input: Op) extends Op
+final case class Distinct(input: Op) extends Op
+/** REDUCED permits-but-does-not-require dedup; full dedup is a legal
+ * implementation (QueryIterReduced semantics). */
+final case class Reduced(input: Op) extends Op
+
+// ---- set ops (§2.7)
+/** Bag union; differing variable sets allowed (missing vars → unbound). */
+final case class Union(l: Op, r: Op) extends Op
+
+// ---- extension escape hatch (OpExt, OpExecutor.java:347)
+final case class ExtOp(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                       certainVars: Seq[String], input: Op) extends Op

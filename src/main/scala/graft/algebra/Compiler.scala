@@ -1,0 +1,323 @@
+package graft.algebra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Term
+import graft.ops.Graphs
+
+/**
+ * Algebra → DataFrame compiler — the Spark-native `OpExecutor`
+ * (reference: jena-arq/.../sparql/engine/main/OpExecutor.java:64, 495 LoC,
+ * dispatching to 54 pull-based QueryIterator classes). Instead of a Volcano
+ * iterator tree we emit one declarative DataFrame per algebra node and let
+ * Catalyst plan it: filter/projection pushdown, TopN fusion, join strategy
+ * selection and AQE replace the reference's OptimizerStd passes
+ * (SURVEY.md §4.1 — "most reference rewrites are subsumed by Catalyst").
+ *
+ * Variable boundness is tracked per node like the reference's OpVars
+ * (algebra/OpVars.java:47–90): `certain` vars are bound in every solution,
+ * `maybe` vars can be NULL (after OPTIONAL / UNION / BIND). Shared-var join
+ * keys compile to exact equi-conditions when both sides are certain —
+ * a hashable Catalyst equi-join — and to SPARQL compatible-binding
+ * conditions (`l <=> r OR l IS NULL OR r IS NULL`) only when a side may be
+ * unbound (SURVEY.md §2.3 caveat). That keeps the common case (BGP chains)
+ * on the broadcast/shuffled-hash fast path at 100 TB scale.
+ */
+object Compiler {
+
+  /** A compiled solution set: DataFrame with one term-struct column per
+   * variable + boundness metadata. */
+  final case class Compiled(df: DataFrame, certain: Set[String], maybe: Set[String]) {
+    def vars: Set[String] = certain ++ maybe
+  }
+
+  /** The graph being queried: a DataFrame with term-struct columns s, p, o
+   * (the `Dataset[Triple]` shape of SURVEY.md §1.7). */
+  def compile(op: Op, triples: DataFrame): DataFrame =
+    comp(op, triples).df
+
+  private[algebra] def comp(op: Op, g: DataFrame): Compiled = op match {
+    case Bgp(patterns) =>
+      require(patterns.nonEmpty, "empty BGP")
+      patterns.map(scan(g, _)).reduceLeft(join(_, _, "inner"))
+
+    case PathPattern(s, path, o) =>
+      val pairs = PathEval.pairs(g, path) // (src, dst) term structs
+      bindPair(pairs, s, o)
+
+    case Project(vars, in) =>
+      val c = comp(in, g)
+      Compiled(c.df.select(vars.map(col): _*),
+        c.certain.intersect(vars.toSet), c.maybe.intersect(vars.toSet))
+
+    case Filter(cond, in) =>
+      val c = comp(in, g)
+      // SQL NULL-filter drops the row = SPARQL eval-error semantics
+      Compiled(c.df.filter(cond(v => resolve(c, v))), c.certain, c.maybe)
+
+    case Extend(name, expr, in) =>
+      val c = comp(in, g)
+      require(!c.vars.contains(name), s"Extend onto bound var $name")
+      Compiled(c.df.withColumn(name, expr(v => resolve(c, v))),
+        c.certain, c.maybe + name)
+
+    case Table(vars, rows) =>
+      valuesTable(g.sparkSession, vars, rows)
+
+    case Join(l, r) => join(comp(l, g), comp(r, g), "inner")
+
+    case LeftJoin(l, r, cond) => leftJoin(comp(l, g), comp(r, g), cond)
+
+    case SemiJoin(l, r) => halfJoin(comp(l, g), comp(r, g), "left_semi")
+
+    case AntiJoin(l, r) => halfJoin(comp(l, g), comp(r, g), "left_anti")
+
+    case Minus(l, r) => minusJoin(comp(l, g), comp(r, g))
+
+    case Union(l, r) =>
+      val (cl, cr) = (comp(l, g), comp(r, g))
+      val all = (cl.vars ++ cr.vars).toSeq.sorted
+      def pad(c: Compiled) = c.df.select(
+        all.map(v => if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema).as(v)): _*)
+      Compiled(pad(cl).union(pad(cr)),
+        cl.certain.intersect(cr.certain), (cl.vars ++ cr.vars) -- cl.certain.intersect(cr.certain))
+
+    case Group(keys, aggs, in) =>
+      val c = comp(in, g)
+      val aggCols = aggs.map { case (name, e) => e(v => resolve(c, v)).as(name) }
+      val out =
+        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+        else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      Compiled(out, c.certain.intersect(keys.toSet), aggs.map(_._1).toSet ++ c.maybe.intersect(keys.toSet))
+
+    case Order(keys, in) =>
+      val c = comp(in, g)
+      val sortCols = keys.map { k =>
+        val sk = TermCols.sortKey(resolve(c, k.v))
+        if (k.ascending) sk.asc else sk.desc
+      }
+      Compiled(c.df.orderBy(sortCols: _*), c.certain, c.maybe)
+
+    case Slice(offset, limit, in) =>
+      val c = comp(in, g)
+      // OFFSET over a sorted input: take offset+limit then drop the head
+      // by row_number over the same key — only deterministic after Order
+      // (the reference has the same caveat, QueryIterSlice.java).
+      val df =
+        if (offset <= 0) c.df.limit(limit.toInt)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(monotonically_increasing_id())
+          c.df.limit((offset + limit).toInt)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") > offset).drop("__rn")
+        }
+      Compiled(df, c.certain, c.maybe)
+
+    case Distinct(in) =>
+      val c = comp(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+
+    case Reduced(in) =>
+      val c = comp(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+
+    case ExtOp(f, certainVars, in) =>
+      val c = comp(in, g)
+      val df = f(c.df)
+      val vars = df.columns.toSet
+      Compiled(df, certainVars.toSet.intersect(vars), vars -- certainVars)
+  }
+
+  /** Resolve a variable to its column; unknown vars are NULL (unbound). */
+  private def resolve(c: Compiled, v: String): Column =
+    if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema)
+
+  // ---- triple-pattern scan (Graph.find, the 8 MatchPattern shapes —
+  //      PatternClassifier.java:51; constants become pushable predicates)
+  private[algebra] def scan(g: DataFrame, tp: TriplePattern): Compiled = {
+    var df = g
+    val slots = Seq(("s", tp.s), ("p", tp.p), ("o", tp.o))
+    slots.foreach {
+      case (c, TConst(t)) => df = df.filter(col(c) === TermCols.const(t))
+      case _ =>
+    }
+    // repeated variable inside one pattern ⇒ equality constraint
+    val byVar = slots.collect { case (c, TVar(n)) => (n, c) }.groupBy(_._1)
+    byVar.values.filter(_.size > 1).foreach { occ =>
+      occ.map(_._2).sliding(2).foreach {
+        case Seq(a, b) => df = df.filter(col(a) === col(b))
+        case _ =>
+      }
+    }
+    val out = byVar.map { case (n, occ) => col(occ.head._2).as(n) }.toSeq
+    val names = byVar.keySet
+    Compiled(if (out.isEmpty) df.select(lit(1).as("__unit")) else df.select(out: _*),
+      if (out.isEmpty) Set.empty else names, Set.empty)
+  }
+
+  /** Bind a (src, dst) pair table against the s/o slots of a path pattern. */
+  private def bindPair(pairs: DataFrame, s: TermPat, o: TermPat): Compiled = {
+    var df = pairs
+    s match {
+      case TConst(t) => df = df.filter(col("src") === TermCols.const(t))
+      case _ =>
+    }
+    o match {
+      case TConst(t) => df = df.filter(col("dst") === TermCols.const(t))
+      case _ =>
+    }
+    // bag semantics here; arbitrary-length paths are already distinct at
+    // the pairs() level (the ALP visited-set contract), fixed-shape paths
+    // keep duplicates like their BGP flattening would.
+    (s, o) match {
+      case (TVar(a), TVar(b)) if a == b =>
+        Compiled(df.filter(col("src") === col("dst")).select(col("src").as(a)),
+          Set(a), Set.empty)
+      case (TVar(a), TVar(b)) =>
+        Compiled(df.select(col("src").as(a), col("dst").as(b)), Set(a, b), Set.empty)
+      case (TVar(a), _) => Compiled(df.select(col("src").as(a)), Set(a), Set.empty)
+      case (_, TVar(b)) => Compiled(df.select(col("dst").as(b)), Set(b), Set.empty)
+      case _ => Compiled(df.select(lit(1).as("__unit")).limit(1), Set.empty, Set.empty)
+    }
+  }
+
+  // ---- join machinery (SURVEY.md §2.3)
+
+  private val RP = "__r__" // right-side disambiguation prefix
+
+  private def renamedRight(r: Compiled): DataFrame =
+    r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, RP + c))
+
+  /** Per-shared-var join condition: exact equi when both certain, SPARQL
+   * compatible-binding otherwise. */
+  private def sharedCond(l: Compiled, r: Compiled): (Seq[String], Column) = {
+    val shared = (l.vars.intersect(r.vars)).toSeq.sorted
+    val conds = shared.map { v =>
+      if (l.certain(v) && r.certain(v)) col(v) === col(RP + v)
+      else (col(v) <=> col(RP + v)) || col(v).isNull || col(RP + v).isNull
+    }
+    (shared, conds.foldLeft(lit(true))(_ && _))
+  }
+
+  private def mergedSelect(l: Compiled, r: Compiled, shared: Seq[String]): Seq[Column] = {
+    val lOnly = (l.vars -- shared).toSeq.sorted.map(col)
+    val rOnly = (r.vars -- shared).toSeq.sorted.map(v => col(RP + v).as(v))
+    val merged = shared.map(v => coalesce(col(v), col(RP + v)).as(v))
+    lOnly ++ rOnly ++ merged
+  }
+
+  private def join(l: Compiled, r: Compiled, how: String): Compiled = {
+    // note: a side with no vars (fully-concrete pattern) still contributes
+    // its cardinality (0 or 1 rows — set semantics) via the cross product,
+    // i.e. it acts as an existence gate; mergedSelect drops its __unit col.
+    val rr = renamedRight(r)
+    val (shared, cond) = sharedCond(l, r)
+    val joined = l.df.join(rr, cond, how)
+    Compiled(joined.select(mergedSelect(l, r, shared): _*),
+      l.certain ++ r.certain, (l.maybe ++ r.maybe) -- (l.certain ++ r.certain))
+  }
+
+  private def leftJoin(l: Compiled, r: Compiled, extra: Option[RowExpr]): Compiled = {
+    val rr = renamedRight(r)
+    val (shared, compat) = sharedCond(l, r)
+    // the embedded condition sees the MERGED row (filter scope of OPTIONAL)
+    def mergedResolve(v: String): Column =
+      if (shared.contains(v)) coalesce(col(v), col(RP + v))
+      else if (l.vars(v)) col(v)
+      else if (r.vars(v)) col(RP + v)
+      else lit(null).cast(TermCols.schema)
+    val cond = extra.map(e => compat && e(mergedResolve)).getOrElse(compat)
+    val joined = l.df.join(rr, cond, "left_outer")
+    Compiled(joined.select(mergedSelect(l, r, shared): _*),
+      l.certain, l.maybe ++ (r.vars -- l.certain))
+  }
+
+  private def halfJoin(l: Compiled, r: Compiled, how: String): Compiled = {
+    val rr = renamedRight(r)
+    val (_, cond) = sharedCond(l, r)
+    Compiled(l.df.join(rr, cond, how), l.certain, l.maybe)
+  }
+
+  /** MINUS: remove left rows having a compatible right row with ≥1 shared
+   * variable bound on BOTH sides; with no shared vars nothing is removed
+   * (OpExecutor.java:267–277). */
+  private def minusJoin(l: Compiled, r: Compiled): Compiled = {
+    val shared = l.vars.intersect(r.vars).toSeq.sorted
+    if (shared.isEmpty) return l
+    val rr = renamedRight(r)
+    val compat = shared.map { v =>
+      (col(v) <=> col(RP + v)) || col(v).isNull || col(RP + v).isNull
+    }.reduce(_ && _)
+    val anyBothBound = shared.map { v =>
+      col(v).isNotNull && col(RP + v).isNotNull
+    }.reduce(_ || _)
+    Compiled(l.df.join(rr, compat && anyBothBound, "left_anti"), l.certain, l.maybe)
+  }
+
+  private def valuesTable(spark: SparkSession, vars: Seq[String],
+                          rows: Seq[Map[String, Term]]): Compiled = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType(vars.map(v =>
+      org.apache.spark.sql.types.StructField(v, TermCols.schema, nullable = true)))
+    val data = rows.map(m => Row(vars.map(v =>
+      m.get(v).map(t => Row(t.kind, t.lex, t.dt, t.lang)).orNull): _*))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+    val certain = vars.filter(v => rows.forall(_.contains(v))).toSet
+    Compiled(df, certain, vars.toSet -- certain)
+  }
+}
+
+/**
+ * Property-path evaluation over the triple DataFrame — set-at-a-time
+ * replacement for the reference's per-binding ALP BFS
+ * (PathEngine.java:96–129). Closure operators reuse the semi-naive
+ * frontier-delta loop (graft.ops.Graphs), whose per-round work is
+ * proportional to the new-pairs delta and whose lineage is truncated by
+ * localCheckpoint — the property the north rule's CC pass also relies on.
+ */
+object PathEval {
+
+  /** All (src, dst) term pairs connected by `path`. */
+  def pairs(g: DataFrame, path: Path): DataFrame = path match {
+    case PLink(iri) =>
+      g.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
+        .select(col("s").as("src"), col("o").as("dst"))
+    case PNegPropSet(iris) =>
+      g.filter(TermCols.isIri(col("p")) && !TermCols.lex(col("p")).isin(iris: _*))
+        .select(col("s").as("src"), col("o").as("dst"))
+    case PInverse(p) =>
+      pairs(g, p).select(col("dst").as("src"), col("src").as("dst"))
+    case PAlt(a, b) => pairs(g, a).union(pairs(g, b)) // bag union (SPARQL alt)
+    case PSeq(a, b) =>
+      // bag semantics — one pair per intermediate node, matching the
+      // reference's TransformPathFlatten rewrite of p1/p2 into a BGP
+      val l = pairs(g, a).select(col("src"), col("dst").as("__mid"))
+      val r = pairs(g, b).select(col("src").as("__mid2"), col("dst"))
+      l.join(r, col("__mid") === col("__mid2"))
+        .select(col("src"), col("dst"))
+    case POneOrMore(p) =>
+      Graphs.transitiveClosure(pairs(g, p).select(col("src"), col("dst")))
+    case PZeroOrMore(p) =>
+      Graphs.transitiveClosure(pairs(g, p).select(col("src"), col("dst")))
+        .union(allNodes(g)).distinct()
+    case PZeroOrOne(p) =>
+      pairs(g, p).union(allNodes(g)).distinct()
+    case PFixedLength(p, n) =>
+      require(n >= 1, "PFixedLength n must be >= 1")
+      val base = pairs(g, p)
+      (2 to n).foldLeft(base) { (acc, _) =>
+        acc.select(col("src"), col("dst").as("__m"))
+          .join(base.select(col("src").as("__m2"), col("dst")), col("__m") === col("__m2"))
+          .select(col("src"), col("dst"))
+      }
+  }
+
+  /** Identity pairs over every term occurring as subject or object —
+   * SPARQL's zero-length-path node set. */
+  private def allNodes(g: DataFrame): DataFrame = {
+    val n = g.select(col("s").as("n")).union(g.select(col("o").as("n"))).distinct()
+    n.select(col("n").as("src"), col("n").as("dst"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.algebra
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Term
+
+/**
+ * Column-level helpers over the 4-field term struct `(kind, lex, dt, lang)`
+ * — the Spark mapping of Jena's term accessors and value-space machinery
+ * (Node.java:149–226; ValueSpace.java:61–99; NodeCmp.java:39–129). All are
+ * plain `org.apache.spark.sql.functions` compositions so they stay inside
+ * whole-stage codegen (no UDFs on the query hot path).
+ */
+object TermCols {
+
+  val schema: StructType = StructType(Seq(
+    StructField("kind", ByteType, nullable = false),
+    StructField("lex", StringType, nullable = false),
+    StructField("dt", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  /** Literal term struct from a Scala Term constant. */
+  def const(t: Term): Column = struct(
+    lit(t.kind).cast(ByteType).as("kind"), lit(t.lex).as("lex"),
+    lit(t.dt).as("dt"), lit(t.lang).as("lang"))
+
+  def mk(kind: Column, lex: Column, dt: Column, lang: Column): Column =
+    struct(kind.cast(ByteType).as("kind"), lex.as("lex"), dt.as("dt"), lang.as("lang"))
+
+  // --- term accessors (E_Str / E_Lang / E_Datatype / E_IsIRI..., §2.9)
+  def kind(t: Column): Column = t.getField("kind")
+  def lex(t: Column): Column = t.getField("lex")
+  def dt(t: Column): Column = t.getField("dt")
+  def lang(t: Column): Column = t.getField("lang")
+  def isIri(t: Column): Column = kind(t) === Term.KIND_IRI
+  def isBlank(t: Column): Column = kind(t) === Term.KIND_BNODE
+  def isLiteral(t: Column): Column = kind(t) === Term.KIND_LIT
+  def bound(t: Column): Column = t.isNotNull
+
+  private val numericDts: Seq[String] = Seq(
+    Term.XSD_INTEGER, Term.XSD_DECIMAL, Term.XSD_DOUBLE, Term.XSD_FLOAT,
+    Term.XSD + "int", Term.XSD + "long", Term.XSD + "short", Term.XSD + "byte",
+    Term.XSD + "nonNegativeInteger", Term.XSD + "positiveInteger",
+    Term.XSD + "negativeInteger", Term.XSD + "nonPositiveInteger",
+    Term.XSD + "unsignedInt", Term.XSD + "unsignedLong")
+
+  private val numLexRe = "^[+-]?((\\d+(\\.\\d*)?)|(\\.\\d+))([eE][+-]?\\d+)?$"
+
+  def isNumeric(t: Column): Column =
+    isLiteral(t) && dt(t).isin(numericDts: _*) && lex(t).rlike(numLexRe)
+
+  /** Numeric value of a literal (NULL when not numeric) — the typed shadow
+   * column of SURVEY.md §1.7; the rlike guard keeps ANSI casts safe. */
+  def numValue(t: Column): Column =
+    when(isNumeric(t), lex(t).cast(DoubleType))
+
+  /** sameTerm (Node.java:257): plain struct equality. After the normalize
+   * stage one lexical form exists per value, so this is also sameValueAs
+   * (Node.java:275) — the GraphMemValue trick (SURVEY.md §1.4). */
+  def sameTerm(a: Column, b: Column): Column = a === b
+
+  /** Effective boolean value (E_EBV): boolean literals by lexical form,
+   * numerics by != 0, strings by non-empty; else NULL (⇒ filter drops —
+   * the reference's eval-error semantics, QueryIterFilterExpr.java:52–63). */
+  def ebv(t: Column): Column =
+    when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN, lex(t) === "true")
+      .when(isNumeric(t), lex(t).cast(DoubleType) =!= 0.0)
+      .when(isLiteral(t) && (dt(t) === Term.XSD_STRING || dt(t) === Term.RDF_LANGSTRING),
+        length(lex(t)) > 0)
+
+  // --- term constructors from plain SQL values (wrap agg/BIND results)
+  def iriTerm(c: Column): Column = mk(lit(Term.KIND_IRI), c, lit(""), lit(""))
+  def strTerm(c: Column): Column = mk(lit(Term.KIND_LIT), c, lit(Term.XSD_STRING), lit(""))
+  def intTerm(c: Column): Column =
+    mk(lit(Term.KIND_LIT), c.cast(LongType).cast(StringType), lit(Term.XSD_INTEGER), lit(""))
+  /** xsd:decimal canonical form: strip trailing zeros but keep ".0"
+   * (NormalizeValue.dtDecimalTTL — Literals.canonDecimal at column level). */
+  def decTerm(c: Column, scale: Int = 2): Column = {
+    val s = c.cast(DecimalType(28, scale)).cast(StringType)
+    val stripped = regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
+    mk(lit(Term.KIND_LIT), stripped, lit(Term.XSD_DECIMAL), lit(""))
+  }
+  def boolTerm(c: Column): Column =
+    mk(lit(Term.KIND_LIT), when(c, "true").otherwise("false"), lit(Term.XSD_BOOLEAN), lit(""))
+
+  /**
+   * SPARQL total-order sort key (ORDER BY comparator, NodeCmp.java:54 via
+   * BindingComparator.java:150): unbound < blank nodes < IRIs < literals
+   * < triple terms; numeric literals compare by value inside the NUM value
+   * space (ValueSpace.java:61–99), everything else by lexical form then
+   * datatype/lang. A derived struct column ⇒ plain multi-column sort —
+   * no custom physical ordering needed (SURVEY.md §7.2).
+   */
+  def sortKey(t: Column): Column = {
+    val rank = when(t.isNull, 0)
+      .when(kind(t) === Term.KIND_BNODE, 1)
+      .when(kind(t) === Term.KIND_IRI, 2)
+      .when(kind(t) === Term.KIND_TRIPLE_TERM, 4)
+      .otherwise(3)
+    struct(
+      rank.as("kindRank"),
+      coalesce(numValue(t), lit(Double.NaN)).as("numKey"),
+      coalesce(lex(t), lit("")).as("lexKey"),
+      coalesce(dt(t), lit("")).as("dtKey"),
+      coalesce(lang(t), lit("")).as("langKey"))
+  }
+}

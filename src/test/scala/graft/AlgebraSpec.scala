@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algebra._
+import graft.model.{Term, Triple}
+
+/**
+ * SPARQL-algebra semantics tests, shaped like the reference's manifest
+ * golden cases (jena-arq/testing/ARQ/EngineMain) — small data, exact
+ * expected solution sets, exercising the semantics corners SURVEY.md §7.3
+ * ranks hard: OPTIONAL/MINUS compatible bindings, term total order, path
+ * closure, eval-error-drops-row filters.
+ */
+class AlgebraSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val EX = "http://example/"
+  private def i(s: String) = Term.iri(EX + s)
+  private def tp(s: TermPat, p: TermPat, o: TermPat) = TriplePattern(s, p, o)
+  private def v(n: String) = TVar(n)
+  private def c(t: Term) = TConst(t)
+
+  // the SPARQL-spec MINUS/NOT-EXISTS example graph + a small path chain
+  private lazy val g: DataFrame = {
+    val ts = Seq(
+      Triple(i("alice"), i("name"), Term.string("Alice")),
+      Triple(i("alice"), i("email"), Term.string("alice@example")),
+      Triple(i("bob"), i("name"), Term.string("Bob")),
+      Triple(i("carol"), i("name"), Term.string("Carol")),
+      Triple(i("carol"), i("email"), Term.string("carol@example")),
+      // numbers & mixed kinds for ORDER BY
+      Triple(i("alice"), i("age"), Term.lit("30", Term.XSD_INTEGER)),
+      Triple(i("bob"), i("age"), Term.lit("9", Term.XSD_INTEGER)),
+      Triple(i("carol"), i("age"), Term.lit("27.5", Term.XSD_DECIMAL)),
+      Triple(Term.bnode("b1"), i("age"), Term.lit("1", Term.XSD_INTEGER)),
+      // path chain a -p-> b -p-> c -p-> d, plus a -q-> d
+      Triple(i("a"), i("p"), i("b")),
+      Triple(i("b"), i("p"), i("c")),
+      Triple(i("c"), i("p"), i("d")),
+      Triple(i("a"), i("q"), i("d")))
+    spark.createDataset(ts).toDF()
+  }
+
+  private def lexSet(df: DataFrame, col0: String): Set[String] =
+    df.select(col(col0).getField("lex")).collect().map(_.getString(0)).toSet
+
+  test("BGP: self-join on shared var") {
+    val op = Bgp(Seq(
+      tp(v("s"), c(i("name")), v("n")),
+      tp(v("s"), c(i("email")), v("e"))))
+    val out = Compiler.compile(op, g)
+    assert(lexSet(out, "s") == Set(EX + "alice", EX + "carol"))
+  }
+
+  test("BGP: fully-concrete pattern acts as existence gate") {
+    val yes = Bgp(Seq(
+      tp(c(i("alice")), c(i("name")), c(Term.string("Alice"))),
+      tp(v("s"), c(i("email")), v("e"))))
+    assert(Compiler.compile(yes, g).count() == 2)
+    val no = Bgp(Seq(
+      tp(c(i("alice")), c(i("name")), c(Term.string("Nobody"))),
+      tp(v("s"), c(i("email")), v("e"))))
+    assert(Compiler.compile(no, g).count() == 0)
+  }
+
+  test("OPTIONAL: unmatched left rows survive with unbound var") {
+    val op = LeftJoin(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))
+    val rows = Compiler.compile(op, g).collect()
+    assert(rows.length == 3)
+    val bob = rows.find(r => r.getAs[org.apache.spark.sql.Row]("n").getString(1) == "Bob").get
+    assert(bob.getAs[org.apache.spark.sql.Row]("e") == null)
+  }
+
+  test("OPTIONAL with embedded condition: failed condition leaves var unbound") {
+    // OPTIONAL { ?s :email ?e FILTER(?e = "alice@example") }
+    val cond = RowExpr(r => TermCols.lex(r("e")) === "alice@example")
+    val op = LeftJoin(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))), Some(cond))
+    val rows = Compiler.compile(op, g).collect()
+    assert(rows.length == 3)
+    val bound = rows.filter(_.getAs[org.apache.spark.sql.Row]("e") != null)
+    assert(bound.length == 1)
+    assert(bound.head.getAs[org.apache.spark.sql.Row]("e").getString(1) == "alice@example")
+  }
+
+  test("MINUS vs NOT EXISTS: disjoint domains differ (SPARQL spec corner)") {
+    val left = Bgp(Seq(tp(v("s"), c(i("name")), v("n"))))
+    val rightDisjoint = Bgp(Seq(tp(v("x"), c(i("email")), v("e"))))
+    // MINUS with no shared vars removes nothing
+    assert(Compiler.compile(Minus(left, rightDisjoint), g).count() == 3)
+    // NOT EXISTS (uncorrelated) removes everything — emails exist
+    assert(Compiler.compile(AntiJoin(left, rightDisjoint), g).count() == 0)
+    // correlated MINUS removes the rows that join
+    val rightShared = Bgp(Seq(tp(v("s"), c(i("email")), v("e"))))
+    assert(lexSet(Compiler.compile(Minus(left, rightShared), g), "s") == Set(EX + "bob"))
+  }
+
+  test("SemiJoin (EXISTS)") {
+    val op = SemiJoin(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))
+    assert(lexSet(Compiler.compile(op, g), "s") == Set(EX + "alice", EX + "carol"))
+  }
+
+  test("UNION pads differing vars with unbound; certainty downgraded") {
+    val op = Union(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))
+    val out = Compiler.compile(op, g)
+    assert(out.count() == 5)
+    assert(out.filter(col("e").isNull).count() == 3)
+  }
+
+  test("compatible-binding join: unbound side matches anything") {
+    // L = {(x=a,y=1),(x=b)}  R = {(y=1,z=p),(y=2,z=q)}
+    val L = Table(Seq("x", "y"), Seq(
+      Map("x" -> i("a"), "y" -> Term.lit("1", Term.XSD_INTEGER)),
+      Map("x" -> i("b"))))
+    val R = Table(Seq("y", "z"), Seq(
+      Map("y" -> Term.lit("1", Term.XSD_INTEGER), "z" -> i("p")),
+      Map("y" -> Term.lit("2", Term.XSD_INTEGER), "z" -> i("q"))))
+    val rows = Compiler.compile(Join(L, R), g).collect()
+    // (a,1) joins only y=1; (b, unbound y) is compatible with BOTH rows
+    assert(rows.length == 3)
+    val bRows = rows.filter(_.getAs[org.apache.spark.sql.Row]("x").getString(1) == EX + "b")
+    assert(bRows.map(_.getAs[org.apache.spark.sql.Row]("y").getString(1)).toSet == Set("1", "2"))
+  }
+
+  test("ORDER BY: SPARQL total order — bnode < IRI < literal, numeric by value") {
+    val op = Order(Seq(SortKey("s")),
+      Bgp(Seq(tp(v("s"), c(i("age")), v("a")))))
+    val kinds = Compiler.compile(op, g)
+      .select(col("s").getField("kind")).collect().map(_.getByte(0)).toSeq
+    assert(kinds == Seq(Term.KIND_BNODE, Term.KIND_IRI, Term.KIND_IRI, Term.KIND_IRI))
+
+    val byAge = Order(Seq(SortKey("a")), Bgp(Seq(tp(v("s"), c(i("age")), v("a")))))
+    val ages = Compiler.compile(byAge, g)
+      .select(col("a").getField("lex")).collect().map(_.getString(0)).toSeq
+    assert(ages == Seq("1", "9", "27.5", "30")) // value order, not lexicographic
+  }
+
+  test("filter: EBV + eval error drops row") {
+    // FILTER(?a > 10) — ?a numeric; non-numeric/unbound → NULL → dropped
+    val op = Filter(RowExpr(r => TermCols.numValue(r("a")) > 10),
+      Bgp(Seq(tp(v("s"), c(i("age")), v("a")))))
+    assert(Compiler.compile(op, g).count() == 2) // 30 and 27.5
+    // comparing a *name* string numerically → NULL → all dropped
+    val bad = Filter(RowExpr(r => TermCols.numValue(r("n")) > 0),
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))
+    assert(Compiler.compile(bad, g).count() == 0)
+  }
+
+  test("extend + project + distinct + slice") {
+    val op = Slice(1, 2,
+      Order(Seq(SortKey("d")),
+        Distinct(Project(Seq("d"),
+          Extend("d", RowExpr(r => TermCols.strTerm(upper(TermCols.lex(r("n"))))),
+            Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))))))
+    val out = Compiler.compile(op, g).collect().map(_.getAs[org.apache.spark.sql.Row]("d").getString(1))
+    assert(out.toSeq == Seq("BOB", "CAROL"))
+  }
+
+  test("group: count + min per key, HAVING as post-filter") {
+    val op = Filter(RowExpr(r => TermCols.numValue(r("cnt")) >= 2),
+      Group(Seq("s"),
+        Seq("cnt" -> RowExpr(_ => TermCols.intTerm(count(lit(1))))),
+        Bgp(Seq(tp(v("s"), v("p"), v("o"))))))
+    val out = Compiler.compile(op, g)
+    assert(lexSet(out, "s") == Set(EX + "alice", EX + "carol", EX + "bob", EX + "a"))
+  }
+
+  test("property paths: p+ / p* / p? / seq / alt / inverse") {
+    def pathOf(path: Path, from: String): Set[String] =
+      lexSet(Compiler.compile(PathPattern(c(i(from)), path, v("x")), g), "x")
+
+    assert(pathOf(POneOrMore(PLink(EX + "p")), "a") ==
+      Set(EX + "b", EX + "c", EX + "d"))
+    assert(pathOf(PZeroOrMore(PLink(EX + "p")), "a") ==
+      Set(EX + "a", EX + "b", EX + "c", EX + "d"))
+    assert(pathOf(PSeq(PLink(EX + "p"), PLink(EX + "p")), "a") == Set(EX + "c"))
+    assert(pathOf(PAlt(PLink(EX + "p"), PLink(EX + "q")), "a") ==
+      Set(EX + "b", EX + "d"))
+    assert(pathOf(PFixedLength(PLink(EX + "p"), 3), "a") == Set(EX + "d"))
+    // inverse: ?x such that d ^p x  ⇔  x p d
+    assert(pathOf(PInverse(PLink(EX + "p")), "d") == Set(EX + "c"))
+    // zero-or-one
+    assert(pathOf(PZeroOrOne(PLink(EX + "p")), "a") == Set(EX + "a", EX + "b"))
+  }
+
+  test("VALUES table joined to a BGP") {
+    val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
+    val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))
+    assert(lexSet(Compiler.compile(op, g), "n") == Set("Alice", "Bob"))
+  }
+}
