@@ -1,0 +1,150 @@
+package graft.riot
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.{NTriplesEscape, Term, Triple}
+
+/**
+ * N-Triples source/sink — the Spark mapping of the reference's line-oriented
+ * RIOT lang (jena-arq/src/main/java/org/apache/jena/riot/lang/LangNTriples.java,
+ * tokens per riot/tokens/TokenizerText.java). Because the format is strictly
+ * one-triple-per-line, a file splits on line boundaries: `spark.read.text`
+ * gives HDFS-block-aligned splits and the parse runs as a narrow
+ * `mapPartitions` — the distributed twin of the reference's AsyncParser
+ * producer/consumer (riot/system/AsyncParser.java:52–346), with executor
+ * parallelism in place of the background thread (SURVEY.md §2.1).
+ *
+ * The writer emits canonical N-Triples (NodeFormatterNT-style escaping,
+ * riot/out/NodeFormatterNT.java) — the fixture/diff interchange format.
+ */
+object NTriples {
+
+  /** Parse one N-Triples line; None for blank lines/comments.
+   * Malformed lines raise IllegalArgumentException (checker-style strict
+   * mode, riot/system/Checker.java:60) unless `strict = false`. */
+  def parseLine(line: String, strict: Boolean = true): Option[Triple] = {
+    val s = line.trim
+    if (s.isEmpty || s.startsWith("#")) return None
+    try {
+      val p = new LineParser(s)
+      val subj = p.term()
+      val pred = p.term()
+      val obj = p.term()
+      p.dot()
+      Some(Triple(subj, pred, obj))
+    } catch {
+      case e: IllegalArgumentException =>
+        if (strict) throw new IllegalArgumentException(s"bad N-Triples line: $s", e)
+        else None
+    }
+  }
+
+  /** Distributed read: text lines → Dataset[Triple]. Splittable; blank
+   * lines and comments are skipped, malformed lines fail the task (strict)
+   * or are dropped. */
+  def read(spark: SparkSession, path: String, strict: Boolean = true): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .mapPartitions(_.flatMap(parseLine(_, strict)))
+  }
+
+  /** Parse an in-memory document (one `content` cell of the corpus table). */
+  def parseDocument(content: String, strict: Boolean = true): Seq[Triple] =
+    content.linesIterator.flatMap(parseLine(_, strict)).toSeq
+
+  /** Canonical N-Triples lines from a Dataset[Triple]. */
+  def format(triples: Dataset[Triple]): Dataset[String] = {
+    import triples.sparkSession.implicits._
+    triples.map(_.toNTriples)
+  }
+
+  /** Canonical N-Triples lines from the (s,p,o) struct-column DataFrame. */
+  def formatDF(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.selectExpr("s", "p", "o").as[Triple].map(_.toNTriples)
+  }
+
+  def write(triples: Dataset[Triple], path: String): Unit =
+    format(triples).write.mode("overwrite").text(path)
+
+  // ---- single-line recursive-descent parser (TokenizerText for one line)
+  private final class LineParser(s: String) {
+    private var i = 0
+
+    private def ws(): Unit = while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"$msg at $i")
+
+    def term(): Term = {
+      ws()
+      if (i >= s.length) fail("unexpected end")
+      s.charAt(i) match {
+        case '<' if s.startsWith("<<(", i) => tripleTerm()
+        case '<' => iriRef()
+        case '_' => bnode()
+        case '"' => literal()
+        case c   => fail(s"unexpected char '$c'")
+      }
+    }
+
+    private def iriRef(): Term = {
+      val end = s.indexOf('>', i)
+      if (end < 0) fail("unterminated IRI")
+      val iri = s.substring(i + 1, end)
+      i = end + 1
+      Term.iri(NTriplesEscape.unescape(iri))
+    }
+
+    private def bnode(): Term = {
+      if (i + 1 >= s.length || s.charAt(i + 1) != ':') fail("bad bnode")
+      i += 2
+      val start = i
+      while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
+      Term.bnode(s.substring(start, i))
+    }
+
+    private def literal(): Term = {
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) fail("bad escape")
+          sb.append(s.charAt(i)); sb.append(s.charAt(i + 1)); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated literal")
+      i += 1 // closing quote
+      val lex = NTriplesEscape.unescape(sb.toString)
+      if (i < s.length && s.charAt(i) == '@') {
+        i += 1
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+        Term.langLit(lex, s.substring(start, i))
+      } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
+        i += 2
+        val dt = iriRef()
+        Term.lit(lex, dt.lex)
+      } else Term.string(lex)
+    }
+
+    /** RDF 1.2 triple term `<<( s p o )>>` — kept as canonical text in
+     * `lex` (bounded recursion, SURVEY.md §1.7). */
+    private def tripleTerm(): Term = {
+      i += 3
+      val ts = term(); val tp = term(); val to = term()
+      ws()
+      if (!s.startsWith(")>>", i)) fail("unterminated triple term")
+      i += 3
+      Term(Term.KIND_TRIPLE_TERM,
+        "<<( " + ts.toNTriples + " " + tp.toNTriples + " " + to.toNTriples + " )>>", "", "")
+    }
+
+    def dot(): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != '.') fail("missing final dot")
+      i += 1
+      ws()
+      if (i < s.length && s.charAt(i) != '#') fail("trailing content")
+    }
+  }
+}

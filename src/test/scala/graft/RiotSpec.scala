@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Term, Triple}
+import graft.riot.{NTriples, TurtleLite}
+
+/** RIOT I/O tests: N-Triples roundtrip laws + Turtle-subset golden docs,
+ * in the spirit of the reference's RIOT parser suites
+ * (jena-arq/testing/RIOT/, SURVEY.md §5). */
+class RiotSpec extends AnyFunSuite {
+
+  private val EX = "http://example/"
+
+  test("N-Triples: parse golden lines") {
+    assert(NTriples.parseLine("<http://a/s> <http://a/p> <http://a/o> .").get ==
+      Triple(Term.iri("http://a/s"), Term.iri("http://a/p"), Term.iri("http://a/o")))
+    assert(NTriples.parseLine("""<http://a/s> <http://a/p> "hi\nthere" .""").get.o ==
+      Term.string("hi\nthere"))
+    assert(NTriples.parseLine("""_:b1 <http://a/p> "x"@en-GB .""").get ==
+      Triple(Term.bnode("b1"), Term.iri("http://a/p"), Term.langLit("x", "en-GB")))
+    assert(NTriples.parseLine(
+      """<http://a/s> <http://a/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .""").get.o ==
+      Term.lit("42", Term.XSD_INTEGER))
+    assert(NTriples.parseLine("   # a comment").isEmpty)
+    assert(NTriples.parseLine("").isEmpty)
+  }
+
+  test("N-Triples: triple term (RDF 1.2) parses to canonical text") {
+    val line = """<http://a/s> <http://a/p> <<( <http://a/x> <http://a/y> "z" )>> ."""
+    val t = NTriples.parseLine(line).get
+    assert(t.o.kind == Term.KIND_TRIPLE_TERM)
+    assert(t.o.lex == """<<( <http://a/x> <http://a/y> "z" )>>""")
+    assert(t.toNTriples == line)
+  }
+
+  test("N-Triples: malformed lines raise in strict mode, drop otherwise") {
+    intercept[IllegalArgumentException](NTriples.parseLine("<http://a/s> <http://a/p> ."))
+    assert(NTriples.parseLine("<http://a/s> <http://a/p> .", strict = false).isEmpty)
+  }
+
+  test("property: format → parse roundtrip over seeded random terms") {
+    val rnd = new scala.util.Random(42)
+    val nasty = "a\"\\\n\t\rü€ #<>.".toCharArray
+    def str(n: Int): String = Array.fill(rnd.nextInt(n))(nasty(rnd.nextInt(nasty.length))).mkString
+    def term(): Term = rnd.nextInt(6) match {
+      case 0 => Term.iri(EX + "r" + rnd.nextInt(1000))
+      case 1 => Term.bnode("b" + rnd.nextInt(1000))
+      case 2 => Term.string(str(12))
+      case 3 => Term.lit(rnd.between(-1000000L, 1000000L).toString, Term.XSD_INTEGER)
+      case 4 => Term.langLit(str(8), "en-GB")
+      case 5 => Term.lit(str(8), EX + "customDt")
+    }
+    (1 to 500).foreach { _ =>
+      val t = Triple(
+        if (rnd.nextBoolean()) Term.iri(EX + "s" + rnd.nextInt(100)) else Term.bnode("s"),
+        Term.iri(EX + "p" + rnd.nextInt(100)),
+        term())
+      assert(NTriples.parseLine(t.toNTriples).contains(t), s"roundtrip failed for ${t.toNTriples}")
+    }
+  }
+
+  test("N-Triples: distributed read/write roundtrip") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ts = (1 to 100).map(k =>
+      Triple(Term.iri(EX + "s" + k), Term.iri(EX + "p"), Term.lit(k.toString, Term.XSD_INTEGER)))
+    val dir = java.nio.file.Files.createTempDirectory("nt").toString + "/out"
+    NTriples.write(spark.createDataset(ts), dir)
+    val back = NTriples.read(spark, dir).collect().toSet
+    assert(back == ts.toSet)
+  }
+
+  test("TurtleLite: prefixes, a, ';' ',' lists, typed/lang literals") {
+    val doc =
+      """@prefix ex: <http://example/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |# a comment
+        |ex:alice a ex:Person ;
+        |    ex:name "Alice"@en , "Alys" ;
+        |    ex:age 30 ;
+        |    ex:height 1.75 ;
+        |    ex:score 1.0e2 ;
+        |    ex:active true .
+        |_:doc ex:about ex:alice .
+        |""".stripMargin
+    val ts = TurtleLite.parse(doc)
+    val m = ts.map(t => (t.p.lex.stripPrefix(EX), t.o)).toMap
+    assert(ts.size == 8)
+    assert(m("name") == Term.string("Alys") || m("name") == Term.langLit("Alice", "en"))
+    assert(ts.exists(_.o == Term.langLit("Alice", "en")))
+    assert(m("age") == Term.lit("30", Term.XSD_INTEGER))
+    assert(m("height") == Term.lit("1.75", Term.XSD_DECIMAL))
+    assert(m("score") == Term.lit("1.0e2", Term.XSD_DOUBLE))
+    assert(m("active") == Term.lit("true", Term.XSD_BOOLEAN))
+    assert(ts.exists(t => t.p.lex.endsWith("#type") && t.o == Term.iri(EX + "Person")))
+    assert(ts.exists(t => t.s == Term.bnode("doc")))
+  }
+
+  test("TurtleLite: base resolution and PREFIX (SPARQL-style) decls") {
+    val doc =
+      """BASE <http://base.org/dir/>
+        |PREFIX ex: <http://example/>
+        |<alice> ex:knows <../bob> .
+        |""".stripMargin
+    val ts = TurtleLite.parse(doc)
+    assert(ts == Seq(Triple(
+      Term.iri("http://base.org/dir/alice"),
+      Term.iri(EX + "knows"),
+      Term.iri("http://base.org/bob"))))
+  }
+
+  test("TurtleLite: unsupported constructs raise, undeclared prefix raises") {
+    intercept[IllegalArgumentException](TurtleLite.parse("ex:a ex:b ( 1 2 ) ."))
+    intercept[IllegalArgumentException](
+      TurtleLite.parse("@prefix ex: <http://e/> . ex:a nope:b ex:c ."))
+  }
+}
