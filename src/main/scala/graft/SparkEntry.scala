@@ -142,18 +142,17 @@ object SparkEntry {
          WHERE (1000 * len(list_intersect(a.grams, b.grams)))
              // (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 700""",
     "d3_minhash_sig" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, len(string_split(text, ' '))),
              j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
              AS shingles
            FROM documents)
          SELECT doc_id, CAST(i AS INT) AS h_idx,
-           list_aggregate(list_transform(shingles,
-             s -> CAST(('0x' || substr(md5(s || '|' || i), 1, 15)) AS BIGINT)), 'min') AS minhash
+           (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")})[CAST(i+1 AS INT)] AS minhash
          FROM sh, range(0, 8) t(i)""",
     "d4_dedup_lsh" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000 AS doc_id,
@@ -165,9 +164,8 @@ object SparkEntry {
              AS shingles
            FROM docs),
          sig AS (
-           SELECT doc_id, shingles, list_transform(range(0, 8), i ->
-             list_aggregate(list_transform(shingles,
-               s -> CAST(('0x' || substr(md5(s || '|' || i), 1, 15)) AS BIGINT)), 'min')) AS mh
+           SELECT doc_id, shingles,
+             (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")}) AS mh
            FROM sh),
          banded AS (
            SELECT doc_id, shingles, b AS band,

@@ -28,6 +28,32 @@ object OpsQueries {
   private def hash60(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
+  /** MinHash universal-hash family: h_i(x) = (x*P_i + B_i) mod M over a
+   * base hash x < M. ONE md5 per shingle (not one per shingle per row of
+   * the signature) — products stay < 2^60 so both engines agree without
+   * overflow. Constants are arbitrary odd/prime-ish values, fixed so the
+   * DuckDB oracle can embed the identical literals. */
+  private val MH_M = 1073741789L // prime < 2^30
+  private val MH_P = Seq(606863L, 793487L, 957559L, 426389L,
+    514229L, 846749L, 299709L, 626887L)
+  private val MH_B = Seq(32452843L, 49979687L, 67867967L, 86028121L,
+    15485863L, 23456789L, 54018521L, 77777777L)
+  private def mhPArr = MH_P.mkString("array(", "L, ", "L)")
+  private def mhBArr = MH_B.mkString("array(", "L, ", "L)")
+  /** Spark-side: base-hash a shingle array then emit the K=8 signature. */
+  private def mhSigExpr(shinglesCol: String): String =
+    s"""transform(sequence(0, 7), i -> array_min(transform(
+          transform($shinglesCol, sh -> pmod(${hash60("sh")}, ${MH_M}L)),
+          h -> pmod(h * element_at($mhPArr, i+1) + element_at($mhBArr, i+1), ${MH_M}L))))"""
+  /** DuckDB-side twin of mhSigExpr (same literals, same arithmetic). */
+  def mhSigSqlDuck(shingles: String): String = {
+    val p = MH_P.mkString("[", ", ", "]")
+    val b = MH_B.mkString("[", ", ", "]")
+    s"""list_transform(range(0, 8), i -> list_aggregate(list_transform(
+          list_transform($shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $MH_M),
+          h -> (h * ($p)[CAST(i+1 AS INT)] + ($b)[CAST(i+1 AS INT)]) % $MH_M), 'min'))"""
+  }
+
   private def tokensExpr = "split(text, ' ')"
 
   // ---------------------------------------------------------------- dedup
@@ -68,13 +94,15 @@ object OpsQueries {
    * (doc_id, h_idx, minhash) rows so the oracle compare is scalar. */
   def d3_minhash_sig(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // materialize the token array BEFORE the lambda: element_at on a
+      // column ref is O(1) per element, while element_at(split(...), j)
+      // re-splits the whole text per element — O(tokens²) per doc
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
-        s"""array_distinct(transform(sequence(1, size($tokensExpr)-1),
-            j -> concat(element_at($tokensExpr, j), '_', element_at($tokensExpr, j+1))))""")
+        """array_distinct(transform(sequence(1, size(toks)-1),
+            j -> concat(element_at(toks, j), '_', element_at(toks, j+1))))""")
         .as("shingles"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, 7), i ->
-              array_min(transform(shingles, sh -> ${hash60("concat(sh, '|', i)")})))"""))
+      .select(col("doc_id"), posexplode(expr(mhSigExpr("shingles")))
         .as(Seq("h_idx", "minhash")))
 
   /** MinHash-LSH near-dup pairs: 4 bands × 2 rows; pairs sharing a band
@@ -88,17 +116,20 @@ object OpsQueries {
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
     val all = docs.union(mutated)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
-        s"""array_distinct(transform(sequence(1, size($tokensExpr)-1),
-            j -> concat(element_at($tokensExpr, j), '_', element_at($tokensExpr, j+1))))""")
+        """array_distinct(transform(sequence(1, size(toks)-1),
+            j -> concat(element_at(toks, j), '_', element_at(toks, j+1))))""")
         .as("shingles"))
-    val sig = all.withColumn("mh", expr(
-      s"""transform(sequence(0, 7), i ->
-            array_min(transform(shingles, sh -> ${hash60("concat(sh, '|', i)")})))"""))
+    val sig = all.withColumn("mh", expr(mhSigExpr("shingles")))
     val banded = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), '_', element_at(mh, 2*b+2)))"))
         .as(Seq("band", "bucket")))
+    // l and r are the SAME subplan up to projection, so the (band,bucket)
+    // shuffle is planned once and reused (ReusedExchange) — cheaper than
+    // splitting candidates from signatures, which was measured slower here
+    // because it forfeits that reuse and adds two more array shuffles
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("a_id"), col("shingles").as("a_sh"))
     val r = banded.select(col("band"), col("bucket"),
@@ -177,16 +208,25 @@ object OpsQueries {
    * Rows-only gate (no SQL oracle); AnnSpec checks recall vs s1. */
   def s2_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    // per-table 4-bit bucket; hyperplane weights in [-1,1] derived from hash60
+    // Hyperplane weights are data-independent: precompute the 16×64 matrix
+    // driver-side (same hash60 formula) and embed as literals, instead of
+    // re-hashing 1024 md5s per ROW. At cluster scale this is the difference
+    // between a narrow vectorizable projection and md5-bound CPU.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(str: String): Long = java.lang.Long.parseLong(
+      md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val planes: IndexedSeq[IndexedSeq[Double]] =
+      for (tp <- 0 until 16) yield
+        for (i <- 0 until 64) yield (h60(s"$i|$tp") % 1001).toDouble / 500.0 - 1.0
+    def dot(tp: Int): Column = aggregate(
+      zip_with(col("embedding"), array(planes(tp).map(lit): _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
+    def bucketFor(t: Int): Column = (0 until 4)
+      .map(p => when(dot(t * 4 + p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
     val withBuckets = e.select(col("vec_id"), col("embedding"),
-      posexplode(expr(
-        s"""transform(sequence(0, 3), t ->
-              aggregate(sequence(0, 3), 0L, (acc, p) -> acc + if(
-                aggregate(zip_with(embedding, sequence(0, size(embedding)-1),
-                    (x, i) -> cast(x as double) *
-                      (cast(${hash60("concat(i, '|', t * 4 + p)")} % 1001 as double) / 500.0 - 1.0)),
-                  0D, (a, v) -> a + v) > 0,
-                shiftleft(1L, p), 0L)))""")).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until 4).map(bucketFor): _*)).as(Seq("tbl", "bucket")))
     val q = withBuckets.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl"), col("bucket"))
