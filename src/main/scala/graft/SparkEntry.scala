@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Each `queries` entry is one implemented operator family from SURVEY.md §2;
  * `oracleSql` holds the DuckDB-equivalent SQL with identical column names. */
 object SparkEntry {
-  import graft.queries.{OpsQueries, Relational}
+  import graft.queries.{OpsQueries, Relational, SparqlQueries}
 
   /** Flagship: the KG-construction pipeline's extraction+agg slice on
    * sf0.001; driver smoke-checks rows>0. */
@@ -44,11 +44,18 @@ object SparkEntry {
     "t4_rolling_fp"     -> OpsQueries.t4_rolling_fingerprint _,
     "t5_token_count"    -> OpsQueries.t5_token_count _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
+    // SPARQL algebra over a triple encoding (graft.algebra Compiler)
+    "r16_bgp"             -> SparqlQueries.r16_bgp _,
+    "r17_optional_group"  -> SparqlQueries.r17_optional_group _,
+    "r18_minus"           -> SparqlQueries.r18_minus _,
+    "r19_path_seq"        -> SparqlQueries.r19_path_seq _,
+    "r20_union_order_slice" -> SparqlQueries.r20_union_order_slice _,
+    "r21_exists_filter"   -> SparqlQueries.r21_exists_filter _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = SparqlQueries.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(cast(l_quantity as decimal(18,2))) AS sum_qty,

@@ -101,18 +101,10 @@ object Compiler {
 
     case Slice(offset, limit, in) =>
       val c = comp(in, g)
-      // OFFSET over a sorted input: take offset+limit then drop the head
-      // by row_number over the same key — only deterministic after Order
-      // (the reference has the same caveat, QueryIterSlice.java).
-      val df =
-        if (offset <= 0) c.df.limit(limit.toInt)
-        else {
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(monotonically_increasing_id())
-          c.df.limit((offset + limit).toInt)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") > offset).drop("__rn")
-        }
+      // Spark's native Offset keeps the preceding Sort's order — only
+      // deterministic after Order, same caveat as QueryIterSlice.java.
+      val df = if (offset <= 0) c.df.limit(limit.toInt)
+               else c.df.offset(offset.toInt).limit(limit.toInt)
       Compiled(df, c.certain, c.maybe)
 
     case Distinct(in) =>

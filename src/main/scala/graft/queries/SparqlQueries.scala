@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.algebra._
+import graft.model.Term
+
+/**
+ * Oracle-gated SPARQL-algebra queries: the driver test tables are encoded
+ * as a triple table (dictionary-style IRIs), the algebra `Compiler` runs a
+ * SPARQL Op tree over it, and the DuckDB oracle states the equivalent
+ * relational query over the original tables — so the whole algebra →
+ * DataFrame lowering (SURVEY.md §2.2/2.3/2.6/2.8) is checked end-to-end by
+ * the driver's correctness gate, not only by unit specs.
+ */
+object SparqlQueries {
+
+  private val NS = "urn:g:"
+  val pName: String = NS + "name"
+  val pInNation: String = NS + "inNation"
+  val pInRegion: String = NS + "inRegion"
+  val pSegment: String = NS + "segment"
+  val pAcctBal: String = NS + "acctbal"
+
+  private def iriCol(prefix: String, c: org.apache.spark.sql.Column) =
+    TermCols.iriTerm(concat(lit(NS + prefix), c.cast("string")))
+  private def strCol(c: org.apache.spark.sql.Column) = TermCols.strTerm(c)
+
+  /** The triple encoding of region/nation/customer — built per query (no
+   * caching; Catalyst prunes the unused branches of the union). */
+  def triples(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(s, d)
+    val region = Tables.region(s, d)
+    val customer = Tables.customer(s, d)
+    def t(sC: org.apache.spark.sql.Column, p: String, oC: org.apache.spark.sql.Column) =
+      struct(sC.as("s"), TermCols.const(Term.iri(p)).as("p"), oC.as("o"))
+    nation.select(t(iriCol("n:", col("n_nationkey")), pName, strCol(col("n_name"))).as("x"))
+      .union(nation.select(t(iriCol("n:", col("n_nationkey")), pInRegion,
+        iriCol("r:", col("n_regionkey"))).as("x")))
+      .union(region.select(t(iriCol("r:", col("r_regionkey")), pName,
+        strCol(col("r_name"))).as("x")))
+      .union(customer.select(t(iriCol("c:", col("c_custkey")), pInNation,
+        iriCol("n:", col("c_nationkey"))).as("x")))
+      .union(customer.select(t(iriCol("c:", col("c_custkey")), pSegment,
+        strCol(col("c_mktsegment"))).as("x")))
+      .union(customer.select(t(iriCol("c:", col("c_custkey")), pAcctBal,
+        TermCols.decTerm(col("c_acctbal"))).as("x")))
+      .select(col("x.s").as("s"), col("x.p").as("p"), col("x.o").as("o"))
+  }
+
+  private def v(n: String) = TVar(n)
+  private def p(iri: String) = TConst(Term.iri(iri))
+  private def tp(s: TermPat, pr: TermPat, o: TermPat) = TriplePattern(s, pr, o)
+
+  /** BGP 2-hop chain: customer → nation → name (self-equi-join twice). */
+  def r16_bgp(s: SparkSession, d: String): DataFrame = {
+    val op = Project(Seq("c", "nname"), Bgp(Seq(
+      tp(v("c"), p(pInNation), v("n")),
+      tp(v("n"), p(pName), v("nname")))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("c")).as("c"),
+      TermCols.lex(col("nname")).as("nname"))
+  }
+
+  /** OPTIONAL + GROUP: nations with their customer count, zero included
+   * (compatible-binding left join, then count(bound var)). */
+  def r17_optional_group(s: SparkSession, d: String): DataFrame = {
+    val op = Group(Seq("nname"),
+      Seq("n_cust" -> RowExpr(r => TermCols.intTerm(count(r("c"))))),
+      LeftJoin(
+        // the inRegion pattern restricts ?n to nations (regions have
+        // :name triples too — the oracle speaks only about nations)
+        Bgp(Seq(tp(v("n"), p(pName), v("nname")), tp(v("n"), p(pInRegion), v("rr")))),
+        Bgp(Seq(tp(v("c"), p(pInNation), v("n"))))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("nname")).as("nname"),
+      TermCols.lex(col("n_cust")).cast("long").as("n_cust"))
+  }
+
+  /** MINUS with a shared variable + numeric FILTER on the removed side:
+   * nations with no high-balance BUILDING customer. */
+  def r18_minus(s: SparkSession, d: String): DataFrame = {
+    val op = Minus(
+      Bgp(Seq(tp(v("n"), p(pName), v("nname")), tp(v("n"), p(pInRegion), v("rr")))),
+      Filter(RowExpr(r => TermCols.numValue(r("bal")) > 9000),
+        Bgp(Seq(
+          tp(v("c"), p(pInNation), v("n")),
+          tp(v("c"), p(pSegment), TConst(Term.string("BUILDING"))),
+          tp(v("c"), p(pAcctBal), v("bal"))))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("nname")).as("nname"))
+  }
+
+  /** Property path: customer -inNation/inRegion-> region (PSeq lowering to
+   * a join), then region name. */
+  def r19_path_seq(s: SparkSession, d: String): DataFrame = {
+    val op = Group(Seq("rname"),
+      Seq("n_cust" -> RowExpr(r => TermCols.intTerm(count(r("c"))))),
+      Join(
+        PathPattern(v("c"), PSeq(PLink(pInNation), PLink(pInRegion)), v("r")),
+        Bgp(Seq(tp(v("r"), p(pName), v("rname"))))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("rname")).as("rname"),
+      TermCols.lex(col("n_cust")).cast("long").as("n_cust"))
+  }
+
+  /** ORDER BY the SPARQL total order + DISTINCT + SLICE over a UNION of
+   * nation and region names. */
+  def r20_union_order_slice(s: SparkSession, d: String): DataFrame = {
+    val op = Slice(2, 8,
+      Order(Seq(SortKey("name")),
+        Distinct(Project(Seq("name"), Union(
+          // nation names: subjects that HAVE an inRegion edge
+          Bgp(Seq(tp(v("n"), p(pName), v("name")), tp(v("n"), p(pInRegion), v("r")))),
+          // region names: objects of some inRegion edge
+          Bgp(Seq(tp(v("rg"), p(pName), v("name")), tp(v("x"), p(pInRegion), v("rg")))))))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("name")).as("name"))
+  }
+
+  /** FILTER + EXISTS: segments that have a customer in nation 0..4's
+   * region — semi-join keeps the left side only. */
+  def r21_exists_filter(s: SparkSession, d: String): DataFrame = {
+    val op = Distinct(Project(Seq("seg"),
+      SemiJoin(
+        Bgp(Seq(tp(v("c"), p(pSegment), v("seg")))),
+        Filter(RowExpr(r => TermCols.lex(r("nname")).isin("NATION_3", "NATION_7", "NATION_11")),
+          Bgp(Seq(
+            tp(v("c"), p(pInNation), v("n")),
+            tp(v("n"), p(pName), v("nname"))))))))
+    val out = Compiler.compile(op, triples(s, d))
+    out.select(TermCols.lex(col("seg")).as("seg"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "r16_bgp" ->
+      """SELECT 'urn:g:c:' || c_custkey AS c, n_name AS nname
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "r17_optional_group" ->
+      """SELECT n_name AS nname, count(c_custkey) AS n_cust
+         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "r18_minus" ->
+      """SELECT n_name AS nname FROM nation
+         WHERE NOT EXISTS (SELECT 1 FROM customer
+           WHERE c_nationkey = n_nationkey AND c_mktsegment = 'BUILDING'
+             AND c_acctbal > 9000)""",
+    "r19_path_seq" ->
+      """SELECT r_name AS rname, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+    "r20_union_order_slice" ->
+      """SELECT name FROM (
+           SELECT DISTINCT name FROM (
+             SELECT n_name AS name FROM nation
+             UNION ALL SELECT r_name AS name FROM region)
+           ORDER BY name LIMIT 8 OFFSET 2)""",
+    "r21_exists_filter" ->
+      """SELECT DISTINCT c_mktsegment AS seg
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')""")
+}
