@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /**
+   * Size-adaptive entry point: below `localThreshold` edges the component
+   * map is computed with a driver-side union-find (one collect of the
+   * DEDUPLICATED edge list — sameAs edges are orders of magnitude smaller
+   * than the corpus, and a dozen distributed star-contraction rounds on a
+   * few-MB edge set is pure scheduler latency); above it, the O(log n)
+   * distributed loop. Both produce the identical deterministic map
+   * (component = min member), verified against each other in
+   * ConnectedComponentsSpec.
+   */
+  def runAdaptive(edges: DataFrame, localThreshold: Long = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (e.count() <= localThreshold) {
+        val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+        val mapping = graft.fixtures.CorpusGen.connectedComponentsLocal(pairs.toSeq)
+        import spark.implicits._
+        spark.createDataset(mapping.toSeq).toDF("node", "component")
+      } else run(e)
+    } finally e.unpersist()
+  }
+
   /** edges: two string columns (src, dst). Returns (node, component) where
    * component = min node id (lexicographic) of the node's component; every
    * node appearing in edges is present. */
@@ -34,6 +60,7 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    var prevSig: Option[(Long, String)] = None
     while (!converged && iter < maxIter) {
       // large-star: for every node u, attach its larger neighbors to
       // m = min(N(u) ∪ {u})
@@ -60,10 +87,19 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // converged when the edge set is stable (cheap symmetric-difference count)
-      val changed = small.exceptAll(e).limit(1).count() +
-        e.exceptAll(small).limit(1).count()
-      converged = changed == 0
+      // converged when the edge set is stable. Compare a one-job
+      // (count, xxhash64-sum) signature instead of two exceptAll jobs —
+      // both sides are distinct sets, so equal count + equal hash sum
+      // means equal sets (w.h.p.); at 4N parallelism the two extra
+      // exceptAll shuffles per round were pure fixed latency.
+      val sigRow = small.agg(
+        count(lit(1)).as("n"),
+        // decimal(38,0) sum: a long sum of 64-bit hashes overflows ANSI
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getDecimal(1).toString)
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
       e = small
       iter += 1
     }

@@ -27,13 +27,15 @@ final case class Candidate(
 object Extractor {
 
   /** Corpus → candidates. Repartitions by (repo, lang) first — the explicit
-   * partition plan of the north rule; everything after is narrow. */
-  def extract(corpus: Dataset[CorpusRow]): Dataset[Candidate] = {
+   * partition plan of the north rule; everything after is narrow. Pass
+   * `repartition = false` when the input is already repo-partitioned
+   * (e.g. a freshly generated corpus or a bucketed Iceberg read): the
+   * re-shuffle of every content byte is then pure memory traffic. */
+  def extract(corpus: Dataset[CorpusRow], repartition: Boolean = true): Dataset[Candidate] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
-      .repartition(col("repo"), col("lang"))
-      .mapPartitions { rows => rows.flatMap(extractRow) }
+    val in = if (repartition) corpus.repartition(col("repo"), col("lang")) else corpus
+    in.mapPartitions { rows => rows.flatMap(extractRow) }
   }
 
   /** Pure per-row mention detection — safe to call anywhere (tests use it

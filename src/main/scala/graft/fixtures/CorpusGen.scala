@@ -76,18 +76,45 @@ object CorpusGen {
    * surfaces (case/noise variants), all exact-matchable. 1% of surfaces are
    * "hot" (shared prefix mention used very often) to exercise skew. */
   def dictionary(nEntities: Int): Seq[DictRow] =
-    (0 until nEntities).flatMap { e =>
-      val iri = entityIri(e)
-      val base = f"E$e%06d"
-      val variants = Seq(base, base.toLowerCase, base + "_v2").take(1 + e % 3)
-      variants.zipWithIndex.map { case (s, i) => DictRow(iri, s, 1.0 - 0.1 * i) }
-    }
+    (0 until nEntities).flatMap(entityRows)
+
+  /** Distributed dictionary for bench-scale runs — generated on executors
+   * so the rows never ride the task closure (a 300k-entity dictionary is
+   * ~7 MB of task payload if built driver-side). */
+  def dictionaryDistributed(spark: org.apache.spark.sql.SparkSession,
+                            nEntities: Int,
+                            partitions: Int = 16): org.apache.spark.sql.Dataset[DictRow] = {
+    import spark.implicits._
+    spark.range(0, nEntities, 1, partitions).flatMap(e => entityRows(e.toInt))
+  }
+
+  private def entityRows(e: Int): Seq[DictRow] = {
+    val iri = entityIri(e)
+    val base = f"E$e%06d"
+    val variants = Seq(base, base.toLowerCase, base + "_v2").take(1 + e % 3)
+    variants.zipWithIndex.map { case (s, i) => DictRow(iri, s, 1.0 - 0.1 * i) }
+  }
 
   /** Zipf-ish repo sizing: repo r gets files proportional to 1/(1+r%7). */
-  def generate(seed: Long, nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] = {
+  def generate(seed: Long, nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] =
+    (0 until nRepos).flatMap(repoRows(seed, _, nRepos, filesPerRepo))
+
+  /** Distributed generation for bench-scale corpora: one task per repo
+   * range, no driver-side materialization — the generator itself must obey
+   * the partitioning discipline it exists to exercise. */
+  def generateDistributed(spark: org.apache.spark.sql.SparkSession, seed: Long,
+                          nRepos: Int, filesPerRepo: Int,
+                          partitions: Int = 64): org.apache.spark.sql.Dataset[CorpusRow] = {
+    import spark.implicits._
+    spark.range(0, nRepos, 1, partitions)
+      .flatMap(r => repoRows(seed, r.toInt, nRepos, filesPerRepo))
+  }
+
+  /** All rows of one repo — pure, deterministic in (seed, r). */
+  def repoRows(seed: Long, r: Int, nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] = {
     val rows = Seq.newBuilder[CorpusRow]
     val nEntities = math.max(9, nRepos * filesPerRepo / 4)
-    for (r <- 0 until nRepos) {
+    locally {
       val repo = f"org${r % 13}%04d/repo$r%04d"
       val commit = commitOf(seed, repo)
       val nFiles = math.max(1, filesPerRepo / (1 + r % 7))

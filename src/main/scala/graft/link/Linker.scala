@@ -38,17 +38,19 @@ object Linker {
   /** Broadcast exact link: resolved mentions get their object IRI,
    * non-mention rows pass through untouched, unlinkable mentions are
    * dropped (counted by the pipeline's metrics). */
-  def exact(cands: Dataset[Candidate], dict: Dataset[DictRow]): Dataset[Candidate] =
-    exactImpl(cands, dict, salted = false, saltFactor = 1)
+  def exact(cands: Dataset[Candidate], dict: Dataset[DictRow],
+            uniqueSurfaces: Boolean = true): Dataset[Candidate] =
+    exactImpl(cands, dict, salted = false, saltFactor = 1, uniqueSurfaces)
 
   /** Salted shuffled exact link for skewed surfaces (dictionary too big to
    * broadcast at 10^12-file scale). saltFactor ≈ executors × 2. */
   def exactSalted(cands: Dataset[Candidate], dict: Dataset[DictRow],
-                  saltFactor: Int): Dataset[Candidate] =
-    exactImpl(cands, dict, salted = true, saltFactor = saltFactor)
+                  saltFactor: Int, uniqueSurfaces: Boolean = true): Dataset[Candidate] =
+    exactImpl(cands, dict, salted = true, saltFactor = saltFactor, uniqueSurfaces)
 
   private def exactImpl(cands: Dataset[Candidate], dict: Dataset[DictRow],
-                        salted: Boolean, saltFactor: Int): Dataset[Candidate] = {
+                        salted: Boolean, saltFactor: Int,
+                        uniqueSurfaces: Boolean): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._
     val mentions = cands.where(col("surface") =!= "")
@@ -69,9 +71,13 @@ object Linker {
           .drop("_salt")
       }
 
-    // dictionary surfaces are unique here, but keep the deterministic
-    // best-candidate rule for dictionaries with ambiguous surfaces
-    val best = bestPerMention(joined0, Seq("s", "p", "surface", "sha256"))
+    // best-candidate tie-break needs a per-mention window sort — a full
+    // extra shuffle+sort of every mention. Skip it when the caller
+    // declares surfaces unique (one dictionary row per surface string):
+    // the join already yields exactly one candidate per mention.
+    val best =
+      if (uniqueSurfaces) joined0
+      else bestPerMention(joined0, Seq("s", "p", "surface", "sha256"))
     val linked = best
       .withColumn("o", struct(
         lit(Term.KIND_IRI).cast("byte").as("kind"),

@@ -30,6 +30,57 @@ object Pipeline {
 
   final case class StageResult(name: String, rows: Long, skipped: Boolean, wallMs: Long)
 
+  /**
+   * Fused single-pass run: generate → extract → link → canon → materialize
+   * with NO intermediate stage materialization — only the CC edge list (it
+   * is iterated) and the final snapshot hit storage. This is the
+   * throughput configuration: at 100 TB you checkpoint at a few chosen
+   * boundaries, not after every operator; `run` (staged) and `runFused`
+   * are the two ends of that knob, sharing all stage logic.
+   */
+  def runFused(spark: SparkSession, nRepos: Int, filesPerRepo: Int, outDir: String,
+               seed: Long = 42): Long = {
+    import spark.implicits._
+    val corpus = CorpusGen.generateDistributed(spark, seed, nRepos, filesPerRepo)
+    // generation already yields repo-range partitions — skip the re-shuffle
+    val cands = Extractor.extract(corpus, repartition = false)
+    val nEntities = math.max(9, nRepos * filesPerRepo / 4)
+    val dict = CorpusGen.dictionaryDistributed(spark, nEntities)
+    // join-strategy selection (north rule): broadcast while the dictionary
+    // is genuinely small; above ~100k entities the broadcast build is a
+    // serial driver cost (and at 10^12-file scale an impossibility), so
+    // switch to the salted shuffled join
+    val linked0 =
+      if (nEntities <= 100000) Linker.exact(cands, dict)
+      else Linker.exactSalted(cands, dict, spark.sparkContext.defaultParallelism)
+    // linked is consumed twice (edge extraction + final materialize):
+    // persist at this boundary instead of recomputing the whole
+    // gen→extract→link lineage a second time
+    val linked = linked0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var t = System.nanoTime()
+      def lap(name: String): Unit = {
+        val now = System.nanoTime()
+        println(f"[fused] $name%-12s ${(now - t) / 1e9}%.1f s")
+        t = now
+      }
+      val edges = linked
+        .where(col("p.lex") === CorpusGen.OWL_SAMEAS)
+        .select(col("s.lex").as("src"), col("o.lex").as("dst"))
+      val mapping = ConnectedComponents.runAdaptive(edges)
+      lap("link+cc") // forces gen→extract→link materialization via persist
+      val rewritten = ConnectedComponents.rewrite(linked.toDF(), mapping)
+      // plain term-struct store: measured faster than materializeEncoded
+      // on this corpus (terms are mostly unique, so the 3n-row dictionary
+      // shuffle costs more than the narrow id rows save — see BASELINE.md)
+      val n = TripleStore.materialize(rewritten, s"$outDir/snapshot",
+        parent = None, partitions = spark.sparkContext.defaultParallelism)
+      lap("materialize")
+      n
+    } finally linked.unpersist()
+  }
+
   def run(spark: SparkSession, nRepos: Int, filesPerRepo: Int, outDir: String,
           saltFactor: Int = 0, seed: Long = 42): Seq[StageResult] = {
     import spark.implicits._
@@ -52,7 +103,7 @@ object Pipeline {
 
     // ---- ingest: synthesize (or in production: read Iceberg) and partition
     stage("ingest") { dir =>
-      val corpus = spark.createDataset(CorpusGen.generate(seed, nRepos, filesPerRepo))
+      val corpus = CorpusGen.generateDistributed(spark, seed, nRepos, filesPerRepo)
       corpus.repartition(col("repo"), col("lang"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
       spark.read.parquet(s"$dir/corpus").count()
@@ -70,7 +121,7 @@ object Pipeline {
     // ---- link
     stage("link") { dir =>
       val nEntities = math.max(9, nRepos * filesPerRepo / 4)
-      val dict = spark.createDataset(CorpusGen.dictionary(nEntities))
+      val dict = CorpusGen.dictionaryDistributed(spark, nEntities)
       val linked =
         if (saltFactor > 1) Linker.exactSalted(cands, dict, saltFactor)
         else Linker.exact(cands, dict)
@@ -84,7 +135,7 @@ object Pipeline {
       val edges = linked
         .where(col("p.lex") === CorpusGen.OWL_SAMEAS)
         .select(col("s.lex").as("src"), col("o.lex").as("dst"))
-      val mapping = ConnectedComponents.run(edges)
+      val mapping = ConnectedComponents.runAdaptive(edges)
       val rewritten = ConnectedComponents.rewrite(linked, mapping)
       rewritten.write.mode(SaveMode.Overwrite).parquet(s"$dir/triples")
       spark.read.parquet(s"$dir/triples").count()

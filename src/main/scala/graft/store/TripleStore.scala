@@ -2,7 +2,7 @@ package graft.store
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -60,17 +60,28 @@ object TripleStore {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$snapshotDir/$name")
 
-    sortedWrite("spo", Seq("s_lex", "p_lex", "o_lex"))
-    sortedWrite("pos", Seq("p_lex", "o_lex", "s_lex"))
-    sortedWrite("osp", Seq("o_lex", "s_lex", "p_lex"))
-
-    // per-partition lineage + metrics rows (north rule): counts by the
-    // pipeline's partition key (repo, lang)
-    deduped.groupBy("repo", "lang")
-      .agg(count(lit(1)).as("n_triples"),
-        countDistinct(col("s_lex")).as("n_subjects"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
+    // the three sorted layouts + lineage read the SAME cached input and
+    // are independent — submit them as concurrent jobs so the scheduler
+    // overlaps their shuffles and commit phases (driver-side commit is
+    // otherwise serial dead time; on a real cluster this also keeps
+    // executors busy during each layout's single-writer commit)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(sortedWrite("spo", Seq("s_lex", "p_lex", "o_lex"))),
+      Future(sortedWrite("pos", Seq("p_lex", "o_lex", "s_lex"))),
+      Future(sortedWrite("osp", Seq("o_lex", "s_lex", "p_lex"))),
+      Future {
+        // per-partition lineage + metrics rows (north rule): counts by the
+        // pipeline's partition key (repo, lang)
+        deduped.groupBy("repo", "lang")
+          .agg(count(lit(1)).as("n_triples"),
+            countDistinct(col("s_lex")).as("n_subjects"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
     deduped.unpersist()
 
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -81,6 +92,95 @@ object TripleStore {
       "n_triples" -> total.toString,
       "wall_ms" -> wallMs.toString))
     total
+  }
+
+  /**
+   * Dictionary-encoded materialization — the TDB2 NodeTable analog
+   * (jena-tdb2/.../store/nodetable/NodeTable.java; SURVEY.md §1.6 "terms
+   * are dictionary-encoded to fixed-width NodeIds"). Term ids are
+   * CONTENT-DERIVED (xxhash64 of the 4 struct fields), so no sequential-id
+   * coordination point exists — any executor can compute any term's id
+   * locally, exactly like the seeded bnode labels. Layouts become narrow
+   * (s_id, p_id, o_id) long rows: range shuffles move ~20 bytes/triple
+   * instead of hundreds, which is the difference between memory-bandwidth-
+   * bound and CPU-bound at high parallelism (measured in BASELINE.md).
+   *
+   * Output: `terms/` dictionary (id → term struct fields) + sorted
+   * `spo/pos/osp` id-fact tables + `lineage/` + manifest.
+   */
+  def materializeEncoded(triples: DataFrame, snapshotDir: String,
+                         parent: Option[String], partitions: Int = 32): Long = {
+    val t0 = System.nanoTime()
+    val flat = flatten(triples)
+
+    def tid(p: String): Column =
+      xxhash64(col(s"${p}_kind"), col(s"${p}_lex"), col(s"${p}_dt"), col(s"${p}_lang"))
+
+    val facts = flat
+      .withColumn("s_id", tid("s")).withColumn("p_id", tid("p")).withColumn("o_id", tid("o"))
+      .select("s_id", "p_id", "o_id", "repo", "lang",
+        "s_kind", "s_lex", "s_dt", "s_lang",
+        "p_kind", "p_lex", "p_dt", "p_lang",
+        "o_kind", "o_lex", "o_dt", "o_lang")
+      .dropDuplicates("s_id", "p_id", "o_id")
+      .cache()
+    val total = facts.count()
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    def idWrite(name: String, keys: Seq[String]): Unit =
+      facts.select("s_id", "p_id", "o_id", "repo", "lang")
+        .repartitionByRange(partitions, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$name")
+
+    def slot(p: String) = facts.select(tid(p).as("id"), col(s"${p}_kind").as("kind"),
+      col(s"${p}_lex").as("lex"), col(s"${p}_dt").as("dt"), col(s"${p}_lang").as("lang"))
+
+    val writes = Seq(
+      Future(idWrite("spo", Seq("s_id", "p_id", "o_id"))),
+      Future(idWrite("pos", Seq("p_id", "o_id", "s_id"))),
+      Future(idWrite("osp", Seq("o_id", "s_id", "p_id"))),
+      Future {
+        slot("s").union(slot("p")).union(slot("o")).dropDuplicates("id")
+          .repartitionByRange(math.max(1, partitions / 4), col("id"))
+          .sortWithinPartitions("id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/terms")
+      },
+      Future {
+        facts.groupBy("repo", "lang")
+          .agg(count(lit(1)).as("n_triples"), countDistinct(col("s_id")).as("n_subjects"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
+    facts.unpersist()
+
+    writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
+      "snapshot" -> Paths.get(snapshotDir).getFileName.toString,
+      "parent" -> parent.getOrElse(""),
+      "layouts" -> "spo,pos,osp,terms(encoded)",
+      "encoding" -> "xxhash64-termid",
+      "n_triples" -> total.toString,
+      "wall_ms" -> ((System.nanoTime() - t0) / 1000000).toString))
+    total
+  }
+
+  /** Decode an id-encoded layout back to term-struct triples (three
+   * dictionary joins — AQE broadcasts the dictionary when it fits). */
+  def decodeEncoded(spark: SparkSession, snapshotDir: String,
+                    layout: String = "spo"): DataFrame = {
+    val facts = spark.read.parquet(s"$snapshotDir/$layout")
+    val terms = spark.read.parquet(s"$snapshotDir/terms")
+    def term(alias: String) = terms.select(col("id").as(s"${alias}_tid"),
+      struct(col("kind"), col("lex"), col("dt"), col("lang")).as(alias))
+    facts
+      .join(term("s"), col("s_id") === col("s_tid"))
+      .join(term("p"), col("p_id") === col("p_tid"))
+      .join(term("o"), col("o_id") === col("o_tid"))
+      .select(col("s"), col("p"), col("o"), col("repo"), col("lang"))
   }
 
   /** Atomic manifest commit: write temp, then move into place. A snapshot
