@@ -1,0 +1,54 @@
+package graft.algebra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Term
+
+/**
+ * CONSTRUCT template instantiation — the distributed twin of the
+ * reference's `TemplateLib.calcTriples` (jena-arq/.../sparql/modify/
+ * TemplateLib.java:47–174; SURVEY.md §3.A step 4 calls this "Jena's
+ * triple-extraction-from-bindings primitive"). For every solution row and
+ * every template pattern, emit one triple with variables substituted.
+ *
+ * Semantics mirrored from the reference:
+ *  - a pattern whose slot has an unbound variable produces NO triple for
+ *    that row (TemplateLib skips incomplete triples);
+ *  - ill-formed results are skipped too: literal in subject or predicate
+ *    position, bnode in predicate position;
+ *  - a blank node in the template is remapped to a FRESH bnode per
+ *    solution row, shared across patterns of the same template row
+ *    (TemplateLib.java:81,121–174 per-row bnode remapping). Labels are
+ *    derived from a per-row id, unique within the run.
+ */
+object Construct {
+
+  /** Pattern slots: constants, solution variables, or template bnodes
+   * (`TConst(Term.bnode(label))` is treated as a template bnode). */
+  def construct(template: Seq[TriplePattern], solutions: DataFrame): DataFrame = {
+    // one per-row id shared by all patterns of the row: template bnode
+    // labels become label_rowid (fresh per row, stable within the row)
+    val withRow = solutions.withColumn("__row", monotonically_increasing_id())
+
+    def slotCol(p: TermPat): Column = p match {
+      case TConst(t) if t.isBNode =>
+        TermCols.mk(lit(Term.KIND_BNODE),
+          concat(lit(t.lex + "_r"), col("__row")), lit(""), lit(""))
+      case TConst(t) => TermCols.const(t)
+      case TVar(n) if withRow.columns.contains(n) => col(n)
+      case _ => lit(null).cast(TermCols.schema)
+    }
+
+    val parts = template.map { tp =>
+      val s = slotCol(tp.s); val p = slotCol(tp.p); val o = slotCol(tp.o)
+      withRow.select(s.as("s"), p.as("p"), o.as("o"))
+        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        // well-formedness: no literal subject, predicate must be an IRI
+        .where(TermCols.kind(col("s")) =!= Term.KIND_LIT)
+        .where(TermCols.isIri(col("p")))
+    }
+    // CONSTRUCT output is a GRAPH — set semantics (Graph.add dedupes)
+    parts.reduce(_.union(_)).dropDuplicates("s", "p", "o")
+  }
+}

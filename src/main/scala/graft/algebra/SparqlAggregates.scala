@@ -1,0 +1,63 @@
+package graft.algebra
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.algebra.TermCols._
+import graft.model.Term
+
+/**
+ * SPARQL aggregate library for `Group` nodes (SURVEY.md §2.4; reference:
+ * jena-arq/.../expr/aggregate/Agg*.java). All are compositions of Spark's
+ * built-in aggregates, so Catalyst plans them as partial+final hash
+ * aggregation with map-side combine — the distributed upgrade of the
+ * reference's single-pass in-memory accumulators (QueryIterGroup.java:46).
+ *
+ * Error semantics mirrored from the reference: a numeric aggregate over a
+ * group containing a bound non-numeric value is POISONED — its result is
+ * unbound/NULL (AggAvg.java:103 `accumulateError`). Unbound (NULL) inputs
+ * are simply skipped, as in SPARQL.
+ */
+object SparqlAggregates {
+
+  private def poisoned(t: Column): Column =
+    max(when(t.isNotNull && !isNumeric(t), 1).otherwise(0)) === 1
+
+  private def numAgg(t: Column, f: Column => Column, outDt: String): Column =
+    when(!poisoned(t),
+      mk(lit(Term.KIND_LIT), f(numValue(t)).cast(StringType), lit(outDt), lit("")))
+
+  /** COUNT(*) */
+  def countAll(): Column = intTerm(count(lit(1)))
+  /** COUNT(?v) — bound values only. */
+  def countVar(t: Column): Column = intTerm(count(t))
+  /** COUNT(DISTINCT ?v) */
+  def countDistinctVar(t: Column): Column = intTerm(count_distinct(t))
+
+  def sumAgg(t: Column): Column = numAgg(t, sum, Term.XSD_DOUBLE)
+  def avgAgg(t: Column): Column = numAgg(t, avg, Term.XSD_DOUBLE)
+  /** MIN/MAX over the SPARQL total order (NodeCmp) — min_by/max_by on the
+   * derived sort key returns the original term. */
+  def minAgg(t: Column): Column = min_by(t, sortKey(t))
+  def maxAgg(t: Column): Column = max_by(t, sortKey(t))
+
+  /** SAMPLE — any one bound value (AggSample). */
+  def sample(t: Column): Column = first(t, ignoreNulls = true)
+
+  /** GROUP_CONCAT(?v; separator=sep). Deterministic variant: elements are
+   * sorted (the reference concatenates in arrival order, which is only
+   * deterministic single-threaded — SURVEY.md §2.4 notes this divergence). */
+  def groupConcat(t: Column, sep: String = " "): Column =
+    strTerm(concat_ws(sep, sort_array(collect_list(lex(t)))))
+
+  /** MEDIAN / MODE — ARQ extension aggregates (AggMedian/AggMode), exact. */
+  def medianAgg(t: Column): Column =
+    when(!poisoned(t), mk(lit(Term.KIND_LIT),
+      median(numValue(t)).cast(StringType), lit(Term.XSD_DOUBLE), lit("")))
+  def modeAgg(t: Column): Column = mode(t)
+
+  /** FOLD into a CDT list (AggFoldList) — materialized as ArrayType per
+   * the CDT mapping (SURVEY.md §1.7); sorted for determinism. */
+  def foldList(t: Column): Column = sort_array(collect_list(t))
+}

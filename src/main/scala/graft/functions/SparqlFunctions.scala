@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.algebra.TermCols
+import graft.algebra.TermCols.{dt, isIri, isLiteral, kind, lang, lex, mk}
+import graft.model.Term
+
+/**
+ * SPARQL scalar function library over term-struct columns — the Spark
+ * mapping of the reference's 93 `E_*` expression classes plus
+ * `sparql/function/library/` (SURVEY.md §2.9). Every function:
+ *
+ *  - takes/returns 4-field term structs (`TermCols.schema`),
+ *  - is built ONLY from `org.apache.spark.sql.functions` compositions, so
+ *    it stays inside whole-stage codegen (no UDF walls on the hot path),
+ *  - returns NULL on argument-type errors — SQL NULL is SPARQL's eval
+ *    error, which filters drop (QueryIterFilterExpr.java:52–63) and BINDs
+ *    keep as unbound (QueryIterAssign.java:67–69).
+ *
+ * Boolean-valued operations return plain BooleanColumns (for use in
+ * Filter conditions); wrap with `toTerm` when a term is needed.
+ */
+object SparqlFunctions {
+
+  private val S = Term.XSD_STRING
+  private def strOf(c: Column): Column = TermCols.strTerm(c)
+
+  /** Plain-or-lang string check: functions like UCASE are defined only on
+   * string literals (string value space, ValueSpace.java). */
+  private def isStringLit(t: Column): Column =
+    isLiteral(t) && (dt(t) === S || dt(t) === Term.RDF_LANGSTRING)
+
+  /** Keep the input's lang/dt on the result (SPARQL string-function rule:
+   * UCASE("x"@en) = "X"@en). */
+  private def likeInput(t: Column, newLex: Column): Column =
+    when(isStringLit(t), mk(lit(Term.KIND_LIT), newLex, dt(t), lang(t)))
+
+  // ---- term accessors (E_Str, E_Lang, E_Datatype)
+  /** STR(term): lexical form of a literal, or the IRI string. */
+  def str(t: Column): Column =
+    when(isLiteral(t) || isIri(t), strOf(lex(t)))
+  def langFn(t: Column): Column = when(isLiteral(t), strOf(lang(t)))
+  def datatype(t: Column): Column =
+    when(isLiteral(t), TermCols.iriTerm(when(dt(t) === "", S).otherwise(dt(t))))
+
+  // ---- term constructors (E_IRI, E_BNode, E_StrDatatype, E_StrLang)
+  def iriFn(t: Column): Column =
+    when(isIri(t), t).otherwise(when(isStringLit(t), TermCols.iriTerm(lex(t))))
+  def strdt(t: Column, dtIri: Column): Column =
+    when(isStringLit(t), mk(lit(Term.KIND_LIT), lex(t), lex(dtIri), lit("")))
+  def strlang(t: Column, langTag: Column): Column =
+    when(isStringLit(t), mk(lit(Term.KIND_LIT), lex(t), lit(Term.RDF_LANGSTRING), lex(langTag)))
+  /** BNODE() per-row fresh label: deterministic from a provided seed col. */
+  def bnodeFn(seed: Column): Column =
+    mk(lit(Term.KIND_BNODE), sha2(seed.cast(StringType), 256).substr(1, 32), lit(""), lit(""))
+
+  // ---- string functions (E_Str*, SURVEY §2.9 row 1)
+  def strlen(t: Column): Column =
+    when(isStringLit(t), TermCols.intTerm(length(lex(t))))
+  def substrFn(t: Column, pos: Column, len: Column): Column =
+    likeInput(t, substring(lex(t), pos.cast(IntegerType), len.cast(IntegerType)))
+  def ucase(t: Column): Column = likeInput(t, upper(lex(t)))
+  def lcase(t: Column): Column = likeInput(t, lower(lex(t)))
+  def strstarts(a: Column, b: Column): Column = lex(a).startsWith(lex(b))
+  def strends(a: Column, b: Column): Column = lex(a).endsWith(lex(b))
+  def containsFn(a: Column, b: Column): Column = lex(a).contains(lex(b))
+  /** STRBEFORE/STRAFTER: first occurrence; "" when absent (SPARQL 17.4.3). */
+  def strbefore(a: Column, b: Column): Column = {
+    val pos = instr(lex(a), lex(b))
+    likeInput(a, when(length(lex(b)) === 0, lit(""))
+      .when(pos > 0, lex(a).substr(lit(1), pos - 1))
+      .otherwise(lit("")))
+  }
+  def strafter(a: Column, b: Column): Column = {
+    val pos = instr(lex(a), lex(b))
+    likeInput(a, when(length(lex(b)) === 0, lex(a))
+      .when(pos > 0, lex(a).substr(pos + length(lex(b)), length(lex(a))))
+      .otherwise(lit("")))
+  }
+  def concatFn(ts: Column*): Column = strOf(concat(ts.map(lex): _*))
+  def replaceFn(t: Column, pattern: Column, replacement: Column): Column =
+    likeInput(t, regexp_replace(lex(t), pattern.getField("lex"), replacement.getField("lex")))
+  def regex(t: Column, pattern: String): Column = lex(t).rlike(pattern)
+  def encodeForUri(t: Column): Column =
+    when(isStringLit(t), strOf(url_encode(lex(t))))
+
+  // ---- numerics (E_NumAbs/Ceiling/Floor/Round; XSD promotion simplified
+  //      to the double shadow value — SURVEY §1.7 typed-shadow rule)
+  private def numOp(t: Column, f: Column => Column): Column =
+    when(TermCols.isNumeric(t),
+      mk(lit(Term.KIND_LIT), f(TermCols.numValue(t)).cast(StringType), dt(t), lit("")))
+  def absFn(t: Column): Column = numOp(t, abs)
+  def ceilFn(t: Column): Column = numOp(t, c => ceil(c).cast(DoubleType))
+  def floorFn(t: Column): Column = numOp(t, c => floor(c).cast(DoubleType))
+  def roundFn(t: Column): Column = numOp(t, c => round(c, 0))
+  /** Numeric comparison/arithmetic happen via TermCols.numValue shadows. */
+  def numAdd(a: Column, b: Column): Column =
+    when(TermCols.isNumeric(a) && TermCols.isNumeric(b),
+      TermCols.mk(lit(Term.KIND_LIT),
+        (TermCols.numValue(a) + TermCols.numValue(b)).cast(StringType),
+        lit(Term.XSD_DOUBLE), lit("")))
+
+  // ---- hashes (E_MD5 / E_SHA*; the pipeline invariant uses sha2(...,256))
+  def md5Fn(t: Column): Column = when(isStringLit(t), strOf(md5(lex(t))))
+  def sha1Fn(t: Column): Column = when(isStringLit(t), strOf(sha1(lex(t))))
+  def sha256Fn(t: Column): Column = when(isStringLit(t), strOf(sha2(lex(t), 256)))
+  def sha384Fn(t: Column): Column = when(isStringLit(t), strOf(sha2(lex(t), 384)))
+  def sha512Fn(t: Column): Column = when(isStringLit(t), strOf(sha2(lex(t), 512)))
+
+  // ---- datetime accessors (E_DateTime*): on the timestamp shadow value
+  private val dtTypes = Seq(Term.XSD_DATETIME, Term.XSD + "date")
+  private def tsValue(t: Column): Column =
+    when(isLiteral(t) && dt(t).isin(dtTypes: _*), to_timestamp(lex(t)))
+  def yearFn(t: Column): Column = whenTs(t, year)
+  def monthFn(t: Column): Column = whenTs(t, month)
+  def dayFn(t: Column): Column = whenTs(t, dayofmonth)
+  def hoursFn(t: Column): Column = whenTs(t, hour)
+  def minutesFn(t: Column): Column = whenTs(t, minute)
+  def secondsFn(t: Column): Column = whenTs(t, second)
+  private def whenTs(t: Column, f: Column => Column): Column = {
+    val ts = tsValue(t)
+    when(ts.isNotNull, TermCols.intTerm(f(ts)))
+  }
+
+  // ---- functional forms (E_Bound, E_Coalesce, E_If, E_SameTerm, EBV)
+  def bound(t: Column): Column = t.isNotNull
+  def coalesceFn(ts: Column*): Column = coalesce(ts: _*)
+  def ifFn(cond: Column, a: Column, b: Column): Column = when(cond, a).otherwise(b)
+  def sameTerm(a: Column, b: Column): Column = TermCols.sameTerm(a, b)
+  def ebv(t: Column): Column = TermCols.ebv(t)
+  def toTerm(b: Column): Column = TermCols.boolTerm(b)
+
+  // ---- UUID (E_UUID / E_StrUUID) — nondeterministic, like the reference
+  def uuidIri(): Column = TermCols.iriTerm(concat(lit("urn:uuid:"), expr("uuid()")))
+  def struuid(): Column = strOf(expr("uuid()"))
+}

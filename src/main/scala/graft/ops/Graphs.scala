@@ -33,4 +33,30 @@ object Graphs {
     }
     acc
   }
+
+  // ---- graph-level set operations (SURVEY.md §2.7) — the columnar analog
+  // of jena-core's compose views (graph/compose/Union.java:37,
+  // Intersection.java:37, Difference.java:31, Delta.java:37). The reference
+  // composes lazily per-find; ours compose lazily per-DataFrame — Catalyst
+  // fuses the set op into downstream plans the same way.
+
+  private def spo(g: DataFrame): DataFrame = g.select("s", "p", "o")
+
+  /** Graph union with set semantics (add is idempotent, TripleStore.java:43). */
+  def union(g1: DataFrame, g2: DataFrame): DataFrame =
+    spo(g1).union(spo(g2)).dropDuplicates("s", "p", "o")
+
+  def intersection(g1: DataFrame, g2: DataFrame): DataFrame =
+    spo(g1).intersect(spo(g2))
+
+  def difference(g1: DataFrame, g2: DataFrame): DataFrame =
+    spo(g1).except(spo(g2))
+
+  /** Change-tracking overlay (compose/Delta.java + RDF-Patch shape,
+   * SURVEY.md §2.11): a base graph plus add/remove side tables; the north
+   * rule's snapshot model applies a Delta as the next immutable snapshot. */
+  final case class Delta(additions: DataFrame, removals: DataFrame)
+
+  def applyDelta(base: DataFrame, delta: Delta): DataFrame =
+    union(difference(base, delta.removals), delta.additions)
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algebra._
+import graft.functions.{SparqlFunctions => SF}
+import graft.model.{Term, Triple}
+import graft.ops.Graphs
+
+/** SPARQL function library + aggregates + CONSTRUCT + graph compose ops
+ * (SURVEY.md §2.4/2.7/2.9, §3.A-4). */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val EX = "http://example/"
+
+  private def one(terms: Term*): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(terms.indices.map(i =>
+      StructField(s"t$i", TermCols.schema, nullable = true)))
+    spark.createDataFrame(
+      java.util.List.of(Row(terms.map(t => Row(t.kind, t.lex, t.dt, t.lang)): _*)),
+      schema)
+  }
+
+  private def evalT(df: DataFrame, c: org.apache.spark.sql.Column): Term = {
+    val r = df.select(c.as("r")).head().getAs[Row]("r")
+    if (r == null) null
+    else Term(r.getAs[Byte]("kind"), r.getAs[String]("lex"),
+      r.getAs[String]("dt"), r.getAs[String]("lang"))
+  }
+
+  test("string functions: STR/STRLEN/UCASE/SUBSTR/STRBEFORE/STRAFTER/REPLACE") {
+    val df = one(Term.langLit("Hello World", "en"), Term.iri(EX + "x"))
+    assert(evalT(df, SF.str(col("t0"))) == Term.string("Hello World"))
+    assert(evalT(df, SF.str(col("t1"))) == Term.string(EX + "x"))
+    assert(evalT(df, SF.strlen(col("t0"))) == Term.lit("11", Term.XSD_INTEGER))
+    // string ops preserve the language tag (SPARQL 17.4.3)
+    assert(evalT(df, SF.ucase(col("t0"))) == Term.langLit("HELLO WORLD", "en"))
+    assert(evalT(df, SF.substrFn(col("t0"), lit(1), lit(5))) == Term.langLit("Hello", "en"))
+    val ab = one(Term.string("aXbXc"), Term.string("X"))
+    assert(evalT(ab, SF.strbefore(col("t0"), col("t1"))) == Term.string("a"))
+    assert(evalT(ab, SF.strafter(col("t0"), col("t1"))) == Term.string("bXc"))
+    assert(evalT(ab, SF.replaceFn(col("t0"), struct(lit(2.toByte).as("kind"),
+      lit("X").as("lex"), lit("").as("dt"), lit("").as("lang")), struct(
+      lit(2.toByte).as("kind"), lit("-").as("lex"), lit("").as("dt"),
+      lit("").as("lang")))) == Term.string("a-b-c"))
+  }
+
+  test("type errors evaluate to NULL (SPARQL eval error)") {
+    val df = one(Term.iri(EX + "x"))
+    assert(evalT(df, SF.strlen(col("t0"))) == null) // STRLEN of an IRI
+    assert(evalT(df, SF.ucase(col("t0"))) == null)
+    assert(evalT(df, SF.langFn(col("t0"))) == null)
+  }
+
+  test("term functions: LANG/DATATYPE/IRI/STRDT/STRLANG") {
+    val df = one(Term.langLit("chat", "fr"), Term.string(EX + "made"),
+      Term.lit("42", Term.XSD_INTEGER))
+    assert(evalT(df, SF.langFn(col("t0"))) == Term.string("fr"))
+    assert(evalT(df, SF.datatype(col("t2"))) == Term.iri(Term.XSD_INTEGER))
+    assert(evalT(df, SF.datatype(col("t0"))) == Term.iri(Term.RDF_LANGSTRING))
+    assert(evalT(df, SF.iriFn(col("t1"))) == Term.iri(EX + "made"))
+    assert(evalT(df, SF.strdt(col("t1"), SF.iriFn(col("t1")))).dt == EX + "made")
+  }
+
+  test("numeric + hash + datetime") {
+    val df = one(Term.lit("-2.5", Term.XSD_DECIMAL),
+      Term.string("abc"), Term.lit("2024-03-05T10:15:30", Term.XSD_DATETIME))
+    assert(evalT(df, SF.absFn(col("t0"))).lex == "2.5")
+    assert(evalT(df, SF.floorFn(col("t0"))).lex == "-3.0")
+    assert(evalT(df, SF.md5Fn(col("t1"))).lex == "900150983cd24fb0d6963f7d28e17f72")
+    assert(evalT(df, SF.yearFn(col("t2"))) == Term.lit("2024", Term.XSD_INTEGER))
+    assert(evalT(df, SF.hoursFn(col("t2"))) == Term.lit("10", Term.XSD_INTEGER))
+  }
+
+  test("aggregates: sum/avg poisoned by non-numeric; min over term order; concat") {
+    val vals = Seq(
+      Term.lit("1", Term.XSD_INTEGER), Term.lit("2", Term.XSD_INTEGER),
+      Term.lit("4", Term.XSD_INTEGER))
+    val df = spark.createDataset(vals.map(t => Tuple1(t))).toDF("v")
+    def agg1(c: org.apache.spark.sql.Column): Term = {
+      val r = df.agg(c.as("r")).head().getAs[Row]("r")
+      if (r == null) null else Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    assert(agg1(SparqlAggregates.sumAgg(col("v"))).lex.toDouble == 7.0)
+    assert(agg1(SparqlAggregates.avgAgg(col("v"))).lex.toDouble > 2.33
+      && agg1(SparqlAggregates.avgAgg(col("v"))).lex.toDouble < 2.34)
+    assert(agg1(SparqlAggregates.minAgg(col("v"))).lex == "1")
+    assert(agg1(SparqlAggregates.maxAgg(col("v"))).lex == "4")
+    assert(agg1(SparqlAggregates.medianAgg(col("v"))).lex.toDouble == 2.0)
+    assert(agg1(SparqlAggregates.groupConcat(col("v"), ",")).lex == "1,2,4")
+
+    // poisoned: one non-numeric bound value → sum is unbound
+    val poisoned = spark.createDataset(
+      (vals :+ Term.string("oops")).map(t => Tuple1(t))).toDF("v")
+    assert(poisoned.agg(SparqlAggregates.sumAgg(col("v")).as("r")).head().getAs[Row]("r") == null)
+    // but COUNT still works
+    val cnt = poisoned.agg(SparqlAggregates.countVar(col("v")).as("r")).head().getAs[Row]("r")
+    assert(cnt.getString(1) == "4")
+  }
+
+  test("CONSTRUCT: substitution, skipped incomplete rows, per-row bnodes") {
+    val g = spark.createDataset(Seq(
+      Triple(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.string("A")),
+      Triple(Term.iri(EX + "b"), Term.iri(EX + "name"), Term.string("B")),
+      Triple(Term.iri(EX + "a"), Term.iri(EX + "mail"), Term.string("a@x")))).toDF()
+    val solutions = Compiler.compile(
+      LeftJoin(
+        Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "name")), TVar("n")))),
+        Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "mail")), TVar("m"))))), g)
+    val out = Construct.construct(Seq(
+      // ?s ex:label ?n  +  _:c ex:about ?s  +  ?s ex:mailbox ?m (partial)
+      TriplePattern(TVar("s"), TConst(Term.iri(EX + "label")), TVar("n")),
+      TriplePattern(TConst(Term.bnode("c")), TConst(Term.iri(EX + "about")), TVar("s")),
+      TriplePattern(TVar("s"), TConst(Term.iri(EX + "mailbox")), TVar("m"))), solutions)
+    val rows = out.collect()
+    // 2 labels + 2 bnode-abouts + 1 mailbox (b has no mail → skipped)
+    assert(rows.length == 5)
+    val bnodes = rows.filter(_.getAs[Row]("s").getByte(0) == Term.KIND_BNODE)
+      .map(_.getAs[Row]("s").getString(1)).toSet
+    assert(bnodes.size == 2) // fresh bnode per solution row
+  }
+
+  test("graph compose: union/intersection/difference/delta set semantics") {
+    def g(ts: Triple*): DataFrame = spark.createDataset(ts).toDF()
+    val t1 = Triple(Term.iri(EX + "a"), Term.iri(EX + "p"), Term.string("1"))
+    val t2 = Triple(Term.iri(EX + "b"), Term.iri(EX + "p"), Term.string("2"))
+    val t3 = Triple(Term.iri(EX + "c"), Term.iri(EX + "p"), Term.string("3"))
+    assert(Graphs.union(g(t1, t2), g(t2, t3)).count() == 3)
+    assert(Graphs.intersection(g(t1, t2), g(t2, t3)).count() == 1)
+    assert(Graphs.difference(g(t1, t2), g(t2, t3)).count() == 1)
+    val after = Graphs.applyDelta(g(t1, t2), Graphs.Delta(g(t3), g(t1)))
+    val lexes = after.collect().map(_.getAs[Row]("s").getString(1)).toSet
+    assert(lexes == Set(EX + "b", EX + "c"))
+  }
+}
