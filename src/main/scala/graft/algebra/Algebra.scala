@@ -82,6 +82,11 @@ sealed trait Op
 final case class Bgp(patterns: Seq[TriplePattern]) extends Op
 /** Single property-path pattern (OpPath, OpExecutor.java:183). */
 final case class PathPattern(s: TermPat, path: Path, o: TermPat) extends Op
+/** GRAPH ?g { BGP } / GRAPH <iri> { BGP } over a quad table — the quad
+ * scan + OpGraph pair (OpQuadPattern OpExecutor.java:163; OpGraph
+ * OpExecutor.java:139–157): the graph slot joins/filters exactly like the
+ * s/p/o slots, with a variable graph becoming a shared join column. */
+final case class QuadBgp(g: TermPat, patterns: Seq[TriplePattern]) extends Op
 
 // ---- projections / filters / binds (§2.2)
 final case class Project(vars: Seq[String], input: Op) extends Op

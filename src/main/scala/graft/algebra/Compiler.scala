@@ -37,10 +37,30 @@ object Compiler {
   def compile(op: Op, triples: DataFrame): DataFrame =
     comp(op, triples).df
 
+  /** Reserved default-graph name (reference: Quad.java:40). A quad table
+   * is any graph DataFrame that also has a `g` term-struct column; a plain
+   * BGP over it sees only the default graph. */
+  val DefaultGraph = "urn:x-arq:DefaultGraph"
+
+  private def hasGraphCol(g: DataFrame): Boolean = g.columns.contains("g")
+
   private[algebra] def comp(op: Op, g: DataFrame): Compiled = op match {
     case Bgp(patterns) =>
       require(patterns.nonEmpty, "empty BGP")
-      patterns.map(scan(g, _)).reduceLeft(join(_, _, "inner"))
+      // on a quad table, an un-GRAPHed BGP matches the default graph only
+      val base =
+        if (hasGraphCol(g))
+          g.filter(TermCols.lex(col("g")) === DefaultGraph || col("g").isNull)
+        else g
+      patterns.map(scan(base, _)).reduceLeft(join(_, _, "inner"))
+
+    case QuadBgp(gp, patterns) =>
+      require(hasGraphCol(g), "QuadBgp needs a quad table (g column)")
+      require(patterns.nonEmpty, "empty QuadBgp")
+      // GRAPH never matches the default graph (SPARQL dataset semantics)
+      val named = g.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+      patterns.map(scan(named, _, extraSlots = Seq(("g", gp))))
+        .reduceLeft(join(_, _, "inner"))
 
     case PathPattern(s, path, o) =>
       val pairs = PathEval.pairs(g, path) // (src, dst) term structs
@@ -126,9 +146,10 @@ object Compiler {
 
   // ---- triple-pattern scan (Graph.find, the 8 MatchPattern shapes —
   //      PatternClassifier.java:51; constants become pushable predicates)
-  private[algebra] def scan(g: DataFrame, tp: TriplePattern): Compiled = {
+  private[algebra] def scan(g: DataFrame, tp: TriplePattern,
+                            extraSlots: Seq[(String, TermPat)] = Nil): Compiled = {
     var df = g
-    val slots = Seq(("s", tp.s), ("p", tp.p), ("o", tp.o))
+    val slots = extraSlots ++ Seq(("s", tp.s), ("p", tp.p), ("o", tp.o))
     slots.foreach {
       case (c, TConst(t)) => df = df.filter(col(c) === TermCols.const(t))
       case _ =>

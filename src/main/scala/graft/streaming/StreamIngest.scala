@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.Triple
+import graft.ops.Graphs
+import graft.riot.NTriples
+import graft.store.TripleStore
+
+/**
+ * Incremental / streaming ingest (SURVEY.md §2.11). The reference's
+ * incremental surfaces map onto Structured Streaming:
+ *
+ *  - push-parse `StreamRDF` callbacks (riot/system/StreamRDF.java:33–53)
+ *    → a streaming text source parsed per micro-batch in `mapPartitions`;
+ *  - `AsyncParser`'s producer/consumer chunking (AsyncParser.java:52–346)
+ *    → the engine's own micro-batch boundaries;
+ *  - the RDF-Patch change log (jena-rdfpatch/.../RDFChanges.java: A/D
+ *    quad ops with transaction markers) → an append-only (op, s, p, o)
+ *    stream folded into successive immutable snapshots.
+ *
+ * Resumability (north rule): `checkpointLocation` makes every query
+ * restartable from its last committed offset — the streaming twin of the
+ * batch pipeline's stage manifests. `Trigger.AvailableNow` drains what
+ * exists and stops, which is how the tests drive it deterministically.
+ */
+object StreamIngest {
+
+  /** Streaming N-Triples source: every line that appears under `path`
+   * becomes a triple. Line-oriented ⇒ clean micro-batch splits. */
+  def readNTriplesStream(spark: SparkSession, path: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.readStream
+      .format("text")
+      .load(path)
+      .as[String]
+      .mapPartitions(_.flatMap(NTriples.parseLine(_, strict = false)))
+  }
+
+  /** Continuous dedup-append sink: each micro-batch is deduplicated
+   * against nothing but itself and appended as parquet — downstream
+   * snapshot compaction applies graph set semantics. Returns the running
+   * query (caller stops it or lets AvailableNow drain). */
+  def appendToTable(triples: Dataset[Triple], outDir: String,
+                    checkpointDir: String): StreamingQuery =
+    triples.toDF()
+      .dropDuplicates("s", "p", "o")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /**
+   * RDF-Patch-style change stream: rows (op: "A"|"D", s, p, o term
+   * structs). Each micro-batch is folded into the CURRENT snapshot with
+   * Graphs.applyDelta and committed as the NEXT immutable snapshot dir —
+   * the streaming version of the reference's RDFPatchOps.applyChanges
+   * over our Iceberg-style snapshot chain.
+   */
+  def applyPatchStream(patches: DataFrame, snapshotsDir: String,
+                       checkpointDir: String): StreamingQuery =
+    patches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPatchBatch(batch, snapshotsDir, batchId)
+      }
+      .start()
+
+  /** One patch micro-batch → one committed snapshot (idempotent per
+   * batchId: an already-committed snapshot dir is left untouched, so a
+   * replayed batch after checkpoint recovery is a no-op). */
+  def applyPatchBatch(batch: DataFrame, snapshotsDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = s"$snapshotsDir/s$batchId"
+    if (TripleStore.isCommitted(target)) return
+    val current = latestSnapshot(spark, snapshotsDir, batchId)
+    val adds = batch.where(col("op") === "A").select("s", "p", "o")
+    val dels = batch.where(col("op") === "D").select("s", "p", "o")
+    val next = Graphs.applyDelta(current, Graphs.Delta(adds, dels))
+    next.write.mode("overwrite").parquet(s"$target/spo")
+    TripleStore.writeManifest(java.nio.file.Paths.get(target, "manifest.json"),
+      Map("snapshot" -> s"s$batchId", "parent" -> s"s${batchId - 1}"))
+  }
+
+  /** The latest committed snapshot strictly before `beforeId` (empty graph
+   * when none exists). */
+  def latestSnapshot(spark: SparkSession, snapshotsDir: String, beforeId: Long): DataFrame = {
+    val dir = new java.io.File(snapshotsDir)
+    val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("s"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+      .filter { case (id, f) => id < beforeId && TripleStore.isCommitted(f.getPath) }
+      .sortBy(_._1)
+      .lastOption
+    prior match {
+      case Some((_, f)) => spark.read.parquet(s"${f.getPath}/spo")
+      case None =>
+        import spark.implicits._
+        spark.emptyDataset[Triple].toDF()
+    }
+  }
+}

@@ -194,6 +194,28 @@ class AlgebraSpec extends AnyFunSuite {
     assert(pathOf(PZeroOrOne(PLink(EX + "p")), "a") == Set(EX + "a", EX + "b"))
   }
 
+  test("quads: GRAPH var binds graph names; GRAPH iri filters; BGP = default graph") {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    // quad table: default graph has alice, g1 has bob, g2 has carol
+    val quads = g.withColumn("g",
+      when(TermCols.lex(col("o")) === "Bob",
+        TermCols.const(Term.iri(EX + "g1")))
+        .when(TermCols.lex(col("o")) === "Carol", TermCols.const(Term.iri(EX + "g2")))
+        .otherwise(TermCols.const(Term.iri("urn:x-arq:DefaultGraph"))))
+
+    // GRAPH ?gr { ?s :name ?n } — two named graphs bind
+    val byVar = Compiler.compile(
+      QuadBgp(v("gr"), Seq(tp(v("s"), c(i("name")), v("n")))), quads)
+    assert(lexSet(byVar, "gr") == Set(EX + "g1", EX + "g2"))
+    // GRAPH <g1> { ... } filters to bob
+    val byConst = Compiler.compile(
+      QuadBgp(c(Term.iri(EX + "g1")), Seq(tp(v("s"), c(i("name")), v("n")))), quads)
+    assert(lexSet(byConst, "n") == Set("Bob"))
+    // plain BGP on the quad table sees only the default graph
+    val dflt = Compiler.compile(Bgp(Seq(tp(v("s"), c(i("name")), v("n")))), quads)
+    assert(lexSet(dflt, "n") == Set("Alice"))
+  }
+
   test("VALUES table joined to a BGP") {
     val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))
