@@ -113,6 +113,19 @@ final case class AntiJoin(l: Op, r: Op) extends Op
  * *bound* variable; disjoint-domain rows survive (differs from AntiJoin!
  * OpExecutor.java:267–277, QueryIterMinus.java:35). */
 final case class Minus(l: Op, r: Op) extends Op
+/** LATERAL — per-left-row evaluation of the RHS with the left's bindings
+ * in scope (OpLateral, OpExecutor.java:240). Our solution sets are
+ * evaluated set-at-a-time, so the correlated re-execution compiles to the
+ * same compatible-binding join as Join — the rewrite SURVEY.md §2.3
+ * prescribes ("rewrite RHS with left columns as correlated equi-join");
+ * kept as its own node for algebra fidelity and scope documentation. */
+final case class Lateral(l: Op, r: Op) extends Op
+/** UNFOLD — explode an ArrayType column (a materialized CDT list, e.g.
+ * from SparqlAggregates.foldList) into one row per element
+ * (OpUnfold, QueryIterUnfold.java; Spark mapping `posexplode`). Binds
+ * `outVar` to the element and optionally `idxVar` to its 1-based index. */
+final case class Unfold(listVar: String, outVar: String,
+                        idxVar: Option[String], input: Op) extends Op
 
 // ---- aggregation (§2.4); HAVING = Filter above a Group (SURVEY.md §3.A)
 /** groupBy keys + named aggregate expressions. Each aggregate Column must

@@ -95,6 +95,21 @@ object Compiler {
 
     case Minus(l, r) => minusJoin(comp(l, g), comp(r, g))
 
+    case Lateral(l, r) => join(comp(l, g), comp(r, g), "inner")
+
+    case Unfold(listVar, outVar, idxVar, in) =>
+      val c = comp(in, g)
+      require(c.vars.contains(listVar), s"Unfold of unknown var $listVar")
+      val exploded = idxVar match {
+        case Some(iv) =>
+          c.df.select(col("*"), posexplode_outer(col(listVar)).as(Seq("__i", outVar)))
+            .withColumn(iv, TermCols.intTerm(col("__i") + 1)).drop("__i")
+        case None =>
+          c.df.select(col("*"), explode_outer(col(listVar)).as(outVar))
+      }
+      Compiled(exploded.drop(listVar), c.certain - listVar,
+        c.maybe - listVar ++ Set(outVar) ++ idxVar.toSet)
+
     case Union(l, r) =>
       val (cl, cr) = (comp(l, g), comp(r, g))
       val all = (cl.vars ++ cr.vars).toSeq.sorted

@@ -216,6 +216,31 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(dflt, "n") == Set("Alice"))
   }
 
+  test("FOLD → UNFOLD roundtrip; lateral; strSplit property function") {
+    import org.apache.spark.sql.functions.col
+    // fold ages into a CDT list per run, then unfold back
+    val folded = Group(Seq(),
+      Seq("ages" -> RowExpr(r => SparqlAggregates.foldList(r("a")))),
+      Bgp(Seq(tp(v("s"), c(i("age")), v("a")))))
+    val op = Unfold("ages", "age", Some("idx"), folded)
+    val out = Compiler.compile(op, g)
+    assert(out.count() == 4)
+    assert(lexSet(out, "age") == Set("1", "9", "27.5", "30"))
+    assert(lexSet(out, "idx") == Set("1", "2", "3", "4"))
+
+    // LATERAL compiles to the correlated join
+    val lat = Lateral(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))
+    assert(Compiler.compile(lat, g).count() == 2)
+
+    // apf:strSplit generator
+    val sols = Compiler.compile(Bgp(Seq(tp(v("s"), c(i("email")), v("e")))), g)
+    val split = PropFuncs.strSplit(sols, "e", "@", "part")
+    assert(split.count() == 4) // 2 emails × 2 parts
+    assert(lexSet(split, "part").contains("example"))
+  }
+
   test("VALUES table joined to a BGP") {
     val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))

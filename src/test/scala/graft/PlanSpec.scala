@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algebra._
+import graft.model.{Term, Triple}
+
+/**
+ * Physical-plan shape tests — "explain the plan and iterate until it's the
+ * plan you'd want" made executable. Each assertion pins a plan property
+ * that matters at 100 TB: top-k fusion, scan-level filter pushdown, column
+ * pruning, broadcast vs shuffle join selection, partial aggregation.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val EX = "http://example/"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val tripleDir: String = {
+    val dir = Files.createTempDirectory("plan_triples").toString
+    val ts = (1 to 2000).map(k => Triple(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p" + (k % 7)),
+      Term.lit(k.toString, Term.XSD_INTEGER)))
+    graft.store.TripleStore.flatten(
+      spark.createDataset(ts).toDF()
+        .withColumn("repo", lit("r0")).withColumn("lang", lit("x")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("ORDER BY + LIMIT fuses into TakeOrderedAndProject (OpTopN analog)") {
+    val g = spark.createDataset((1 to 100).map(k =>
+      Triple(Term.iri(EX + k), Term.iri(EX + "p"), Term.lit(k.toString, Term.XSD_INTEGER)))).toDF()
+    val op = Slice(0, 5, Order(Seq(SortKey("o")),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "p")), TVar("o"))))))
+    val df = Compiler.compile(op, g)
+    assert(plan(df).contains("TakeOrderedAndProject"),
+      "top-k must fuse (no global sort):\n" + plan(df))
+  }
+
+  test("triple-pattern constants reach the parquet scan as pushed filters") {
+    val df = spark.read.parquet(tripleDir).where(col("p_lex") === (EX + "p3"))
+      .select("s_lex", "o_lex")
+    val p = plan(df)
+    assert(p.contains("EqualTo(p_lex,http://example/p3)") && p.contains("PushedFilters"),
+      "predicate must be pushed to parquet:\n" + p)
+    // column pruning: the 2-column projection + filter col only — no dt/lang
+    val schema = "ReadSchema: struct<s_lex:string,p_lex:string,o_lex:string>"
+    assert(p.contains(schema), "column pruning must reach the scan:\n" + p)
+  }
+
+  test("BGP self-join keeps hash-join strategy (no cartesian, no BNLJ)") {
+    val g = spark.createDataset((1 to 500).map(k => Triple(
+      Term.iri(EX + "s" + k), Term.iri(EX + (if (k % 2 == 0) "a" else "b")),
+      Term.iri(EX + "s" + (k + 1))))).toDF()
+    val op = Bgp(Seq(
+      TriplePattern(TVar("x"), TConst(Term.iri(EX + "a")), TVar("y")),
+      TriplePattern(TVar("y"), TConst(Term.iri(EX + "b")), TVar("z"))))
+    val p = plan(Compiler.compile(op, g))
+    assert(p.contains("Join") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "certain-certain shared vars must compile to an equi-join:\n" + p)
+  }
+
+  test("group compiles to partial + final hash aggregation (map-side combine)") {
+    val g = spark.createDataset((1 to 300).map(k => Triple(
+      Term.iri(EX + "s" + (k % 10)), Term.iri(EX + "p"),
+      Term.lit(k.toString, Term.XSD_INTEGER)))).toDF()
+    val op = Group(Seq("s"), Seq("n" -> RowExpr(_ => TermCols.intTerm(count(lit(1))))),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "p")), TVar("o")))))
+    val p = plan(Compiler.compile(op, g))
+    assert(p.contains("HashAggregate"), "hash aggregation expected:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final split expected:\n" + p)
+  }
+
+  test("linker broadcast path broadcasts the dictionary") {
+    import graft.fixtures.{CorpusGen, DictRow}
+    val corpus = spark.createDataset(CorpusGen.generate(42, 5, 4))
+    val cands = graft.extract.Extractor.extract(corpus)
+    val dict = spark.createDataset(CorpusGen.dictionary(100))
+    val linked = graft.link.Linker.exact(cands, dict)
+    val p = plan(linked.toDF())
+    assert(p.contains("BroadcastHashJoin"),
+      "small dictionary must broadcast (no shuffle of mentions):\n" + p)
+  }
+}
