@@ -86,4 +86,71 @@ object Linker {
       .withColumn("surface", lit(""))
     passthru.toDF().unionByName(linked).as[Candidate]
   }
+
+  /**
+   * Fuzzy entity linking (the north star's "MinHash-LSH blocking stage plus
+   * scored joins"): mentions that miss the exact dictionary are blocked
+   * against dictionary surfaces by MinHash band buckets over character
+   * 3-gram shingles, candidates are scored by exact Jaccard, and each
+   * mention takes the best candidate ≥ `minJaccardPermille` (ties broken by
+   * weight DESC, iri ASC — deterministic). Mentions with no candidate at
+   * all are dropped, like unlinkable exact mentions.
+   *
+   * Scale shape: candidate pairs come from an equi-join on (band, bucket)
+   * — never an n² cross join; the dictionary side is banded once and the
+   * join shuffles on bucket keys, so hot surfaces spread across buckets'
+   * reducers the same way the salted exact join spreads hot keys.
+   */
+  def fuzzy(cands: Dataset[Candidate], dict: Dataset[DictRow],
+            bands: Int = 4, rowsPerBand: Int = 2,
+            minJaccardPermille: Int = 500): Dataset[Candidate] = {
+    import graft.ops.MinHash
+    val spark = cands.sparkSession
+    import spark.implicits._
+
+    val mentions = cands.where(col("surface") =!= "")
+    val passthru = cands.where(col("surface") === "")
+    val dictDf = dict.toDF("iri", "dict_surface", "weight")
+
+    // exact hits first — cheap and precise
+    val exactHit = mentions.join(broadcast(dictDf),
+      col("surface") === col("dict_surface"))
+    val missed = mentions.join(broadcast(dictDf),
+      col("surface") === col("dict_surface"), "left_anti")
+
+    def banded(df: DataFrame, surfCol: String): DataFrame =
+      df.withColumn("__sh", MinHash.charShingles(surfCol))
+        .withColumn("__sig", MinHash.signature("__sh"))
+        .select(col("*"), posexplode(
+          MinHash.bandBuckets("__sig", bands, rowsPerBand)).as(Seq("__band", "__bucket")))
+        .drop("__sig")
+
+    val mB = banded(missed, "surface")
+    val dB = banded(dictDf, "dict_surface")
+      .withColumnRenamed("__sh", "__dsh")
+
+    val scored = mB.join(dB, Seq("__band", "__bucket"))
+      .withColumn("__jac", MinHash.jaccardPermille("__sh", "__dsh"))
+      .where(col("__jac") >= minJaccardPermille)
+      .select(mentions.columns.map(col) :+ col("iri") :+ col("weight") :+ col("__jac"): _*)
+      .distinct()
+    // best candidate per mention: jaccard DESC, then weight DESC, iri ASC
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s"), col("p"), col("surface"), col("sha256"))
+      .orderBy(col("__jac").desc, col("weight").desc, col("iri").asc)
+    val best = scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+
+    def resolve(df: DataFrame): DataFrame = df
+      .withColumn("o", struct(
+        lit(Term.KIND_IRI).cast("byte").as("kind"),
+        col("iri").as("lex"), lit("").as("dt"), lit("").as("lang")))
+      .select("s", "p", "o", "surface", "repo", "lang", "sha256")
+      .withColumn("surface", lit(""))
+
+    passthru.toDF()
+      .unionByName(resolve(exactHit))
+      .unionByName(resolve(best))
+      .as[Candidate]
+  }
 }

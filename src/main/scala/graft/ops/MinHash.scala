@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * MinHash-LSH column toolkit — shared by the dedup queries
+ * (graft.queries.OpsQueries, whose DuckDB oracles embed the identical
+ * constants) and the fuzzy entity linker (graft.link.Linker.fuzzy). The
+ * Spark-native replacement for the reference's Lucene text index as the
+ * approximate string→entity blocking structure (jena-text/.../
+ * TextIndexLucene.java:60; SURVEY.md §2.1 "text index" row).
+ *
+ * Signature: base = md5-derived 60-bit hash of each shingle, reduced mod M;
+ * h_i(x) = (x·P_i + B_i) mod M for K=8 universal hash functions — ONE md5
+ * per shingle, products < 2^60 (no overflow, same in DuckDB). Banding b×r
+ * with b bands of r rows gives the standard S-curve: a pair with Jaccard s
+ * collides in some band with probability 1 − (1 − s^r)^b.
+ */
+object MinHash {
+
+  val M = 1073741789L // prime < 2^30
+  val P: Seq[Long] = Seq(606863L, 793487L, 957559L, 426389L,
+    514229L, 846749L, 299709L, 626887L)
+  val B: Seq[Long] = Seq(32452843L, 49979687L, 67867967L, 86028121L,
+    15485863L, 23456789L, 54018521L, 77777777L)
+  val K: Int = P.length
+
+  private def pArr = P.mkString("array(", "L, ", "L)")
+  private def bArr = B.mkString("array(", "L, ", "L)")
+
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(c: String, n: Int = 3): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(1, length($c)-${n - 1})), i -> substring($c, i, $n)))")
+
+  /** Distinct word-bigram shingles of a pre-split token array column. */
+  def tokenBigrams(toks: String): Column =
+    expr(s"""array_distinct(transform(sequence(1, size($toks)-1),
+        j -> concat(element_at($toks, j), '_', element_at($toks, j+1))))""")
+
+  /** K-element minhash signature of a shingle array column. */
+  def signature(shinglesCol: String): Column = expr(sigSql(shinglesCol))
+
+  /** The raw SQL of `signature` (shared with the DuckDB oracle builders). */
+  def sigSql(shinglesCol: String): String =
+    s"""transform(sequence(0, ${K - 1}), i -> array_min(transform(
+          transform($shinglesCol, sh -> pmod(cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint), ${M}L)),
+          h -> pmod(h * element_at($pArr, i+1) + element_at($bArr, i+1), ${M}L))))"""
+
+  /** (band, bucket) pairs from a signature column: `bands` bands of
+   * `rowsPerBand` signature rows concatenated into a bucket key. Use with
+   * posexplode to get one row per band. */
+  def bandBuckets(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    expr(s"""transform(sequence(0, ${bands - 1}), b ->
+        array_join(transform(sequence(1, $rowsPerBand),
+          r -> element_at($sigCol, b * $rowsPerBand + r)), '_'))""")
+
+  /** Exact Jaccard (permille, integer — deterministic) of two array cols. */
+  def jaccardPermille(a: String, b: String): Column = {
+    val inter = s"size(array_intersect($a, $b))"
+    expr(s"(cast($inter as bigint) * 1000) div (size($a) + size($b) - $inter)")
+  }
+}

@@ -28,30 +28,19 @@ object OpsQueries {
   private def hash60(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
-  /** MinHash universal-hash family: h_i(x) = (x*P_i + B_i) mod M over a
-   * base hash x < M. ONE md5 per shingle (not one per shingle per row of
-   * the signature) — products stay < 2^60 so both engines agree without
-   * overflow. Constants are arbitrary odd/prime-ish values, fixed so the
-   * DuckDB oracle can embed the identical literals. */
-  private val MH_M = 1073741789L // prime < 2^30
-  private val MH_P = Seq(606863L, 793487L, 957559L, 426389L,
-    514229L, 846749L, 299709L, 626887L)
-  private val MH_B = Seq(32452843L, 49979687L, 67867967L, 86028121L,
-    15485863L, 23456789L, 54018521L, 77777777L)
-  private def mhPArr = MH_P.mkString("array(", "L, ", "L)")
-  private def mhBArr = MH_B.mkString("array(", "L, ", "L)")
-  /** Spark-side: base-hash a shingle array then emit the K=8 signature. */
+  /** MinHash signature machinery lives in graft.ops.MinHash (shared with
+   * the fuzzy entity linker); constants are mirrored into the DuckDB
+   * oracle below so both engines compute bit-identical signatures. */
   private def mhSigExpr(shinglesCol: String): String =
-    s"""transform(sequence(0, 7), i -> array_min(transform(
-          transform($shinglesCol, sh -> pmod(${hash60("sh")}, ${MH_M}L)),
-          h -> pmod(h * element_at($mhPArr, i+1) + element_at($mhBArr, i+1), ${MH_M}L))))"""
+    graft.ops.MinHash.sigSql(shinglesCol)
   /** DuckDB-side twin of mhSigExpr (same literals, same arithmetic). */
   def mhSigSqlDuck(shingles: String): String = {
-    val p = MH_P.mkString("[", ", ", "]")
-    val b = MH_B.mkString("[", ", ", "]")
+    import graft.ops.MinHash.{B, M, P}
+    val p = P.mkString("[", ", ", "]")
+    val b = B.mkString("[", ", ", "]")
     s"""list_transform(range(0, 8), i -> list_aggregate(list_transform(
-          list_transform($shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $MH_M),
-          h -> (h * ($p)[CAST(i+1 AS INT)] + ($b)[CAST(i+1 AS INT)]) % $MH_M), 'min'))"""
+          list_transform($shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $M),
+          h -> (h * ($p)[CAST(i+1 AS INT)] + ($b)[CAST(i+1 AS INT)]) % $M), 'min'))"""
   }
 
   private def tokensExpr = "split(text, ' ')"
