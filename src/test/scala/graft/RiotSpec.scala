@@ -110,6 +110,26 @@ class RiotSpec extends AnyFunSuite {
       Term.iri("http://base.org/bob"))))
   }
 
+  test("ResultSetIO: W3C results JSON + CSV shapes") {
+    val spark = TestSpark.spark
+    import graft.algebra._
+    val g = spark.createDataset(Seq(
+      Triple(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.langLit("Ann", "en")),
+      Triple(Term.iri(EX + "b"), Term.iri(EX + "age"), Term.lit("7", Term.XSD_INTEGER))))(
+      org.apache.spark.sql.Encoders.product[Triple]).toDF()
+    val sols = Compiler.compile(Bgp(Seq(
+      TriplePattern(TVar("s"), TVar("p"), TVar("o")))), g)
+    val json = graft.riot.ResultSetIO.toSparqlJson(sols)
+    assert(json.startsWith("""{"head":{"vars":["""))
+    assert(json.contains(""""type":"uri""""))
+    assert(json.contains(""""xml:lang":"en""""))
+    assert(json.contains(""""datatype":"http://www.w3.org/2001/XMLSchema#integer""""))
+    val dir = java.nio.file.Files.createTempDirectory("rs_csv").toString + "/csv"
+    graft.riot.ResultSetIO.writeCsv(sols, dir)
+    val back = spark.read.option("header", "true").csv(dir).collect()
+    assert(back.length == 2 && back.exists(_.getString(2) == "Ann"))
+  }
+
   test("TurtleLite: unsupported constructs raise, undeclared prefix raises") {
     intercept[IllegalArgumentException](TurtleLite.parse("ex:a ex:b ( 1 2 ) ."))
     intercept[IllegalArgumentException](
