@@ -51,6 +51,7 @@ object SparkEntry {
     "r19_path_seq"        -> SparqlQueries.r19_path_seq _,
     "r20_union_order_slice" -> SparqlQueries.r20_union_order_slice _,
     "r21_exists_filter"   -> SparqlQueries.r21_exists_filter _,
+    "r22_sparql_text"     -> SparqlQueries.r22_sparql_text _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )

@@ -134,7 +134,31 @@ object SparqlQueries {
     out.select(TermCols.lex(col("seg")).as("seg"))
   }
 
+  /** Full text path: SPARQL string → Parser → algebra → Compiler →
+   * DataFrame (the reference lifecycle §3.A end to end). */
+  def r22_sparql_text(s: SparkSession, d: String): DataFrame = {
+    val q = s"""
+      PREFIX g: <$NS>
+      SELECT ?nname (COUNT(?c) AS ?n_cust) WHERE {
+        ?c g:inNation ?n .
+        ?c g:segment ?seg .
+        ?n g:name ?nname .
+        FILTER(?seg = "BUILDING" || ?seg = "MACHINERY")
+      }
+      GROUP BY ?nname
+      HAVING(?n_cust >= 1)
+      ORDER BY ?nname"""
+    val out = Compiler.compile(graft.sparql.Parser.parse(q), triples(s, d))
+    out.select(TermCols.lex(col("nname")).as("nname"),
+      TermCols.lex(col("n_cust")).cast("long").as("n_cust"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "r22_sparql_text" ->
+      """SELECT n_name AS nname, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         GROUP BY 1 HAVING count(*) >= 1""",
     "r16_bgp" ->
       """SELECT 'urn:g:c:' || c_custkey AS c, n_name AS nname
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",

@@ -1,0 +1,684 @@
+package graft.sparql
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit => slit, _}
+
+import graft.algebra._
+import graft.algebra.TermCols
+import graft.functions.{SparqlFunctions => SF}
+import graft.model.{NTriplesEscape, Term}
+
+/**
+ * SPARQL SELECT parser — text → `graft.algebra.Op` (the reference path
+ * QueryFactory.create → AlgebraGenerator, SURVEY.md §3.A steps 1–2,
+ * jena-arq/.../sparql/algebra/AlgebraGenerator.java:105). A hand-rolled
+ * recursive-descent parser over the SPARQL 1.1 SELECT core:
+ *
+ *   PREFIX/BASE, SELECT [DISTINCT|REDUCED] (vars | * | (expr AS ?v) with
+ *   aggregates), WHERE { triples with ';' ',' 'a' and property paths
+ *   (^p, p1/p2, p1|p2, p+, p*, p?, !(...)), FILTER, OPTIONAL, MINUS,
+ *   UNION, BIND, VALUES, GRAPH, FILTER [NOT] EXISTS, nested groups },
+ *   GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET.
+ *
+ * Solution modifiers wrap in the reference's documented order
+ * (AlgebraGenerator.java:480–592): group → having-filter → order →
+ * project → distinct/reduced → slice. Expressions compile straight to
+ * Column trees over term structs via SparqlFunctions (no interpreter).
+ *
+ * Out of the subset (raises, never mis-parses): CONSTRUCT/ASK/DESCRIBE
+ * text forms (CONSTRUCT is available programmatically via
+ * algebra.Construct), SERVICE, subqueries, RDF-star syntax.
+ */
+object Parser {
+
+  def parse(query: String): Op = new P(query).parseQuery()
+
+  // ---------------------------------------------------------------------
+  private final class P(s: String) {
+    private var i = 0
+    private val prefixes = scala.collection.mutable.Map[String, String]()
+    private var base = ""
+    private var sawAgg = false
+
+    def parseQuery(): Op = {
+      prologue()
+      expectKw("SELECT")
+      val distinct = eatKw("DISTINCT")
+      val reduced = !distinct && eatKw("REDUCED")
+      val proj = projection()
+      eatKw("WHERE")
+      var op = groupGraphPattern()
+
+      // GROUP BY / aggregates
+      val groupKeys = if (eatKw2("GROUP", "BY")) {
+        val ks = ListBuffer[String]()
+        while (peekIs('?')) ks += varName()
+        ks.toList
+      } else Nil
+      val selExprs = proj.collect { case SelExpr(v, e) => v -> e }
+      if (groupKeys.nonEmpty || sawAgg)
+        op = Group(groupKeys, selExprs, op)
+      else
+        // plain SELECT expressions (no aggregation) are BINDs before the
+        // projection (the reference's SELECT-expression extends,
+        // AlgebraGenerator.java:535)
+        selExprs.foreach { case (v, e) => op = Extend(v, e, op) }
+      if (eatKw("HAVING")) op = Filter(constraint(), op)
+
+      if (eatKw2("ORDER", "BY")) {
+        val keys = ListBuffer[SortKey]()
+        var going = true
+        while (going) {
+          if (eatKw("ASC")) { expect('('); keys += SortKey(varName(), ascending = true); expect(')') }
+          else if (eatKw("DESC")) { expect('('); keys += SortKey(varName(), ascending = false); expect(')') }
+          else if (peekIs('?')) keys += SortKey(varName(), ascending = true)
+          else going = false
+        }
+        op = Order(keys.toList, op)
+      }
+
+      val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
+      if (projVars.nonEmpty) op = Project(projVars, op)
+      if (distinct) op = Distinct(op)
+      if (reduced) op = Reduced(op)
+
+      var limit = -1L; var offset = 0L
+      var more = true
+      while (more) {
+        if (eatKw("LIMIT")) limit = integer()
+        else if (eatKw("OFFSET")) offset = integer()
+        else more = false
+      }
+      if (limit >= 0 || offset > 0)
+        op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
+      ws()
+      if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
+      op
+    }
+
+    // ---- projection
+    private sealed trait Sel
+    private case class SelVar(v: String) extends Sel
+    private case class SelExpr(v: String, e: RowExpr) extends Sel
+
+    private def projection(): List[Sel] = {
+      val out = ListBuffer[Sel]()
+      ws()
+      if (peekIs('*')) { i += 1; return Nil } // empty = keep all visible vars
+      var going = true
+      while (going) {
+        ws()
+        if (peekIs('?')) out += SelVar(varName())
+        else if (peekIs('(')) {
+          expect('(')
+          val e = expression()
+          expectKw("AS")
+          val v = varName()
+          expect(')')
+          out += SelExpr(v, e)
+        } else going = false
+      }
+      if (out.isEmpty) fail("empty SELECT projection")
+      out.toList
+    }
+
+    // ---- group graph pattern
+    private def groupGraphPattern(): Op = {
+      expect('{')
+      var current: Option[Op] = None
+      def add(next: Op): Unit =
+        current = Some(current.map(Join(_, next)).getOrElse(next))
+
+      var going = true
+      while (going) {
+        ws()
+        if (peekIs('}')) { i += 1; going = false }
+        else if (eatKw("FILTER")) {
+          ws()
+          if (eatKw("EXISTS")) {
+            val r = groupGraphPattern()
+            current = Some(SemiJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+          } else if (eatKw2("NOT", "EXISTS")) {
+            val r = groupGraphPattern()
+            current = Some(AntiJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+          } else {
+            val c = constraint()
+            current = Some(Filter(c, current.getOrElse(Table(Nil, Seq(Map.empty)))))
+          }
+        }
+        else if (eatKw("OPTIONAL")) {
+          val r = groupGraphPattern()
+          current = Some(LeftJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+        }
+        else if (eatKw("MINUS")) {
+          val r = groupGraphPattern()
+          current = Some(Minus(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+        }
+        else if (eatKw("BIND")) {
+          expect('(')
+          val e = expression()
+          expectKw("AS")
+          val v = varName()
+          expect(')')
+          current = Some(Extend(v, e, current.getOrElse(Table(Nil, Seq(Map.empty)))))
+        }
+        else if (eatKw("VALUES")) add(valuesClause())
+        else if (eatKw("GRAPH")) {
+          val gp = if (peekIs('?')) TVar(varName()) else TConst(iriTerm())
+          val inner = groupGraphPattern()
+          inner match {
+            case Bgp(ps) => add(QuadBgp(gp, ps))
+            case other => fail("GRAPH body must be a plain BGP in this subset")
+          }
+        }
+        else if (peekIs('{')) {
+          // group or UNION chain
+          var acc = groupGraphPattern()
+          while (eatKw("UNION")) acc = Union(acc, groupGraphPattern())
+          add(acc)
+        }
+        else {
+          add(triplesBlock())
+        }
+        ws()
+        if (peekIs('.')) i += 1 // statement separator between pattern elements
+      }
+      current.getOrElse(Table(Nil, Seq(Map.empty)))
+    }
+
+    /** Contiguous triple patterns with ';' ',' shorthand and paths. Path
+     * expressions other than a plain link compile to PathPattern joined in. */
+    private def triplesBlock(): Op = {
+      var op: Option[Op] = None
+      val bgp = ListBuffer[TriplePattern]()
+      def flushInto(next: Option[Op]): Unit = {
+        val pieces = (if (bgp.nonEmpty) Seq(Bgp(bgp.toList)) else Nil) ++ next.toSeq
+        bgp.clear()
+        pieces.foreach(p => op = Some(op.map(Join(_, p)).getOrElse(p)))
+      }
+      var going = true
+      while (going) {
+        val subj = termPat()
+        var moreProps = true
+        while (moreProps) {
+          ws()
+          // predicate: a variable, or a property path (plain IRI = PLink)
+          val predVar = if (peekIs('?')) Some(TVar(varName())) else None
+          val pth = if (predVar.isEmpty) path() else PLink("")
+          var moreObjs = true
+          while (moreObjs) {
+            val obj = termPat()
+            (predVar, pth) match {
+              case (Some(pv), _) => bgp += TriplePattern(subj, pv, obj)
+              case (None, PLink(iri)) => bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
+              case (None, other) => flushInto(Some(PathPattern(subj, other, obj)))
+            }
+            ws()
+            if (peekIs(',')) i += 1 else moreObjs = false
+          }
+          ws()
+          if (peekIs(';')) { i += 1; ws(); if (peekIs('.') || peekIs('}')) moreProps = false }
+          else moreProps = false
+        }
+        ws()
+        if (peekIs('.')) {
+          i += 1; ws()
+          // another triples line only if a term follows
+          going = peekIs('?') || peekIs('<') || peekIs('_') || peekIs('"') ||
+            peekPrefixedName()
+        } else going = false
+      }
+      flushInto(None)
+      op.getOrElse(Bgp(Nil))
+    }
+
+    private def valuesClause(): Op = {
+      ws()
+      if (peekIs('?')) {
+        val v = varName()
+        expect('{')
+        val rows = ListBuffer[Map[String, Term]]()
+        ws()
+        while (!peekIs('}')) {
+          if (eatKw("UNDEF")) rows += Map.empty
+          else rows += Map(v -> constTerm())
+          ws()
+        }
+        i += 1
+        Table(Seq(v), rows.toList)
+      } else {
+        expect('(')
+        val vars = ListBuffer[String]()
+        while (peekIs('?')) vars += varName()
+        expect(')')
+        expect('{')
+        val rows = ListBuffer[Map[String, Term]]()
+        ws()
+        while (!peekIs('}')) {
+          expect('(')
+          val m = scala.collection.mutable.Map[String, Term]()
+          vars.foreach { v =>
+            ws()
+            if (eatKw("UNDEF")) () else m(v) = constTerm()
+          }
+          expect(')')
+          rows += m.toMap
+          ws()
+        }
+        i += 1
+        Table(vars.toList, rows.toList)
+      }
+    }
+
+    // ---- property paths (subset: link, ^, /, |, +, *, ?, !(...))
+    private def path(): Path = {
+      var l = pathElt()
+      var going = true
+      while (going) {
+        ws()
+        if (peekIs('/')) { i += 1; l = PSeq(l, pathElt()) }
+        else if (peekIs('|')) { i += 1; l = PAlt(l, pathElt()) }
+        else going = false
+      }
+      l
+    }
+    private def pathElt(): Path = {
+      ws()
+      var p: Path =
+        if (peekIs('^')) { i += 1; PInverse(pathPrimary()) }
+        else pathPrimary()
+      // postfix modifiers
+      ws()
+      if (peekIs('+')) { i += 1; p = POneOrMore(p) }
+      else if (peekIs('*')) { i += 1; p = PZeroOrMore(p) }
+      else if (peekIs('?') && !isVarStart(i + 1)) { i += 1; p = PZeroOrOne(p) }
+      p
+    }
+    private def pathPrimary(): Path = {
+      ws()
+      if (peekIs('!')) {
+        i += 1; expect('(')
+        val iris = ListBuffer[String]()
+        iris += iriOnly()
+        ws()
+        while (peekIs('|')) { i += 1; iris += iriOnly(); ws() }
+        expect(')')
+        PNegPropSet(iris.toList)
+      } else if (peekIs('(')) {
+        i += 1
+        val p = path()
+        expect(')')
+        p
+      } else PLink(iriOnly())
+    }
+    private def iriOnly(): String = {
+      ws()
+      if (peekIs('<')) iriRef()
+      else if (kwAhead("a")) { eatKw("a"); "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
+      else prefixedIri()
+    }
+
+    // ---- terms
+    private def termPat(): TermPat = {
+      ws()
+      if (peekIs('?')) TVar(varName())
+      else TConst(constTerm())
+    }
+
+    private def constTerm(): Term = {
+      ws()
+      if (peekIs('<')) Term.iri(iriRef())
+      else if (peekIs('"') || peekIs('\'')) literal()
+      else if (peekIs('_')) { expect('_'); expect(':'); Term.bnode(name()) }
+      else if (kwAhead("true")) { eatKw("true"); Term.lit("true", Term.XSD_BOOLEAN) }
+      else if (kwAhead("false")) { eatKw("false"); Term.lit("false", Term.XSD_BOOLEAN) }
+      else if (peekIs('-') || peekIs('+') || (i < s.length && s.charAt(i).isDigit))
+        numberTerm()
+      else Term.iri(prefixedIri())
+    }
+
+    private def iriTerm(): Term = Term.iri(iriOnly())
+
+    private def numberTerm(): Term = {
+      val start = i
+      if (peekIs('-') || peekIs('+')) i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+        s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+        ((s.charAt(i) == '-' || s.charAt(i) == '+') && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E'))))
+        i += 1
+      val w = s.substring(start, i)
+      if (w.exists(c => c == 'e' || c == 'E')) Term.lit(w, Term.XSD_DOUBLE)
+      else if (w.contains('.')) Term.lit(w, Term.XSD_DECIMAL)
+      else Term.lit(w, Term.XSD_INTEGER)
+    }
+
+    private def literal(): Term = {
+      val quote = s.charAt(i); i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != quote) {
+        if (s.charAt(i) == '\\') { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 1
+      val lex = NTriplesEscape.unescape(sb.toString)
+      if (peekIs('@')) {
+        i += 1
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+        Term.langLit(lex, s.substring(st, i))
+      } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
+        i += 2
+        Term.lit(lex, iriOnly())
+      } else Term.string(lex)
+    }
+
+    // ---- expressions → RowExpr (Column trees; SPARQL || && = != < > etc.)
+    private def constraint(): RowExpr = {
+      ws()
+      if (peekIs('(')) { expect('('); val e = expression(); expect(')'); e }
+      else expression()
+    }
+
+    private def expression(): RowExpr = orExpr()
+
+    private def orExpr(): RowExpr = {
+      var l = andExpr()
+      while ({ ws(); s.startsWith("||", i) }) { i += 2; val r = andExpr(); val ll = l
+        l = RowExpr(v => ll(v) || r(v)) }
+      l
+    }
+    private def andExpr(): RowExpr = {
+      var l = relExpr()
+      while ({ ws(); s.startsWith("&&", i) }) { i += 2; val r = relExpr(); val ll = l
+        l = RowExpr(v => ll(v) && r(v)) }
+      l
+    }
+    private def relExpr(): RowExpr = {
+      val l = addExpr()
+      ws()
+      val opStr =
+        if (s.startsWith("!=", i)) "!=" else if (s.startsWith("<=", i)) "<="
+        else if (s.startsWith(">=", i)) ">=" else if (peekIs('=')) "="
+        else if (peekIs('<') && !isIriStart) "<" else if (peekIs('>')) ">"
+        else ""
+      if (opStr.isEmpty) return l
+      i += opStr.length
+      val r = addExpr()
+      RowExpr { v =>
+        val (a, b) = (l(v), r(v))
+        // value comparison: numeric space by value, otherwise term equality
+        // / lexical order (our canonical forms make this the SPARQL value
+        // semantics — SURVEY.md §1.7)
+        val numCmp = (TermCols.numValue(asTerm(a)), TermCols.numValue(asTerm(b)))
+        def bothNum = numCmp._1.isNotNull && numCmp._2.isNotNull
+        opStr match {
+          case "=" => when(bothNum, numCmp._1 === numCmp._2).otherwise(asTerm(a) === asTerm(b))
+          case "!=" => when(bothNum, numCmp._1 =!= numCmp._2).otherwise(asTerm(a) =!= asTerm(b))
+          case "<" => when(bothNum, numCmp._1 < numCmp._2)
+            .otherwise(TermCols.lex(asTerm(a)) < TermCols.lex(asTerm(b)))
+          case ">" => when(bothNum, numCmp._1 > numCmp._2)
+            .otherwise(TermCols.lex(asTerm(a)) > TermCols.lex(asTerm(b)))
+          case "<=" => when(bothNum, numCmp._1 <= numCmp._2)
+            .otherwise(TermCols.lex(asTerm(a)) <= TermCols.lex(asTerm(b)))
+          case ">=" => when(bothNum, numCmp._1 >= numCmp._2)
+            .otherwise(TermCols.lex(asTerm(a)) >= TermCols.lex(asTerm(b)))
+        }
+      }
+    }
+    private def addExpr(): RowExpr = {
+      var l = unary()
+      var going = true
+      while (going) {
+        ws()
+        if (peekIs('+') ) { i += 1; val r = unary(); val ll = l
+          l = num2(ll, r, _ + _) }
+        else if (peekIs('-')) { i += 1; val r = unary(); val ll = l
+          l = num2(ll, r, _ - _) }
+        else if (peekIs('*')) { i += 1; val r = unary(); val ll = l
+          l = num2(ll, r, _ * _) }
+        else if (peekIs('/') ) { i += 1; val r = unary(); val ll = l
+          l = num2(ll, r, _ / _) }
+        else going = false
+      }
+      l
+    }
+    private def num2(l: RowExpr, r: RowExpr, f: (Column, Column) => Column): RowExpr =
+      RowExpr { v =>
+        TermCols.mk(slit(Term.KIND_LIT),
+          f(TermCols.numValue(asTerm(l(v))), TermCols.numValue(asTerm(r(v)))).cast("string"),
+          slit(Term.XSD_DOUBLE), slit(""))
+      }
+
+    private def unary(): RowExpr = {
+      ws()
+      if (peekIs('!')) { i += 1; val e = unary(); RowExpr(v => !toBool(e(v))) }
+      else primary()
+    }
+
+    private def primary(): RowExpr = {
+      ws()
+      if (peekIs('(')) { expect('('); val e = expression(); expect(')'); e }
+      else if (peekIs('?')) { val v = varName(); RowExpr(r => r(v)) }
+      else if (peekIs('"') || peekIs('\'') || peekIs('<') || (i < s.length && s.charAt(i).isDigit) ||
+        ((peekIs('-') || peekIs('+')) && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        val t = constTerm(); RowExpr(_ => TermCols.const(t))
+      }
+      else functionCall()
+    }
+
+    private def functionCall(): RowExpr = {
+      val fn = name().toUpperCase
+      ws()
+      def args(n: Int): Seq[RowExpr] = {
+        expect('(')
+        val out = ListBuffer[RowExpr]()
+        if (n > 0) {
+          out += expression()
+          while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+        }
+        expect(')')
+        out.toList
+      }
+      fn match {
+        case "COUNT" => sawAgg = true;
+          expect('(')
+          ws()
+          val e: RowExpr =
+            if (peekIs('*')) { i += 1; RowExpr(_ => TermCols.intTerm(count(slit(1)))) }
+            else if (eatKw("DISTINCT")) { val a = expression()
+              RowExpr(v => TermCols.intTerm(count_distinct(a(v)))) }
+            else { val a = expression(); RowExpr(v => TermCols.intTerm(count(a(v)))) }
+          expect(')'); e
+        case "SUM" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.sumAgg(a(v)))
+        case "AVG" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.avgAgg(a(v)))
+        case "MIN" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.minAgg(a(v)))
+        case "MAX" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.maxAgg(a(v)))
+        case "SAMPLE" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.sample(a(v)))
+        case "GROUP_CONCAT" => sawAgg = true;
+          expect('('); val a = expression()
+          val sep = if ({ ws(); peekIs(';') }) {
+            i += 1; ws(); expectKw("SEPARATOR"); expect('='); literal().lex
+          } else " "
+          expect(')')
+          RowExpr(v => SparqlAggregates.groupConcat(a(v), sep))
+        case "STR" => val a = args(1).head; RowExpr(v => SF.str(a(v)))
+        case "LANG" => val a = args(1).head; RowExpr(v => SF.langFn(a(v)))
+        case "DATATYPE" => val a = args(1).head; RowExpr(v => SF.datatype(a(v)))
+        case "IRI" | "URI" => val a = args(1).head; RowExpr(v => SF.iriFn(a(v)))
+        case "STRLEN" => val a = args(1).head; RowExpr(v => SF.strlen(a(v)))
+        case "UCASE" => val a = args(1).head; RowExpr(v => SF.ucase(a(v)))
+        case "LCASE" => val a = args(1).head; RowExpr(v => SF.lcase(a(v)))
+        case "SUBSTR" =>
+          val as = args(3)
+          RowExpr(v => SF.substrFn(as(0)(v), TermCols.numValue(as(1)(v)), TermCols.numValue(as(2)(v))))
+        case "CONTAINS" => val as = args(2); RowExpr(v => SF.containsFn(as(0)(v), as(1)(v)))
+        case "STRSTARTS" => val as = args(2); RowExpr(v => SF.strstarts(as(0)(v), as(1)(v)))
+        case "STRENDS" => val as = args(2); RowExpr(v => SF.strends(as(0)(v), as(1)(v)))
+        case "STRBEFORE" => val as = args(2); RowExpr(v => SF.strbefore(as(0)(v), as(1)(v)))
+        case "STRAFTER" => val as = args(2); RowExpr(v => SF.strafter(as(0)(v), as(1)(v)))
+        case "CONCAT" =>
+          expect('(')
+          val out = ListBuffer(expression())
+          while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          expect(')')
+          RowExpr(v => SF.concatFn(out.toList.map(_(v)): _*))
+        case "REGEX" =>
+          expect('('); val a = expression(); ws(); expect(','); ws()
+          val pat = literal().lex
+          expect(')')
+          RowExpr(v => SF.regex(a(v), pat))
+        case "ABS" => val a = args(1).head; RowExpr(v => SF.absFn(a(v)))
+        case "CEIL" => val a = args(1).head; RowExpr(v => SF.ceilFn(a(v)))
+        case "FLOOR" => val a = args(1).head; RowExpr(v => SF.floorFn(a(v)))
+        case "ROUND" => val a = args(1).head; RowExpr(v => SF.roundFn(a(v)))
+        case "YEAR" => val a = args(1).head; RowExpr(v => SF.yearFn(a(v)))
+        case "MONTH" => val a = args(1).head; RowExpr(v => SF.monthFn(a(v)))
+        case "DAY" => val a = args(1).head; RowExpr(v => SF.dayFn(a(v)))
+        case "MD5" => val a = args(1).head; RowExpr(v => SF.md5Fn(a(v)))
+        case "SHA256" => val a = args(1).head; RowExpr(v => SF.sha256Fn(a(v)))
+        case "BOUND" => val a = args(1).head; RowExpr(v => SF.bound(a(v)))
+        case "COALESCE" =>
+          expect('(')
+          val out = ListBuffer(expression())
+          while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          expect(')')
+          RowExpr(v => SF.coalesceFn(out.toList.map(_(v)): _*))
+        case "IF" =>
+          val as = args(3)
+          RowExpr(v => SF.ifFn(toBool(as(0)(v)), as(1)(v), as(2)(v)))
+        case "SAMETERM" => val as = args(2); RowExpr(v => SF.sameTerm(as(0)(v), as(1)(v)))
+        case "ISIRI" | "ISURI" => val a = args(1).head; RowExpr(v => TermCols.isIri(a(v)))
+        case "ISBLANK" => val a = args(1).head; RowExpr(v => TermCols.isBlank(a(v)))
+        case "ISLITERAL" => val a = args(1).head; RowExpr(v => TermCols.isLiteral(a(v)))
+        case "ISNUMERIC" => val a = args(1).head; RowExpr(v => TermCols.isNumeric(a(v)))
+        case other => fail(s"unsupported function $other")
+      }
+    }
+
+    /** Boolean coercion of a compiled expression value: Column[Boolean]
+     * passes through; term structs go through EBV. A Column's runtime type
+     * is unknown statically, so builders return booleans for boolean ops
+     * and term structs otherwise; asTerm/toBool mediate. */
+    private def toBool(c: Column): Column = c
+    private def asTerm(c: Column): Column = c
+
+    // ---- low-level lexing
+    private def ws(): Unit = {
+      var going = true
+      while (going) {
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < s.length && s.charAt(i) == '#') {
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        } else going = false
+      }
+    }
+    private def peekIs(c: Char): Boolean = { ws(); i < s.length && s.charAt(i) == c }
+    private def peekPrefixedName(): Boolean = {
+      ws()
+      i < s.length && (s.charAt(i).isLetter) && {
+        // something like pn:local before a non-keyword context
+        val save = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val r = i < s.length && s.charAt(i) == ':'
+        i = save; r
+      }
+    }
+    private def isIriStart: Boolean = {
+      // '<' followed by a scheme-ish body then '>' on the same token
+      val close = s.indexOf('>', i)
+      close > 0 && !s.substring(i + 1, close).exists(Character.isWhitespace)
+    }
+    private def isVarStart(at: Int): Boolean =
+      at < s.length && (s.charAt(at).isLetterOrDigit || s.charAt(at) == '_')
+
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    private def kwAhead(kw: String): Boolean = {
+      ws()
+      s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i + kw.length >= s.length || !s.charAt(i + kw.length).isLetterOrDigit)
+    }
+    private def eatKw(kw: String): Boolean = {
+      if (kwAhead(kw)) { i += kw.length; true } else false
+    }
+    private def eatKw2(a: String, b: String): Boolean = {
+      val save = i
+      if (eatKw(a)) { if (eatKw(b)) true else { i = save; false } } else false
+    }
+    private def expectKw(kw: String): Unit =
+      if (!eatKw(kw)) fail(s"expected $kw")
+
+    private def varName(): String = {
+      ws()
+      if (!peekIs('?') && !peekIs('$')) fail("expected variable")
+      i += 1
+      name()
+    }
+    private def name(): String = {
+      val st = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      if (i == st) fail("expected name")
+      s.substring(st, i)
+    }
+    private def integer(): Long = {
+      ws()
+      val st = i
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      s.substring(st, i).toLong
+    }
+    private def iriRef(): String = {
+      ws()
+      expect('<')
+      val close = s.indexOf('>', i)
+      if (close < 0) fail("unterminated IRI")
+      val body = s.substring(i, close)
+      i = close + 1
+      val full = NTriplesEscape.unescape(body)
+      if (base.nonEmpty && !full.contains(":")) graft.normalize.Iri.resolve(base, full)
+      else full
+    }
+    private def prefixedIri(): String = {
+      ws()
+      val pfx = {
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        s.substring(st, i)
+      }
+      expect(':')
+      val st = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+        s.charAt(i) == '-' || s.charAt(i) == '.')) i += 1
+      // a trailing '.' is a statement terminator, not part of the local name
+      var local = s.substring(st, i)
+      while (local.endsWith(".")) { local = local.dropRight(1); i -= 1 }
+      prefixes.get(pfx) match {
+        case Some(ns) => ns + local
+        case None => fail(s"undeclared prefix '$pfx:'")
+      }
+    }
+
+    private def prologue(): Unit = {
+      var going = true
+      while (going) {
+        if (eatKw("PREFIX")) {
+          ws()
+          val pfx = { val st = i
+            while (i < s.length && s.charAt(i) != ':') i += 1
+            s.substring(st, i).trim }
+          expect(':')
+          prefixes(pfx) = iriRef()
+        } else if (eatKw("BASE")) base = iriRef()
+        else going = false
+      }
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"SPARQL parse error at offset $i ('${s.substring(i.min(s.length)).take(25)}'): $msg")
+  }
+}

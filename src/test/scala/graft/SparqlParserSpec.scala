@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algebra.Compiler
+import graft.model.{Term, Triple}
+import graft.sparql.Parser
+
+/** SPARQL text → algebra → DataFrame, end to end on golden queries —
+ * manifest-style cases in the spirit of jena-arq/testing/ARQ/EngineMain. */
+class SparqlParserSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val EX = "http://example/"
+  private def i(s: String) = Term.iri(EX + s)
+
+  private lazy val g: DataFrame = spark.createDataset(Seq(
+    Triple(i("alice"), i("name"), Term.string("Alice")),
+    Triple(i("alice"), i("email"), Term.string("alice@example")),
+    Triple(i("alice"), i("age"), Term.lit("30", Term.XSD_INTEGER)),
+    Triple(i("bob"), i("name"), Term.string("Bob")),
+    Triple(i("bob"), i("age"), Term.lit("9", Term.XSD_INTEGER)),
+    Triple(i("carol"), i("name"), Term.string("Carol")),
+    Triple(i("carol"), i("email"), Term.string("carol@example")),
+    Triple(i("carol"), i("age"), Term.lit("27", Term.XSD_INTEGER)),
+    Triple(i("alice"), i("knows"), i("bob")),
+    Triple(i("bob"), i("knows"), i("carol")),
+    Triple(i("alice"), Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), i("Person"))))
+    .toDF()
+
+  private def run(q: String): Array[Row] = Compiler.compile(Parser.parse(q), g).collect()
+  private def lexes(q: String, v: String): Seq[String] =
+    Compiler.compile(Parser.parse(q), g)
+      .select(org.apache.spark.sql.functions.col(v).getField("lex"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("BGP + FILTER + ORDER + LIMIT") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s ?a WHERE {
+        ?s ex:name ?n .
+        ?s ex:age ?a .
+        FILTER(?a >= 10)
+      } ORDER BY DESC(?a) LIMIT 1"""
+    assert(lexes(q, "s") == Seq(EX + "alice"))
+  }
+
+  test("OPTIONAL + BOUND filter") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?n WHERE {
+        ?s ex:name ?n
+        OPTIONAL { ?s ex:email ?e }
+        FILTER(!BOUND(?e))
+      }"""
+    assert(lexes(q, "n") == Seq("Bob"))
+  }
+
+  test("UNION + DISTINCT") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT DISTINCT ?x WHERE {
+        { ?s ex:email ?x } UNION { ?s ex:name ?x }
+      }"""
+    assert(lexes(q, "x").toSet.size == 5)
+  }
+
+  test("MINUS and FILTER NOT EXISTS differ on disjoint domains") {
+    val minus = """
+      PREFIX ex: <http://example/>
+      SELECT ?s WHERE { ?s ex:name ?n MINUS { ?x ex:email ?e } }"""
+    assert(run(minus).length == 3)
+    val notExists = """
+      PREFIX ex: <http://example/>
+      SELECT ?s WHERE { ?s ex:name ?n FILTER NOT EXISTS { ?x ex:email ?e } }"""
+    assert(run(notExists).isEmpty)
+  }
+
+  test("aggregates: GROUP BY + HAVING + COUNT/AVG") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+      GROUP BY ?s HAVING(?n > 3) ORDER BY ?s"""
+    val rows = run(q)
+    assert(rows.length == 1) // only alice (5 triples); bob and carol have 3
+    val avg = """
+      PREFIX ex: <http://example/>
+      SELECT (AVG(?a) AS ?avg) WHERE { ?s ex:age ?a }"""
+    assert(lexes(avg, "avg").head.toDouble == 22.0)
+  }
+
+  test("property paths: +, alternation, inverse, sequence") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?x WHERE { ex:alice ex:knows+ ?x }"""
+    assert(lexes(q, "x").toSet == Set(EX + "bob", EX + "carol"))
+    val inv = """
+      PREFIX ex: <http://example/>
+      SELECT ?x WHERE { ex:carol ^ex:knows ?x }"""
+    assert(lexes(inv, "x") == Seq(EX + "bob"))
+    val seq = """
+      PREFIX ex: <http://example/>
+      SELECT ?x WHERE { ex:alice ex:knows/ex:knows ?x }"""
+    assert(lexes(seq, "x") == Seq(EX + "carol"))
+  }
+
+  test("BIND + expression functions + SELECT expression") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?u WHERE {
+        ?s ex:name ?n .
+        BIND(UCASE(?n) AS ?u)
+        FILTER(STRSTARTS(?n, "A"))
+      }"""
+    assert(lexes(q, "u") == Seq("ALICE"))
+    val sel = """
+      PREFIX ex: <http://example/>
+      SELECT (STRLEN(?n) AS ?len) WHERE { ?s ex:name ?n . FILTER(?n = "Carol") }"""
+    assert(lexes(sel, "len") == Seq("5"))
+  }
+
+  test("VALUES + 'a' keyword + rdf:type") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s ?n WHERE {
+        VALUES ?s { ex:alice ex:bob }
+        ?s ex:name ?n .
+        ?s a ex:Person .
+      }"""
+    assert(lexes(q, "n") == Seq("Alice"))
+  }
+
+  test("arithmetic + comparisons by numeric value") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a * 2 > 50) } ORDER BY ?s"""
+    assert(lexes(q, "s") == Seq(EX + "alice", EX + "carol"))
+  }
+
+  test("unsupported constructs raise") {
+    intercept[IllegalArgumentException](Parser.parse("ASK { ?s ?p ?o }"))
+    intercept[IllegalArgumentException](
+      Parser.parse("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }"))
+  }
+}
