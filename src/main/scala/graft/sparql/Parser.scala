@@ -33,7 +33,15 @@ import graft.model.{NTriplesEscape, Term}
  */
 object Parser {
 
+  /** Parsed query form (Query.java's SELECT/ASK/CONSTRUCT trichotomy). */
+  sealed trait QueryForm
+  final case class SelectQ(op: Op) extends QueryForm
+  final case class AskQ(op: Op) extends QueryForm
+  final case class ConstructQ(template: Seq[TriplePattern], op: Op) extends QueryForm
+
   def parse(query: String): Op = new P(query).parseQuery()
+
+  def parseAny(query: String): QueryForm = new P(query).parseAnyForm()
 
   // ---------------------------------------------------------------------
   private final class P(s: String) {
@@ -42,8 +50,69 @@ object Parser {
     private var base = ""
     private var sawAgg = false
 
+    def parseAnyForm(): Parser.QueryForm = {
+      prologue()
+      if (kwAhead("ASK")) {
+        eatKw("ASK")
+        ws(); if (kwAhead("WHERE")) eatKw("WHERE")
+        val op = groupGraphPattern()
+        ws()
+        if (i < s.length) fail("trailing content after ASK pattern")
+        Parser.AskQ(op)
+      } else if (kwAhead("CONSTRUCT")) {
+        eatKw("CONSTRUCT")
+        val template = templateBlock()
+        expectKw("WHERE")
+        var op = groupGraphPattern()
+        var more = true
+        var limit = -1L
+        while (more) {
+          if (eatKw("LIMIT")) limit = integer() else more = false
+        }
+        if (limit >= 0) op = Slice(0, limit, op)
+        ws()
+        if (i < s.length) fail("trailing content after CONSTRUCT")
+        Parser.ConstructQ(template, op)
+      } else Parser.SelectQ(parseQueryNoPrologue())
+    }
+
+    /** CONSTRUCT template: plain triples (';' ',' 'a', bnode labels),
+     * no paths/filters. */
+    private def templateBlock(): Seq[TriplePattern] = {
+      expect('{')
+      val out = ListBuffer[TriplePattern]()
+      ws()
+      while (!peekIs('}')) {
+        val subj = termPat()
+        var moreProps = true
+        while (moreProps) {
+          ws()
+          val pred: TermPat =
+            if (peekIs('?')) TVar(varName()) else TConst(Term.iri(iriOnly()))
+          var moreObjs = true
+          while (moreObjs) {
+            out += TriplePattern(subj, pred, termPat())
+            ws()
+            if (peekIs(',')) i += 1 else moreObjs = false
+          }
+          ws()
+          if (peekIs(';')) { i += 1; ws(); if (peekIs('.') || peekIs('}')) moreProps = false }
+          else moreProps = false
+        }
+        ws()
+        if (peekIs('.')) i += 1
+        ws()
+      }
+      i += 1
+      out.toList
+    }
+
     def parseQuery(): Op = {
       prologue()
+      parseQueryNoPrologue()
+    }
+
+    private def parseQueryNoPrologue(): Op = {
       expectKw("SELECT")
       val distinct = eatKw("DISTINCT")
       val reduced = !distinct && eatKw("REDUCED")
