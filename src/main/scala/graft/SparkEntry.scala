@@ -8,10 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   import graft.queries.{OpsQueries, Relational, SparqlQueries}
 
-  /** Flagship: the KG-construction pipeline's extraction+agg slice on
-   * sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full SPARQL stack — text parse → algebra → Catalyst —
+   * over the triple encoding of the sf0.001 tables; driver smoke-checks
+   * rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1_agg(spark, "/root/testdata/sf0.001")
+    SparqlQueries.r22_sparql_text(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> Relational.q1_agg _,

@@ -29,4 +29,31 @@ object Sparql {
         Construct.construct(template, Compiler.compile(op, graph))
       case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
     }
+
+  /** DESCRIBE <iri>: the concise-bounded-description slice — all triples
+   * with the resource as subject or object, plus subject-closure over
+   * blank nodes reached from it (the reference's default DescribeHandler
+   * behavior). Iterates only through bnode hops (bounded by bnode depth). */
+  def describe(iri: String, graph: DataFrame, maxBnodeDepth: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.algebra.TermCols
+    val seed = graph.filter(
+      (TermCols.isIri(col("s")) && TermCols.lex(col("s")) === iri) ||
+      (TermCols.isIri(col("o")) && TermCols.lex(col("o")) === iri))
+    var acc = seed.select("s", "p", "o")
+    var frontier = acc
+    var depth = 0
+    var done = false
+    while (!done && depth < maxBnodeDepth) {
+      val bn = frontier.filter(TermCols.isBlank(col("o")))
+        .select(col("o").as("__n")).distinct()
+      val next = graph.join(bn, col("s") === col("__n")).select("s", "p", "o")
+      val grown = acc.union(next).dropDuplicates("s", "p", "o")
+      done = grown.count() == acc.count()
+      frontier = next
+      acc = grown
+      depth += 1
+    }
+    acc
+  }
 }

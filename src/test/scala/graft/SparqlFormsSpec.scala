@@ -42,6 +42,20 @@ class SparqlFormsSpec extends AnyFunSuite {
     assert(bn.map(_.getAs[Row]("s").getString(1)).distinct.length == 2)
   }
 
+  test("DESCRIBE: resource slice + bnode closure") {
+    val gd = spark.createDataset(Seq(
+      Triple(i("alice"), i("addr"), Term.bnode("b1")),
+      Triple(Term.bnode("b1"), i("city"), Term.string("Paris")),
+      Triple(Term.bnode("b1"), i("geo"), Term.bnode("b2")),
+      Triple(Term.bnode("b2"), i("lat"), Term.string("48.85")),
+      Triple(i("bob"), i("knows"), i("alice")),
+      Triple(i("bob"), i("name"), Term.string("Bob")))).toDF()
+    val out = Sparql.describe(EX + "alice", gd).collect()
+    // alice's triple + bnode closure (2 hops) + bob-knows-alice; NOT bob's name
+    assert(out.length == 5)
+    assert(!out.exists(_.getAs[Row]("o").getString(1) == "Bob"))
+  }
+
   test("Iso: graphs equal up to bnode relabeling; different structure rejected") {
     def t(s: Term, p: String, o: Term) = Triple(s, Term.iri(EX + p), o)
     val g1 = Seq(
