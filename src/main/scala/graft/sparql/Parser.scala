@@ -27,9 +27,10 @@ import graft.model.{NTriplesEscape, Term}
  * project → distinct/reduced → slice. Expressions compile straight to
  * Column trees over term structs via SparqlFunctions (no interpreter).
  *
- * Out of the subset (raises, never mis-parses): CONSTRUCT/ASK/DESCRIBE
- * text forms (CONSTRUCT is available programmatically via
- * algebra.Construct), SERVICE, subqueries, RDF-star syntax.
+ * ASK and CONSTRUCT text forms parse via `parseAny`; subqueries
+ * (`{ SELECT ... }`) nest with per-SELECT aggregate scoping. Out of the
+ * subset (raises, never mis-parses): SERVICE, DESCRIBE text form (use
+ * Sparql.describe), RDF-star syntax.
  */
 object Parser {
 
@@ -109,10 +110,31 @@ object Parser {
 
     def parseQuery(): Op = {
       prologue()
-      parseQueryNoPrologue()
+      val op = selectBody()
+      ws()
+      if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
+      op
     }
 
     private def parseQueryNoPrologue(): Op = {
+      val op = selectBody()
+      ws()
+      if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
+      op
+    }
+
+    /** SELECT query body (no prologue, no end-of-input check — reused by
+     * subqueries, AlgebraGenerator's SUB SELECT path). Aggregate detection
+     * (`sawAgg`) is scoped per SELECT so a subquery's aggregates never
+     * force grouping onto the outer query. */
+    private def selectBody(): Op = {
+      val outerSawAgg = sawAgg
+      sawAgg = false
+      try selectBody0()
+      finally sawAgg = outerSawAgg
+    }
+
+    private def selectBody0(): Op = {
       expectKw("SELECT")
       val distinct = eatKw("DISTINCT")
       val reduced = !distinct && eatKw("REDUCED")
@@ -162,8 +184,6 @@ object Parser {
       }
       if (limit >= 0 || offset > 0)
         op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
-      ws()
-      if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
       op
     }
 
@@ -243,10 +263,21 @@ object Parser {
           }
         }
         else if (peekIs('{')) {
-          // group or UNION chain
-          var acc = groupGraphPattern()
-          while (eatKw("UNION")) acc = Union(acc, groupGraphPattern())
-          add(acc)
+          // subquery `{ SELECT ... }`, or a group / UNION chain
+          val save = i
+          i += 1
+          val isSub = kwAhead("SELECT")
+          i = save
+          if (isSub) {
+            expect('{')
+            val sub = selectBody()
+            expect('}')
+            add(sub)
+          } else {
+            var acc = groupGraphPattern()
+            while (eatKw("UNION")) acc = Union(acc, groupGraphPattern())
+            add(acc)
+          }
         }
         else {
           add(triplesBlock())

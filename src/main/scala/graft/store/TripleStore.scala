@@ -42,47 +42,70 @@ object TripleStore {
     "p_kind", "p_lex", "p_dt", "p_lang",
     "o_kind", "o_lex", "o_dt", "o_lang")
 
-  /** Dedup (set semantics) + the three sorted layouts + lineage + manifest.
-   * One wide shuffle for dedup, then one range shuffle per layout. */
+  /**
+   * Dedup (set semantics) + the three sorted layouts + lineage + manifest.
+   *
+   * Shuffle plan (the load-bearing decision at 100 TB): dedup rides the
+   * SPO range shuffle instead of paying its own hash shuffle — under range
+   * partitioning by (s,p,o) identical triples land in the same partition,
+   * and after an in-partition sort on the full term key duplicates are
+   * adjacent, so a narrow `mapPartitions` sweep removes them. POS/OSP and
+   * the lineage table are then derived from the COMMITTED SPO files
+   * (columnar re-read — what a production job does anyway instead of
+   * holding the full set in executor memory). Net: 3 full-data shuffles
+   * instead of 4, and no multi-GB cache competing with sort memory.
+   */
   def materialize(triples: DataFrame, snapshotDir: String,
                   parent: Option[String], partitions: Int = 32): Long = {
     val spark = triples.sparkSession
     val t0 = System.nanoTime()
 
     val flat = flatten(triples)
-    val deduped = flat.dropDuplicates(termCols).cache()
-    val total = deduped.count()
+    val keyIdx = termCols.map(flat.schema.fieldIndex)
+    flat
+      .repartitionByRange(partitions, col("s_lex"), col("p_lex"), col("o_lex"))
+      .sortWithinPartitions(termCols.map(col): _*)
+      .mapPartitions { rows =>
+        // adjacent-duplicate elimination on the 12-col term key (repo/lang
+        // may differ between duplicates; first-in-sort-order wins, same
+        // arbitrary-winner semantics as dropDuplicates)
+        var prev: Seq[Any] = null
+        rows.filter { r =>
+          val key = keyIdx.map(r.get)
+          val keep = prev == null || key != prev
+          prev = key
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(flat.schema))
+      .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/spo")
+
+    val spo = spark.read.parquet(s"$snapshotDir/spo")
+    val total = spo.count()
 
     def sortedWrite(name: String, keys: Seq[String]): Unit =
-      deduped
-        .repartitionByRange(partitions, keys.map(col): _*)
+      spo.repartitionByRange(partitions, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$snapshotDir/$name")
 
-    // the three sorted layouts + lineage read the SAME cached input and
-    // are independent — submit them as concurrent jobs so the scheduler
-    // overlaps their shuffles and commit phases (driver-side commit is
-    // otherwise serial dead time; on a real cluster this also keeps
-    // executors busy during each layout's single-writer commit)
+    // POS/OSP + lineage are independent reads of the committed SPO files —
+    // concurrent jobs overlap their shuffles and commit phases
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
-      Future(sortedWrite("spo", Seq("s_lex", "p_lex", "o_lex"))),
       Future(sortedWrite("pos", Seq("p_lex", "o_lex", "s_lex"))),
       Future(sortedWrite("osp", Seq("o_lex", "s_lex", "p_lex"))),
       Future {
         // per-partition lineage + metrics rows (north rule): counts by the
         // pipeline's partition key (repo, lang)
-        deduped.groupBy("repo", "lang")
+        spo.groupBy("repo", "lang")
           .agg(count(lit(1)).as("n_triples"),
             countDistinct(col("s_lex")).as("n_subjects"))
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
       })
     Await.result(Future.sequence(writes), Duration.Inf)
-    deduped.unpersist()
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(

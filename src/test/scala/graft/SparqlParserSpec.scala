@@ -139,6 +139,20 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(lexes(q, "s") == Seq(EX + "alice", EX + "carol"))
   }
 
+  test("subquery: aggregate inside, join outside; scopes don't leak") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s ?n ?cnt WHERE {
+        ?s ex:name ?n .
+        { SELECT (COUNT(?x) AS ?cnt) WHERE { ?y ex:knows ?x } }
+        FILTER(?cnt = 2)
+      } ORDER BY ?s"""
+    val rows = run(q)
+    assert(rows.length == 3) // uncorrelated subquery joins onto every row
+    // outer query must NOT have been grouped by the subquery's aggregate
+    assert(lexes(q, "n").sorted == Seq("Alice", "Bob", "Carol"))
+  }
+
   test("unsupported constructs raise") {
     intercept[IllegalArgumentException](Parser.parse("ASK { ?s ?p ?o }"))
     intercept[IllegalArgumentException](
