@@ -58,20 +58,23 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = SparqlQueries.oracle ++ Map(
+    // money columns: integer-cents arithmetic (floor(x*100+0.5)) — the only
+    // double→fixed-point path that is bit-identical in Spark and DuckDB
+    // (see graft.queries.Relational header note)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-         sum(cast(l_extendedprice as decimal(18,2))) AS sum_price,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1,2""",
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-         cast(l_extendedprice as decimal(18,2)) AS price
+         CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS price
          FROM lineitem
          WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount >= 0.05""",
     "q3_join_agg" ->
       """SELECT n_name,
-         sum(cast(l_extendedprice as decimal(18,2))) AS revenue,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
          count(*) AS n_items
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
@@ -97,7 +100,8 @@ object SparkEntry {
     "q8_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q9_topk" ->
-      """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS totalprice
+      """SELECT o_orderkey,
+         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q10_minus" ->
       """SELECT c_custkey, c_mktsegment FROM customer
@@ -111,9 +115,8 @@ object SparkEntry {
          GROUP BY 1,2""",
     "q12_extend" ->
       """SELECT l_orderkey,
-         cast(round(cast(l_extendedprice as decimal(18,2))
-                    * (1 - cast(l_discount as decimal(18,4))), 2)
-              as decimal(18,2)) AS disc_price
+         CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+              AS DOUBLE) / 100.0 AS disc_price
          FROM lineitem WHERE l_linenumber = 1""",
     "q13_explode" ->
       """SELECT type_word, count(*) AS n FROM (
@@ -125,7 +128,7 @@ object SparkEntry {
          FROM nation GROUP BY 1""",
     "q15_window" ->
       """SELECT o_custkey, o_orderkey,
-         cast(o_totalprice as decimal(18,2)) AS totalprice
+         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS totalprice
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
          WHERE rn = 1""",
@@ -180,10 +183,13 @@ object SparkEntry {
            SELECT doc_id, shingles, b AS band,
                   mh[CAST(2*b+1 AS INT)] || '_' || mh[CAST(2*b+2 AS INT)] AS bucket
            FROM sig, range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM banded
+           QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64),
          cand AS (
            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
                   l.shingles AS a_sh, r.shingles AS b_sh
-           FROM banded l JOIN banded r
+           FROM capped l JOIN capped r
              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
          SELECT DISTINCT a_id, b_id,
            (1000 * len(list_intersect(a_sh, b_sh)))
@@ -220,6 +226,7 @@ object SparkEntry {
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 18""",
+    "s2_ann_lsh" -> graft.queries.OpsQueries.s2SqlDuck,
     "s1_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          p AS (

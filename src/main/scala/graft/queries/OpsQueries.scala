@@ -115,22 +115,32 @@ object OpsQueries {
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), '_', element_at(mh, 2*b+2)))"))
         .as(Seq("band", "bucket")))
-    // l and r are the SAME subplan up to projection, so the (band,bucket)
-    // shuffle is planned once and reused (ReusedExchange) — cheaper than
-    // splitting candidates from signatures, which was measured slower here
-    // because it forfeits that reuse and adds two more array shuffles
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-    l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+    // cap pathological buckets (boilerplate-heavy corpora): a bucket with
+    // > 64 members contributes O(n²) candidate pairs — drop such buckets
+    // outright (standard LSH guard; true near-dups almost surely share
+    // another, smaller band bucket). Mirrored in the DuckDB oracle. The
+    // window shuffle is the same (band, bucket) exchange the self-join
+    // needs, so the cap costs no extra shuffle of the big table.
+    import org.apache.spark.sql.expressions.Window
+    val capped = banded.select(col("band"), col("bucket"), col("doc_id"))
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__bn") <= 64).drop("__bn")
+    // candidates carry ONLY the id pair — the dedup shuffles 16-byte rows,
+    // not shingle arrays; shingles re-join afterwards, so each doc's array
+    // moves once per side instead of once per candidate pair
+    val l = capped.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val r = capped.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val cand = l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val aSh = all.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val bSh = all.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    cand.join(aSh, "a_id").join(bSh, "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jac_permille", expr("(cast(inter as bigint) * 1000) div uni"))
       .where(col("jac_permille") >= 500)
       .select(col("a_id"), col("b_id"), col("jac_permille"))
-      .distinct()
   }
 
   /** 60-bit SimHash per document over distinct-token hash60s. */
@@ -191,22 +201,30 @@ object OpsQueries {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim4"))
   }
 
+  /** Deterministic hyperplane matrix for s2 — 16 planes × 64 dims as
+   * integers in [0, 1000] (hash60 of "dim|plane" mod 1001). Both the Spark
+   * literals and the DuckDB oracle derive the double weight as
+   * v/500.0 - 1.0, so the two engines see bit-identical hyperplanes. */
+  private[queries] lazy val planeInts: IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(str: String): Long = java.lang.Long.parseLong(
+      md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    for (tp <- 0 until 16) yield
+      for (i <- 0 until 64) yield h60(s"$i|$tp") % 1001
+  }
+
   /** LSH-bucketed ANN (scale path): 4 hash tables × 4 deterministic
-   * random-hyperplane bits (signs from hash60 of (dim, plane)); candidates
-   * are vectors sharing a (table, bucket) key — an equi-join, never n².
-   * Rows-only gate (no SQL oracle); AnnSpec checks recall vs s1. */
+   * random-hyperplane bits; candidates are vectors sharing a
+   * (table, bucket) key — an equi-join, never n². Oracle: s2SqlDuck
+   * mirrors the plane literals exactly. AnnSpec checks recall vs s1. */
   def s2_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     // Hyperplane weights are data-independent: precompute the 16×64 matrix
     // driver-side (same hash60 formula) and embed as literals, instead of
     // re-hashing 1024 md5s per ROW. At cluster scale this is the difference
     // between a narrow vectorizable projection and md5-bound CPU.
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h60(str: String): Long = java.lang.Long.parseLong(
-      md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
     val planes: IndexedSeq[IndexedSeq[Double]] =
-      for (tp <- 0 until 16) yield
-        for (i <- 0 until 64) yield (h60(s"$i|$tp") % 1001).toDouble / 500.0 - 1.0
+      planeInts.map(_.map(_.toDouble / 500.0 - 1.0))
     def dot(tp: Int): Column = aggregate(
       zip_with(col("embedding"), array(planes(tp).map(lit): _*),
         (x, w) => x.cast("double") * w),
@@ -231,6 +249,43 @@ object OpsQueries {
       .where(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         round(col("sim"), 4).as("sim4"))
+  }
+
+  /** DuckDB oracle for s2_ann_lsh: identical plane literals (via planeInts),
+   * identical bucket construction and cosine ranking. */
+  def s2SqlDuck: String = {
+    val p = planeInts.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       pl AS (SELECT $p AS pls),
+       tb AS (
+         SELECT vec_id, v, CAST(t.tbl AS INT) AS tbl,
+           list_aggregate(list_transform(range(0, 4), bp ->
+             CASE WHEN list_aggregate(list_transform(range(1, 65),
+                    i -> v[CAST(i AS INT)] *
+                         (CAST(pls[CAST(t.tbl*4 + bp + 1 AS INT)][CAST(i AS INT)] AS DOUBLE)
+                          / 500.0 - 1.0)),
+                    'sum') > 0
+                  THEN CAST(1 AS BIGINT) << CAST(bp AS INT) ELSE CAST(0 AS BIGINT) END),
+             'sum')::BIGINT AS bucket
+         FROM e, pl, range(0, 4) t(tbl)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+                c.vec_id AS neighbor_id, c.v AS nv
+         FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+       sims AS (
+         SELECT query_id, neighbor_id,
+           list_aggregate(list_transform(range(1, 65),
+             i -> qv[CAST(i AS INT)] * nv[CAST(i AS INT)]), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, 65),
+                i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)]), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                i -> nv[CAST(i AS INT)] * nv[CAST(i AS INT)]), 'sum'))) AS sim
+         FROM cand)
+     SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim4
+     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rk FROM sims)
+     WHERE rk <= 5"""
   }
 
   // ---------------------------------------------------------- text analysis

@@ -14,12 +14,19 @@ import graft.Tables
  *  - dimension tables (region/nation, VALUES tables) are broadcast — no shuffle;
  *  - fact-fact joins shuffle on their equi-keys once, AQE handles skew;
  *  - aggregates are partial+final hash aggregates (map-side combine);
- *  - money/quantity aggregates go through DECIMAL so results are
- *    order-independent and bit-exact vs the oracle (double sums are not).
+ *  - money/quantity values go through integer cents (floor(x*100+0.5)) so
+ *    sums are order-independent and bit-exact vs the oracle: multiply/add/
+ *    floor are pure IEEE ops identical in Spark and DuckDB, whereas the
+ *    double→decimal cast is NOT (Spark rounds the shortest decimal string
+ *    via BigDecimal.valueOf, DuckDB rounds the exact binary value — x.xx5
+ *    boundaries diverge by one cent).
  */
 object Relational {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** double → exact integer cents; deterministic + portable (see above). */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+  /** integer cents → presentable double; exact for |cents| < 2^53. */
+  private def money(c: Column): Column = c.cast("double") / 100.0
 
   /** OpGroup (§2.4): partial+final hash aggregation, no shuffle beyond the
    * groupBy keys; decimal sums are associative → map-side combine is exact. */
@@ -27,8 +34,8 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        money(sum(cents(col("l_quantity")))).as("sum_qty"),
+        money(sum(cents(col("l_extendedprice")))).as("sum_price"),
         count(lit(1)).as("n_rows"))
 
   /** OpFilter + OpProject (§2.2): both reach the parquet scan
@@ -37,7 +44,8 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
               col("l_discount") >= 0.05)
-      .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("price"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        money(cents(col("l_extendedprice"))).as("price"))
 
   /** OpJoin / OpSequence / BGP chain (§2.3): two fact joins shuffle on the
    * key; nation is broadcast (no shuffle for the dim). */
@@ -50,7 +58,7 @@ object Relational {
       .join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice"))).as("revenue"),
+      .agg(money(sum(cents(col("l_extendedprice")))).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -102,7 +110,7 @@ object Relational {
     Tables.orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
+      .select(col("o_orderkey"), money(cents(col("o_totalprice"))).as("totalprice"))
 
   /** SPARQL MINUS (§2.3): compatibility-based anti-join over the shared
    * variable domain — here custkey is bound on both sides so it compiles to a
@@ -132,10 +140,9 @@ object Relational {
   def q12_extend(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .withColumn("disc_price",
-        dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(18,4)")))
+        money(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
       .filter(col("l_linenumber") === 1)
-      .select(col("l_orderkey"),
-        col("disc_price").cast("decimal(18,2)").as("disc_price"))
+      .select(col("l_orderkey"), col("disc_price"))
 
   /** OpUnfold / property-function generators (§2.2, §2.10): explode. */
   def q13_explode(s: SparkSession, d: String): DataFrame =
@@ -162,6 +169,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("totalprice"))
+        money(cents(col("o_totalprice"))).as("totalprice"))
   }
 }
