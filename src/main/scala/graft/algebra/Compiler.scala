@@ -95,7 +95,7 @@ object Compiler {
 
     case Minus(l, r) => minusJoin(comp(l, g), comp(r, g))
 
-    case Lateral(l, r) => join(comp(l, g), comp(r, g), "inner")
+    case Lateral(l, r) => lateral(comp(l, g), r, g)
 
     case Unfold(listVar, outVar, idxVar, in) =>
       val c = comp(in, g)
@@ -138,8 +138,13 @@ object Compiler {
       val c = comp(in, g)
       // Spark's native Offset keeps the preceding Sort's order — only
       // deterministic after Order, same caveat as QueryIterSlice.java.
-      val df = if (offset <= 0) c.df.limit(limit.toInt)
-               else c.df.offset(offset.toInt).limit(limit.toInt)
+      // limit == Long.MaxValue means OFFSET-without-LIMIT (parser contract)
+      // — no limit node at all (Long.MaxValue.toInt would be -1).
+      require(offset <= Int.MaxValue, s"OFFSET $offset exceeds supported range")
+      require(limit == Long.MaxValue || limit <= Int.MaxValue,
+        s"LIMIT $limit exceeds supported range")
+      val off = if (offset <= 0) c.df else c.df.offset(offset.toInt)
+      val df = if (limit == Long.MaxValue) off else off.limit(limit.toInt)
       Compiled(df, c.certain, c.maybe)
 
     case Distinct(in) =>
@@ -212,6 +217,7 @@ object Compiler {
   // ---- join machinery (SURVEY.md §2.3)
 
   private val RP = "__r__" // right-side disambiguation prefix
+  private val LID = "__lid" // per-left-row tag for decomposed outer/semi joins
 
   private def renamedRight(r: Compiled): DataFrame =
     r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, RP + c))
@@ -234,13 +240,68 @@ object Compiler {
     lOnly ++ rOnly ++ merged
   }
 
+  /** Shared vars where at least one side may be unbound — the ones whose
+   * compatible-binding condition is NOT a plain equality. */
+  private def maybeShared(l: Compiled, r: Compiled, shared: Seq[String]): Seq[String] =
+    shared.filterNot(v => l.certain(v) && r.certain(v))
+
+  /** Max number of maybe-bound shared vars the union-of-equi-joins
+   * decomposition expands (≤3^n branches); beyond it we fall back to the
+   * OR-condition (nested-loop) join — a shape no realistic OPTIONAL/UNION
+   * query produces. */
+  private val MaxDecomposedVars = 2
+
+  /**
+   * All compatible (left row, right row) matches as a UNION OF EQUI-JOINS.
+   *
+   * The naive compile of SPARQL compatibility over a maybe-bound shared
+   * var — `l <=> r OR l IS NULL OR r IS NULL` — is a non-equi condition
+   * Catalyst can only plan as BroadcastNestedLoopJoin: O(|L|·|R|) at
+   * scale. Instead, partition the match space by the vars' null-pattern
+   * (per var: 0 = both bound & equal, 1 = left unbound, 2 = left bound /
+   * right unbound — disjoint and complete), giving ≤3^n branches that are
+   * each a hashable equi-join on (certain keys + the case's both-bound
+   * vars). Branches impossible for a certain side are skipped. Unbound-
+   * pattern branches join on the certain keys only — inherent, since an
+   * unbound var is compatible with everything — but scan only the
+   * (typically small) unbound-row slices.
+   */
+  private def compatMatches(ldf: DataFrame, rdf: DataFrame,
+                            lCertain: Set[String], rCertain: Set[String],
+                            certainKeys: Seq[String], maybeVars: Seq[String]): DataFrame = {
+    val cases = maybeVars.foldLeft(Seq(Seq.empty[Int])) { (acc, v) =>
+      val ks = Seq(0) ++ (if (!lCertain(v)) Seq(1) else Nil) ++
+        (if (!rCertain(v)) Seq(2) else Nil)
+      acc.flatMap(c => ks.map(k => c :+ k))
+    }
+    cases.map { c =>
+      var lf = ldf
+      var rf = rdf
+      var keys = certainKeys
+      maybeVars.zip(c).foreach { case (v, k) => k match {
+        case 0 =>
+          lf = lf.filter(col(v).isNotNull); rf = rf.filter(col(RP + v).isNotNull)
+          keys = keys :+ v
+        case 1 => lf = lf.filter(col(v).isNull)
+        case 2 => lf = lf.filter(col(v).isNotNull); rf = rf.filter(col(RP + v).isNull)
+      }}
+      val cond = keys.map(v => col(v) === col(RP + v)).foldLeft(lit(true))(_ && _)
+      lf.join(rf, cond, "inner")
+    }.reduce(_ union _)
+  }
+
   private def join(l: Compiled, r: Compiled, how: String): Compiled = {
     // note: a side with no vars (fully-concrete pattern) still contributes
     // its cardinality (0 or 1 rows — set semantics) via the cross product,
     // i.e. it acts as an existence gate; mergedSelect drops its __unit col.
     val rr = renamedRight(r)
     val (shared, cond) = sharedCond(l, r)
-    val joined = l.df.join(rr, cond, how)
+    val mv = maybeShared(l, r, shared)
+    val joined =
+      if (mv.nonEmpty && mv.size <= MaxDecomposedVars)
+        compatMatches(l.df, rr, l.certain, r.certain,
+          shared.filterNot(mv.contains), mv)
+      else l.df.join(rr, cond, how)
     Compiled(joined.select(mergedSelect(l, r, shared): _*),
       l.certain ++ r.certain, (l.maybe ++ r.maybe) -- (l.certain ++ r.certain))
   }
@@ -254,16 +315,94 @@ object Compiler {
       else if (l.vars(v)) col(v)
       else if (r.vars(v)) col(RP + v)
       else lit(null).cast(TermCols.schema)
-    val cond = extra.map(e => compat && e(mergedResolve)).getOrElse(compat)
-    val joined = l.df.join(rr, cond, "left_outer")
+    val mv = maybeShared(l, r, shared)
+    val joined =
+      if (mv.nonEmpty && mv.size <= MaxDecomposedVars) {
+        // decomposed left join: tag left rows, compute all compatible
+        // matches via equi-joins, then recover the unmatched left rows by
+        // an (equi) anti-join on the tag — no nested-loop anywhere
+        val lid = l.df.withColumn(LID, monotonically_increasing_id())
+        val matches0 = compatMatches(lid, rr, l.certain, r.certain,
+          shared.filterNot(mv.contains), mv)
+        val matches = extra match {
+          case Some(e) => matches0.filter(e(mergedResolve))
+          case None => matches0
+        }
+        val padded = rr.schema.fields.foldLeft(
+          lid.join(matches.select(col(LID)).distinct(), Seq(LID), "left_anti")) {
+            (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        matches.unionByName(padded).drop(LID)
+      } else {
+        val cond = extra.map(e => compat && e(mergedResolve)).getOrElse(compat)
+        l.df.join(rr, cond, "left_outer")
+      }
     Compiled(joined.select(mergedSelect(l, r, shared): _*),
       l.certain, l.maybe ++ (r.vars -- l.certain))
   }
 
+  /** LATERAL (OpLateral, OpExecutor.java:240): the RHS is evaluated per
+   * left row with the left's bindings in scope. For a plain RHS this is
+   * the same compatible-binding join as Join. A per-row-sensitive RHS —
+   * Slice/TopN (optionally over Order) — cannot alias to a global limit:
+   * each left row must keep its own first `limit` RHS matches, so the
+   * slice compiles to a row_number window over a per-left-row id
+   * (QueryIterLateral re-executes the RHS per row; the window is the
+   * set-at-a-time equivalent). Other modifier shapes raise rather than
+   * silently mis-evaluate. */
+  private def lateral(l: Compiled, r: Op, g: DataFrame): Compiled = r match {
+    case Slice(offset, limit, inner) =>
+      require(offset == 0, "LATERAL with OFFSET is not supported")
+      require(limit <= Int.MaxValue, s"LATERAL LIMIT $limit exceeds supported range")
+      val (body, sortKeys) = inner match {
+        case Order(ks, i2) => (i2, ks)
+        case other => (other, Seq.empty[SortKey])
+      }
+      val cr = comp(body, g)
+      // unique per-left-row tag — duplicates of a left row each keep their
+      // own `limit` matches (bag semantics)
+      val tagged = Compiled(
+        l.df.withColumn("__lid", monotonically_increasing_id()),
+        l.certain + "__lid", l.maybe)
+      val joined = join(tagged, cr, "inner")
+      import org.apache.spark.sql.expressions.Window
+      val orderCols =
+        if (sortKeys.isEmpty) Seq(lit(1).asc)
+        else sortKeys.map { k =>
+          val sk = TermCols.sortKey(resolve(joined, k.v))
+          if (k.ascending) sk.asc else sk.desc
+        }
+      val w = Window.partitionBy(col("__lid")).orderBy(orderCols: _*)
+      val limited = joined.df
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= limit.toInt)
+        .drop("__rn", "__lid")
+      Compiled(limited, joined.certain - "__lid", joined.maybe)
+    case Order(_, inner) =>
+      // ordering inside LATERAL without a slice has no observable effect
+      // on the (unordered) solution multiset — evaluate the body
+      lateral(l, inner, g)
+    case _ =>
+      // includes Distinct RHS: per-left-row distinct of the RHS matches ==
+      // join against the globally-distinct RHS (dedup commutes with the
+      // equi-restriction), which `comp` already produces
+      join(l, comp(r, g), "inner")
+  }
+
   private def halfJoin(l: Compiled, r: Compiled, how: String): Compiled = {
     val rr = renamedRight(r)
-    val (_, cond) = sharedCond(l, r)
-    Compiled(l.df.join(rr, cond, how), l.certain, l.maybe)
+    val (shared, cond) = sharedCond(l, r)
+    val mv = maybeShared(l, r, shared)
+    val df =
+      if (mv.nonEmpty && mv.size <= MaxDecomposedVars) {
+        // decomposed EXISTS / NOT EXISTS: matched left-row ids from the
+        // union of equi-joins, then an equi semi/anti join on the tag
+        val lid = l.df.withColumn(LID, monotonically_increasing_id())
+        val matchedIds = compatMatches(lid, rr, l.certain, r.certain,
+          shared.filterNot(mv.contains), mv).select(col(LID)).distinct()
+        lid.join(matchedIds, Seq(LID), how).drop(LID)
+      } else l.df.join(rr, cond, how)
+    Compiled(df, l.certain, l.maybe)
   }
 
   /** MINUS: remove left rows having a compatible right row with ≥1 shared

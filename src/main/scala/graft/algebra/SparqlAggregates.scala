@@ -35,12 +35,26 @@ object SparqlAggregates {
   /** COUNT(DISTINCT ?v) */
   def countDistinctVar(t: Column): Column = intTerm(count_distinct(t))
 
-  def sumAgg(t: Column): Column = numAgg(t, sum, Term.XSD_DOUBLE)
-  def avgAgg(t: Column): Column = numAgg(t, avg, Term.XSD_DOUBLE)
+  /** SUM/AVG carry the XSD-promoted result type (max operand rank on the
+   * integer<decimal<float<double ladder, NodeValue.java:385): SUM over
+   * integers is xsd:integer, AVG over integers is xsd:decimal (XPath
+   * fn:avg); SUM of an empty/all-unbound group is integer 0 (SPARQL 18.5.1
+   * Sum = Op:Plus fold from 0). */
+  def sumAgg(t: Column): Column =
+    when(!poisoned(t), numericTerm(
+      coalesce(sum(numValue(t)), lit(0.0)),
+      coalesce(max(numRank(t)), lit(0))))
+  def avgAgg(t: Column): Column =
+    when(!poisoned(t), numericTerm(
+      coalesce(avg(numValue(t)), lit(0.0)),
+      greatest(coalesce(max(numRank(t)), lit(0)), lit(1))))
   /** MIN/MAX over the SPARQL total order (NodeCmp) — min_by/max_by on the
-   * derived sort key returns the original term. */
-  def minAgg(t: Column): Column = min_by(t, sortKey(t))
-  def maxAgg(t: Column): Column = max_by(t, sortKey(t))
+   * derived sort key returns the original term. Unbound (NULL) inputs are
+   * SKIPPED (AggMin accumulates eval errors silently): min_by/max_by
+   * ignore rows whose ordering expression is NULL, so masking the key on
+   * unbound terms excludes them without an extra filter. */
+  def minAgg(t: Column): Column = min_by(t, when(t.isNotNull, sortKey(t)))
+  def maxAgg(t: Column): Column = max_by(t, when(t.isNotNull, sortKey(t)))
 
   /** SAMPLE — any one bound value (AggSample). */
   def sample(t: Column): Column = first(t, ignoreNulls = true)

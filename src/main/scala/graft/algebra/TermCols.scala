@@ -56,6 +56,37 @@ object TermCols {
   def numValue(t: Column): Column =
     when(isNumeric(t), lex(t).cast(DoubleType))
 
+  // --- XSD numeric promotion ladder (NodeValue.java:385 classifyNumeric):
+  //     integer (and derived) < decimal < float < double. Arithmetic and
+  //     SUM/AVG results carry the promoted type, not a flat xsd:double.
+  private val rankDts: Seq[String] =
+    Seq(Term.XSD_INTEGER, Term.XSD_DECIMAL, Term.XSD_FLOAT, Term.XSD_DOUBLE)
+
+  /** Promotion rank of a numeric term (NULL when not numeric): derived
+   * integer types (xsd:int, xsd:long, ...) rank as integer. */
+  def numRank(t: Column): Column =
+    when(!isNumeric(t), lit(null).cast(IntegerType))
+      .when(dt(t) === Term.XSD_DECIMAL, 1)
+      .when(dt(t) === Term.XSD_FLOAT, 2)
+      .when(dt(t) === Term.XSD_DOUBLE, 3)
+      .otherwise(0)
+
+  /** Numeric term with the datatype of `rank` and the matching canonical
+   * lexical form: integers print without a fraction, decimals in TTL
+   * canonical form, float/double via the double shadow. Values run on the
+   * double shadow — exact for integers < 2^53 (SURVEY §1.7 trade-off). */
+  def numericTerm(value: Column, rank: Column): Column = {
+    val dtc = element_at(array(rankDts.map(lit): _*), rank.cast(IntegerType) + 1)
+    val decLex = {
+      val sIn = value.cast(DecimalType(38, 10)).cast(StringType)
+      regexp_replace(regexp_replace(sIn, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
+    }
+    val lexc = when(rank === 0, value.cast(LongType).cast(StringType))
+      .when(rank === 1, decLex)
+      .otherwise(value.cast(DoubleType).cast(StringType))
+    mk(lit(Term.KIND_LIT), lexc, dtc, lit(""))
+  }
+
   /** sameTerm (Node.java:257): plain struct equality. After the normalize
    * stage one lexical form exists per value, so this is also sameValueAs
    * (Node.java:275) — the GraphMemValue trick (SURVEY.md §1.4). */
@@ -99,9 +130,16 @@ object TermCols {
       .when(kind(t) === Term.KIND_IRI, 2)
       .when(kind(t) === Term.KIND_TRIPLE_TERM, 4)
       .otherwise(3)
+    // numeric literals form their own value sub-space before other literals
+    // (ValueSpace ordering); an explicit sub-rank instead of a NaN filler in
+    // numKey — NaN compares as larger-than-everything in Spark, which is a
+    // direction-dependent surprise, while a rank column reverses cleanly
+    // under DESC like every other key part
+    val vsRank = when(isNumeric(t), 0).otherwise(1)
     struct(
       rank.as("kindRank"),
-      coalesce(numValue(t), lit(Double.NaN)).as("numKey"),
+      vsRank.as("vsRank"),
+      coalesce(numValue(t), lit(0.0)).as("numKey"),
       coalesce(lex(t), lit("")).as("lexKey"),
       coalesce(dt(t), lit("")).as("dtKey"),
       coalesce(lang(t), lit("")).as("langKey"))

@@ -103,6 +103,11 @@ object ConnectedComponents {
       e = small
       iter += 1
     }
+    // star contraction halves component diameter per round (O(log n) total);
+    // hitting the cap means something is wrong — fail loudly rather than
+    // return a partially-contracted (incorrect) component map
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds")
 
     // after convergence every edge is (node → component root)
     val roots = e.select(col("dst").as("node"), col("dst").as("component")).distinct()

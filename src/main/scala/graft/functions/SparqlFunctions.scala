@@ -87,21 +87,45 @@ object SparqlFunctions {
   def encodeForUri(t: Column): Column =
     when(isStringLit(t), strOf(url_encode(lex(t))))
 
-  // ---- numerics (E_NumAbs/Ceiling/Floor/Round; XSD promotion simplified
-  //      to the double shadow value — SURVEY §1.7 typed-shadow rule)
+  // ---- numerics (E_NumAbs/Ceiling/Floor/Round): result keeps the input's
+  //      promotion rank with the matching canonical lexical form (Jena's
+  //      XSDFuncOp.abs etc. return the argument's numeric type); values
+  //      run on the double shadow (SURVEY §1.7 typed-shadow rule)
   private def numOp(t: Column, f: Column => Column): Column =
     when(TermCols.isNumeric(t),
-      mk(lit(Term.KIND_LIT), f(TermCols.numValue(t)).cast(StringType), dt(t), lit("")))
+      TermCols.numericTerm(f(TermCols.numValue(t)), TermCols.numRank(t)))
   def absFn(t: Column): Column = numOp(t, abs)
   def ceilFn(t: Column): Column = numOp(t, c => ceil(c).cast(DoubleType))
   def floorFn(t: Column): Column = numOp(t, c => floor(c).cast(DoubleType))
   def roundFn(t: Column): Column = numOp(t, c => round(c, 0))
-  /** Numeric comparison/arithmetic happen via TermCols.numValue shadows. */
-  def numAdd(a: Column, b: Column): Column =
+  /** math:* library functions (sparql/function/library/Math_*) — all return
+   * xsd:double like their XPath definitions. */
+  def sqrtFn(t: Column): Column = mathOp(t, sqrt)
+  private def mathOp(t: Column, f: Column => Column): Column =
+    when(TermCols.isNumeric(t), TermCols.numericTerm(f(TermCols.numValue(t)), lit(3)))
+  def expFn(t: Column): Column = mathOp(t, exp)
+  def logFn(t: Column): Column = mathOp(t, log)
+  def log10Fn(t: Column): Column = mathOp(t, log10)
+  def sinFn(t: Column): Column = mathOp(t, sin)
+  def cosFn(t: Column): Column = mathOp(t, cos)
+  def tanFn(t: Column): Column = mathOp(t, tan)
+  def atanFn(t: Column): Column = mathOp(t, atan)
+  def powFn(a: Column, b: Column): Column =
     when(TermCols.isNumeric(a) && TermCols.isNumeric(b),
-      TermCols.mk(lit(Term.KIND_LIT),
-        (TermCols.numValue(a) + TermCols.numValue(b)).cast(StringType),
-        lit(Term.XSD_DOUBLE), lit("")))
+      TermCols.numericTerm(pow(TermCols.numValue(a), TermCols.numValue(b)), lit(3)))
+  def piTerm(): Column = TermCols.numericTerm(lit(math.Pi), lit(3))
+
+  /** XSD-promoted binary arithmetic (NodeValue.java:385): result rank =
+   * max operand rank; integer ÷ integer yields xsd:decimal
+   * (op:numeric-divide on integers). NULL (eval error) on non-numerics. */
+  def numericBinOp(a: Column, b: Column, f: (Column, Column) => Column,
+                   isDivide: Boolean = false): Column = {
+    val rank0 = greatest(TermCols.numRank(a), TermCols.numRank(b))
+    val rank = if (isDivide) greatest(rank0, lit(1)) else rank0
+    when(TermCols.isNumeric(a) && TermCols.isNumeric(b),
+      TermCols.numericTerm(f(TermCols.numValue(a), TermCols.numValue(b)), rank))
+  }
+  def numAdd(a: Column, b: Column): Column = numericBinOp(a, b, _ + _)
 
   // ---- hashes (E_MD5 / E_SHA*; the pipeline invariant uses sha2(...,256))
   def md5Fn(t: Column): Column = when(isStringLit(t), strOf(md5(lex(t))))

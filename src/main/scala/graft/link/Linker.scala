@@ -37,15 +37,21 @@ object Linker {
 
   /** Broadcast exact link: resolved mentions get their object IRI,
    * non-mention rows pass through untouched, unlinkable mentions are
-   * dropped (counted by the pipeline's metrics). */
+   * dropped (counted by the pipeline's metrics).
+   *
+   * `uniqueSurfaces = true` is a caller PROMISE that the dictionary has at
+   * most one row per surface string — it skips the best-candidate window
+   * (a full shuffle+sort of every mention). The default is the safe path:
+   * an ambiguous dictionary gets the deterministic (weight DESC, iri ASC)
+   * best candidate instead of silently duplicating mentions. */
   def exact(cands: Dataset[Candidate], dict: Dataset[DictRow],
-            uniqueSurfaces: Boolean = true): Dataset[Candidate] =
+            uniqueSurfaces: Boolean = false): Dataset[Candidate] =
     exactImpl(cands, dict, salted = false, saltFactor = 1, uniqueSurfaces)
 
   /** Salted shuffled exact link for skewed surfaces (dictionary too big to
    * broadcast at 10^12-file scale). saltFactor ≈ executors × 2. */
   def exactSalted(cands: Dataset[Candidate], dict: Dataset[DictRow],
-                  saltFactor: Int, uniqueSurfaces: Boolean = true): Dataset[Candidate] =
+                  saltFactor: Int, uniqueSurfaces: Boolean = false): Dataset[Candidate] =
     exactImpl(cands, dict, salted = true, saltFactor = saltFactor, uniqueSurfaces)
 
   private def exactImpl(cands: Dataset[Candidate], dict: Dataset[DictRow],

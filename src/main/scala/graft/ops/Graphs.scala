@@ -11,25 +11,60 @@ import org.apache.spark.sql.functions._
  * closure; localCheckpoint truncates lineage per round. */
 object Graphs {
 
-  /** Transitive closure of (src, dst): all reachable pairs (SPARQL `p+`). */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  /** Transitive closure of (src, dst): all reachable pairs (SPARQL `p+`).
+   * Iterates to the true fixpoint — `maxIter` is a runaway guard that
+   * THROWS rather than silently returning an incomplete closure (each
+   * round extends paths by one hop, so the default covers any graph of
+   * diameter ≤ 10^4; a legitimate deeper chain must raise the cap
+   * explicitly). */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame = {
+    // Constraint propagation trips over checkpointed unions here (Spark's
+    // UnionBase.rewriteConstraints throws "key not found: attr" when a
+    // LogicalRDD child carries constraints referencing pre-checkpoint
+    // attribute ids). The loop's plans are tiny — constraints buy nothing
+    // — so switch propagation off for the duration.
+    val spark = edges.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try transitiveClosure0(edges, maxIter)
+    finally cpPrev match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
+  private def transitiveClosure0(edges: DataFrame, maxIter: Int): DataFrame = {
     val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     var acc = e
     var frontier = e
     var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
+    var done = frontier.isEmpty
+    while (!done) {
+      iter += 1
+      if (iter > maxIter) throw new IllegalStateException(
+        s"transitiveClosure did not reach a fixpoint within $maxIter rounds " +
+          "(graph diameter exceeds the cap) — raise maxIter")
       val next = frontier.alias("f")
         .join(e.alias("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      val delta = next.exceptAll(acc).distinct().localCheckpoint(true)
+      // semi-naive delta: anti-join the (small) per-round frontier product
+      // against the accumulated closure — unlike exceptAll, which re-sorts
+      // BOTH full sides per round, the left_anti hash probe streams `next`
+      // and scales with the delta, not the closure. The accumulator is
+      // renamed first: in round 1 `acc` IS the edge plan embedded inside
+      // `next`, and a same-name using-columns self-join trips attribute
+      // resolution ("key not found: src#N").
+      val accR = acc.select(col("src").as("__asrc"), col("dst").as("__adst"))
+      val delta = next.join(accR,
+        col("src") === col("__asrc") && col("dst") === col("__adst"), "left_anti")
+        .localCheckpoint(true)
       if (delta.isEmpty) done = true
       else {
         acc = acc.union(delta).localCheckpoint(true)
         frontier = delta
       }
-      iter += 1
     }
     acc
   }

@@ -51,8 +51,11 @@ object Pipeline {
     // serial driver cost (and at 10^12-file scale an impossibility), so
     // switch to the salted shuffled join
     val linked0 =
-      if (nEntities <= 100000) Linker.exact(cands, dict)
-      else Linker.exactSalted(cands, dict, spark.sparkContext.defaultParallelism)
+      // CorpusGen dictionaries have one row per surface (entityRows emits
+      // distinct variants) — declare it to skip the best-candidate window
+      if (nEntities <= 100000) Linker.exact(cands, dict, uniqueSurfaces = true)
+      else Linker.exactSalted(cands, dict, spark.sparkContext.defaultParallelism,
+        uniqueSurfaces = true)
     // linked is consumed twice (edge extraction + final materialize):
     // persist at this boundary instead of recomputing the whole
     // gen→extract→link lineage a second time
@@ -123,8 +126,8 @@ object Pipeline {
       val nEntities = math.max(9, nRepos * filesPerRepo / 4)
       val dict = CorpusGen.dictionaryDistributed(spark, nEntities)
       val linked =
-        if (saltFactor > 1) Linker.exactSalted(cands, dict, saltFactor)
-        else Linker.exact(cands, dict)
+        if (saltFactor > 1) Linker.exactSalted(cands, dict, saltFactor, uniqueSurfaces = true)
+        else Linker.exact(cands, dict, uniqueSurfaces = true)
       linked.write.mode(SaveMode.Overwrite).parquet(s"$dir/linked")
       spark.read.parquet(s"$dir/linked").count()
     }

@@ -149,14 +149,39 @@ object Parser {
         ks.toList
       } else Nil
       val selExprs = proj.collect { case SelExpr(v, e) => v -> e }
-      if (groupKeys.nonEmpty || sawAgg)
-        op = Group(groupKeys, selExprs, op)
-      else
+      val grouped = groupKeys.nonEmpty || sawAgg
+      // parse HAVING before finalizing the Group: an inline aggregate in
+      // the constraint — HAVING(COUNT(?x) > 5) — must be HOISTED into the
+      // Group's outputs (AlgebraGenerator allocates an internal var for
+      // it); a Filter above the Group cannot hold an aggregate Column.
+      var havingExpr: Option[RowExpr] = None
+      var havingAgg = false
+      if (eatKw("HAVING")) {
+        val sawBefore = sawAgg
+        sawAgg = false
+        havingExpr = Some(constraint())
+        havingAgg = sawAgg
+        sawAgg = sawBefore || sawAgg
+      }
+      if (havingAgg && !grouped)
+        fail("HAVING with an aggregate requires GROUP BY or an aggregated SELECT")
+      if (grouped) {
+        val aggs =
+          if (havingAgg) selExprs :+ ("__having" -> havingExpr.get)
+          else selExprs
+        op = Group(groupKeys, aggs, op)
+        havingExpr.foreach { c =>
+          op = if (havingAgg) Filter(RowExpr(v => v("__having")), op) else Filter(c, op)
+        }
+        if (havingAgg && proj.isEmpty)
+          fail("HAVING with an inline aggregate requires an explicit projection")
+      } else {
         // plain SELECT expressions (no aggregation) are BINDs before the
         // projection (the reference's SELECT-expression extends,
         // AlgebraGenerator.java:535)
         selExprs.foreach { case (v, e) => op = Extend(v, e, op) }
-      if (eatKw("HAVING")) op = Filter(constraint(), op)
+        havingExpr.foreach(c => op = Filter(c, op))
+      }
 
       if (eatKw2("ORDER", "BY")) {
         val keys = ListBuffer[SortKey]()
@@ -539,17 +564,16 @@ object Parser {
         else if (peekIs('*')) { i += 1; val r = unary(); val ll = l
           l = num2(ll, r, _ * _) }
         else if (peekIs('/') ) { i += 1; val r = unary(); val ll = l
-          l = num2(ll, r, _ / _) }
+          l = num2(ll, r, _ / _, isDiv = true) }
         else going = false
       }
       l
     }
-    private def num2(l: RowExpr, r: RowExpr, f: (Column, Column) => Column): RowExpr =
-      RowExpr { v =>
-        TermCols.mk(slit(Term.KIND_LIT),
-          f(TermCols.numValue(asTerm(l(v))), TermCols.numValue(asTerm(r(v)))).cast("string"),
-          slit(Term.XSD_DOUBLE), slit(""))
-      }
+    /** Arithmetic with XSD numeric promotion (SF.numericBinOp): 1+2 is
+     * "3"^^xsd:integer, not a flat double (NodeValue.java:385 ladder). */
+    private def num2(l: RowExpr, r: RowExpr, f: (Column, Column) => Column,
+                     isDiv: Boolean = false): RowExpr =
+      RowExpr(v => SF.numericBinOp(asTerm(l(v)), asTerm(r(v)), f, isDiv))
 
     private def unary(): RowExpr = {
       ws()

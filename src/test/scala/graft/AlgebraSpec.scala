@@ -246,4 +246,52 @@ class AlgebraSpec extends AnyFunSuite {
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))
     assert(lexSet(Compiler.compile(op, g), "n") == Set("Alice", "Bob"))
   }
+
+  test("closure: chain longer than 30 hops reaches the true fixpoint") {
+    val n = 40
+    val chain = spark.createDataset((1 until n).map(k =>
+      Triple(i("c" + k), i("next"), i("c" + (k + 1))))).toDF()
+    val op = PathPattern(v("x"), POneOrMore(PLink(EX + "next")), v("y"))
+    // every (i, j) pair with i < j is reachable — n(n-1)/2, which a silent
+    // 30-round truncation would undercount
+    assert(Compiler.compile(op, chain).count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("LATERAL with per-left-row ORDER+LIMIT keeps k rows per left row") {
+    val g2 = spark.createDataset(Seq(
+      Triple(i("alice"), i("name"), Term.string("Alice")),
+      Triple(i("carol"), i("name"), Term.string("Carol")),
+      Triple(i("alice"), i("email"), Term.string("a1@x")),
+      Triple(i("alice"), i("email"), Term.string("a2@x")),
+      Triple(i("carol"), i("email"), Term.string("c1@x")))).toDF()
+    val lat = Lateral(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Slice(0, 1, Order(Seq(SortKey("e")),
+        Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))))
+    val out = Compiler.compile(lat, g2)
+    // a (wrong) global LIMIT 1 would return a single row
+    assert(out.count() == 2)
+    assert(lexSet(out, "e") == Set("a1@x", "c1@x"))
+  }
+
+  test("OFFSET without LIMIT") {
+    val op = Slice(2, Long.MaxValue, Order(Seq(SortKey("n")),
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n"))))))
+    assert(lexSet(Compiler.compile(op, g), "n") == Set("Carol"))
+  }
+
+  test("decomposed compatible joins: inner/left/semi/anti with a maybe-bound shared var") {
+    // ?s is bound in one union branch, unbound in the other — the shape
+    // whose OR-condition would otherwise become a nested-loop join
+    val r = Union(
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))),
+      Bgp(Seq(tp(v("z"), c(i("q")), v("d")))))
+    val l = Bgp(Seq(tp(v("s"), c(i("name")), v("n"))))
+    // rights: (alice,email), (carol,email), (s-unbound q-row compatible
+    // with every left row) → alice 2, bob 1, carol 2
+    assert(Compiler.compile(Join(l, r), g).count() == 5)
+    assert(Compiler.compile(LeftJoin(l, r), g).count() == 5)
+    assert(Compiler.compile(SemiJoin(l, r), g).count() == 3)
+    assert(Compiler.compile(AntiJoin(l, r), g).count() == 0)
+  }
 }

@@ -103,6 +103,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(cnt.getString(1) == "4")
   }
 
+  test("XSD promotion: arithmetic + SUM/AVG result types; MIN skips unbound") {
+    import graft.functions.{SparqlFunctions => SF}
+    val one = spark.range(1)
+      .select(TermCols.const(Term.lit("1", Term.XSD_INTEGER)).as("a"),
+        TermCols.const(Term.lit("2.5", Term.XSD_DECIMAL)).as("d"))
+    def t(c: org.apache.spark.sql.Column): Term = {
+      val r = one.select(c.as("r")).head().getAs[Row]("r")
+      Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    // integer + integer stays integer (no trailing .0), NodeValue ladder
+    assert(t(SF.numAdd(col("a"), col("a"))) == Term.lit("2", Term.XSD_INTEGER))
+    // integer + decimal promotes to decimal
+    assert(t(SF.numericBinOp(col("a"), col("d"), _ + _)) == Term.lit("3.5", Term.XSD_DECIMAL))
+    // integer / integer is decimal (op:numeric-divide)
+    assert(t(SF.numericBinOp(col("a"), col("a"), _ / _, isDivide = true))
+      == Term.lit("1.0", Term.XSD_DECIMAL))
+
+    val ints = Seq(Term.lit("1", Term.XSD_INTEGER), Term.lit("2", Term.XSD_INTEGER))
+    val withNull = spark.createDataset(
+      ints.map(t0 => Tuple1(t0)) :+ Tuple1(null.asInstanceOf[Term])).toDF("v")
+    def agg1(c: org.apache.spark.sql.Column): Term = {
+      val r = withNull.agg(c.as("r")).head().getAs[Row]("r")
+      if (r == null) null else Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    // SUM over integers is "3"^^xsd:integer, AVG is decimal (XPath fn:avg)
+    assert(agg1(SparqlAggregates.sumAgg(col("v"))) == Term.lit("3", Term.XSD_INTEGER))
+    assert(agg1(SparqlAggregates.avgAgg(col("v"))) == Term.lit("1.5", Term.XSD_DECIMAL))
+    // MIN/MAX skip the unbound row instead of returning unbound
+    assert(agg1(SparqlAggregates.minAgg(col("v"))).lex == "1")
+    assert(agg1(SparqlAggregates.maxAgg(col("v"))).lex == "2")
+  }
+
   test("CONSTRUCT: substitution, skipped incomplete rows, per-row bnodes") {
     val g = spark.createDataset(Seq(
       Triple(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.string("A")),

@@ -81,6 +81,28 @@ class PlanSpec extends AnyFunSuite {
       "partial+final split expected:\n" + p)
   }
 
+  test("maybe-bound shared var decomposes to equi-joins (no BNLJ)") {
+    val g = spark.createDataset((1 to 200).map(k => Triple(
+      Term.iri(EX + "s" + k),
+      Term.iri(EX + (if (k % 2 == 0) "email" else "name")),
+      Term.string("v" + k)))).toDF()
+    // OPTIONAL over UNION: ?e is maybe-bound on the right (absent in the
+    // second branch), ?s certain on both — the round-1 plan degenerated to
+    // BroadcastNestedLoopJoin on the `<=> OR IS NULL` condition
+    val left = Bgp(Seq(
+      TriplePattern(TVar("s"), TConst(Term.iri(EX + "name")), TVar("n")),
+      TriplePattern(TVar("s"), TConst(Term.iri(EX + "email")), TVar("e"))))
+    val right = Union(
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "email")), TVar("e")))),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "name")), TVar("a")))))
+    val pLeft = plan(Compiler.compile(LeftJoin(left, right), g))
+    assert(!pLeft.contains("BroadcastNestedLoopJoin") && !pLeft.contains("CartesianProduct"),
+      "decomposed OPTIONAL must stay on equi-joins:\n" + pLeft)
+    val pInner = plan(Compiler.compile(Join(left, right), g))
+    assert(!pInner.contains("BroadcastNestedLoopJoin") && !pInner.contains("CartesianProduct"),
+      "decomposed join must stay on equi-joins:\n" + pInner)
+  }
+
   test("linker broadcast path broadcasts the dictionary") {
     import graft.fixtures.{CorpusGen, DictRow}
     val corpus = spark.createDataset(CorpusGen.generate(42, 5, 4))

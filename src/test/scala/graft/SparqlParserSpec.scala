@@ -91,6 +91,36 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(lexes(avg, "avg").head.toDouble == 22.0)
   }
 
+  test("HAVING with an inline aggregate is hoisted into the group") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+      GROUP BY ?s HAVING(COUNT(?o) > 3) ORDER BY ?s"""
+    assert(lexes(q, "s") == Seq(EX + "alice")) // 5 triples; bob/carol have 3
+  }
+
+  test("OFFSET without LIMIT") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n OFFSET 2"""
+    assert(lexes(q, "n") == Seq("Carol"))
+  }
+
+  test("arithmetic results carry the XSD-promoted datatype") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s (?a + 1 AS ?b) (?a / 2 AS ?h) WHERE { ?s ex:name ?n . ?s ex:age ?a }
+      ORDER BY ?s"""
+    val rows = run(q)
+    val alice = rows.head
+    def term(r: Row, idx: Int): Term = {
+      val x = r.getAs[Row](idx)
+      Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
+    }
+    assert(term(alice, 1) == Term.lit("31", Term.XSD_INTEGER))
+    assert(term(alice, 2) == Term.lit("15.0", Term.XSD_DECIMAL))
+  }
+
   test("property paths: +, alternation, inverse, sequence") {
     val q = """
       PREFIX ex: <http://example/>
