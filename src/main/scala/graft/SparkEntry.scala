@@ -37,6 +37,7 @@ object SparkEntry {
     "d4_dedup_lsh"      -> OpsQueries.d4_dedup_lsh _,
     "d5_simhash"        -> OpsQueries.d5_simhash _,
     "d6_simhash_pairs"  -> OpsQueries.d6_simhash_pairs _,
+    "d7_simhash_lsh"    -> OpsQueries.d7_simhash_lsh _,
     "s1_ann_topk"       -> OpsQueries.s1_ann_topk _,
     "s2_ann_lsh"        -> OpsQueries.s2_ann_lsh _,
     "e1_embed_pairs"    -> OpsQueries.e1_embed_pairs _,
@@ -53,6 +54,8 @@ object SparkEntry {
     "r20_union_order_slice" -> SparqlQueries.r20_union_order_slice _,
     "r21_exists_filter"   -> SparqlQueries.r21_exists_filter _,
     "r22_sparql_text"     -> SparqlQueries.r22_sparql_text _,
+    "u1_update"           -> SparqlQueries.u1_update _,
+    "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
@@ -226,6 +229,30 @@ object SparkEntry {
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 18""",
+    // d7 banding is COMPLETE for hamming ≤ 5 (6 segments, pigeonhole), so
+    // the oracle is the plain brute-force pair scan over the same corpus
+    "d7_simhash_lsh" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  substr(text, instr(text, ' ') + 1) AS text FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+           FROM docs),
+         s AS (
+           SELECT doc_id,
+             list_aggregate(list_transform(range(0, 60), j ->
+               CASE WHEN list_aggregate(list_transform(hs,
+                      h2 -> CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+               'sum')::BIGINT AS simhash
+           FROM h)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""",
     "s2_ann_lsh" -> graft.queries.OpsQueries.s2SqlDuck,
     "s1_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -58,17 +58,33 @@ object Term {
   val XSD_DATETIME: String = XSD + "dateTime"
   val RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
+  /** Reserved default-graph IRI (reference: sparql/core/Quad.java:40). */
+  val DEFAULT_GRAPH = "urn:x-arq:DefaultGraph"
+
   def iri(s: String): Term = Term(KIND_IRI, s, "", "")
   def bnode(label: String): Term = Term(KIND_BNODE, label, "", "")
   def string(lex: String): Term = Term(KIND_LIT, lex, XSD_STRING, "")
   def lit(lex: String, dt: String): Term = Term(KIND_LIT, lex, dt, "")
   def langLit(lex: String, lang: String): Term = Term(KIND_LIT, lex, RDF_LANGSTRING, lang)
+  def defaultGraph: Term = iri(DEFAULT_GRAPH)
 }
 
 /** A triple of terms — the one "row type" of the whole engine
  * (reference: jena-core/src/main/java/org/apache/jena/graph/Triple.java:38). */
 final case class Triple(s: Term, p: Term, o: Term) {
   def toNTriples: String = s.toNTriples + " " + p.toNTriples + " " + o.toNTriples + " ."
+}
+
+/** A quad: triple + graph name (reference: sparql/core/Quad.java:35).
+ * `g == Term.defaultGraph` marks the default graph; N-Quads lines for it
+ * omit the fourth term. */
+final case class Quad(s: Term, p: Term, o: Term, g: Term) {
+  def toNQuads: String =
+    if (g.lex == Term.DEFAULT_GRAPH)
+      s.toNTriples + " " + p.toNTriples + " " + o.toNTriples + " ."
+    else
+      s.toNTriples + " " + p.toNTriples + " " + o.toNTriples + " " + g.toNTriples + " ."
+  def triple: Triple = Triple(s, p, o)
 }
 
 /** N-Triples string escaping per the reference's EscapeStr/NodeFmtLib rules

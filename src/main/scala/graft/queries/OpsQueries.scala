@@ -143,9 +143,9 @@ object OpsQueries {
       .select(col("a_id"), col("b_id"), col("jac_permille"))
   }
 
-  /** 60-bit SimHash per document over distinct-token hash60s. */
-  def d5_simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
+  /** 60-bit SimHash column over a (doc_id, text) frame (shared by d5/d6/d7). */
+  private def simhashed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       expr(s"transform(array_distinct($tokensExpr), t -> ${hash60("t")})").as("hs"))
       .select(col("doc_id"), expr(
         """aggregate(sequence(0, 59), 0L, (acc, j) ->
@@ -153,7 +153,12 @@ object OpsQueries {
                        (a, h) -> a + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
                       shiftleft(1L, j), 0L))""").as("simhash"))
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 18 among doc_id < 200. */
+  /** 60-bit SimHash per document over distinct-token hash60s. */
+  def d5_simhash(s: SparkSession, d: String): DataFrame =
+    simhashed(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 18 among doc_id < 200 —
+   * the id-bounded exactness baseline; the scale path is d7. */
   def d6_simhash_pairs(s: SparkSession, d: String): DataFrame = {
     val sh = d5_simhash(s, d).where(col("doc_id") < 200)
     val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
@@ -161,6 +166,34 @@ object OpsQueries {
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
       .where(col("hamming") <= 18)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs AT SCALE: the 60-bit simhash splits into 6
+   * segments of 10 bits; by pigeonhole, any pair with Hamming ≤ 5 agrees
+   * exactly on at least one segment, so candidates come from an EQUI-JOIN
+   * on (segment-idx, segment-value) — never an n² theta-join — and are
+   * then verified by exact Hamming. Complete (not approximate) for the
+   * threshold: banding loses nothing below `bands`. Corpus = documents ∪
+   * first-token-dropped copies (ids +100000) so true near-dups exist. */
+  def d7_simhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val sh = simhashed(docs.union(mutated))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 5), b -> shiftright(simhash, b * 10) & 1023)"))
+        .as(Seq("band", "seg")))
+    val l = banded.select(col("band"), col("seg"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val r = banded.select(col("band"), col("seg"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    l.join(r, Seq("band", "seg")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+      .where(col("hamming") <= 5)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 

@@ -153,7 +153,74 @@ object SparqlQueries {
       TermCols.lex(col("n_cust")).cast("long").as("n_cust"))
   }
 
+  /** Quad encoding: customer segment triples live in one named graph per
+   * nation (urn:g:ng:<nationkey>); nation names in the default graph. */
+  def quadTable(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val nation = Tables.nation(s, d)
+    val named = customer.select(
+      iriCol("c:", col("c_custkey")).as("s"),
+      TermCols.const(Term.iri(pSegment)).as("p"),
+      strCol(col("c_mktsegment")).as("o"),
+      iriCol("ng:", col("c_nationkey")).as("g"))
+    val dflt = nation.select(
+      iriCol("n:", col("n_nationkey")).as("s"),
+      TermCols.const(Term.iri(pName)).as("p"),
+      strCol(col("n_name")).as("o"),
+      TermCols.const(Term.defaultGraph).as("g"))
+    named.union(dflt)
+  }
+
+  /** GRAPH ?g { pattern } over the quad table: per-graph aggregation plus
+   * the default-graph isolation check (a plain BGP must see only the
+   * default graph) folded into one result. */
+  def r23_graph_quads(s: SparkSession, d: String): DataFrame = {
+    val q = quadTable(s, d)
+    val perGraph = Compiler.compile(
+      Group(Seq("gr"),
+        Seq("n" -> RowExpr(r => TermCols.intTerm(count(lit(1))))),
+        QuadBgp(v("gr"), Seq(tp(v("c"), p(pSegment), v("seg"))))), q)
+      .select(TermCols.lex(col("gr")).as("g"),
+        TermCols.lex(col("n")).cast("long").as("n"))
+    val dflt = Compiler.compile(
+      Group(Nil,
+        Seq("n" -> RowExpr(r => TermCols.intTerm(count(lit(1))))),
+        Bgp(Seq(tp(v("x"), p(pName), v("nm"))))), q)
+      .select(lit("default").as("g"), TermCols.lex(col("n")).cast("long").as("n"))
+    perGraph.union(dflt)
+  }
+
+  /** SPARQL Update end-to-end: INSERT DATA + DELETE/INSERT WHERE over the
+   * triple encoding, then aggregate the post-state — the oracle states the
+   * equivalent relational rewrite. */
+  def u1_update(s: SparkSession, d: String): DataFrame = {
+    val g = triples(s, d)
+    val g2 = graft.sparql.Update.run(g, s"""
+      PREFIX g: <$NS>
+      INSERT DATA { <urn:g:c:marker> g:segment "MARKER" } ;
+      DELETE { ?c g:segment "BUILDING" }
+      INSERT { ?c g:segment "RETAIL-X" }
+      WHERE { ?c g:segment "BUILDING" }""")
+    val op = Group(Seq("seg"),
+      Seq("n" -> RowExpr(r => TermCols.intTerm(count(lit(1))))),
+      Bgp(Seq(tp(v("c"), p(pSegment), v("seg")))))
+    Compiler.compile(op, g2)
+      .select(TermCols.lex(col("seg")).as("seg"),
+        TermCols.lex(col("n")).cast("long").as("n"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "r23_graph_quads" ->
+      """SELECT 'urn:g:ng:' || c_nationkey AS g, count(*) AS n
+         FROM customer GROUP BY 1
+         UNION ALL
+         SELECT 'default' AS g, count(*) AS n FROM nation""",
+    "u1_update" ->
+      """SELECT seg, count(*) AS n FROM (
+           SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'RETAIL-X'
+                       ELSE c_mktsegment END AS seg FROM customer
+           UNION ALL SELECT 'MARKER' AS seg)
+         GROUP BY 1""",
     "r22_sparql_text" ->
       """SELECT n_name AS nname, count(*) AS n_cust
          FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -67,12 +67,17 @@ object NTriples {
   def write(triples: Dataset[Triple], path: String): Unit =
     format(triples).write.mode("overwrite").text(path)
 
-  // ---- single-line recursive-descent parser (TokenizerText for one line)
-  private final class LineParser(s: String) {
+  // ---- single-line recursive-descent parser (TokenizerText for one line);
+  //      shared with NQuads (LangNQuads is LangNTriples + a graph slot)
+  private[riot] final class LineParser(s: String) {
     private var i = 0
 
     private def ws(): Unit = while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
     private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"$msg at $i")
+
+    /** Is the next non-space char the statement terminator? (N-Quads uses
+     * this to decide whether a 4th (graph) term is present.) */
+    def peekDot: Boolean = { ws(); i < s.length && s.charAt(i) == '.' }
 
     def term(): Term = {
       ws()

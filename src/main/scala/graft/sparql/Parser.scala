@@ -40,9 +40,24 @@ object Parser {
   final case class AskQ(op: Op) extends QueryForm
   final case class ConstructQ(template: Seq[TriplePattern], op: Op) extends QueryForm
 
+  /** Parsed SPARQL Update operations (reference AST: update/Update*.java;
+   * executed by graft.sparql.Update — UpdateEngineWorker.java:66,342,370). */
+  sealed trait UpdateAst
+  /** INSERT DATA / DELETE DATA — concrete triples only. */
+  final case class UpdateData(insert: Boolean, triples: Seq[TriplePattern]) extends UpdateAst
+  /** DELETE {t} INSERT {t} WHERE {p} (either template may be empty);
+   * DELETE WHERE {p} parses as delete-template == where-pattern. */
+  final case class UpdateModify(delete: Seq[TriplePattern],
+                                insert: Seq[TriplePattern], where: Op) extends UpdateAst
+  /** CLEAR DEFAULT / CLEAR ALL. */
+  case object UpdateClear extends UpdateAst
+
   def parse(query: String): Op = new P(query).parseQuery()
 
   def parseAny(query: String): QueryForm = new P(query).parseAnyForm()
+
+  /** Parse a ';'-separated SPARQL Update request. */
+  def parseUpdate(text: String): Seq[UpdateAst] = new P(text).parseUpdateOps()
 
   // ---------------------------------------------------------------------
   private final class P(s: String) {
@@ -115,6 +130,66 @@ object Parser {
       if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
       op
     }
+
+    /** SPARQL Update grammar subset (SPARQLParser's Update productions):
+     * INSERT/DELETE DATA, DELETE WHERE, DELETE/INSERT ... WHERE, CLEAR —
+     * ';'-separated. GRAPH-targeted forms (WITH/USING/INTO) raise. */
+    def parseUpdateOps(): Seq[Parser.UpdateAst] = {
+      prologue()
+      val out = ListBuffer[Parser.UpdateAst]()
+      var going = true
+      while (going) {
+        ws()
+        if (i >= s.length) going = false
+        else if (eatKw2("INSERT", "DATA"))
+          out += Parser.UpdateData(insert = true, dataBlock(allowBnodes = true))
+        else if (eatKw2("DELETE", "DATA"))
+          out += Parser.UpdateData(insert = false, dataBlock(allowBnodes = false))
+        else if (eatKw2("DELETE", "WHERE")) {
+          val pat = templateBlock()
+          requireNoBnodes(pat, "DELETE WHERE")
+          out += Parser.UpdateModify(pat, Nil, Bgp(pat))
+        } else if (eatKw("DELETE")) {
+          val del = templateBlock()
+          requireNoBnodes(del, "DELETE template")
+          val ins = if (eatKw("INSERT")) templateBlock() else Nil
+          expectKw("WHERE")
+          out += Parser.UpdateModify(del, ins, groupGraphPattern())
+        } else if (eatKw("INSERT")) {
+          val ins = templateBlock()
+          expectKw("WHERE")
+          out += Parser.UpdateModify(Nil, ins, groupGraphPattern())
+        } else if (eatKw("CLEAR")) {
+          if (!eatKw("ALL")) eatKw("DEFAULT")
+          out += Parser.UpdateClear
+        } else fail("unsupported update operation")
+        ws()
+        if (peekIs(';')) i += 1
+      }
+      out.toList
+    }
+
+    /** Concrete-triples block for INSERT/DELETE DATA — no variables. */
+    private def dataBlock(allowBnodes: Boolean): Seq[TriplePattern] = {
+      val tps = templateBlock()
+      tps.foreach { tp =>
+        Seq(tp.s, tp.p, tp.o).foreach {
+          case TVar(n) => fail(s"variable ?$n not allowed in DATA block")
+          case TConst(t) if t.isBNode && !allowBnodes =>
+            fail("blank node not allowed in DELETE DATA")
+          case _ =>
+        }
+      }
+      tps
+    }
+
+    private def requireNoBnodes(tps: Seq[TriplePattern], where: String): Unit =
+      tps.foreach { tp =>
+        Seq(tp.s, tp.p, tp.o).foreach {
+          case TConst(t) if t.isBNode => fail(s"blank node not allowed in $where")
+          case _ =>
+        }
+      }
 
     private def parseQueryNoPrologue(): Op = {
       val op = selectBody()

@@ -239,4 +239,112 @@ object TripleStore {
     o.foreach(v => df = df.where(col("o_lex") === v))
     df
   }
+
+  // ------------------------------------------------------------- quads
+  // Named-graph layouts GSPO / GPOS / GOSP — the TDB2 primary quad
+  // indexes (dboe/sys/Names.java:43–47 primaryIndexQuads). Same shuffle
+  // plan as `materialize`: dedup rides the GSPO range shuffle, the other
+  // two layouts derive from the committed GSPO files.
+
+  /** Flatten (s,p,o,g) struct columns to 16 scalar columns. */
+  def flattenQuads(quads: DataFrame): DataFrame =
+    quads.select(
+      col("g.kind").as("g_kind"), col("g.lex").as("g_lex"),
+      col("g.dt").as("g_dt"), col("g.lang").as("g_lang"),
+      col("s.kind").as("s_kind"), col("s.lex").as("s_lex"),
+      col("s.dt").as("s_dt"), col("s.lang").as("s_lang"),
+      col("p.kind").as("p_kind"), col("p.lex").as("p_lex"),
+      col("p.dt").as("p_dt"), col("p.lang").as("p_lang"),
+      col("o.kind").as("o_kind"), col("o.lex").as("o_lex"),
+      col("o.dt").as("o_dt"), col("o.lang").as("o_lang"))
+
+  private val quadTermCols = Seq(
+    "g_kind", "g_lex", "g_dt", "g_lang",
+    "s_kind", "s_lex", "s_dt", "s_lang",
+    "p_kind", "p_lex", "p_dt", "p_lang",
+    "o_kind", "o_lex", "o_dt", "o_lang")
+
+  /** Quad-store materialization: dedup + GSPO/GPOS/GOSP sorted layouts +
+   * per-graph lineage + manifest. */
+  def materializeQuads(quads: DataFrame, snapshotDir: String,
+                       parent: Option[String], partitions: Int = 32): Long = {
+    val spark = quads.sparkSession
+    val t0 = System.nanoTime()
+
+    val flat = flattenQuads(quads)
+    val keyIdx = quadTermCols.map(flat.schema.fieldIndex)
+    flat
+      .repartitionByRange(partitions, col("g_lex"), col("s_lex"), col("p_lex"), col("o_lex"))
+      .sortWithinPartitions(quadTermCols.map(col): _*)
+      .mapPartitions { rows =>
+        var prev: Seq[Any] = null
+        rows.filter { r =>
+          val key = keyIdx.map(r.get)
+          val keep = prev == null || key != prev
+          prev = key
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(flat.schema))
+      .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/gspo")
+
+    val gspo = spark.read.parquet(s"$snapshotDir/gspo")
+    val total = gspo.count()
+
+    def sortedWrite(name: String, keys: Seq[String]): Unit =
+      gspo.repartitionByRange(partitions, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$snapshotDir/$name")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(sortedWrite("gpos", Seq("g_lex", "p_lex", "o_lex", "s_lex"))),
+      Future(sortedWrite("gosp", Seq("g_lex", "o_lex", "s_lex", "p_lex"))),
+      Future {
+        gspo.groupBy("g_lex")
+          .agg(count(lit(1)).as("n_quads"),
+            countDistinct(col("s_lex")).as("n_subjects"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
+
+    writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
+      "snapshot" -> Paths.get(snapshotDir).getFileName.toString,
+      "parent" -> parent.getOrElse(""),
+      "layouts" -> "gspo,gpos,gosp",
+      "n_quads" -> total.toString,
+      "wall_ms" -> ((System.nanoTime() - t0) / 1000000).toString))
+    total
+  }
+
+  /** Quad-pattern read: graph-bound scans prune on the leading g_lex of
+   * every layout; within a graph the s/p/o shape picks the index exactly
+   * like `scan`. */
+  def scanQuads(spark: SparkSession, snapshotDir: String,
+                g: Option[String], s: Option[String],
+                p: Option[String], o: Option[String]): DataFrame = {
+    val layout = (s, p, o) match {
+      case (Some(_), _, _) => "gspo"
+      case (None, Some(_), _) => "gpos"
+      case (None, None, Some(_)) => "gosp"
+      case _ => "gspo"
+    }
+    var df = spark.read.parquet(s"$snapshotDir/$layout")
+    g.foreach(v => df = df.where(col("g_lex") === v))
+    s.foreach(v => df = df.where(col("s_lex") === v))
+    p.foreach(v => df = df.where(col("p_lex") === v))
+    o.foreach(v => df = df.where(col("o_lex") === v))
+    df
+  }
+
+  /** Rebuild (s,p,o,g) struct columns from a flattened quad layout. */
+  def unflattenQuads(df: DataFrame): DataFrame = {
+    def term(p: String) = struct(
+      col(s"${p}_kind").as("kind"), col(s"${p}_lex").as("lex"),
+      col(s"${p}_dt").as("dt"), col(s"${p}_lang").as("lang")).as(p)
+    df.select(term("s"), term("p"), term("o"), term("g"))
+  }
 }

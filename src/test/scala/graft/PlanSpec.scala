@@ -103,6 +103,13 @@ class PlanSpec extends AnyFunSuite {
       "decomposed join must stay on equi-joins:\n" + pInner)
   }
 
+  test("d7 simhash banding plans as equi-join (no BNLJ, unlike d6's baseline)") {
+    val df = graft.queries.OpsQueries.d7_simhash_lsh(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded simhash candidates must come from an equi-join:\n" + p)
+  }
+
   test("linker broadcast path broadcasts the dictionary") {
     import graft.fixtures.{CorpusGen, DictRow}
     val corpus = spark.createDataset(CorpusGen.generate(42, 5, 4))

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{Term, Triple}
-import graft.riot.{NTriples, TurtleLite}
+import graft.riot.{NQuads, NTriples, TrigLite, TurtleLite}
 
 /** RIOT I/O tests: N-Triples roundtrip laws + Turtle-subset golden docs,
  * in the spirit of the reference's RIOT parser suites
@@ -134,5 +134,84 @@ class RiotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TurtleLite.parse("ex:a ex:b ( 1 2 ) ."))
     intercept[IllegalArgumentException](
       TurtleLite.parse("@prefix ex: <http://e/> . ex:a nope:b ex:c ."))
+  }
+
+  test("N-Quads: graph slot parses; default-graph lines round-trip as triples") {
+    import graft.model.Quad
+    val q1 = NQuads.parseLine(
+      s"""<${EX}s> <${EX}p> "v" <${EX}g1> .""").get
+    assert(q1 == Quad(Term.iri(EX + "s"), Term.iri(EX + "p"),
+      Term.string("v"), Term.iri(EX + "g1")))
+    val q2 = NQuads.parseLine(s"""<${EX}s> <${EX}p> "v" .""").get
+    assert(q2.g == Term.defaultGraph)
+    // format → parse round-trip, both shapes
+    assert(NQuads.parseLine(q1.toNQuads).get == q1)
+    assert(NQuads.parseLine(q2.toNQuads).get == q2)
+    intercept[IllegalArgumentException](
+      NQuads.parseLine(s"""<${EX}s> <${EX}p> "v" <${EX}g1> <${EX}x> ."""))
+  }
+
+  test("N-Quads: distributed read/write roundtrip") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.model.Quad
+    val quads = (1 to 50).map(k => Quad(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p"),
+      Term.lit(k.toString, Term.XSD_INTEGER),
+      if (k % 3 == 0) Term.defaultGraph else Term.iri(EX + "g" + (k % 2))))
+    val dir = java.nio.file.Files.createTempDirectory("nq_rt").toString + "/out"
+    NQuads.write(spark.createDataset(quads), dir)
+    val back = NQuads.read(spark, dir).collect().toSet
+    assert(back == quads.toSet)
+  }
+
+  test("TriG-lite: GRAPH blocks, keyword-less blocks, default triples") {
+    import graft.model.Quad
+    val doc = s"""
+      @prefix ex: <$EX> .
+      ex:top ex:in ex:default .
+      GRAPH ex:g1 {
+        ex:a ex:name "A" ;
+             ex:age 30 .
+      }
+      ex:g2 {
+        ex:b ex:name "B" .
+      }
+      ex:top2 ex:in ex:default .
+    """
+    val quads = TrigLite.parse(doc)
+    assert(quads.size == 5)
+    val byGraph = quads.groupBy(_.g.lex)
+    assert(byGraph(EX + "g1").size == 2)
+    assert(byGraph(EX + "g2").map(_.o) == Seq(Term.string("B")))
+    assert(byGraph(Term.DEFAULT_GRAPH).map(_.s.lex).toSet ==
+      Set(EX + "top", EX + "top2"))
+    // prefix scope is document-wide: blocks saw ex: declared above
+    assert(quads.forall(_.p.lex.startsWith(EX)))
+  }
+
+  test("quad store: GSPO/GPOS/GOSP layouts round-trip with per-graph pruning") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.model.Quad
+    val quads = (1 to 200).map(k => Quad(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p" + (k % 3)),
+      Term.lit(k.toString, Term.XSD_INTEGER), Term.iri(EX + "g" + (k % 4))))
+    // plant duplicates — set semantics must collapse them
+    val df = spark.createDataset(quads ++ quads.take(30)).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("quad_store").toString
+    val n = graft.store.TripleStore.materializeQuads(df, dir, None, partitions = 4)
+    assert(n == 200)
+    assert(graft.store.TripleStore.isCommitted(dir))
+    val g1 = graft.store.TripleStore.scanQuads(spark, dir,
+      g = Some(EX + "g1"), s = None, p = None, o = None)
+    assert(g1.count() == 50)
+    val byP = graft.store.TripleStore.scanQuads(spark, dir,
+      g = None, s = None, p = Some(EX + "p0"), o = None)
+    assert(byP.count() == 66 || byP.count() == 67)
+    // round-trip through the struct view matches the input set
+    val back = graft.store.TripleStore.unflattenQuads(
+      spark.read.parquet(s"$dir/gspo")).as[Quad].collect().toSet
+    assert(back == quads.toSet)
   }
 }
