@@ -56,6 +56,7 @@ object SparkEntry {
     "r22_sparql_text"     -> SparqlQueries.r22_sparql_text _,
     "u1_update"           -> SparqlQueries.u1_update _,
     "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
+    "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )

@@ -58,6 +58,10 @@ final case class PZeroOrOne(p: Path) extends Path             // P_ZeroOrOne  p?
 final case class PNegPropSet(iris: Seq[String]) extends Path
 /** p{n,m} fixed/bounded repetition (P_FixedLength / P_Mod). */
 final case class PFixedLength(p: Path, n: Int) extends Path
+/** p{n,m} / p{n,} modifier (P_Mod.java:35): between `min` and `max`
+ * repetitions; `max = -1` means unbounded ({n,}). Like the other
+ * arbitrary-length paths, results are distinct pairs. */
+final case class PMod(p: Path, min: Int, max: Int) extends Path
 
 /** Column expression over a solution row: given a resolver from variable
  * name to its term-struct Column, produce the Spark Column. Used where an
@@ -145,6 +149,13 @@ final case class Reduced(input: Op) extends Op
 // ---- set ops (§2.7)
 /** Bag union; differing variable sets allowed (missing vars → unbound). */
 final case class Union(l: Op, r: Op) extends Op
+
+/** FROM / FROM NAMED dataset description (OpDatasetNames neighborhood;
+ * reference resolves these in DatasetDescription → DynamicDatasets):
+ * the input quad table is re-scoped so the default graph is exactly the
+ * union of `defaults` and the visible named graphs are exactly `named`. */
+final case class DatasetClause(defaults: Seq[String], named: Seq[String],
+                               input: Op) extends Op
 
 // ---- extension escape hatch (OpExt, OpExecutor.java:347)
 final case class ExtOp(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,

@@ -32,10 +32,75 @@ object Compiler {
     def vars: Set[String] = certain ++ maybe
   }
 
+  /** Where triple patterns scan from. `DfGraph` is the in-memory shape (a
+   * DataFrame with term-struct columns s, p, o); `SnapshotGraph` is a
+   * materialized TripleStore snapshot, where each pattern picks the
+   * SPO/POS/OSP layout by its shape and pushes flat-column equality
+   * filters into the parquet scan — the FastTripleStore index-selection
+   * rule (mem/store/fast/FastTripleStore.java:36–85) wired into the
+   * compiler instead of a union re-scan. */
+  sealed trait GraphSource {
+    def df: DataFrame
+    def spark: SparkSession = df.sparkSession
+  }
+  final case class DfGraph(df: DataFrame) extends GraphSource
+  final case class SnapshotGraph(override val spark: SparkSession, dir: String)
+      extends GraphSource {
+    /** Struct view over the SPO layout — the fallback for operators that
+     * need the whole graph (paths beyond links, DESCRIBE, …). */
+    lazy val df: DataFrame = {
+      val flat = spark.read.parquet(s"$dir/spo")
+      def term(p: String) = struct(
+        col(s"${p}_kind").as("kind"), col(s"${p}_lex").as("lex"),
+        col(s"${p}_dt").as("dt"), col(s"${p}_lang").as("lang")).as(p)
+      flat.select(term("s"), term("p"), term("o"))
+    }
+
+    /** One triple-pattern scan: layout by shape, constants as flat-column
+     * filters (pushed to parquet), variables as struct columns. */
+    def scanPattern(tp: TriplePattern): Compiled = {
+      val layout = (tp.s, tp.p, tp.o) match {
+        case (TConst(_), _, _) => "spo"
+        case (_, TConst(_), _) => "pos"
+        case (_, _, TConst(_)) => "osp"
+        case _ => "spo"
+      }
+      var d = spark.read.parquet(s"$dir/$layout")
+      val slots = Seq(("s", tp.s), ("p", tp.p), ("o", tp.o))
+      slots.foreach {
+        case (c, TConst(t)) =>
+          d = d.where(col(s"${c}_kind") === t.kind && col(s"${c}_lex") === t.lex &&
+            col(s"${c}_dt") === t.dt && col(s"${c}_lang") === t.lang)
+        case _ =>
+      }
+      val byVar = slots.collect { case (c, TVar(n)) => (n, c) }.groupBy(_._1)
+      byVar.values.filter(_.size > 1).foreach { occ =>
+        occ.map(_._2).sliding(2).foreach {
+          case Seq(a, b) =>
+            d = d.where(col(s"${a}_kind") === col(s"${b}_kind") &&
+              col(s"${a}_lex") === col(s"${b}_lex") &&
+              col(s"${a}_dt") === col(s"${b}_dt") &&
+              col(s"${a}_lang") === col(s"${b}_lang"))
+          case _ =>
+        }
+      }
+      def term(c: String) = struct(
+        col(s"${c}_kind").as("kind"), col(s"${c}_lex").as("lex"),
+        col(s"${c}_dt").as("dt"), col(s"${c}_lang").as("lang"))
+      val out = byVar.map { case (n, occ) => term(occ.head._2).as(n) }.toSeq
+      Compiled(
+        if (out.isEmpty) d.select(lit(1).as("__unit")) else d.select(out: _*),
+        if (out.isEmpty) Set.empty else byVar.keySet, Set.empty)
+    }
+  }
+
   /** The graph being queried: a DataFrame with term-struct columns s, p, o
    * (the `Dataset[Triple]` shape of SURVEY.md §1.7). */
   def compile(op: Op, triples: DataFrame): DataFrame =
-    comp(op, triples).df
+    comp(op, DfGraph(triples)).df
+
+  /** Compile against any graph source (e.g. a store snapshot). */
+  def compile(op: Op, g: GraphSource): DataFrame = comp(op, g).df
 
   /** Reserved default-graph name (reference: Quad.java:40). A quad table
    * is any graph DataFrame that also has a `g` term-struct column; a plain
@@ -44,21 +109,26 @@ object Compiler {
 
   private def hasGraphCol(g: DataFrame): Boolean = g.columns.contains("g")
 
-  private[algebra] def comp(op: Op, g: DataFrame): Compiled = op match {
+  private[algebra] def comp(op: Op, g: GraphSource): Compiled = op match {
     case Bgp(patterns) =>
       require(patterns.nonEmpty, "empty BGP")
-      // on a quad table, an un-GRAPHed BGP matches the default graph only
-      val base =
-        if (hasGraphCol(g))
-          g.filter(TermCols.lex(col("g")) === DefaultGraph || col("g").isNull)
-        else g
-      patterns.map(scan(base, _)).reduceLeft(join(_, _, "inner"))
+      g match {
+        case sg: SnapshotGraph =>
+          patterns.map(sg.scanPattern).reduceLeft(join(_, _, "inner"))
+        case _ =>
+          // on a quad table, an un-GRAPHed BGP matches the default graph only
+          val base =
+            if (hasGraphCol(g.df))
+              g.df.filter(TermCols.lex(col("g")) === DefaultGraph || col("g").isNull)
+            else g.df
+          patterns.map(scan(base, _)).reduceLeft(join(_, _, "inner"))
+      }
 
     case QuadBgp(gp, patterns) =>
-      require(hasGraphCol(g), "QuadBgp needs a quad table (g column)")
+      require(hasGraphCol(g.df), "QuadBgp needs a quad table (g column)")
       require(patterns.nonEmpty, "empty QuadBgp")
       // GRAPH never matches the default graph (SPARQL dataset semantics)
-      val named = g.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+      val named = g.df.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
       patterns.map(scan(named, _, extraSlots = Seq(("g", gp))))
         .reduceLeft(join(_, _, "inner"))
 
@@ -83,7 +153,7 @@ object Compiler {
         c.certain, c.maybe + name)
 
     case Table(vars, rows) =>
-      valuesTable(g.sparkSession, vars, rows)
+      valuesTable(g.spark, vars, rows)
 
     case Join(l, r) => join(comp(l, g), comp(r, g), "inner")
 
@@ -152,6 +222,17 @@ object Compiler {
 
     case Reduced(in) =>
       val c = comp(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+
+    case DatasetClause(defaults, named, in) =>
+      require(hasGraphCol(g.df), "FROM / FROM NAMED need a quad table (g column)")
+      val glex = TermCols.lex(col("g"))
+      // the dataset is EXACTLY what the clauses describe (SPARQL 13.2):
+      // graphs named in FROM merge into the default graph; FROM NAMED
+      // graphs stay named; everything else disappears
+      val defaultPart = g.df.filter(glex.isin(defaults: _*))
+        .withColumn("g", TermCols.const(graft.model.Term.defaultGraph))
+      val namedPart = g.df.filter(glex.isin(named: _*) && glex =!= DefaultGraph)
+      comp(in, DfGraph(defaultPart.union(namedPart)))
 
     case ExtOp(f, certainVars, in) =>
       val c = comp(in, g)
@@ -350,7 +431,7 @@ object Compiler {
    * (QueryIterLateral re-executes the RHS per row; the window is the
    * set-at-a-time equivalent). Other modifier shapes raise rather than
    * silently mis-evaluate. */
-  private def lateral(l: Compiled, r: Op, g: DataFrame): Compiled = r match {
+  private def lateral(l: Compiled, r: Op, g: GraphSource): Compiled = r match {
     case Slice(offset, limit, inner) =>
       require(offset == 0, "LATERAL with OFFSET is not supported")
       require(limit <= Int.MaxValue, s"LATERAL LIMIT $limit exceeds supported range")
@@ -446,13 +527,23 @@ object Compiler {
  */
 object PathEval {
 
-  /** All (src, dst) term pairs connected by `path`. */
-  def pairs(g: DataFrame, path: Path): DataFrame = path match {
-    case PLink(iri) =>
-      g.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
-        .select(col("s").as("src"), col("o").as("dst"))
+  import Compiler.{GraphSource, SnapshotGraph}
+
+  /** All (src, dst) term pairs connected by `path`. Over a store snapshot,
+   * a plain link scans the POS layout with the predicate pushed down (the
+   * hot case — every closure's per-round probe); composite paths fall back
+   * to the struct view. */
+  def pairs(g: GraphSource, path: Path): DataFrame = path match {
+    case PLink(iri) => g match {
+      case sg: SnapshotGraph =>
+        sg.scanPattern(TriplePattern(TVar("src"),
+          TConst(graft.model.Term.iri(iri)), TVar("dst"))).df
+      case _ =>
+        g.df.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
+          .select(col("s").as("src"), col("o").as("dst"))
+    }
     case PNegPropSet(iris) =>
-      g.filter(TermCols.isIri(col("p")) && !TermCols.lex(col("p")).isin(iris: _*))
+      g.df.filter(TermCols.isIri(col("p")) && !TermCols.lex(col("p")).isin(iris: _*))
         .select(col("s").as("src"), col("o").as("dst"))
     case PInverse(p) =>
       pairs(g, p).select(col("dst").as("src"), col("src").as("dst"))
@@ -479,12 +570,34 @@ object PathEval {
           .join(base.select(col("src").as("__m2"), col("dst")), col("__m") === col("__m2"))
           .select(col("src"), col("dst"))
       }
+    case PMod(p, min, max) =>
+      require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+      if (max < 0) {
+        // p{n,} = p{n} then p* — the closure handles the unbounded tail
+        val head =
+          if (min == 0) allNodes(g)
+          else pairs(g, PFixedLength(p, min))
+        val star = pairs(g, PZeroOrMore(p))
+        head.select(col("src"), col("dst").as("__m"))
+          .join(star.select(col("src").as("__m2"), col("dst")), col("__m") === col("__m2"))
+          .select(col("src"), col("dst")).distinct()
+      } else {
+        // bounded: union of the fixed lengths, distinct pairs (the ALP
+        // visited-set contract applies to mod paths in the reference)
+        val parts = (math.max(min, 1) to max).map(k => pairs(g, PFixedLength(p, k)))
+        val fixed =
+          if (parts.isEmpty) allNodes(g)
+          else parts.reduce(_ union _)
+        val withZero = if (min == 0) fixed.union(allNodes(g)) else fixed
+        withZero.distinct()
+      }
   }
 
   /** Identity pairs over every term occurring as subject or object —
    * SPARQL's zero-length-path node set. */
-  private def allNodes(g: DataFrame): DataFrame = {
-    val n = g.select(col("s").as("n")).union(g.select(col("o").as("n"))).distinct()
+  private def allNodes(g: GraphSource): DataFrame = {
+    val n = g.df.select(col("s").as("n"))
+      .union(g.df.select(col("o").as("n"))).distinct()
     n.select(col("n").as("src"), col("n").as("dst"))
   }
 }

@@ -149,6 +149,34 @@ object SparqlFunctions {
     when(ts.isNotNull, TermCols.intTerm(f(ts)))
   }
 
+  // ---- datetime constructors / accessors (E_Now, E_DateTimeTZ)
+  /** NOW(): one value per query execution (Spark's current_timestamp is
+   * query-stable, matching the reference's per-execution now). */
+  def nowFn(): Column = mk(lit(Term.KIND_LIT),
+    date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+    lit(Term.XSD_DATETIME), lit(""))
+  /** TZ(dt): timezone designator from the lexical form; "" when absent. */
+  def tzFn(t: Column): Column =
+    when(isLiteral(t) && dt(t).isin(dtTypes: _*),
+      strOf(regexp_extract(lex(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
+
+  /** RAND(): xsd:double in [0,1) — nondeterministic like the reference. */
+  def randFn(): Column = TermCols.numericTerm(rand(), lit(3))
+
+  /** BNODE(): fresh blank node per row (nondeterministic label);
+   * BNODE(str): label derived from the string within the solution. */
+  def bnodeFresh(): Column =
+    mk(lit(Term.KIND_BNODE), regexp_replace(expr("uuid()"), "-", ""), lit(""), lit(""))
+  def bnodeLabeled(t: Column): Column =
+    when(isStringLit(t), mk(lit(Term.KIND_BNODE), lex(t), lit(""), lit("")))
+
+  /** REGEX with optional flags ('i','s','m' — mapped to the embedded-flag
+   * prefix Java regex understands, like the reference's RegexJava). */
+  def regexFlags(t: Column, pattern: String, flags: String): Column = {
+    val prefix = if (flags.isEmpty) "" else s"(?$flags)"
+    lex(t).rlike(prefix + pattern)
+  }
+
   // ---- functional forms (E_Bound, E_Coalesce, E_If, E_SameTerm, EBV)
   def bound(t: Column): Column = t.isNotNull
   def coalesceFn(ts: Column*): Column = coalesce(ts: _*)

@@ -153,6 +153,18 @@ object SparqlQueries {
       TermCols.lex(col("n_cust")).cast("long").as("n_cust"))
   }
 
+  /** `{n,m}` path modifier (P_Mod) through the FULL text stack: the
+   * 1..2-hop closure over inNation|inRegion reaches nations (1 hop from
+   * customers), regions (1 hop from nations) and regions again (2 hops
+   * from customers); distinct pairs per the ALP contract. */
+  def r24_path_mod(s: SparkSession, d: String): DataFrame = {
+    val q = s"""PREFIX g: <$NS>
+      SELECT ?src ?dst WHERE { ?src (g:inNation|g:inRegion){1,2} ?dst }"""
+    Compiler.compile(graft.sparql.Parser.parse(q), triples(s, d))
+      .select(TermCols.lex(col("src")).as("src"),
+        TermCols.lex(col("dst")).as("dst"))
+  }
+
   /** Quad encoding: customer segment triples live in one named graph per
    * nation (urn:g:ng:<nationkey>); nation names in the default graph. */
   def quadTable(s: SparkSession, d: String): DataFrame = {
@@ -210,6 +222,14 @@ object SparqlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "r24_path_mod" ->
+      """SELECT 'urn:g:c:' || c_custkey AS src, 'urn:g:n:' || c_nationkey AS dst
+         FROM customer
+         UNION
+         SELECT 'urn:g:n:' || n_nationkey, 'urn:g:r:' || n_regionkey FROM nation
+         UNION
+         SELECT 'urn:g:c:' || c_custkey, 'urn:g:r:' || n_regionkey
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
     "r23_graph_quads" ->
       """SELECT 'urn:g:ng:' || c_nationkey AS g, count(*) AS n
          FROM customer GROUP BY 1

@@ -58,4 +58,157 @@ object ResultSetIO {
     solutions.select(solutions.columns.map(v =>
       TermCols.lex(col(v)).as(v)): _*)
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  // ---------------------------------------------------------------- XML/TSV
+
+  private def xmlEscape(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  /** W3C "SPARQL Query Results XML Format" document (RowSetWriterXML).
+   * Collects — result-set documents are small by construction. */
+  def toSparqlXml(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\"?>\n")
+    sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n<head>")
+    vars.foreach(v => sb.append(s"""<variable name="${xmlEscape(v)}"/>"""))
+    sb.append("</head>\n<results>\n")
+    solutions.collect().foreach { r =>
+      sb.append("<result>")
+      vars.zipWithIndex.foreach { case (v, idx) =>
+        val t = r.getAs[org.apache.spark.sql.Row](idx)
+        if (t != null) {
+          sb.append(s"""<binding name="${xmlEscape(v)}">""")
+          val (kind, lex, dt, lang) = (t.getByte(0), t.getString(1), t.getString(2), t.getString(3))
+          kind match {
+            case Term.KIND_IRI => sb.append(s"<uri>${xmlEscape(lex)}</uri>")
+            case Term.KIND_BNODE => sb.append(s"<bnode>${xmlEscape(lex)}</bnode>")
+            case _ =>
+              if (lang.nonEmpty)
+                sb.append(s"""<literal xml:lang="${xmlEscape(lang)}">${xmlEscape(lex)}</literal>""")
+              else if (dt.nonEmpty && dt != Term.XSD_STRING)
+                sb.append(s"""<literal datatype="${xmlEscape(dt)}">${xmlEscape(lex)}</literal>""")
+              else sb.append(s"<literal>${xmlEscape(lex)}</literal>")
+          }
+          sb.append("</binding>")
+        }
+      }
+      sb.append("</result>\n")
+    }
+    sb.append("</results>\n</sparql>\n")
+    sb.toString
+  }
+
+  /** Column-level canonical term rendering (NodeFormatterNT as column
+   * expressions — escaping via a regexp_replace chain, codegen-friendly). */
+  private def ntTermCol(t: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(TermCols.lex(t), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    when(t.isNull, "")
+      .when(TermCols.isIri(t), concat(lit("<"), TermCols.lex(t), lit(">")))
+      .when(TermCols.isBlank(t), concat(lit("_:"), TermCols.lex(t)))
+      .when(TermCols.kind(t) === Term.KIND_TRIPLE_TERM, TermCols.lex(t))
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(TermCols.lang(t) =!= "", concat(lit("@"), TermCols.lang(t)))
+          .when(TermCols.dt(t) =!= "" && TermCols.dt(t) =!= Term.XSD_STRING,
+            concat(lit("^^<"), TermCols.dt(t), lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  /** SPARQL results TSV lines (RowSetWriterTSV): full term syntax, one
+   * row per line — distributed; prepend `tsvHeader` when writing a file. */
+  def bindingsTsv(solutions: DataFrame): Dataset[String] = {
+    val spark = solutions.sparkSession
+    import spark.implicits._
+    solutions.select(concat_ws("\t",
+      solutions.columns.map(v => ntTermCol(col(v))): _*).as("l")).as[String]
+  }
+
+  def tsvHeader(solutions: DataFrame): String =
+    solutions.columns.map("?" + _).mkString("\t")
+
+  /** Whole TSV document (header + rows); collects like toSparqlJson. */
+  def toTsv(solutions: DataFrame): String =
+    (tsvHeader(solutions) +: bindingsTsv(solutions).collect().toSeq).mkString("\n")
+
+  // ---------------------------------------------------------------- readers
+  // (RowSetReaderJSON / RowSetReaderXML): parse a results document back to
+  // a solution DataFrame — the ingredient for manifest-style golden gates
+  // (compare an engine run against a stored .srj/.srx file).
+
+  import org.apache.spark.sql.{Row, SparkSession}
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private def solutionsDf(spark: SparkSession, vars: Seq[String],
+                          rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(vars.map(v => StructField(v, TermCols.schema, nullable = true))))
+
+  private def termRow(typ: String, value: String, lang: String, dt: String): Row =
+    typ match {
+      case "uri" => Row(Term.KIND_IRI, value, "", "")
+      case "bnode" => Row(Term.KIND_BNODE, value, "", "")
+      case _ => // "literal" | "typed-literal" (legacy)
+        val dt2 = if (dt.nonEmpty) dt
+          else if (lang.nonEmpty) Term.RDF_LANGSTRING else Term.XSD_STRING
+        Row(Term.KIND_LIT, value, dt2, lang)
+    }
+
+  /** Parse a W3C results-JSON document (via Jackson, which ships with
+   * Spark) into a solution DataFrame. */
+  def fromSparqlJson(spark: SparkSession, json: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val vars = root.path("head").path("vars").elements().asScala.map(_.asText).toSeq
+    val rows = root.path("results").path("bindings").elements().asScala.map { b =>
+      Row(vars.map { v =>
+        val n = b.get(v)
+        if (n == null) null
+        else termRow(n.path("type").asText,
+          n.path("value").asText,
+          Option(n.get("xml:lang")).map(_.asText).getOrElse(""),
+          Option(n.get("datatype")).map(_.asText).getOrElse(""))
+      }: _*)
+    }.toSeq
+    solutionsDf(spark, vars, rows)
+  }
+
+  /** Parse a W3C results-XML document (JDK DOM — no extra deps). */
+  def fromSparqlXml(spark: SparkSession, xml: String): DataFrame = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    def elems(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
+      val nl = parent.getElementsByTagName(name)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    val rootE = doc.getDocumentElement
+    val vars = elems(rootE, "variable").map(_.getAttribute("name"))
+    val rows = elems(rootE, "result").map { res =>
+      val bound = elems(res, "binding").map { b =>
+        val name = b.getAttribute("name")
+        val child = {
+          val nl = b.getChildNodes
+          (0 until nl.getLength).map(nl.item)
+            .collectFirst { case e: org.w3c.dom.Element => e }
+            .getOrElse(throw new IllegalArgumentException("empty <binding>"))
+        }
+        val term = child.getTagName match {
+          case "uri" => termRow("uri", child.getTextContent, "", "")
+          case "bnode" => termRow("bnode", child.getTextContent, "", "")
+          case "literal" => termRow("literal", child.getTextContent,
+            Option(child.getAttribute("xml:lang")).getOrElse(""),
+            Option(child.getAttribute("datatype")).getOrElse(""))
+          case other => throw new IllegalArgumentException(s"unknown term element <$other>")
+        }
+        name -> term
+      }.toMap
+      Row(vars.map(v => bound.getOrElse(v, null)): _*)
+    }
+    solutionsDf(spark, vars, rows)
+  }
 }

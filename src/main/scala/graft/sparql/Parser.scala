@@ -39,6 +39,11 @@ object Parser {
   final case class SelectQ(op: Op) extends QueryForm
   final case class AskQ(op: Op) extends QueryForm
   final case class ConstructQ(template: Seq[TriplePattern], op: Op) extends QueryForm
+  /** DESCRIBE <iri>... | DESCRIBE ?v [WHERE {...}] — resources to slice
+   * (concise bounded description) either named directly or bound by the
+   * pattern. */
+  final case class DescribeQ(iris: Seq[String], v: Option[String],
+                             where: Option[Op]) extends QueryForm
 
   /** Parsed SPARQL Update operations (reference AST: update/Update*.java;
    * executed by graft.sparql.Update — UpdateEngineWorker.java:66,342,370). */
@@ -89,6 +94,24 @@ object Parser {
         ws()
         if (i < s.length) fail("trailing content after CONSTRUCT")
         Parser.ConstructQ(template, op)
+      } else if (kwAhead("DESCRIBE")) {
+        eatKw("DESCRIBE")
+        ws()
+        if (peekIs('?')) {
+          val v = varName()
+          val w = if (kwAhead("WHERE")) { eatKw("WHERE"); Some(groupGraphPattern()) }
+                  else None
+          ws()
+          if (i < s.length) fail("trailing content after DESCRIBE")
+          Parser.DescribeQ(Nil, Some(v), w)
+        } else {
+          val iris = ListBuffer[String]()
+          iris += iriOnly()
+          while ({ ws(); peekIs('<') || peekPrefixedName() }) iris += iriOnly()
+          ws()
+          if (i < s.length) fail("trailing content after DESCRIBE")
+          Parser.DescribeQ(iris.toList, None, None)
+        }
       } else Parser.SelectQ(parseQueryNoPrologue())
     }
 
@@ -214,13 +237,40 @@ object Parser {
       val distinct = eatKw("DISTINCT")
       val reduced = !distinct && eatKw("REDUCED")
       val proj = projection()
+
+      // dataset clauses (FROM / FROM NAMED) — applied to the pattern
+      val fromDefaults = ListBuffer[String]()
+      val fromNamed = ListBuffer[String]()
+      var goingFrom = true
+      while (goingFrom) {
+        if (eatKw2("FROM", "NAMED")) fromNamed += iriOnly()
+        else if (eatKw("FROM")) fromDefaults += iriOnly()
+        else goingFrom = false
+      }
+
       eatKw("WHERE")
       var op = groupGraphPattern()
+      if (fromDefaults.nonEmpty || fromNamed.nonEmpty)
+        op = DatasetClause(fromDefaults.toList, fromNamed.toList, op)
 
-      // GROUP BY / aggregates
+      // GROUP BY: vars, (expr AS ?v), or bare (expr) → hidden key var
+      var hiddenGroupExpr = false
       val groupKeys = if (eatKw2("GROUP", "BY")) {
         val ks = ListBuffer[String]()
-        while (peekIs('?')) ks += varName()
+        var goingG = true
+        while (goingG) {
+          ws()
+          if (peekIs('?')) ks += varName()
+          else if (peekIs('(')) {
+            expect('(')
+            val e = expression()
+            val v = if (eatKw("AS")) varName()
+                    else { hiddenGroupExpr = true; s"__gk${ks.size}" }
+            expect(')')
+            op = Extend(v, e, op)
+            ks += v
+          } else goingG = false
+        }
         ks.toList
       } else Nil
       val selExprs = proj.collect { case SelExpr(v, e) => v -> e }
@@ -258,20 +308,47 @@ object Parser {
         havingExpr.foreach(c => op = Filter(c, op))
       }
 
+      var hiddenOrd = List.empty[String]
       if (eatKw2("ORDER", "BY")) {
         val keys = ListBuffer[SortKey]()
+        val ordExtends = ListBuffer[(String, RowExpr)]()
+        // a bracketted key that is just "?v" sorts on the var directly;
+        // anything else becomes a hidden BIND below the Order
+        def brackettedKey(asc: Boolean): Unit = {
+          expect('(')
+          ws()
+          val save = i
+          if (peekIs('?')) {
+            val v = varName()
+            ws()
+            if (peekIs(')')) { i += 1; keys += SortKey(v, asc); return }
+            i = save
+          }
+          val e = expression()
+          expect(')')
+          val hv = s"__ord${ordExtends.size}"
+          ordExtends += (hv -> e)
+          keys += SortKey(hv, asc)
+        }
         var going = true
         while (going) {
-          if (eatKw("ASC")) { expect('('); keys += SortKey(varName(), ascending = true); expect(')') }
-          else if (eatKw("DESC")) { expect('('); keys += SortKey(varName(), ascending = false); expect(')') }
+          ws()
+          if (eatKw("ASC")) brackettedKey(asc = true)
+          else if (eatKw("DESC")) brackettedKey(asc = false)
           else if (peekIs('?')) keys += SortKey(varName(), ascending = true)
+          else if (peekIs('(')) brackettedKey(asc = true)
           else going = false
         }
+        ordExtends.foreach { case (v, e) => op = Extend(v, e, op) }
         op = Order(keys.toList, op)
+        hiddenOrd = ordExtends.map(_._1).toList
       }
 
       val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
       if (projVars.nonEmpty) op = Project(projVars, op)
+      else if (hiddenOrd.nonEmpty || hiddenGroupExpr)
+        // SELECT * — drop the parser-internal helper columns
+        op = ExtOp(df => df.drop(df.columns.filter(_.startsWith("__")): _*), Nil, op)
       if (distinct) op = Distinct(op)
       if (reduced) op = Reduced(op)
 
@@ -494,6 +571,20 @@ object Parser {
       if (peekIs('+')) { i += 1; p = POneOrMore(p) }
       else if (peekIs('*')) { i += 1; p = PZeroOrMore(p) }
       else if (peekIs('?') && !isVarStart(i + 1)) { i += 1; p = PZeroOrOne(p) }
+      else if (peekIs('{')) {
+        // p{n}, p{n,}, p{n,m}, p{,m} — P_Mod / P_FixedLength
+        i += 1
+        ws()
+        val n = if (i < s.length && s.charAt(i).isDigit) integer().toInt else 0
+        ws()
+        p = if (peekIs(',')) {
+          i += 1; ws()
+          val m = if (i < s.length && s.charAt(i).isDigit) integer().toInt else -1
+          PMod(p, n, m)
+        } else if (n >= 1) PFixedLength(p, n)
+        else PMod(p, 0, 0)
+        expect('}')
+      }
       p
     }
     private def pathPrimary(): Path = {
@@ -702,6 +793,12 @@ object Parser {
           } else " "
           expect(')')
           RowExpr(v => SparqlAggregates.groupConcat(a(v), sep))
+        case "MEDIAN" => sawAgg = true; val a = args(1).head
+          RowExpr(v => SparqlAggregates.medianAgg(a(v)))
+        case "MODE" => sawAgg = true; val a = args(1).head
+          RowExpr(v => SparqlAggregates.modeAgg(a(v)))
+        case "FOLD" => sawAgg = true; val a = args(1).head
+          RowExpr(v => SparqlAggregates.foldList(a(v)))
         case "STR" => val a = args(1).head; RowExpr(v => SF.str(a(v)))
         case "LANG" => val a = args(1).head; RowExpr(v => SF.langFn(a(v)))
         case "DATATYPE" => val a = args(1).head; RowExpr(v => SF.datatype(a(v)))
@@ -726,8 +823,55 @@ object Parser {
         case "REGEX" =>
           expect('('); val a = expression(); ws(); expect(','); ws()
           val pat = literal().lex
+          ws()
+          val flags = if (peekIs(',')) { i += 1; ws(); literal().lex } else ""
           expect(')')
-          RowExpr(v => SF.regex(a(v), pat))
+          RowExpr(v => SF.regexFlags(a(v), pat, flags))
+        case "REPLACE" =>
+          expect('('); val a = expression(); ws(); expect(','); ws()
+          val pat = expression(); ws(); expect(','); ws()
+          val rep = expression()
+          ws()
+          val flags = if (peekIs(',')) { i += 1; ws(); literal().lex } else ""
+          expect(')')
+          RowExpr { v =>
+            val p0 = pat(v)
+            val pCol = if (flags.isEmpty) p0.getField("lex")
+                       else concat(slit(s"(?$flags)"), p0.getField("lex"))
+            SF.replaceFn(a(v), struct(p0.getField("kind").as("kind"),
+              pCol.as("lex"), p0.getField("dt").as("dt"), p0.getField("lang").as("lang")),
+              rep(v))
+          }
+        case "ENCODE_FOR_URI" => val a = args(1).head; RowExpr(v => SF.encodeForUri(a(v)))
+        case "STRDT" => val as = args(2); RowExpr(v => SF.strdt(as(0)(v), as(1)(v)))
+        case "STRLANG" => val as = args(2); RowExpr(v => SF.strlang(as(0)(v), as(1)(v)))
+        case "BNODE" =>
+          expect('(')
+          ws()
+          if (peekIs(')')) { i += 1; RowExpr(_ => SF.bnodeFresh()) }
+          else { val a = expression(); expect(')'); RowExpr(v => SF.bnodeLabeled(a(v))) }
+        case "UUID" => args(0); RowExpr(_ => SF.uuidIri())
+        case "STRUUID" => args(0); RowExpr(_ => SF.struuid())
+        case "NOW" => args(0); RowExpr(_ => SF.nowFn())
+        case "RAND" => args(0); RowExpr(_ => SF.randFn())
+        case "TZ" => val a = args(1).head; RowExpr(v => SF.tzFn(a(v)))
+        case "HOURS" => val a = args(1).head; RowExpr(v => SF.hoursFn(a(v)))
+        case "MINUTES" => val a = args(1).head; RowExpr(v => SF.minutesFn(a(v)))
+        case "SECONDS" => val a = args(1).head; RowExpr(v => SF.secondsFn(a(v)))
+        case "SHA1" => val a = args(1).head; RowExpr(v => SF.sha1Fn(a(v)))
+        case "SHA384" => val a = args(1).head; RowExpr(v => SF.sha384Fn(a(v)))
+        case "SHA512" => val a = args(1).head; RowExpr(v => SF.sha512Fn(a(v)))
+        // math library (sparql/function/library/Math_*) by bare name
+        case "SQRT" => val a = args(1).head; RowExpr(v => SF.sqrtFn(a(v)))
+        case "EXP" => val a = args(1).head; RowExpr(v => SF.expFn(a(v)))
+        case "LOG" => val a = args(1).head; RowExpr(v => SF.logFn(a(v)))
+        case "LOG10" => val a = args(1).head; RowExpr(v => SF.log10Fn(a(v)))
+        case "SIN" => val a = args(1).head; RowExpr(v => SF.sinFn(a(v)))
+        case "COS" => val a = args(1).head; RowExpr(v => SF.cosFn(a(v)))
+        case "TAN" => val a = args(1).head; RowExpr(v => SF.tanFn(a(v)))
+        case "ATAN" => val a = args(1).head; RowExpr(v => SF.atanFn(a(v)))
+        case "POW" => val as = args(2); RowExpr(v => SF.powFn(as(0)(v), as(1)(v)))
+        case "PI" => args(0); RowExpr(_ => SF.piTerm())
         case "ABS" => val a = args(1).head; RowExpr(v => SF.absFn(a(v)))
         case "CEIL" => val a = args(1).head; RowExpr(v => SF.ceilFn(a(v)))
         case "FLOOR" => val a = args(1).head; RowExpr(v => SF.floorFn(a(v)))

@@ -30,16 +30,47 @@ object Sparql {
       case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
     }
 
+  /** DESCRIBE text form: `DESCRIBE <iri>...` slices the named resources;
+   * `DESCRIBE ?v WHERE {...}` evaluates the pattern and describes every
+   * IRI ?v binds (IRIs are collected to the driver — bounded by
+   * `maxResources`, loudly). All resources are sliced in ONE set-at-a-time
+   * pass (describeAll), not per-resource queries. */
+  def describeQuery(query: String, graph: DataFrame,
+                    maxResources: Int = 100000): DataFrame =
+    Parser.parseAny(query) match {
+      case Parser.DescribeQ(iris, None, None) => describeAll(iris, graph)
+      case Parser.DescribeQ(_, Some(v), whereOpt) =>
+        import org.apache.spark.sql.functions._
+        import graft.algebra.TermCols
+        val op = whereOpt.getOrElse(
+          throw new IllegalArgumentException("DESCRIBE ?v requires a WHERE pattern"))
+        val sols = Compiler.compile(op, graph)
+        val iris = sols.filter(TermCols.isIri(col(v)))
+          .select(TermCols.lex(col(v))).distinct()
+          .limit(maxResources + 1).collect().map(_.getString(0)).toSeq
+        require(iris.size <= maxResources,
+          s"DESCRIBE ?$v binds more than $maxResources resources")
+        describeAll(iris, graph)
+      case _ => throw new IllegalArgumentException("not a DESCRIBE query")
+    }
+
   /** DESCRIBE <iri>: the concise-bounded-description slice — all triples
    * with the resource as subject or object, plus subject-closure over
    * blank nodes reached from it (the reference's default DescribeHandler
    * behavior). Iterates only through bnode hops (bounded by bnode depth). */
-  def describe(iri: String, graph: DataFrame, maxBnodeDepth: Int = 5): DataFrame = {
+  def describe(iri: String, graph: DataFrame, maxBnodeDepth: Int = 5): DataFrame =
+    describeAll(Seq(iri), graph, maxBnodeDepth)
+
+  /** Multi-resource DESCRIBE in one pass: seeds = triples touching ANY of
+   * the resources, then the shared bnode-closure loop. */
+  def describeAll(iris: Seq[String], graph: DataFrame,
+                  maxBnodeDepth: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.algebra.TermCols
+    if (iris.isEmpty) return graph.select("s", "p", "o").limit(0)
     val seed = graph.filter(
-      (TermCols.isIri(col("s")) && TermCols.lex(col("s")) === iri) ||
-      (TermCols.isIri(col("o")) && TermCols.lex(col("o")) === iri))
+      (TermCols.isIri(col("s")) && TermCols.lex(col("s")).isin(iris: _*)) ||
+      (TermCols.isIri(col("o")) && TermCols.lex(col("o")).isin(iris: _*)))
     var acc = seed.select("s", "p", "o")
     var frontier = acc
     var depth = 0

@@ -103,6 +103,42 @@ class PlanSpec extends AnyFunSuite {
       "decomposed join must stay on equi-joins:\n" + pInner)
   }
 
+  test("snapshot-backed BGP picks the layout by pattern shape with pushed filters") {
+    // scan-node metadata (PushedFilters list) truncates at 100 chars by
+    // default — widen so the assertion can see the p_lex equality
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val snapDir = Files.createTempDirectory("plan_snap").toString
+    val ts = (1 to 500).map(k => Triple(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p" + (k % 5)),
+      Term.lit(k.toString, Term.XSD_INTEGER)))
+    graft.store.TripleStore.materialize(
+      spark.createDataset(ts).toDF()
+        .withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+      snapDir, None, partitions = 2)
+    val sg = Compiler.SnapshotGraph(spark, snapDir)
+    // ?s <p3> ?o — predicate bound ⇒ POS layout, p_lex filter pushed
+    val op = Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "p3")), TVar("y"))))
+    val df = Compiler.compile(op, sg)
+    val p = plan(df)
+    assert(p.contains("/pos"), "predicate-bound pattern must scan POS:\n" + p)
+    // PushedFilters prints truncated; the EqualTo on p_kind is visible and
+    // the p_lex equality shows in the scan's data filters — together they
+    // prove the constant reached the layout scan
+    assert(p.contains("PushedFilters: [IsNotNull(p_kind)")
+      && p.contains("EqualTo(p_kind,0)") && p.contains("= http://example/p3"),
+      "constant must be pushed into the layout scan:\n" + p)
+    assert(df.count() == 100)
+    // <s7> ?p ?o — subject bound ⇒ SPO layout
+    val p2 = plan(Compiler.compile(
+      Bgp(Seq(TriplePattern(TConst(Term.iri(EX + "s7")), TVar("p"), TVar("o")))), sg))
+    assert(p2.contains("/spo") && p2.contains("= http://example/s7"),
+      "subject-bound pattern must scan SPO:\n" + p2)
+    // a path link over the snapshot probes POS too (the closure itself
+    // checkpoints, so inspect the base pair scan)
+    val p3 = plan(PathEval.pairs(sg, PLink(EX + "p3")))
+    assert(p3.contains("/pos"), "path link base scan must use POS:\n" + p3)
+  }
+
   test("d7 simhash banding plans as equi-join (no BNLJ, unlike d6's baseline)") {
     val df = graft.queries.OpsQueries.d7_simhash_lsh(spark, "/root/testdata/sf0.001")
     val p = plan(df)

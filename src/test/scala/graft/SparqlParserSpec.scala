@@ -121,6 +121,84 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(term(alice, 2) == Term.lit("15.0", Term.XSD_DECIMAL))
   }
 
+  test("path modifiers {n}, {n,m}, {n,}, {0,m}") {
+    // knows chain: alice → bob → carol
+    def q(mod: String) = s"""
+      PREFIX ex: <http://example/>
+      SELECT ?x WHERE { ex:alice ex:knows$mod ?x }"""
+    assert(lexes(q("{1,2}"), "x").toSet == Set(EX + "bob", EX + "carol"))
+    assert(lexes(q("{2,2}"), "x").toSet == Set(EX + "carol"))
+    assert(lexes(q("{2}"), "x").toSet == Set(EX + "carol"))
+    assert(lexes(q("{0,1}"), "x").toSet == Set(EX + "alice", EX + "bob"))
+    assert(lexes(q("{1,}"), "x").toSet == Set(EX + "bob", EX + "carol"))
+  }
+
+  test("ORDER BY expressions and GROUP BY expressions") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT ?s WHERE { ?s ex:age ?a } ORDER BY DESC(?a + 1)"""
+    assert(lexes(q, "s") == Seq(EX + "alice", EX + "carol", EX + "bob"))
+    val g2 = """
+      PREFIX ex: <http://example/>
+      SELECT ?len (COUNT(?s) AS ?n) WHERE { ?s ex:name ?nm }
+      GROUP BY (STRLEN(?nm) AS ?len) ORDER BY ?len"""
+    val rows = run(g2)
+    // Bob(3) → 1; Alice/Carol(5) → 2
+    assert(rows.map(r => (r.getAs[Row](0).getString(1),
+      r.getAs[Row](1).getString(1))).toSeq == Seq(("3", "1"), ("5", "2")))
+  }
+
+  test("FROM / FROM NAMED re-scope a quad dataset") {
+    import graft.model.Quad
+    val quads = spark.createDataset(Seq(
+      Quad(i("a"), i("p"), Term.string("in-g1"), i("g1")),
+      Quad(i("b"), i("p"), Term.string("in-g2"), i("g2")),
+      Quad(i("c"), i("p"), Term.string("in-default"), Term.defaultGraph))).toDF()
+    // FROM <g1>: default graph == g1's content only; the original default
+    // graph and g2 disappear
+    val q1 = s"""PREFIX ex: <$EX> SELECT ?o FROM ex:g1 WHERE { ?s ex:p ?o }"""
+    assert(Compiler.compile(Parser.parse(q1), quads)
+      .select(org.apache.spark.sql.functions.col("o").getField("lex"))
+      .collect().map(_.getString(0)).toSeq == Seq("in-g1"))
+    // FROM NAMED <g2>: only g2 is visible to GRAPH ?g
+    val q2 = s"""PREFIX ex: <$EX>
+      SELECT ?g ?o FROM NAMED ex:g2 WHERE { GRAPH ?g { ?s ex:p ?o } }"""
+    val r2 = Compiler.compile(Parser.parse(q2), quads)
+      .select(org.apache.spark.sql.functions.col("g").getField("lex"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r2 == Seq(EX + "g2"))
+  }
+
+  test("DESCRIBE text forms") {
+    val d1 = graft.sparql.Sparql.describeQuery(
+      s"PREFIX ex: <$EX> DESCRIBE ex:bob", g)
+    assert(d1.count() == 4) // bob's name/age/knows + alice knows bob
+    val d2 = graft.sparql.Sparql.describeQuery(
+      s"""PREFIX ex: <$EX> DESCRIBE ?s WHERE { ?s ex:email ?e }""", g)
+    // alice (6 triples touching) + carol (4 triples touching), deduped set
+    assert(d2.count() > 0 &&
+      d2.count() == graft.sparql.Sparql.describeAll(
+        Seq(EX + "alice", EX + "carol"), g).count())
+  }
+
+  test("function tail: REPLACE, REGEX flags, hashes, NOW/TZ, math") {
+    val rep = """
+      PREFIX ex: <http://example/>
+      SELECT (REPLACE(?n, "a", "x", "i") AS ?r) WHERE { ex:alice ex:name ?n }"""
+    assert(lexes(rep, "r") == Seq("xlice"))
+    val rx = """
+      PREFIX ex: <http://example/>
+      SELECT ?n WHERE { ?s ex:name ?n . FILTER(REGEX(?n, "^ali", "i")) }"""
+    assert(lexes(rx, "n") == Seq("Alice"))
+    val fns = """
+      PREFIX ex: <http://example/>
+      SELECT (SHA1(?n) AS ?h) (SQRT(?a * ?a) AS ?sq) (TZ(NOW()) AS ?tz)
+      WHERE { ex:bob ex:name ?n . ex:bob ex:age ?a }"""
+    val row = run(fns).head
+    assert(row.getAs[Row](0).getString(1).length == 40) // sha1 hex
+    assert(row.getAs[Row](1).getString(1) == "9.0")     // math:* is double
+  }
+
   test("property paths: +, alternation, inverse, sequence") {
     val q = """
       PREFIX ex: <http://example/>
