@@ -231,7 +231,8 @@ object SparkEntry {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 18""",
     // d7 banding is COMPLETE for hamming ≤ 5 (6 segments, pigeonhole), so
-    // the oracle is the plain brute-force pair scan over the same corpus
+    // the oracle is the brute-force pair scan over the same exact-simhash
+    // cluster representatives
     "d7_simhash_lsh" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
@@ -249,10 +250,12 @@ object SparkEntry {
                       h2 -> CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
                'sum')::BIGINT AS simhash
-           FROM h)
-         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           FROM h),
+         reps AS (
+           SELECT simhash, min(doc_id) AS rep_id FROM s GROUP BY 1)
+         SELECT a.rep_id AS a_id, b.rep_id AS b_id,
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         FROM reps a JOIN reps b ON a.rep_id < b.rep_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""",
     "s2_ann_lsh" -> graft.queries.OpsQueries.s2SqlDuck,
     "s1_ann_topk" ->

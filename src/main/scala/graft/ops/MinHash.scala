@@ -41,11 +41,21 @@ object MinHash {
   /** K-element minhash signature of a shingle array column. */
   def signature(shinglesCol: String): Column = expr(sigSql(shinglesCol))
 
-  /** The raw SQL of `signature` (shared with the DuckDB oracle builders). */
+  /** The raw SQL of `signature` (the DuckDB oracle builders mirror the
+   * same arithmetic). Shape matters: the md5 transform is the INPUT of a
+   * single `aggregate` fold, so each shingle is hashed ONCE and the fold
+   * does K modular updates per shingle — the per-i `array_min(transform)`
+   * formulation re-hashed every shingle K times (and projection collapse
+   * undoes any hoisting through a helper column). Empty shingle arrays
+   * yield an all-NULL signature like array_min over empty. */
   def sigSql(shinglesCol: String): String =
-    s"""transform(sequence(0, ${K - 1}), i -> array_min(transform(
-          transform($shinglesCol, sh -> pmod(cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint), ${M}L)),
-          h -> pmod(h * element_at($pArr, i+1) + element_at($bArr, i+1), ${M}L))))"""
+    s"""if(size($shinglesCol) = 0,
+          transform(sequence(0, ${K - 1}), i -> cast(null as bigint)),
+          aggregate(
+            transform($shinglesCol, sh -> pmod(cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint), ${M}L)),
+            array_repeat(${M}L, $K),
+            (acc, h) -> zip_with(acc, sequence(0, ${K - 1}),
+              (m, i) -> least(m, pmod(h * element_at($pArr, i+1) + element_at($bArr, i+1), ${M}L)))))"""
 
   /** (band, bucket) pairs from a signature column: `bands` bands of
    * `rowsPerBand` signature rows concatenated into a bucket key. Use with

@@ -143,15 +143,24 @@ object OpsQueries {
       .select(col("a_id"), col("b_id"), col("jac_permille"))
   }
 
-  /** 60-bit SimHash column over a (doc_id, text) frame (shared by d5/d6/d7). */
-  private def simhashed(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr(s"transform(array_distinct($tokensExpr), t -> ${hash60("t")})").as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), 0L, (acc, j) ->
-             acc + if(aggregate(hs, 0L,
-                       (a, h) -> a + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
-                      shiftleft(1L, j), 0L))""").as("simhash"))
+  /** 60-bit SimHash column over a (doc_id, text) frame (shared by
+   * d5/d6/d7). Shape: explode distinct tokens, then 60 codegen'd
+   * conditional-sum aggregates (one per bit) with map-side combine — all
+   * tokens of a doc sit in one input row, so the partial aggregate
+   * collapses to one 60-counter row per doc before any shuffle. The
+   * nested-higher-order-function formulation (60 interpreted passes over
+   * the hash array per doc) measured ~10× slower. */
+  private def simhashed(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("t"))
+      .select(col("doc_id"), expr(hash60("t")).as("h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val simhash = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
   /** 60-bit SimHash per document over distinct-token hash60s. */
   def d5_simhash(s: SparkSession, d: String): DataFrame =
@@ -169,27 +178,38 @@ object OpsQueries {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** SimHash near-dup pairs AT SCALE: the 60-bit simhash splits into 6
-   * segments of 10 bits; by pigeonhole, any pair with Hamming ≤ 5 agrees
-   * exactly on at least one segment, so candidates come from an EQUI-JOIN
-   * on (segment-idx, segment-value) — never an n² theta-join — and are
-   * then verified by exact Hamming. Complete (not approximate) for the
-   * threshold: banding loses nothing below `bands`. Corpus = documents ∪
-   * first-token-dropped copies (ids +100000) so true near-dups exist. */
+  /** SimHash near-dup pairs AT SCALE, two-stage:
+   *
+   * 1. EXACT-simhash clusters collapse first (one hash groupBy; min
+   *    doc_id is the cluster representative). Template-heavy corpora
+   *    produce huge identical-simhash clusters, and any pairwise listing
+   *    over them is inherently quadratic — the standard pipeline dedups
+   *    exact matches before near-matching (measured here: sf0.1 has only
+   *    ~3.8k distinct simhashes over 5k docs).
+   * 2. The pair search runs over DISTINCT simhash values: the 60-bit
+   *    simhash splits into 6 segments of 10 bits; by pigeonhole any pair
+   *    with Hamming ≤ 5 agrees exactly on one segment, so candidates come
+   *    from an EQUI-JOIN on (segment-idx, segment-value) — never an n²
+   *    theta-join — then exact-Hamming verified. Complete (not
+   *    approximate) for the threshold.
+   *
+   * Output: representative pairs (a_id, b_id, hamming). Corpus =
+   * documents ∪ first-token-dropped copies so true near-dups exist. */
   def d7_simhash_lsh(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mutated = docs
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-    val sh = simhashed(docs.union(mutated))
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val reps = simhashed(docs.union(mutated))
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
+    val banded = reps.select(col("rep_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 5), b -> shiftright(simhash, b * 10) & 1023)"))
         .as(Seq("band", "seg")))
     val l = banded.select(col("band"), col("seg"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      col("rep_id").as("a_id"), col("simhash").as("a_sh"))
     val r = banded.select(col("band"), col("seg"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      col("rep_id").as("b_id"), col("simhash").as("b_sh"))
     l.join(r, Seq("band", "seg")).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
       .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
