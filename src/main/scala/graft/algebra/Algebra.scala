@@ -157,6 +157,13 @@ final case class Union(l: Op, r: Op) extends Op
 final case class DatasetClause(defaults: Seq[String], named: Seq[String],
                                input: Op) extends Op
 
+// ---- trivial structural ops (OpLabel / OpNull — algebra/op/OpLabel.java,
+//      OpNull.java; OpList is an identity wrapper and needs no node)
+/** Annotation wrapper — compiles to its input (OpLabel semantics). */
+final case class Label(label: String, input: Op) extends Op
+/** The empty solution set: zero rows, no variables (OpNull). */
+case object Null extends Op
+
 // ---- extension escape hatch (OpExt, OpExecutor.java:347)
 final case class ExtOp(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                        certainVars: Seq[String], input: Op) extends Op

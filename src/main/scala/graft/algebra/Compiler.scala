@@ -223,6 +223,12 @@ object Compiler {
     case Reduced(in) =>
       val c = comp(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
 
+    case Label(_, in) => comp(in, g)
+
+    case Null =>
+      Compiled(g.spark.range(0).select(lit(1).as("__unit")),
+        Set.empty, Set.empty)
+
     case DatasetClause(defaults, named, in) =>
       require(hasGraphCol(g.df), "FROM / FROM NAMED need a quad table (g column)")
       val glex = TermCols.lex(col("g"))

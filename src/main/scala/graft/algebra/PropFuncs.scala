@@ -51,4 +51,52 @@ object PropFuncs {
   /** list:length. */
   def listLength(solutions: DataFrame, listVar: String, outVar: String): DataFrame =
     solutions.withColumn(outVar, TermCols.intTerm(size(col(listVar))))
+
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  /** rdfs:member-style container membership (pfunction/library container):
+   * bind `memberVar` to the objects of rdf:_1, rdf:_2, … triples whose
+   * subject is `containerVar`'s term — a generator join against the
+   * graph, shuffling on the container term like any BGP join. */
+  def containerMember(solutions: DataFrame, graph: DataFrame,
+                      containerVar: String, memberVar: String): DataFrame = {
+    val members = graph
+      .filter(TermCols.isIri(col("p")) &&
+        lex(col("p")).rlike("^" + java.util.regex.Pattern.quote(RDF) + "_[0-9]+$"))
+      .select(col("s").as("__cont"), col("o").as(memberVar))
+    solutions.join(members, col(containerVar) === col("__cont")).drop("__cont")
+  }
+
+  /** apf:bag / apf:seq / apf:alt — container membership restricted to
+   * containers with the given rdf:type (Bag/Seq/Alt). */
+  def containerOfType(solutions: DataFrame, graph: DataFrame, typeLocal: String,
+                      containerVar: String, memberVar: String): DataFrame = {
+    val typed = graph.filter(
+      TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "type") &&
+        TermCols.isIri(col("o")) && lex(col("o")) === (RDF + typeLocal))
+      .select(col("s").as("__typed"))
+    val restricted = solutions.join(typed,
+      col(containerVar) === col("__typed"), "left_semi")
+    containerMember(restricted, graph, containerVar, memberVar)
+  }
+
+  /** apf:assign — bind a computed column (the property-function face of
+   * Extend; kept for library parity with pfunction/library/assign). */
+  def assign(solutions: DataFrame, outVar: String,
+             e: org.apache.spark.sql.Column): DataFrame =
+    solutions.withColumn(outVar, e)
+
+  /** apf:concat — outVar := concatenation of the input vars' lexical
+   * forms (pfunction/library/concat). */
+  def concatVars(solutions: DataFrame, outVar: String, inVars: String*): DataFrame =
+    solutions.withColumn(outVar,
+      strTerm(concat(inVars.map(v => lex(col(v))): _*)))
+
+  /** apf:localname / apf:namespace — IRI split at the last '#' or '/'. */
+  def localname(solutions: DataFrame, iriVar: String, outVar: String): DataFrame =
+    solutions.withColumn(outVar,
+      strTerm(regexp_extract(lex(col(iriVar)), "([^/#]*)$", 1)))
+  def namespace(solutions: DataFrame, iriVar: String, outVar: String): DataFrame =
+    solutions.withColumn(outVar, strTerm(
+      expr(s"substring($iriVar.lex, 1, length($iriVar.lex) - length(regexp_extract($iriVar.lex, '([^/#]*)$$', 1)))")))
 }

@@ -116,6 +116,24 @@ object TermCols {
   def boolTerm(c: Column): Column =
     mk(lit(Term.KIND_LIT), when(c, "true").otherwise("false"), lit(Term.XSD_BOOLEAN), lit(""))
 
+  /** Canonical N-Triples rendering as a column expression (NodeFormatterNT
+   * — escaping via a regexp_replace chain, stays in codegen). Used by the
+   * TSV writer and the RDF-star TRIPLE constructor. */
+  def ntCol(t: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lex(t), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    when(t.isNull, "")
+      .when(isIri(t), concat(lit("<"), lex(t), lit(">")))
+      .when(isBlank(t), concat(lit("_:"), lex(t)))
+      .when(kind(t) === Term.KIND_TRIPLE_TERM, lex(t))
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(lang(t) =!= "", concat(lit("@"), lang(t)))
+          .when(dt(t) =!= "" && dt(t) =!= Term.XSD_STRING,
+            concat(lit("^^<"), dt(t), lit(">")))
+          .otherwise(lit(""))))
+  }
+
   /**
    * SPARQL total-order sort key (ORDER BY comparator, NodeCmp.java:54 via
    * BindingComparator.java:150): unbound < blank nodes < IRIs < literals

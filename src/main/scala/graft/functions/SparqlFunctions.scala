@@ -188,4 +188,29 @@ object SparqlFunctions {
   // ---- UUID (E_UUID / E_StrUUID) — nondeterministic, like the reference
   def uuidIri(): Column = TermCols.iriTerm(concat(lit("urn:uuid:"), expr("uuid()")))
   def struuid(): Column = strOf(expr("uuid()"))
+
+  // ---- RDF-star triple functions (function/library/triple/: TripleFn,
+  //      SubjectFn, PredicateFn, ObjectFn, IsTripleFn). The constructor
+  //      is a pure column composition (canonical text via TermCols.ntCol);
+  //      the accessors re-parse the canonical text with the N-Triples line
+  //      parser in a UDF — triple terms never sit on scan/join hot paths
+  //      (they are opaque struct-equality values there).
+  def tripleFn(s: Column, p: Column, o: Column): Column =
+    when(s.isNotNull && p.isNotNull && o.isNotNull &&
+      kind(s) =!= Term.KIND_LIT && isIri(p),
+      mk(lit(Term.KIND_TRIPLE_TERM),
+        concat(lit("<<( "), TermCols.ntCol(s), lit(" "), TermCols.ntCol(p),
+          lit(" "), TermCols.ntCol(o), lit(" )>>")),
+        lit(""), lit("")))
+  def isTripleFn(t: Column): Column = kind(t) === Term.KIND_TRIPLE_TERM
+
+  private val subjectUdf = udf((l: String) =>
+    graft.riot.NTriples.parseTripleTermComponents(l).map(_._1).orNull)
+  private val predicateUdf = udf((l: String) =>
+    graft.riot.NTriples.parseTripleTermComponents(l).map(_._2).orNull)
+  private val objectUdf = udf((l: String) =>
+    graft.riot.NTriples.parseTripleTermComponents(l).map(_._3).orNull)
+  def subjectFn(t: Column): Column = when(isTripleFn(t), subjectUdf(lex(t)))
+  def predicateFn(t: Column): Column = when(isTripleFn(t), predicateUdf(lex(t)))
+  def objectFn(t: Column): Column = when(isTripleFn(t), objectUdf(lex(t)))
 }

@@ -52,6 +52,18 @@ object NTriples {
   def parseDocument(content: String, strict: Boolean = true): Seq[Triple] =
     content.linesIterator.flatMap(parseLine(_, strict)).toSeq
 
+  /** Parse the canonical `<<( s p o )>>` text of a triple term back into
+   * its three components (RDF-star SUBJECT/PREDICATE/OBJECT accessors);
+   * None when the text is not a well-formed triple term. */
+  def parseTripleTermComponents(lexForm: String): Option[(Term, Term, Term)] = {
+    val s = lexForm.trim
+    if (!s.startsWith("<<(") || !s.endsWith(")>>")) return None
+    try {
+      val p = new LineParser(s.substring(3, s.length - 3).trim)
+      Some((p.term(), p.term(), p.term()))
+    } catch { case _: IllegalArgumentException => None }
+  }
+
   /** Canonical N-Triples lines from a Dataset[Triple]. */
   def format(triples: Dataset[Triple]): Dataset[String] = {
     import triples.sparkSession.implicits._

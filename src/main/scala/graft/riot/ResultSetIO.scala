@@ -100,30 +100,14 @@ object ResultSetIO {
     sb.toString
   }
 
-  /** Column-level canonical term rendering (NodeFormatterNT as column
-   * expressions — escaping via a regexp_replace chain, codegen-friendly). */
-  private def ntTermCol(t: Column): Column = {
-    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(TermCols.lex(t), "\\\\", "\\\\\\\\"),
-      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
-    when(t.isNull, "")
-      .when(TermCols.isIri(t), concat(lit("<"), TermCols.lex(t), lit(">")))
-      .when(TermCols.isBlank(t), concat(lit("_:"), TermCols.lex(t)))
-      .when(TermCols.kind(t) === Term.KIND_TRIPLE_TERM, TermCols.lex(t))
-      .otherwise(concat(lit("\""), esc, lit("\""),
-        when(TermCols.lang(t) =!= "", concat(lit("@"), TermCols.lang(t)))
-          .when(TermCols.dt(t) =!= "" && TermCols.dt(t) =!= Term.XSD_STRING,
-            concat(lit("^^<"), TermCols.dt(t), lit(">")))
-          .otherwise(lit(""))))
-  }
-
-  /** SPARQL results TSV lines (RowSetWriterTSV): full term syntax, one
-   * row per line — distributed; prepend `tsvHeader` when writing a file. */
+  /** SPARQL results TSV lines (RowSetWriterTSV): full term syntax (via
+   * TermCols.ntCol), one row per line — distributed; prepend `tsvHeader`
+   * when writing a file. */
   def bindingsTsv(solutions: DataFrame): Dataset[String] = {
     val spark = solutions.sparkSession
     import spark.implicits._
     solutions.select(concat_ws("\t",
-      solutions.columns.map(v => ntTermCol(col(v))): _*).as("l")).as[String]
+      solutions.columns.map(v => TermCols.ntCol(col(v))): _*).as("l")).as[String]
   }
 
   def tsvHeader(solutions: DataFrame): String =

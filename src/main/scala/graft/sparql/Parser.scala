@@ -896,7 +896,36 @@ object Parser {
         case "ISBLANK" => val a = args(1).head; RowExpr(v => TermCols.isBlank(a(v)))
         case "ISLITERAL" => val a = args(1).head; RowExpr(v => TermCols.isLiteral(a(v)))
         case "ISNUMERIC" => val a = args(1).head; RowExpr(v => TermCols.isNumeric(a(v)))
-        case other => fail(s"unsupported function $other")
+        // RDF-star triple functions
+        case "TRIPLE" => val as = args(3)
+          RowExpr(v => SF.tripleFn(as(0)(v), as(1)(v), as(2)(v)))
+        case "ISTRIPLE" => val a = args(1).head; RowExpr(v => SF.isTripleFn(a(v)))
+        case "SUBJECT" => val a = args(1).head; RowExpr(v => SF.subjectFn(a(v)))
+        case "PREDICATE" => val a = args(1).head; RowExpr(v => SF.predicateFn(a(v)))
+        case "OBJECT" => val a = args(1).head; RowExpr(v => SF.objectFn(a(v)))
+        case other =>
+          // custom registries (FunctionRegistry / AggregateRegistry):
+          // resolve after the built-ins, any arity for scalar functions
+          graft.functions.Registry.function(other) match {
+            case Some(f) =>
+              expect('(')
+              val out = ListBuffer[RowExpr]()
+              ws()
+              if (!peekIs(')')) {
+                out += expression()
+                while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+              }
+              expect(')')
+              val argv = out.toList
+              RowExpr(v => f(argv.map(_(v))))
+            case None => graft.functions.Registry.aggregate(other) match {
+              case Some(a) =>
+                sawAgg = true
+                val arg = args(1).head
+                RowExpr(v => a(arg(v)))
+              case None => fail(s"unsupported function $other")
+            }
+          }
       }
     }
 

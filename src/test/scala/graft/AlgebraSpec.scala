@@ -247,6 +247,28 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(Compiler.compile(op, g), "n") == Set("Alice", "Bob"))
   }
 
+  test("container property functions; Label/Null structural ops") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val g2 = spark.createDataset(Seq(
+      Triple(i("box"), Term.iri(RDF + "type"), Term.iri(RDF + "Bag")),
+      Triple(i("box"), Term.iri(RDF + "_1"), Term.string("x")),
+      Triple(i("box"), Term.iri(RDF + "_2"), Term.string("y")),
+      Triple(i("list"), Term.iri(RDF + "type"), Term.iri(RDF + "Seq")),
+      Triple(i("list"), Term.iri(RDF + "_1"), Term.string("z")))).toDF()
+    val conts = Compiler.compile(
+      Bgp(Seq(tp(v("c"), c(Term.iri(RDF + "type")), v("t")))), g2)
+    val members = PropFuncs.containerMember(conts, g2, "c", "m")
+    assert(lexSet(members, "m") == Set("x", "y", "z"))
+    val bagOnly = PropFuncs.containerOfType(
+      conts.select("c").distinct(), g2, "Bag", "c", "m")
+    assert(lexSet(bagOnly, "m") == Set("x", "y"))
+    // Label is transparent; Null is the empty solution set
+    val labeled = Compiler.compile(
+      Label("note", Bgp(Seq(tp(v("s"), c(Term.iri(RDF + "_1")), v("o"))))), g2)
+    assert(labeled.count() == 2)
+    assert(Compiler.compile(Null, g2).count() == 0)
+  }
+
   test("closure: chain longer than 30 hops reaches the true fixpoint") {
     val n = 40
     val chain = spark.createDataset((1 until n).map(k =>

@@ -135,6 +135,62 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg1(SparqlAggregates.maxAgg(col("v"))).lex == "2")
   }
 
+  test("RDF-star triple functions + CDT maps + custom registries") {
+    import graft.functions.{CdtMap, Registry, SparqlFunctions => SF}
+    val row = spark.range(1).select(
+      TermCols.const(Term.iri(EX + "s")).as("s"),
+      TermCols.const(Term.iri(EX + "p")).as("p"),
+      TermCols.const(Term.langLit("hi", "en")).as("o"))
+    def t(c: org.apache.spark.sql.Column): Term = {
+      val r = row.select(c.as("r")).head().getAs[Row]("r")
+      if (r == null) null else Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    // constructor → accessors round-trip through the canonical text
+    val tt = t(SF.tripleFn(col("s"), col("p"), col("o")))
+    assert(tt.kind == Term.KIND_TRIPLE_TERM)
+    assert(t(SF.subjectFn(SF.tripleFn(col("s"), col("p"), col("o")))) == Term.iri(EX + "s"))
+    assert(t(SF.objectFn(SF.tripleFn(col("s"), col("p"), col("o")))) == Term.langLit("hi", "en"))
+    // ill-formed: literal subject → NULL (eval error)
+    assert(t(SF.tripleFn(col("o"), col("p"), col("s"))) == null)
+
+    // CDT maps
+    val m = spark.range(1).select(
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("a"), org.apache.spark.sql.functions.lit(1),
+        org.apache.spark.sql.functions.lit("b"), org.apache.spark.sql.functions.lit(2)).as("m"))
+    assert(m.select(CdtMap.mapGet(col("m"),
+      org.apache.spark.sql.functions.lit("b")).as("v")).head().getInt(0) == 2)
+    assert(m.select(CdtMap.mapSize(col("m")).as("n")).head().getInt(0) == 2)
+    val put = m.select(CdtMap.mapPut(col("m"),
+      org.apache.spark.sql.functions.lit("a"), org.apache.spark.sql.functions.lit(9)).as("m2"))
+    assert(put.select(CdtMap.mapGet(col("m2"),
+      org.apache.spark.sql.functions.lit("a")).as("v")).head().getInt(0) == 9)
+
+    // custom registries resolve from SPARQL text after the built-ins
+    Registry.registerFunction("shout",
+      args => SF.ucase(args.head))
+    Registry.registerAggregate("maxlen",
+      c => TermCols.intTerm(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.length(TermCols.lex(c)))))
+    try {
+      val g2 = spark.createDataset(Seq(
+        Triple(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.string("ann")),
+        Triple(Term.iri(EX + "b"), Term.iri(EX + "name"), Term.string("beatrix"))))(
+        org.apache.spark.sql.Encoders.product[Triple]).toDF()
+      val rows = graft.algebra.Compiler.compile(graft.sparql.Parser.parse(
+        s"""PREFIX ex: <$EX>
+            SELECT (SHOUT(?n) AS ?u) WHERE { ex:a ex:name ?n }"""), g2).head()
+      assert(rows.getAs[Row](0).getString(1) == "ANN")
+      val agg = graft.algebra.Compiler.compile(graft.sparql.Parser.parse(
+        s"""PREFIX ex: <$EX>
+            SELECT (MAXLEN(?n) AS ?m) WHERE { ?s ex:name ?n }"""), g2).head()
+      assert(agg.getAs[Row](0).getString(1) == "7")
+    } finally {
+      Registry.unregisterFunction("shout")
+      Registry.unregisterAggregate("maxlen")
+    }
+  }
+
   test("CONSTRUCT: substitution, skipped incomplete rows, per-row bnodes") {
     val g = spark.createDataset(Seq(
       Triple(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.string("A")),

@@ -190,6 +190,27 @@ class RiotSpec extends AnyFunSuite {
     assert(quads.forall(_.p.lex.startsWith(EX)))
   }
 
+  test("TurtleWriter: subject-grouped blocks with prefixes round-trip through TurtleLite") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ts = Seq(
+      Triple(Term.iri(EX + "alice"), Term.iri(EX + "name"), Term.string("Alice")),
+      Triple(Term.iri(EX + "alice"), Term.iri(EX + "age"), Term.lit("30", Term.XSD_INTEGER)),
+      Triple(Term.iri(EX + "alice"),
+        Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Term.iri(EX + "Person")),
+      Triple(Term.iri(EX + "bob"), Term.iri(EX + "name"), Term.langLit("Bob", "en")),
+      Triple(Term.bnode("b1"), Term.iri(EX + "name"), Term.string("anon \"x\"")))
+    val df = spark.createDataset(ts).toDF()
+    val text = graft.riot.TurtleWriter.format(df, Map("ex" -> EX))
+      .collect().mkString("\n")
+    assert(text.contains("@prefix ex: <" + EX + "> ."))
+    assert(text.contains("ex:alice "))
+    assert(text.contains(" a ")) // rdf:type shortcut
+    assert(text.contains("\"Bob\"@en"))
+    val back = TurtleLite.parse(text)
+    assert(back.toSet == ts.toSet)
+  }
+
   test("quad store: GSPO/GPOS/GOSP layouts round-trip with per-graph pruning") {
     val spark = TestSpark.spark
     import spark.implicits._
