@@ -39,6 +39,22 @@ object StreamIngest {
       .mapPartitions(_.flatMap(NTriples.parseLine(_, strict = false)))
   }
 
+  /** Watermarked tumbling-window aggregation over a timestamped triple
+   * stream: triples/predicate per event-time window (the Structured
+   * Streaming windowed-agg face of §2.11 — the streaming sibling of
+   * OpGroup). The watermark bounds state: windows older than it finalize
+   * and late rows beyond it are dropped by the engine, so state size is
+   * O(open windows), not O(stream). Input needs an event-time column
+   * `tsCol` plus the p term column. */
+  def predicateRates(triples: DataFrame, tsCol: String = "ts",
+                     windowLen: String = "10 seconds",
+                     watermark: String = "30 seconds"): DataFrame =
+    triples
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        col("p.lex").as("predicate"))
+      .agg(count(lit(1)).as("n"))
+
   /** Continuous dedup-append sink: each micro-batch is deduplicated
    * against nothing but itself and appended as parquet — downstream
    * snapshot compaction applies graph set semantics. Returns the running

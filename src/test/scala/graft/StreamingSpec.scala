@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 70)
   }
 
+  test("windowed predicate rates with watermark (streaming OpGroup)") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("st_win").toString
+    // 30 triples, event time embedded in the object: 3 tumbling 10s windows
+    val lines = (0 until 30).map { i =>
+      f"<http://e/s$i> <http://e/p${i % 2}> " +
+        f""""2026-01-01T00:00:$i%02d" ."""
+    }
+    Files.writeString(java.nio.file.Paths.get(in, "w.nt"), lines.mkString("\n"))
+    val st = StreamIngest.readNTriplesStream(spark, in).toDF()
+      .withColumn("ts", to_timestamp(col("o.lex")))
+    val agg = StreamIngest.predicateRates(st, "ts", "10 seconds", "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("predrates")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT predicate, n FROM predrates").collect()
+    // 3 windows × 2 predicates, 5 triples each
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(1) == 5L))
+    assert(rows.map(_.getString(0)).toSet == Set("http://e/p0", "http://e/p1"))
+  }
+
   test("RDF-Patch stream: adds/deletes fold into successive snapshots") {
     import spark.implicits._
     val snaps = Files.createTempDirectory("st_snaps").toString
