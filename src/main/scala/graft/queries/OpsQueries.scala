@@ -287,9 +287,15 @@ object OpsQueries {
       .reduce(_ + _)
     val withBuckets = e.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until 4).map(bucketFor): _*)).as(Seq("tbl", "bucket")))
+    // multiprobe (standard LSH recall lever): the QUERY side also probes
+    // the four Hamming-1 neighbor buckets per table — 5× more candidate
+    // buckets per query without growing the indexed side or the tables
     val q = withBuckets.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("tbl"), col("bucket"))
+        col("tbl"),
+        explode(expr(
+          "array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L, bucket ^ 8L)"))
+          .as("bucket"))
     val c = withBuckets.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nv"), col("tbl"), col("bucket"))
     import org.apache.spark.sql.expressions.Window
@@ -321,11 +327,16 @@ object OpsQueries {
                   THEN CAST(1 AS BIGINT) << CAST(bp AS INT) ELSE CAST(0 AS BIGINT) END),
              'sum')::BIGINT AS bucket
          FROM e, pl, range(0, 4) t(tbl)),
+       qp AS (
+         SELECT vec_id, v, tbl,
+           unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                   xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         FROM tb WHERE vec_id < 10),
        cand AS (
          SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
                 c.vec_id AS neighbor_id, c.v AS nv
-         FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
-         WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         FROM qp q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id != c.vec_id),
        sims AS (
          SELECT query_id, neighbor_id,
            list_aggregate(list_transform(range(1, 65),

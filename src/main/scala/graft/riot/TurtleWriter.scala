@@ -34,23 +34,60 @@ object TurtleWriter {
     val pfx = prefixes.toSeq.sortBy(_._1)
     grouped.mapPartitions { it =>
       val header = pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }.iterator
-      val blocks = it.map { case (s, pos) =>
-        val sb = new StringBuilder(term(s, pfx))
-        val byPred = pos.groupBy(_._1).toSeq.sortBy(_._1.lex)
-        val preds = byPred.map { case (p, objs) =>
-          val pTxt = if (p.lex == RDF_TYPE) "a" else term(p, pfx)
-          pTxt + " " + objs.map(po => term(po._2, pfx)).mkString(", ")
-        }
-        sb.append(' ').append(preds.mkString(" ;\n    ")).append(" .")
-        sb.toString
-      }
-      header ++ blocks
+      header ++ it.map { case (s, pos) => subjectBlock(s, pos, pfx) }
     }
   }
 
   def write(triples: DataFrame, path: String,
             prefixes: Map[String, String] = Map.empty): Unit =
     format(triples, prefixes).write.mode("overwrite").text(path)
+
+  /** TriG text from a (s,p,o,g) quad DataFrame (riot TriG writer analog):
+   * default-graph triples print bare, named graphs as `<g> { ... }`
+   * blocks. One groupBy(g, s) shuffle; same per-partition-standalone
+   * property as `format` (each part is a valid TriG document). */
+  def formatTrig(quads: DataFrame,
+                 prefixes: Map[String, String] = Map.empty): Dataset[String] = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val grouped = quads
+      .groupBy(col("g"), col("s"))
+      .agg(sort_array(collect_list(
+        struct(col("p").as("_1"), col("o").as("_2")))).as("pos"))
+      .select(col("g").as("_1"), col("s").as("_2"), col("pos").as("_3"))
+      .as[(Term, Term, Seq[(Term, Term)])]
+      // co-locate each graph's blocks so a graph's block set stays within
+      // one partition (valid TriG needs one { } per graph per document —
+      // per PART here, which repartitioning by g guarantees)
+      .repartition(col("_1"))
+    val pfx = prefixes.toSeq.sortBy(_._1)
+    grouped.mapPartitions { it =>
+      val header = pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }.iterator
+      val byGraph = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1.lex)
+      val blocks = byGraph.iterator.map { case (g, rows) =>
+        val body = rows.sortBy(_._2.lex).map { case (_, s, pos) =>
+          subjectBlock(s, pos, pfx)
+        }.mkString("\n")
+        if (g.lex == Term.DEFAULT_GRAPH) body
+        else term(g, pfx) + " {\n" + body + "\n}"
+      }
+      header ++ blocks
+    }
+  }
+
+  def writeTrig(quads: DataFrame, path: String,
+                prefixes: Map[String, String] = Map.empty): Unit =
+    formatTrig(quads, prefixes).write.mode("overwrite").text(path)
+
+  private def subjectBlock(s: Term, pos: Seq[(Term, Term)],
+                           pfx: Seq[(String, String)]): String = {
+    val byPred = pos.groupBy(_._1).toSeq.sortBy(_._1.lex)
+    val preds = byPred.map { case (p, objs) =>
+      val pTxt = if (p.lex == RDF_TYPE) "a" else term(p, pfx)
+      pTxt + " " + objs.map(po => term(po._2, pfx)).mkString(", ")
+    }
+    term(s, pfx) + " " + preds.mkString(" ;\n    ") + " ."
+  }
 
   /** Compact an IRI against the declared prefixes when the local part is
    * a safe PN_LOCAL (letters/digits/_/-); otherwise full N-Triples form.

@@ -618,9 +618,33 @@ object Parser {
       else TConst(constTerm())
     }
 
+    /** RDF-star quoted triple `<< s p o >>` (SPARQL 1.2 surface syntax) —
+     * CONSTANT components only, canonicalized to the engine's opaque
+     * triple-term text (matching the N-Triples `<<( … )>>` storage form,
+     * so pattern constants equi-match stored triple terms). Variables
+     * inside quoted triples raise: set-at-a-time unification through the
+     * opaque encoding is out of the supported subset. */
+    private def quotedTriple(): Term = {
+      i += 2 // '<<'
+      def slot(): Term = {
+        ws()
+        if (peekIs('?') || peekIs('$'))
+          fail("variables inside quoted triples are not supported (constants only)")
+        constTerm()
+      }
+      val (ts, tp, to) = (slot(), slot(), slot())
+      ws()
+      if (!s.startsWith(">>", i)) fail("expected '>>'")
+      i += 2
+      Term(Term.KIND_TRIPLE_TERM,
+        "<<( " + ts.toNTriples + " " + tp.toNTriples + " " + to.toNTriples + " )>>",
+        "", "")
+    }
+
     private def constTerm(): Term = {
       ws()
-      if (peekIs('<')) Term.iri(iriRef())
+      if (s.startsWith("<<", i)) quotedTriple()
+      else if (peekIs('<')) Term.iri(iriRef())
       else if (peekIs('"') || peekIs('\'')) literal()
       else if (peekIs('_')) { expect('_'); expect(':'); Term.bnode(name()) }
       else if (kwAhead("true")) { eatKw("true"); Term.lit("true", Term.XSD_BOOLEAN) }

@@ -211,6 +211,23 @@ class RiotSpec extends AnyFunSuite {
     assert(back.toSet == ts.toSet)
   }
 
+  test("TriG writer: named-graph blocks + default graph round-trip through TrigLite") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.model.Quad
+    val quads = Seq(
+      Quad(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.string("A"), Term.iri(EX + "g1")),
+      Quad(Term.iri(EX + "a"), Term.iri(EX + "age"), Term.lit("3", Term.XSD_INTEGER), Term.iri(EX + "g1")),
+      Quad(Term.iri(EX + "b"), Term.iri(EX + "name"), Term.string("B"), Term.iri(EX + "g2")),
+      Quad(Term.iri(EX + "top"), Term.iri(EX + "name"), Term.string("T"), Term.defaultGraph))
+    val text = graft.riot.TurtleWriter.formatTrig(
+      spark.createDataset(quads).toDF(), Map("ex" -> EX))
+      .collect().mkString("\n")
+    assert(text.contains("ex:g1 {") && text.contains("ex:g2 {"))
+    val back = graft.riot.TrigLite.parse(text)
+    assert(back.toSet == quads.toSet)
+  }
+
   test("quad store: GSPO/GPOS/GOSP layouts round-trip with per-graph pruning") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -199,6 +199,35 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(row.getAs[Row](1).getString(1) == "9.0")     // math:* is double
   }
 
+  test("RDF-star quoted triple constants match stored triple terms") {
+    import graft.model.Quad
+    val stmt = Term(Term.KIND_TRIPLE_TERM,
+      s"""<<( <${EX}alice> <${EX}age> "30"^^<${Term.XSD_INTEGER}> )>>""", "", "")
+    val g2 = spark.createDataset(Seq(
+      Triple(i("cert1"), i("states"), stmt),
+      Triple(i("cert1"), i("by"), i("bob")),
+      Triple(i("cert2"), i("states"), Term.string("not-a-triple-term")))).toDF()
+    val q = s"""
+      PREFIX ex: <$EX>
+      SELECT ?c ?w WHERE {
+        ?c ex:states << ex:alice ex:age 30 >> .
+        ?c ex:by ?w }"""
+    val rows = Compiler.compile(Parser.parse(q), g2).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Row]("w").getString(1) == EX + "bob")
+    // SUBJECT/OBJECT accessors recover the components from the bound term
+    val acc = s"""
+      PREFIX ex: <$EX>
+      SELECT (SUBJECT(?t) AS ?s0) (OBJECT(?t) AS ?o0)
+      WHERE { ex:cert1 ex:states ?t }"""
+    val r = Compiler.compile(Parser.parse(acc), g2).head()
+    assert(r.getAs[Row](0).getString(1) == EX + "alice")
+    assert(r.getAs[Row](1).getString(1) == "30")
+    // variables inside quoted triples raise, never mis-parse
+    intercept[IllegalArgumentException](Parser.parse(
+      s"""PREFIX ex: <$EX> SELECT ?x WHERE { ?c ex:states << ?x ex:age 30 >> }"""))
+  }
+
   test("property paths: +, alternation, inverse, sequence") {
     val q = """
       PREFIX ex: <http://example/>
