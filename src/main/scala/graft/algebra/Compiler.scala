@@ -94,6 +94,63 @@ object Compiler {
     }
   }
 
+  /** Materialized QUAD snapshot (GSPO/GPOS/GOSP layouts): GRAPH patterns
+   * pick the layout by s/p/o shape — every quad layout leads with g_lex,
+   * so a bound graph prunes file ranges on all of them — and push flat
+   * filters into parquet. */
+  final case class QuadSnapshotGraph(override val spark: SparkSession, dir: String)
+      extends GraphSource {
+    /** (s,p,o,g) struct view over GSPO — fallback for generic operators. */
+    lazy val df: DataFrame = {
+      val flat = spark.read.parquet(s"$dir/gspo")
+      def term(p: String) = struct(
+        col(s"${p}_kind").as("kind"), col(s"${p}_lex").as("lex"),
+        col(s"${p}_dt").as("dt"), col(s"${p}_lang").as("lang")).as(p)
+      flat.select(term("s"), term("p"), term("o"), term("g"))
+    }
+
+    /** One quad-pattern scan; `defaultOnly` pins the default graph (plain
+     * BGP semantics), otherwise `gp` joins/filters like the s/p/o slots
+     * restricted to NAMED graphs (GRAPH semantics). */
+    def scanQuadPattern(gp: TermPat, tp: TriplePattern,
+                        defaultOnly: Boolean = false): Compiled = {
+      val layout = (tp.s, tp.p, tp.o) match {
+        case (TConst(_), _, _) => "gspo"
+        case (_, TConst(_), _) => "gpos"
+        case (_, _, TConst(_)) => "gosp"
+        case _ => "gspo"
+      }
+      var d = spark.read.parquet(s"$dir/$layout")
+      if (defaultOnly) d = d.where(col("g_lex") === DefaultGraph)
+      else d = d.where(col("g_lex") =!= DefaultGraph)
+      val slots = Seq(("g", gp), ("s", tp.s), ("p", tp.p), ("o", tp.o))
+      slots.foreach {
+        case (c, TConst(t)) =>
+          d = d.where(col(s"${c}_kind") === t.kind && col(s"${c}_lex") === t.lex &&
+            col(s"${c}_dt") === t.dt && col(s"${c}_lang") === t.lang)
+        case _ =>
+      }
+      val byVar = slots.collect { case (c, TVar(n)) => (n, c) }.groupBy(_._1)
+      byVar.values.filter(_.size > 1).foreach { occ =>
+        occ.map(_._2).sliding(2).foreach {
+          case Seq(a, b) =>
+            d = d.where(col(s"${a}_kind") === col(s"${b}_kind") &&
+              col(s"${a}_lex") === col(s"${b}_lex") &&
+              col(s"${a}_dt") === col(s"${b}_dt") &&
+              col(s"${a}_lang") === col(s"${b}_lang"))
+          case _ =>
+        }
+      }
+      def term(c: String) = struct(
+        col(s"${c}_kind").as("kind"), col(s"${c}_lex").as("lex"),
+        col(s"${c}_dt").as("dt"), col(s"${c}_lang").as("lang"))
+      val out = byVar.map { case (n, occ) => term(occ.head._2).as(n) }.toSeq
+      Compiled(
+        if (out.isEmpty) d.select(lit(1).as("__unit")) else d.select(out: _*),
+        if (out.isEmpty) Set.empty else byVar.keySet, Set.empty)
+    }
+  }
+
   /** The graph being queried: a DataFrame with term-struct columns s, p, o
    * (the `Dataset[Triple]` shape of SURVEY.md §1.7). */
   def compile(op: Op, triples: DataFrame): DataFrame =
@@ -115,6 +172,10 @@ object Compiler {
       g match {
         case sg: SnapshotGraph =>
           patterns.map(sg.scanPattern).reduceLeft(join(_, _, "inner"))
+        case qsg: QuadSnapshotGraph =>
+          // un-GRAPHed BGP over a quad store = default graph only
+          patterns.map(qsg.scanQuadPattern(TAny, _, defaultOnly = true))
+            .reduceLeft(join(_, _, "inner"))
         case _ =>
           // on a quad table, an un-GRAPHed BGP matches the default graph only
           val base =
@@ -125,12 +186,18 @@ object Compiler {
       }
 
     case QuadBgp(gp, patterns) =>
-      require(hasGraphCol(g.df), "QuadBgp needs a quad table (g column)")
       require(patterns.nonEmpty, "empty QuadBgp")
-      // GRAPH never matches the default graph (SPARQL dataset semantics)
-      val named = g.df.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
-      patterns.map(scan(named, _, extraSlots = Seq(("g", gp))))
-        .reduceLeft(join(_, _, "inner"))
+      g match {
+        case qsg: QuadSnapshotGraph =>
+          patterns.map(qsg.scanQuadPattern(gp, _))
+            .reduceLeft(join(_, _, "inner"))
+        case _ =>
+          require(hasGraphCol(g.df), "QuadBgp needs a quad table (g column)")
+          // GRAPH never matches the default graph (SPARQL dataset semantics)
+          val named = g.df.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+          patterns.map(scan(named, _, extraSlots = Seq(("g", gp))))
+            .reduceLeft(join(_, _, "inner"))
+      }
 
     case PathPattern(s, path, o) =>
       val pairs = PathEval.pairs(g, path) // (src, dst) term structs

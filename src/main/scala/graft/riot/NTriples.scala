@@ -52,6 +52,10 @@ object NTriples {
   def parseDocument(content: String, strict: Boolean = true): Seq[Triple] =
     content.linesIterator.flatMap(parseLine(_, strict)).toSeq
 
+  /** Parse a single term in N-Triples syntax (TSV result cells, fixture
+   * helpers). Raises on malformed input. */
+  def parseTerm(text: String): Term = new LineParser(text.trim).term()
+
   /** Parse the canonical `<<( s p o )>>` text of a triple term back into
    * its three components (RDF-star SUBJECT/PREDICATE/OBJECT accessors);
    * None when the text is not a well-formed triple term. */

@@ -161,6 +161,27 @@ object ResultSetIO {
     solutionsDf(spark, vars, rows)
   }
 
+  /** Parse a SPARQL results TSV document (RowSetReaderTSV): header of
+   * ?vars, then full term syntax per cell (the N-Triples line parser
+   * reads each cell; empty cell = unbound). */
+  def fromTsv(spark: SparkSession, tsv: String): DataFrame = {
+    val lines = tsv.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty, "empty TSV document")
+    val vars = lines.head.split("\t").map(_.trim.stripPrefix("?")).toSeq
+    val rows = lines.tail.toSeq.map { line =>
+      val cells = line.split("\t", -1)
+      Row(vars.indices.map { i =>
+        val cell = if (i < cells.length) cells(i).trim else ""
+        if (cell.isEmpty) null
+        else {
+          val t = NTriples.parseTerm(cell)
+          Row(t.kind, t.lex, t.dt, t.lang)
+        }
+      }: _*)
+    }
+    solutionsDf(spark, vars, rows)
+  }
+
   /** Parse a W3C results-XML document (JDK DOM — no extra deps). */
   def fromSparqlXml(spark: SparkSession, xml: String): DataFrame = {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()

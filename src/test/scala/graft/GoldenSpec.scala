@@ -136,8 +136,11 @@ class GoldenSpec extends AnyFunSuite {
     val viaXml = ResultSetIO.fromSparqlXml(spark, ResultSetIO.toSparqlXml(sols))
     assert(canon(sols) == canon(viaJson))
     assert(canon(sols) == canon(viaXml))
-    // and the TSV writer renders the full term syntax
-    assert(ResultSetIO.toTsv(sols).contains("\"Dave\"@en"))
+    // and the TSV writer renders the full term syntax, round-tripping
+    // through the TSV READER
+    val tsv = ResultSetIO.toTsv(sols)
+    assert(tsv.contains("\"Dave\"@en"))
+    assert(canon(sols) == canon(ResultSetIO.fromTsv(spark, tsv)))
   }
 
   test("golden: CONSTRUCT compared by bnode isomorphism") {

@@ -139,6 +139,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p3.contains("/pos"), "path link base scan must use POS:\n" + p3)
   }
 
+  test("quad-snapshot GRAPH patterns pick the quad layout with graph pruning") {
+    import graft.model.Quad
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = Files.createTempDirectory("plan_qsnap").toString
+    val quads = (1 to 300).map(k => Quad(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p" + (k % 3)),
+      Term.lit(k.toString, Term.XSD_INTEGER),
+      if (k % 5 == 0) Term.defaultGraph else Term.iri(EX + "g" + (k % 2))))
+    graft.store.TripleStore.materializeQuads(
+      spark.createDataset(quads).toDF(), dir, None, partitions = 2)
+    val qsg = Compiler.QuadSnapshotGraph(spark, dir)
+    // GRAPH ?gr { ?s <p1> ?o } — predicate bound ⇒ GPOS; default graph excluded
+    val df = Compiler.compile(QuadBgp(TVar("gr"),
+      Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "p1")), TVar("o")))), qsg)
+    val p = plan(df)
+    assert(p.contains("/gpos"), "predicate-bound GRAPH pattern must scan GPOS:\n" + p)
+    assert(p.contains("= http://example/p1"), "pushed predicate filter expected:\n" + p)
+    assert(df.count() == quads.count(q =>
+      q.p.lex == EX + "p1" && q.g.lex != Term.DEFAULT_GRAPH))
+    // plain BGP over the quad store sees the default graph only
+    val dflt = Compiler.compile(
+      Bgp(Seq(TriplePattern(TVar("s"), TVar("p"), TVar("o")))), qsg)
+    assert(dflt.count() == quads.count(_.g.lex == Term.DEFAULT_GRAPH))
+  }
+
   test("d7 simhash banding plans as equi-join (no BNLJ, unlike d6's baseline)") {
     val df = graft.queries.OpsQueries.d7_simhash_lsh(spark, "/root/testdata/sf0.001")
     val p = plan(df)
