@@ -506,8 +506,8 @@ object Compiler {
    * silently mis-evaluate. */
   private def lateral(l: Compiled, r: Op, g: GraphSource): Compiled = r match {
     case Slice(offset, limit, inner) =>
-      require(offset == 0, "LATERAL with OFFSET is not supported")
-      require(limit <= Int.MaxValue, s"LATERAL LIMIT $limit exceeds supported range")
+      require(offset <= Int.MaxValue && (limit == Long.MaxValue || limit <= Int.MaxValue),
+        s"LATERAL slice ($offset, $limit) exceeds supported range")
       val (body, sortKeys) = inner match {
         case Order(ks, i2) => (i2, ks)
         case other => (other, Seq.empty[SortKey])
@@ -527,9 +527,12 @@ object Compiler {
           if (k.ascending) sk.asc else sk.desc
         }
       val w = Window.partitionBy(col("__lid")).orderBy(orderCols: _*)
+      val keep =
+        if (limit == Long.MaxValue) col("__rn") > offset
+        else col("__rn") > offset && col("__rn") <= offset + limit
       val limited = joined.df
         .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= limit.toInt)
+        .where(keep)
         .drop("__rn", "__lid")
       Compiled(limited, joined.certain - "__lid", joined.maybe)
     case Order(_, inner) =>

@@ -133,9 +133,14 @@ object OpsQueries {
     val r = capped.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val cand = l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val aSh = all.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val bSh = all.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-    cand.join(aSh, "a_id").join(bSh, "b_id")
+    // verify joins probe the same (doc_id, shingles) subplan on the same
+    // key, keeping the two shingle exchanges identical (reusable when the
+    // planner chooses; renamed-before-join frames never are)
+    cand
+      .join(all, col("a_id") === col("doc_id"))
+      .withColumnRenamed("shingles", "a_sh").drop("doc_id")
+      .join(all, col("b_id") === col("doc_id"))
+      .withColumnRenamed("shingles", "b_sh").drop("doc_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jac_permille", expr("(cast(inter as bigint) * 1000) div uni"))
