@@ -118,6 +118,13 @@ object Parser {
     /** CONSTRUCT template: plain triples (';' ',' 'a', bnode labels),
      * no paths/filters. */
     private def templateBlock(): Seq[TriplePattern] = {
+      val saveBnodeMode = bnodeIsVar
+      bnodeIsVar = false
+      try templateBlock0()
+      finally bnodeIsVar = saveBnodeMode
+    }
+
+    private def templateBlock0(): Seq[TriplePattern] = {
       expect('{')
       val out = ListBuffer[TriplePattern]()
       ws()
@@ -612,9 +619,19 @@ object Parser {
     }
 
     // ---- terms
+    /** In QUERY patterns a blank node label is a non-distinguished
+     * VARIABLE (SPARQL 1.1 §4.1.4 — it never matches a stored bnode by
+     * label); in CONSTRUCT/Update templates it stays a template bnode.
+     * templateBlock flips the mode. */
+    private var bnodeIsVar = true
+
     private def termPat(): TermPat = {
       ws()
       if (peekIs('?')) TVar(varName())
+      else if (bnodeIsVar && peekIs('_')) {
+        expect('_'); expect(':')
+        TVar("__bn_" + name())
+      }
       else TConst(constTerm())
     }
 

@@ -199,6 +199,18 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(row.getAs[Row](1).getString(1) == "9.0")     // math:* is double
   }
 
+  test("blank nodes in query patterns are non-distinguished variables") {
+    // _:x must NOT match stored bnode labels literally — it binds like a
+    // variable (SPARQL 1.1 §4.1.4); the graph here has only IRI subjects
+    val q = s"""
+      PREFIX ex: <$EX>
+      SELECT ?n WHERE { _:who ex:name ?n . _:who ex:email ?e }"""
+    assert(lexes(q, "n").toSet == Set("Alice", "Carol"))
+    // the label is scoped: two uses of _:who are the SAME variable (join)
+    val q2 = s"""PREFIX ex: <$EX> SELECT ?n WHERE { _:a ex:name ?n }"""
+    assert(lexes(q2, "n").toSet == Set("Alice", "Bob", "Carol"))
+  }
+
   test("RDF-star quoted triple constants match stored triple terms") {
     import graft.model.Quad
     val stmt = Term(Term.KIND_TRIPLE_TERM,
