@@ -70,6 +70,9 @@ object Parser {
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var base = ""
     private var sawAgg = false
+    /** Parser-internal helper vars (__bn_*, __qt*, __ord*, __gk*) were
+     * introduced — SELECT * must drop them from the output. */
+    private var usedHiddenVars = false
 
     def parseAnyForm(): Parser.QueryForm = {
       prologue()
@@ -353,7 +356,7 @@ object Parser {
 
       val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
       if (projVars.nonEmpty) op = Project(projVars, op)
-      else if (hiddenOrd.nonEmpty || hiddenGroupExpr)
+      else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars)
         // SELECT * — drop the parser-internal helper columns
         op = ExtOp(df => df.drop(df.columns.filter(_.startsWith("__")): _*), Nil, op)
       if (distinct) op = Distinct(op)
@@ -473,32 +476,63 @@ object Parser {
     }
 
     /** Contiguous triple patterns with ';' ',' shorthand and paths. Path
-     * expressions other than a plain link compile to PathPattern joined in. */
+     * expressions other than a plain link compile to PathPattern joined in.
+     *
+     * RDF-star: a quoted triple `<< … >>` containing VARIABLES desugars to
+     * an internal variable over the opaque triple-term column plus
+     * SUBJECT/PREDICATE/OBJECT accessor binds and filters — the
+     * set-at-a-time twin of the reference's per-binding term unification
+     * (SolverRX3.java:95–110). Variable scope: fresh vars bind (Extend),
+     * vars already seen in this triples chunk unify (Filter); the chunk
+     * flushes right after a quoted pattern so later patterns join on the
+     * newly bound vars. */
     private def triplesBlock(): Op = {
       var op: Option[Op] = None
       val bgp = ListBuffer[TriplePattern]()
+      val chunkVars = scala.collection.mutable.Set[String]()
+      val pendingExt = ListBuffer[(String, RowExpr)]()
+      val pendingFil = ListBuffer[RowExpr]()
       def flushInto(next: Option[Op]): Unit = {
         val pieces = (if (bgp.nonEmpty) Seq(Bgp(bgp.toList)) else Nil) ++ next.toSeq
         bgp.clear()
         pieces.foreach(p => op = Some(op.map(Join(_, p)).getOrElse(p)))
+        pendingExt.foreach { case (v, e) => op = Some(Extend(v, e, op.get)) }
+        pendingFil.foreach(f => op = Some(Filter(f, op.get)))
+        pendingExt.clear()
+        pendingFil.clear()
+      }
+      def note(p: TermPat): TermPat = {
+        p match { case TVar(n) => chunkVars += n; case _ => }
+        p
+      }
+      // (pattern, had a variable-bearing quoted triple)
+      def slotPat(): (TermPat, Boolean) = {
+        ws()
+        if (s.startsWith("<<", i) && quotedTripleHasVars) {
+          val (tv, exts, fils) = quotedTriplePattern(chunkVars)
+          pendingExt ++= exts
+          pendingFil ++= fils
+          (tv, true)
+        } else (note(termPat()), false)
       }
       var going = true
       while (going) {
-        val subj = termPat()
+        val (subj, subjQt) = slotPat()
         var moreProps = true
         while (moreProps) {
           ws()
           // predicate: a variable, or a property path (plain IRI = PLink)
-          val predVar = if (peekIs('?')) Some(TVar(varName())) else None
+          val predVar = if (peekIs('?')) Some(note(TVar(varName())).asInstanceOf[TVar]) else None
           val pth = if (predVar.isEmpty) path() else PLink("")
           var moreObjs = true
           while (moreObjs) {
-            val obj = termPat()
+            val (obj, objQt) = slotPat()
             (predVar, pth) match {
               case (Some(pv), _) => bgp += TriplePattern(subj, pv, obj)
               case (None, PLink(iri)) => bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
               case (None, other) => flushInto(Some(PathPattern(subj, other, obj)))
             }
+            if (subjQt || objQt) flushInto(None)
             ws()
             if (peekIs(',')) i += 1 else moreObjs = false
           }
@@ -516,6 +550,64 @@ object Parser {
       }
       flushInto(None)
       op.getOrElse(Bgp(Nil))
+    }
+
+    /** Does the `<< … >>` starting at `i` contain a variable? (Scans past
+     * string literals; single `<`/`>` of IRIs do not affect nesting.) */
+    private def quotedTripleHasVars: Boolean = {
+      var j = i + 2
+      var depth = 1
+      while (j < s.length && depth > 0) {
+        if (s.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (s.startsWith(">>", j)) { depth -= 1; j += 2 }
+        else s.charAt(j) match {
+          case '"' =>
+            j += 1
+            while (j < s.length && s.charAt(j) != '"') {
+              if (s.charAt(j) == '\\') j += 2 else j += 1
+            }
+            j += 1
+          case '?' | '$' => return true
+          case _ => j += 1
+        }
+      }
+      false
+    }
+
+    private var qtCounter = 0
+
+    /** Variable-bearing quoted triple → internal term var + accessor
+     * binds/filters (see triplesBlock note). */
+    private def quotedTriplePattern(chunkVars: scala.collection.mutable.Set[String])
+        : (TermPat, List[(String, RowExpr)], List[RowExpr]) = {
+      i += 2
+      qtCounter += 1
+      usedHiddenVars = true
+      val tv = "__qt" + qtCounter
+      val exts = ListBuffer[(String, RowExpr)]()
+      val fils = ListBuffer[RowExpr]()
+      fils += RowExpr(v => SF.isTripleFn(v(tv)))
+      def slot(acc: Column => Column): Unit = {
+        ws()
+        if (peekIs('?') || peekIs('$')) {
+          val nm = varName()
+          if (chunkVars(nm)) fils += RowExpr(v => v(nm) === acc(v(tv)))
+          else {
+            chunkVars += nm
+            exts += (nm -> RowExpr(v => acc(v(tv))))
+          }
+        } else {
+          val c = constTerm()
+          fils += RowExpr(v => acc(v(tv)) === TermCols.const(c))
+        }
+      }
+      slot(SF.subjectFn)
+      slot(SF.predicateFn)
+      slot(SF.objectFn)
+      ws()
+      if (!s.startsWith(">>", i)) fail("expected '>>'")
+      i += 2
+      (TVar(tv), exts.toList, fils.toList)
     }
 
     private def valuesClause(): Op = {
@@ -630,6 +722,7 @@ object Parser {
       if (peekIs('?')) TVar(varName())
       else if (bnodeIsVar && peekIs('_')) {
         expect('_'); expect(':')
+        usedHiddenVars = true
         TVar("__bn_" + name())
       }
       else TConst(constTerm())

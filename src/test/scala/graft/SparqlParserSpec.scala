@@ -235,9 +235,26 @@ class SparqlParserSpec extends AnyFunSuite {
     val r = Compiler.compile(Parser.parse(acc), g2).head()
     assert(r.getAs[Row](0).getString(1) == EX + "alice")
     assert(r.getAs[Row](1).getString(1) == "30")
-    // variables inside quoted triples raise, never mis-parse
-    intercept[IllegalArgumentException](Parser.parse(
-      s"""PREFIX ex: <$EX> SELECT ?x WHERE { ?c ex:states << ?x ex:age 30 >> }"""))
+    // VARIABLE-bearing quoted triples desugar to accessor binds/filters:
+    // match the stored statement, bind its subject, join on the certifier
+    val varQ = s"""
+      PREFIX ex: <$EX>
+      SELECT ?x ?w WHERE {
+        ?c ex:states << ?x ex:age 30 >> .
+        ?c ex:by ?w }"""
+    val vr = Compiler.compile(Parser.parse(varQ), g2).collect()
+    assert(vr.length == 1)
+    assert(vr.head.getAs[Row]("x").getString(1) == EX + "alice")
+    assert(vr.head.getAs[Row]("w").getString(1) == EX + "bob")
+    // non-matching constant component inside the quoted pattern → no rows
+    val miss = s"""
+      PREFIX ex: <$EX>
+      SELECT ?x WHERE { ?c ex:states << ?x ex:height 30 >> }"""
+    assert(Compiler.compile(Parser.parse(miss), g2).count() == 0)
+    // SELECT * must not leak the internal __qt var
+    val star = Compiler.compile(Parser.parse(
+      s"""PREFIX ex: <$EX> SELECT * WHERE { ?c ex:states << ?x ex:age 30 >> }"""), g2)
+    assert(!star.columns.exists(_.startsWith("__")))
   }
 
   test("property paths: +, alternation, inverse, sequence") {
