@@ -91,6 +91,12 @@ final case class PathPattern(s: TermPat, path: Path, o: TermPat) extends Op
  * OpExecutor.java:139–157): the graph slot joins/filters exactly like the
  * s/p/o slots, with a variable graph becoming a shared join column. */
 final case class QuadBgp(g: TermPat, patterns: Seq[TriplePattern]) extends Op
+/** GRAPH <iri> { any group } — the general OpGraph for a CONSTANT graph
+ * name: the body (which may hold FILTER/OPTIONAL/UNION/paths…) evaluates
+ * against the named graph's triples re-scoped as a plain triple table.
+ * A VARIABLE graph over a non-BGP body stays out of the subset (the g
+ * binding would have to thread through every inner operator). */
+final case class GraphScope(g: Term, input: Op) extends Op
 
 // ---- projections / filters / binds (§2.2)
 final case class Project(vars: Seq[String], input: Op) extends Op

@@ -290,6 +290,28 @@ object Compiler {
     case Reduced(in) =>
       val c = comp(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
 
+    case GraphScope(gname, in) =>
+      val scoped: GraphSource = g match {
+        case qsg: QuadSnapshotGraph =>
+          DfGraph(qsg.spark.read.parquet(s"${qsg.dir}/gspo")
+            .where(col("g_kind") === gname.kind && col("g_lex") === gname.lex &&
+              col("g_dt") === gname.dt && col("g_lang") === gname.lang)
+            .select(
+              struct(col("s_kind").as("kind"), col("s_lex").as("lex"),
+                col("s_dt").as("dt"), col("s_lang").as("lang")).as("s"),
+              struct(col("p_kind").as("kind"), col("p_lex").as("lex"),
+                col("p_dt").as("dt"), col("p_lang").as("lang")).as("p"),
+              struct(col("o_kind").as("kind"), col("o_lex").as("lex"),
+                col("o_dt").as("dt"), col("o_lang").as("lang")).as("o")))
+        case _ =>
+          require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
+          DfGraph(g.df
+            .filter(col("g") === TermCols.const(gname) &&
+              TermCols.lex(col("g")) =!= DefaultGraph)
+            .select("s", "p", "o"))
+      }
+      comp(in, scoped)
+
     case Label(_, in) => comp(in, g)
 
     case Null =>

@@ -17,20 +17,24 @@ import graft.model.{NTriplesEscape, Term}
  * recursive-descent parser over the SPARQL 1.1 SELECT core:
  *
  *   PREFIX/BASE, SELECT [DISTINCT|REDUCED] (vars | * | (expr AS ?v) with
- *   aggregates), WHERE { triples with ';' ',' 'a' and property paths
- *   (^p, p1/p2, p1|p2, p+, p*, p?, !(...)), FILTER, OPTIONAL, MINUS,
- *   UNION, BIND, VALUES, GRAPH, FILTER [NOT] EXISTS, nested groups },
- *   GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET.
+ *   aggregates), FROM / FROM NAMED, WHERE { triples with ';' ',' 'a',
+ *   property paths (^p, p1/p2, p1|p2, p+, p*, p?, !(...), p{n,m}),
+ *   RDF-star quoted triples (constants AND variable slots), blank nodes
+ *   as non-distinguished variables, FILTER, OPTIONAL, MINUS, UNION,
+ *   BIND, VALUES, GRAPH, FILTER [NOT] EXISTS, nested groups },
+ *   GROUP BY (vars + expressions) / HAVING (incl. inline aggregates) /
+ *   ORDER BY (vars + expressions) / LIMIT / OFFSET.
  *
  * Solution modifiers wrap in the reference's documented order
  * (AlgebraGenerator.java:480–592): group → having-filter → order →
  * project → distinct/reduced → slice. Expressions compile straight to
- * Column trees over term structs via SparqlFunctions (no interpreter).
+ * Column trees over term structs via SparqlFunctions (no interpreter);
+ * unknown function names resolve through graft.functions.Registry.
  *
- * ASK and CONSTRUCT text forms parse via `parseAny`; subqueries
- * (`{ SELECT ... }`) nest with per-SELECT aggregate scoping. Out of the
- * subset (raises, never mis-parses): SERVICE, DESCRIBE text form (use
- * Sparql.describe), RDF-star syntax.
+ * ASK / CONSTRUCT / DESCRIBE text forms parse via `parseAny`; SPARQL
+ * Update requests via `parseUpdate`; subqueries (`{ SELECT ... }`) nest
+ * with per-SELECT aggregate scoping. Out of the subset (raises, never
+ * mis-parses): SERVICE.
  */
 object Parser {
 
@@ -444,9 +448,13 @@ object Parser {
         else if (eatKw("GRAPH")) {
           val gp = if (peekIs('?')) TVar(varName()) else TConst(iriTerm())
           val inner = groupGraphPattern()
-          inner match {
-            case Bgp(ps) => add(QuadBgp(gp, ps))
-            case other => fail("GRAPH body must be a plain BGP in this subset")
+          (gp, inner) match {
+            case (_, Bgp(ps)) => add(QuadBgp(gp, ps))
+            // constant graph: any body shape — re-scoped to that graph
+            case (TConst(t), other) => add(GraphScope(t, other))
+            case _ => fail(
+              "GRAPH ?var body must be a plain BGP in this subset " +
+                "(constant graph names accept any group)")
           }
         }
         else if (peekIs('{')) {

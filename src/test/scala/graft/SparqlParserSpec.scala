@@ -169,6 +169,28 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(r2 == Seq(EX + "g2"))
   }
 
+  test("GRAPH with a constant name accepts any body shape") {
+    import graft.model.Quad
+    val quads = spark.createDataset(Seq(
+      Quad(i("a"), i("name"), Term.string("A"), i("g1")),
+      Quad(i("a"), i("mail"), Term.string("a@x"), i("g1")),
+      Quad(i("b"), i("name"), Term.string("B"), i("g1")),
+      Quad(i("a"), i("name"), Term.string("A-elsewhere"), i("g2")))).toDF()
+    // OPTIONAL inside GRAPH <g1>: evaluated wholly against g1
+    val q = s"""
+      PREFIX ex: <$EX>
+      SELECT ?n ?m WHERE {
+        GRAPH ex:g1 { ?s ex:name ?n OPTIONAL { ?s ex:mail ?m } } }"""
+    val rows = Compiler.compile(Parser.parse(q), quads)
+      .collect().map(r => (r.getAs[Row]("n").getString(1),
+        Option(r.getAs[Row]("m")).map(_.getString(1)))).toSet
+    assert(rows == Set(("A", Some("a@x")), ("B", None)))
+    // variable graph over a non-BGP body still raises
+    intercept[IllegalArgumentException](Parser.parse(
+      s"""PREFIX ex: <$EX>
+          SELECT ?n WHERE { GRAPH ?g { ?s ex:name ?n OPTIONAL { ?s ex:mail ?m } } }"""))
+  }
+
   test("DESCRIBE text forms") {
     val d1 = graft.sparql.Sparql.describeQuery(
       s"PREFIX ex: <$EX> DESCRIBE ex:bob", g)
