@@ -452,9 +452,11 @@ object Parser {
             case (_, Bgp(ps)) => add(QuadBgp(gp, ps))
             // constant graph: any body shape — re-scoped to that graph
             case (TConst(t), other) => add(GraphScope(t, other))
-            case _ => fail(
-              "GRAPH ?var body must be a plain BGP in this subset " +
-                "(constant graph names accept any group)")
+            // variable graph over a complex body: every inner BGP becomes
+            // a quad pattern sharing the graph var, so joins / OPTIONAL /
+            // UNION evaluate per named graph (the graph var joins like
+            // any other shared variable)
+            case (TVar(gv), other) => add(scopeToGraphVar(other, gv))
           }
         }
         else if (peekIs('{')) {
@@ -616,6 +618,28 @@ object Parser {
       if (!s.startsWith(">>", i)) fail("expected '>>'")
       i += 2
       (TVar(tv), exts.toList, fils.toList)
+    }
+
+    /** Rewrite a GRAPH ?v body: every BGP becomes a QuadBgp on the graph
+     * var (shared across the body, so structure-preserving operators keep
+     * per-graph semantics); operators that scan in other ways raise. */
+    private def scopeToGraphVar(op: Op, gv: String): Op = op match {
+      case Bgp(ps) => QuadBgp(TVar(gv), ps)
+      case q: QuadBgp => fail("nested GRAPH inside GRAPH ?var is not supported")
+      case Join(l, r) => Join(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
+      case LeftJoin(l, r, c) =>
+        LeftJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv), c)
+      case SemiJoin(l, r) => SemiJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
+      case AntiJoin(l, r) => AntiJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
+      case Minus(l, r) => Minus(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
+      case Union(l, r) => Union(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
+      case Filter(c, in) => Filter(c, scopeToGraphVar(in, gv))
+      case Extend(v, e, in) => Extend(v, e, scopeToGraphVar(in, gv))
+      case Distinct(in) => Distinct(scopeToGraphVar(in, gv))
+      case Reduced(in) => Reduced(scopeToGraphVar(in, gv))
+      case t: Table => t // VALUES is graph-independent
+      case _ => fail("unsupported operator inside GRAPH ?var " +
+        "(paths/subqueries need a constant graph name)")
     }
 
     private def valuesClause(): Op = {

@@ -169,7 +169,7 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(r2 == Seq(EX + "g2"))
   }
 
-  test("GRAPH with a constant name accepts any body shape") {
+  test("GRAPH accepts any body shape (constant and variable graph names)") {
     import graft.model.Quad
     val quads = spark.createDataset(Seq(
       Quad(i("a"), i("name"), Term.string("A"), i("g1")),
@@ -185,10 +185,23 @@ class SparqlParserSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Row]("n").getString(1),
         Option(r.getAs[Row]("m")).map(_.getString(1)))).toSet
     assert(rows == Set(("A", Some("a@x")), ("B", None)))
-    // variable graph over a non-BGP body still raises
+    // variable graph over a complex body: OPTIONAL evaluates per graph —
+    // in g1 alice has mail, in g2 she does not
+    val qv = s"""
+      PREFIX ex: <$EX>
+      SELECT ?g ?n ?m WHERE {
+        GRAPH ?g { ?s ex:name ?n OPTIONAL { ?s ex:mail ?m } } }"""
+    val vr = Compiler.compile(Parser.parse(qv), quads)
+      .collect().map(r => (r.getAs[Row]("g").getString(1),
+        r.getAs[Row]("n").getString(1),
+        Option(r.getAs[Row]("m")).map(_.getString(1)))).toSet
+    assert(vr == Set(
+      (EX + "g1", "A", Some("a@x")),
+      (EX + "g1", "B", None),
+      (EX + "g2", "A-elsewhere", None)))
+    // paths inside GRAPH ?var stay out of the subset — raises
     intercept[IllegalArgumentException](Parser.parse(
-      s"""PREFIX ex: <$EX>
-          SELECT ?n WHERE { GRAPH ?g { ?s ex:name ?n OPTIONAL { ?s ex:mail ?m } } }"""))
+      s"""PREFIX ex: <$EX> SELECT ?n WHERE { GRAPH ?g { ?s ex:knows+ ?n . FILTER(BOUND(?n)) } }"""))
   }
 
   test("DESCRIBE text forms") {
