@@ -81,10 +81,23 @@ object TermCols {
       val sIn = value.cast(DecimalType(38, 10)).cast(StringType)
       regexp_replace(regexp_replace(sIn, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
     }
+    val d = value.cast(DoubleType)
+    // float/double have non-finite members of their value space — canonical
+    // XSD lexical forms INF / -INF / NaN (NormalizeValue.java:157–212)
+    val dblLex = when(isnan(d), lit("NaN"))
+      .when(d === Double.PositiveInfinity, lit("INF"))
+      .when(d === Double.NegativeInfinity, lit("-INF"))
+      .otherwise(d.cast(StringType))
     val lexc = when(rank === 0, value.cast(LongType).cast(StringType))
       .when(rank === 1, decLex)
-      .otherwise(value.cast(DoubleType).cast(StringType))
-    mk(lit(Term.KIND_LIT), lexc, dtc, lit(""))
+      .otherwise(dblLex)
+    // a NULL shadow value is a SPARQL eval error → unbound. So is a
+    // non-finite value at integer/decimal rank (those value spaces have no
+    // lexical form for it) — never emit a malformed struct with NULL lex.
+    when(value.isNotNull &&
+        (rank >= 2 || (!isnan(d) && d =!= Double.PositiveInfinity &&
+          d =!= Double.NegativeInfinity)),
+      mk(lit(Term.KIND_LIT), lexc, dtc, lit("")))
   }
 
   /** sameTerm (Node.java:257): plain struct equality. After the normalize

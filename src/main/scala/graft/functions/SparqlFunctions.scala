@@ -122,8 +122,24 @@ object SparqlFunctions {
                    isDivide: Boolean = false): Column = {
     val rank0 = greatest(TermCols.numRank(a), TermCols.numRank(b))
     val rank = if (isDivide) greatest(rank0, lit(1)) else rank0
+    val va = TermCols.numValue(a)
+    val vb = TermCols.numValue(b)
+    val res =
+      if (!isDivide) f(va, vb)
+      else {
+        // op:numeric-divide, zero divisor (XPath F&O 4.2.5): an ERROR for
+        // integer/decimal operands (→ unbound via numericTerm's NULL); IEEE
+        // INF/-INF/NaN after float/double promotion. The CASE guard keeps
+        // the zero divisor away from Divide, which throws under ANSI mode
+        // (Spark 4 default) for every numeric type.
+        when(vb =!= 0.0, va / vb)
+          .when(rank0 >= 2 && vb === 0.0,
+            when(va > 0.0, Double.PositiveInfinity)
+              .when(va < 0.0, Double.NegativeInfinity)
+              .otherwise(Double.NaN))
+      }
     when(TermCols.isNumeric(a) && TermCols.isNumeric(b),
-      TermCols.numericTerm(f(TermCols.numValue(a), TermCols.numValue(b)), rank))
+      TermCols.numericTerm(res, rank))
   }
   def numAdd(a: Column, b: Column): Column = numericBinOp(a, b, _ + _)
 
@@ -151,9 +167,11 @@ object SparqlFunctions {
 
   // ---- datetime constructors / accessors (E_Now, E_DateTimeTZ)
   /** NOW(): one value per query execution (Spark's current_timestamp is
-   * query-stable, matching the reference's per-execution now). */
+   * query-stable, matching the reference's per-execution now). The lexical
+   * form carries the session-zone offset ("Z" for UTC) like the
+   * reference's zoned xsd:dateTime — so TZ(NOW()) is non-empty. */
   def nowFn(): Column = mk(lit(Term.KIND_LIT),
-    date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+    date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"),
     lit(Term.XSD_DATETIME), lit(""))
   /** TZ(dt): timezone designator from the lexical form; "" when absent. */
   def tzFn(t: Column): Column =

@@ -17,12 +17,23 @@ object Graphs {
    * round extends paths by one hop, so the default covers any graph of
    * diameter ≤ 10^4; a legitimate deeper chain must raise the cap
    * explicitly). */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame = {
+  /** Serializes closure runs: the loop must toggle a session-global SQL
+   * conf (below), and two concurrent closures on one session would race
+   * on it — the finally of one could restore the stale mid-run value of
+   * the other. One lock per JVM is enough: closures on different
+   * SparkSessions are rare and still correct, just serialized. */
+  private val closureLock = new Object
+
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame =
+    closureLock.synchronized {
     // Constraint propagation trips over checkpointed unions here (Spark's
     // UnionBase.rewriteConstraints throws "key not found: attr" when a
     // LogicalRDD child carries constraints referencing pre-checkpoint
     // attribute ids). The loop's plans are tiny — constraints buy nothing
-    // — so switch propagation off for the duration.
+    // — so switch propagation off for the duration. NOTE the toggle is
+    // session-global: a concurrent query on the same session during a
+    // closure run would also plan without constraint propagation — a
+    // (documented) performance-only effect, never a correctness one.
     val spark = edges.sparkSession
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.getOption(cpKey)

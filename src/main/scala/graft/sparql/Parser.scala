@@ -74,9 +74,13 @@ object Parser {
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var base = ""
     private var sawAgg = false
-    /** Parser-internal helper vars (__bn_*, __qt*, __ord*, __gk*) were
-     * introduced — SELECT * must drop them from the output. */
-    private var usedHiddenVars = false
+    /** EXACT names of parser-internal helper vars (__bn_*, __qt*, __ord*,
+     * __gk*) introduced so far — SELECT * drops precisely these, never a
+     * legitimate user variable that happens to start with "__" (a user
+     * ?__qt1 colliding with a generated name is vanishingly unlikely and
+     * would be a scope error in any case). */
+    private val hiddenVars = scala.collection.mutable.Set[String]()
+    private def usedHiddenVars: Boolean = hiddenVars.nonEmpty
 
     def parseAnyForm(): Parser.QueryForm = {
       prologue()
@@ -279,7 +283,12 @@ object Parser {
             expect('(')
             val e = expression()
             val v = if (eatKw("AS")) varName()
-                    else { hiddenGroupExpr = true; s"__gk${ks.size}" }
+                    else {
+                      hiddenGroupExpr = true
+                      val hv = s"__gk${ks.size}"
+                      hiddenVars += hv
+                      hv
+                    }
             expect(')')
             op = Extend(v, e, op)
             ks += v
@@ -341,6 +350,7 @@ object Parser {
           val e = expression()
           expect(')')
           val hv = s"__ord${ordExtends.size}"
+          hiddenVars += hv
           ordExtends += (hv -> e)
           keys += SortKey(hv, asc)
         }
@@ -360,9 +370,12 @@ object Parser {
 
       val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
       if (projVars.nonEmpty) op = Project(projVars, op)
-      else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars)
-        // SELECT * — drop the parser-internal helper columns
-        op = ExtOp(df => df.drop(df.columns.filter(_.startsWith("__")): _*), Nil, op)
+      else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars) {
+        // SELECT * — drop exactly the generated helper columns (a user var
+        // merely starting with "__" survives)
+        val hv = hiddenVars.toSet
+        op = ExtOp(df => df.drop(df.columns.filter(hv.contains): _*), Nil, op)
+      }
       if (distinct) op = Distinct(op)
       if (reduced) op = Reduced(op)
 
@@ -592,8 +605,8 @@ object Parser {
         : (TermPat, List[(String, RowExpr)], List[RowExpr]) = {
       i += 2
       qtCounter += 1
-      usedHiddenVars = true
       val tv = "__qt" + qtCounter
+      hiddenVars += tv
       val exts = ListBuffer[(String, RowExpr)]()
       val fils = ListBuffer[RowExpr]()
       fils += RowExpr(v => SF.isTripleFn(v(tv)))
@@ -754,8 +767,9 @@ object Parser {
       if (peekIs('?')) TVar(varName())
       else if (bnodeIsVar && peekIs('_')) {
         expect('_'); expect(':')
-        usedHiddenVars = true
-        TVar("__bn_" + name())
+        val hv = "__bn_" + name()
+        hiddenVars += hv
+        TVar(hv)
       }
       else TConst(constTerm())
     }

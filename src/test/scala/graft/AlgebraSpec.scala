@@ -102,6 +102,19 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(Compiler.compile(Minus(left, rightShared), g), "s") == Set(EX + "bob"))
   }
 
+  test("MINUS with a maybe-bound shared var: unbound rows survive (decomposed plan)") {
+    // left: everyone with a name, OPTIONAL email → ?e maybe-bound
+    // right: all emails, sharing ONLY ?e → MINUS needs the ≥1-both-bound
+    // witness; bob's unbound ?e can never witness, so bob survives even
+    // though his row is "compatible" with every right row
+    val left = LeftJoin(
+      Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),
+      Bgp(Seq(tp(v("s"), c(i("email")), v("e")))))
+    val right = Bgp(Seq(tp(v("x"), c(i("email")), v("e"))))
+    val out = Compiler.compile(Minus(left, right), g)
+    assert(lexSet(out, "s") == Set(EX + "bob"))
+  }
+
   test("SemiJoin (EXISTS)") {
     val op = SemiJoin(
       Bgp(Seq(tp(v("s"), c(i("name")), v("n")))),

