@@ -156,6 +156,11 @@ final case class Reduced(input: Op) extends Op
 /** Bag union; differing variable sets allowed (missing vars → unbound). */
 final case class Union(l: Op, r: Op) extends Op
 
+/** GRAPH with an EMPTY body — enumerates / tests the dataset's NAMED
+ * graph names (OpDatasetNames, OpExecutor.java:327): `GRAPH ?g {}` binds
+ * ?g to each named graph, `GRAPH <g> {}` is an existence gate. */
+final case class DatasetNames(g: TermPat) extends Op
+
 /** FROM / FROM NAMED dataset description (OpDatasetNames neighborhood;
  * reference resolves these in DatasetDescription → DynamicDatasets):
  * the input quad table is re-scoped so the default graph is exactly the

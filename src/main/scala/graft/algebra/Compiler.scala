@@ -318,6 +318,25 @@ object Compiler {
       Compiled(g.spark.range(0).select(lit(1).as("__unit")),
         Set.empty, Set.empty)
 
+    case DatasetNames(gp) =>
+      // named graph names only (never the default graph) — OpDatasetNames
+      val names: DataFrame = (g match {
+        case qsg: QuadSnapshotGraph =>
+          qsg.df.select(col("g"))
+        case _ =>
+          require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
+          g.df.select(col("g"))
+      }).filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+        .distinct()
+      gp match {
+        case TVar(v) => Compiled(names.select(col("g").as(v)), Set(v), Set.empty)
+        case TConst(t) =>
+          Compiled(names.filter(col("g") === TermCols.const(t))
+            .select(lit(1).as("__unit")).limit(1), Set.empty, Set.empty)
+        case TAny =>
+          Compiled(names.select(lit(1).as("__unit")).limit(1), Set.empty, Set.empty)
+      }
+
     case DatasetClause(defaults, named, in) =>
       require(hasGraphCol(g.df), "FROM / FROM NAMED need a quad table (g column)")
       val glex = TermCols.lex(col("g"))

@@ -143,6 +143,25 @@ object SparqlFunctions {
   }
   def numAdd(a: Column, b: Column): Column = numericBinOp(a, b, _ + _)
 
+  /** Unary minus/plus (E_UnaryMinus/E_UnaryPlus): numeric value space
+   * only, result carries the operand's promoted type; non-numerics are
+   * eval errors (NULL). Unary plus canonicalizes ("+01" → "1"). */
+  def unaryNum(t: Column, negate: Boolean): Column =
+    when(TermCols.isNumeric(t), TermCols.numericTerm(
+      if (negate) -TermCols.numValue(t) else TermCols.numValue(t),
+      TermCols.numRank(t)))
+
+  /** LANGMATCHES(lang, range) — RFC 4647 basic filtering: "*" matches any
+   * non-empty tag; otherwise case-insensitive exact match or prefix
+   * followed by '-'. */
+  def langMatches(tag: Column, range: Column): Column = {
+    val t = lower(lex(tag))
+    val r = lower(lex(range))
+    when(isStringLit(tag) && isStringLit(range),
+      when(r === "*", t =!= "")
+        .otherwise(t === r || t.startsWith(concat(r, lit("-")))))
+  }
+
   // ---- hashes (E_MD5 / E_SHA*; the pipeline invariant uses sha2(...,256))
   def md5Fn(t: Column): Column = when(isStringLit(t), strOf(md5(lex(t))))
   def sha1Fn(t: Column): Column = when(isStringLit(t), strOf(sha1(lex(t))))
@@ -153,7 +172,7 @@ object SparqlFunctions {
   // ---- datetime accessors (E_DateTime*): on the timestamp shadow value
   private val dtTypes = Seq(Term.XSD_DATETIME, Term.XSD + "date")
   private def tsValue(t: Column): Column =
-    when(isLiteral(t) && dt(t).isin(dtTypes: _*), to_timestamp(lex(t)))
+    when(isLiteral(t) && dt(t).isin(dtTypes: _*), try_to_timestamp(lex(t)))
   def yearFn(t: Column): Column = whenTs(t, year)
   def monthFn(t: Column): Column = whenTs(t, month)
   def dayFn(t: Column): Column = whenTs(t, dayofmonth)
@@ -181,6 +200,51 @@ object SparqlFunctions {
   /** RAND(): xsd:double in [0,1) — nondeterministic like the reference. */
   def randFn(): Column = TermCols.numericTerm(rand(), lit(3))
 
+  /** XPath constructor casts `xsd:integer(?x)` etc. (reference: E_Cast /
+   * XSDFuncOp cast table). Invalid source values are eval errors → NULL
+   * term. Numeric→integer truncates toward zero (XPath fn rules). */
+  def castFn(t: Column, dtIri: String): Column = {
+    import TermCols._
+    val lx = lex(t)
+    dtIri match {
+      case Term.XSD_STRING =>
+        when(t.isNotNull && kind(t) =!= Term.KIND_BNODE, strTerm(lx))
+      case Term.XSD_BOOLEAN =>
+        when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN, t)
+          .when(isLiteral(t) && lx.isin("true", "false"), mk(lit(Term.KIND_LIT), lx, lit(Term.XSD_BOOLEAN), lit("")))
+          .when(isLiteral(t) && lx.isin("1", "0"),
+            boolTerm(lx === "1"))
+          .when(isNumeric(t), boolTerm(numValue(t) =!= 0.0))
+      case Term.XSD_INTEGER =>
+        when(isNumeric(t), intTerm(numValue(t).cast(org.apache.spark.sql.types.LongType)))
+          .when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,
+            intTerm(when(lx === "true", 1L).otherwise(0L)))
+          .when(isLiteral(t) && lx.rlike("^[+-]?\\d+$"), intTerm(lx.cast(org.apache.spark.sql.types.LongType)))
+      case Term.XSD_DECIMAL =>
+        when(isNumeric(t), numericTerm(numValue(t), lit(1)))
+          .when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,
+            numericTerm(when(lx === "true", 1.0).otherwise(0.0), lit(1)))
+          .when(isLiteral(t) && lx.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"),
+            numericTerm(lx.cast(org.apache.spark.sql.types.DoubleType), lit(1)))
+      case Term.XSD_FLOAT =>
+        when(isNumeric(t), numericTerm(numValue(t), lit(2)))
+          .when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,
+            numericTerm(when(lx === "true", 1.0).otherwise(0.0), lit(2)))
+          .when(isLiteral(t) && lx.rlike("^[+-]?((\\d+(\\.\\d*)?)|(\\.\\d+))([eE][+-]?\\d+)?$"),
+            numericTerm(lx.cast(org.apache.spark.sql.types.DoubleType), lit(2)))
+      case Term.XSD_DOUBLE =>
+        when(isNumeric(t), numericTerm(numValue(t), lit(3)))
+          .when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,
+            numericTerm(when(lx === "true", 1.0).otherwise(0.0), lit(3)))
+          .when(isLiteral(t) && lx.rlike("^[+-]?((\\d+(\\.\\d*)?)|(\\.\\d+))([eE][+-]?\\d+)?$"),
+            numericTerm(lx.cast(org.apache.spark.sql.types.DoubleType), lit(3)))
+      case Term.XSD_DATETIME =>
+        when(isLiteral(t) && try_to_timestamp(lx).isNotNull,
+          mk(lit(Term.KIND_LIT), lx, lit(Term.XSD_DATETIME), lit("")))
+      case _ => lit(null).cast(TermCols.schema) // unsupported cast target
+    }
+  }
+
   /** BNODE(): fresh blank node per row (nondeterministic label);
    * BNODE(str): label derived from the string within the solution. */
   def bnodeFresh(): Column =
@@ -188,11 +252,18 @@ object SparqlFunctions {
   def bnodeLabeled(t: Column): Column =
     when(isStringLit(t), mk(lit(Term.KIND_BNODE), lex(t), lit(""), lit("")))
 
-  /** REGEX with optional flags ('i','s','m' — mapped to the embedded-flag
-   * prefix Java regex understands, like the reference's RegexJava). */
+  /** REGEX with optional flags ('i','s','m','x' — mapped to the
+   * embedded-flag prefix Java regex understands, like the reference's
+   * RegexJava; 'q' = Pattern.LITERAL has no embedded form, so the pattern
+   * is quoted instead). Applies to STRING literals only — an IRI or
+   * lang-tagged operand is a type error → NULL → row dropped (fn:matches
+   * takes xs:string). */
   def regexFlags(t: Column, pattern: String, flags: String): Column = {
-    val prefix = if (flags.isEmpty) "" else s"(?$flags)"
-    lex(t).rlike(prefix + pattern)
+    val (pat, fl) =
+      if (flags.contains('q')) (java.util.regex.Pattern.quote(pattern), flags.filterNot(_ == 'q'))
+      else (pattern, flags)
+    val prefix = if (fl.isEmpty) "" else s"(?$fl)"
+    when(isStringLit(t), lex(t).rlike(prefix + pat))
   }
 
   // ---- functional forms (E_Bound, E_Coalesce, E_If, E_SameTerm, EBV)

@@ -1,0 +1,416 @@
+package graft.golden
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.algebra.Compiler
+import graft.model.{Iso, Term, Triple}
+import graft.normalize.Literals
+import graft.riot.{NTriples, ResultSetIO, TurtleLite}
+import graft.sparql.{Parser, Sparql}
+
+/**
+ * Manifest-driven golden-test machinery over the reference's OWN W3C test
+ * data (SURVEY.md §5.1; reference runner:
+ * jena-arq/src/test/java/org/apache/jena/arq/junit/manifest/ManifestProcessor.java,
+ * result comparison ResultsCompare / IsoMatcher.java:50–74). A manifest
+ * (`manifest.ttl`) lists entries `(mf:action (qt:query, qt:data*),
+ * mf:result)`; the runner executes each through
+ * Parser → Compiler → DataFrame and compares against the stored
+ * `.srx`/`.srj`/`.ttl` expectation, blank-node-isomorphism-aware and
+ * value-canonical (QueryEvalTest compares by VALUE by default —
+ * QueryEvalTest.java:80 — mirrored here by canonicalizing numeric /
+ * boolean / dateTime lexical forms on both sides).
+ *
+ * Driver-side by design: manifests and golden result sets are tiny; the
+ * DataFrames under test still execute distributed.
+ */
+object Manifest {
+
+  val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+  val MFX = "http://jena.hpl.hp.com/2005/05/test-manifest-extra#"
+  val QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  final case class Entry(
+      name: String,
+      types: Set[String],
+      query: Option[String],    // local file path
+      data: Seq[String],        // local file paths (default graph)
+      graphData: Seq[String],   // local file paths (named graphs)
+      result: Option[String])   // local file path
+
+  /** Parse one manifest.ttl into its test entries (list order kept). */
+  def load(manifestPath: String): Seq[Entry] = {
+    val p = Paths.get(manifestPath).toAbsolutePath
+    val dir = p.getParent.toString
+    val base = "file://" + dir + "/"
+    val triples = TurtleLite.parse(
+      new String(Files.readAllBytes(p), "UTF-8"), base)
+
+    val byS: Map[Term, Seq[(String, Term)]] =
+      triples.groupBy(_.s).map { case (s, ts) => s -> ts.map(t => (t.p.lex, t.o)) }
+    def objs(s: Term, pred: String): Seq[Term] =
+      byS.getOrElse(s, Nil).collect { case (pl, o) if pl == pred => o }
+    def obj(s: Term, pred: String): Option[Term] = objs(s, pred).headOption
+    def listItems(head: Term): Seq[Term] = {
+      val out = ListBuffer[Term]()
+      var cur = head
+      while (!(cur.kind == Term.KIND_IRI && cur.lex == RDF + "nil")) {
+        obj(cur, RDF + "first").foreach(out += _)
+        cur = obj(cur, RDF + "rest").getOrElse(Term.iri(RDF + "nil"))
+      }
+      out.toList
+    }
+    def path(t: Term): String = t.lex.stripPrefix("file://")
+
+    val manifestNodes = triples.collect {
+      case t if t.p.lex == RDF + "type" && t.o.lex == MF + "Manifest" => t.s
+    }.distinct
+    manifestNodes.flatMap { m =>
+      objs(m, MF + "entries").flatMap(listItems).map { e =>
+        val action = obj(e, MF + "action")
+        val query = action.flatMap {
+          case a if a.kind == Term.KIND_IRI && byS.get(a).isEmpty => Some(a)
+          case a => obj(a, QT + "query")
+        }
+        Entry(
+          name = obj(e, MF + "name").map(_.lex).getOrElse(e.lex),
+          types = objs(e, RDF + "type").map(_.lex).toSet,
+          query = query.map(path),
+          data = action.toSeq.flatMap(objs(_, QT + "data")).map(path),
+          graphData = action.toSeq.flatMap(objs(_, QT + "graphData")).map(path),
+          result = obj(e, MF + "result").map(path))
+      }
+    }
+  }
+}
+
+object GoldenRunner {
+
+  sealed trait Outcome
+  case object Passed extends Outcome
+  final case class Failed(detail: String) extends Outcome
+  final case class Skipped(reason: String) extends Outcome
+
+  final case class CaseResult(name: String, outcome: Outcome)
+
+  private val EvalTypes = Set(
+    Manifest.MF + "QueryEvaluationTest", Manifest.MFX + "TestQuery")
+
+  /** Run every entry of a manifest; `skip` maps test names to triage
+   * reasons (recorded, not executed). */
+  def runManifest(spark: SparkSession, manifestPath: String,
+                  skip: Map[String, String] = Map.empty,
+                  only: Option[String] = None): Seq[CaseResult] =
+    Manifest.load(manifestPath)
+      .filter(e => only.forall(_ == e.name)).map { e =>
+      CaseResult(e.name,
+        if (skip.contains(e.name)) Skipped(skip(e.name))
+        else if (e.types.intersect(EvalTypes).isEmpty)
+          Skipped("not a query-evaluation test: " + e.types.map(shortT).mkString(","))
+        else runEntry(spark, e))
+    }
+
+  private def shortT(iri: String) = iri.substring(iri.lastIndexOf('#') + 1)
+
+  def runEntry(spark: SparkSession, e: Manifest.Entry): Outcome = {
+    try {
+      val queryFile = e.query.getOrElse(return Skipped("no qt:query"))
+      val resultFile = e.result.getOrElse(return Skipped("no mf:result"))
+      val queryText = readFile(queryFile)
+      // relative IRIs in the query (GRAPH <data-g1.ttl>, FROM <…>) resolve
+      // against the query file's location — the same file:// base the data
+      // loader uses, so graph names and expected-result IRIs line up
+      val qBase = "file://" + Paths.get(queryFile).toAbsolutePath.getParent.toString + "/"
+
+      val form =
+        try Parser.parseAny(queryText, qBase)
+        catch { case ex: Exception => return Skipped("parser: " + ex.getMessage) }
+
+      // each document gets its own bnode-label scope (the reference's
+      // LabelToNode.createScopeByDocumentHash) — labels must not collide
+      // across qt:data / qt:graphData files
+      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] = {
+        def st(t: Term) = if (t.isBNode) Term.bnode(tag + "_" + t.lex) else t
+        ts.map(t => Triple(st(t.s), t.p, st(t.o)))
+      }
+      val defTriples = e.data.zipWithIndex.flatMap { case (f, k) =>
+        scoped(readData(f), s"d$k") }
+      // named graphs are named by their file:// location (how the
+      // reference's manifest runner loads qt:graphData)
+      val useQuads = e.graphData.nonEmpty ||
+        "(?is).*\\b(GRAPH|FROM)\\b.*".r.matches(queryText)
+      val g: DataFrame =
+        if (useQuads) {
+          import graft.model.Quad
+          val dq = defTriples.map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
+          // FROM / FROM NAMED name graphs by LOCATION — the reference's
+          // runner loads those files into the dataset; mirror that for
+          // file:// IRIs resolving to existing test files
+          val fromFiles = "(?i)FROM\\s+(NAMED\\s+)?<([^>]+)>".r
+            .findAllMatchIn(queryText)
+            .map(m => graft.normalize.Iri.resolve(qBase, m.group(2)))
+            .filter(_.startsWith("file://")).map(_.stripPrefix("file://"))
+            .filter(p => Files.exists(Paths.get(p))).toList
+          val namedFiles =
+            (e.graphData ++ fromFiles).distinct.map(f =>
+              Paths.get(f).toAbsolutePath.toString)
+          val nq = namedFiles.zipWithIndex.flatMap { case (f, k) =>
+            val gname = Term.iri("file://" + f)
+            scoped(readData(f), s"g$k").map(t => Quad(t.s, t.p, t.o, gname))
+          }
+          spark.createDataset(dq ++ nq)(
+            org.apache.spark.sql.Encoders.product[Quad]).toDF()
+        } else spark.createDataset(defTriples)(
+          org.apache.spark.sql.Encoders.product[Triple]).toDF()
+
+      form match {
+        case Parser.SelectQ(op) =>
+          val actual = collectSolutions(Compiler.compile(op, g))
+          val expected = resultFile match {
+            case f if f.endsWith(".srx") =>
+              collectSolutions(ResultSetIO.fromSparqlXml(spark, readFile(f)))
+            case f if f.endsWith(".srj") =>
+              collectSolutions(ResultSetIO.fromSparqlJson(spark, readFile(f)))
+            case f if f.endsWith(".tsv") =>
+              collectSolutions(ResultSetIO.fromTsv(spark, readFile(f)))
+            case f if f.endsWith(".ttl") => rdfResultSet(f)
+            case f if f.endsWith(".rdf") => rdfXmlResultSet(f)
+            case f => return Skipped("result format: " + f.split('.').last)
+          }
+          val ordered = hasTopLevelOrderBy(queryText)
+          // SELECT REDUCED permits ANY duplicate cardinality between
+          // DISTINCT and none (the reference compares these tests with lax
+          // cardinality, QueryEvalTest laxCardinality) — our Reduced is a
+          // full dedup, so compare the solution SETS
+          val lax = "(?is).*\\bREDUCED\\b.*".r.matches(queryText)
+          val ok =
+            if (lax) sameSolutions(actual.distinct, expected.distinct, ordered = false)
+            else sameSolutions(actual, expected, ordered)
+          if (ok) Passed
+          else Failed(s"${actual.size} rows vs expected ${expected.size}\n" +
+            s"actual:   ${render(actual.take(8))}\nexpected: ${render(expected.take(8))}")
+
+        case Parser.AskQ(op) =>
+          val actual = !Compiler.compile(op, g).isEmpty
+          val expected = askExpected(resultFile)
+          if (actual == expected) Passed
+          else Failed(s"ASK: got $actual, expected $expected")
+
+        case Parser.ConstructQ(template, op) =>
+          val actualG = graft.algebra.Construct.construct(
+            template, Compiler.compile(op, g))
+          val actual = actualG.collect().map(rowTriple).toSeq
+          if (!resultFile.endsWith(".ttl") && !resultFile.endsWith(".nt"))
+            return Skipped("CONSTRUCT result format: " + resultFile.split('.').last)
+          val expected = readData(resultFile)
+          if (Iso.isomorphic(actual.map(canonTriple), expected.map(canonTriple))) Passed
+          else Failed(s"CONSTRUCT: ${actual.size} triples vs expected ${expected.size}")
+
+        case _ => Skipped("query form not in runner (DESCRIBE)")
+      }
+    } catch {
+      // Throwable: a harness must survive StackOverflowError from a
+      // pathologically deep Column tree and report it as that case's
+      // failure instead of killing the whole run
+      case ex: Throwable =>
+        Failed("exception: " + ex.getClass.getSimpleName + ": " + ex.getMessage)
+    }
+  }
+
+  // ------------------------------------------------------------ data & files
+
+  private def readFile(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+
+  private def readData(path: String): Seq[Triple] = {
+    // base = the FILE's own URI (not its directory): `<>` in the document
+    // denotes the document — for qt:graphData that IS the graph name
+    val base = "file://" + Paths.get(path).toAbsolutePath.toString
+    if (path.endsWith(".nt"))
+      readFile(path).split("\n").toSeq.flatMap(l => NTriples.parseLine(l, strict = false))
+    else TurtleLite.parse(readFile(path), base)
+  }
+
+  private def rowTriple(r: Row): Triple = {
+    def t(idx: Int): Term = {
+      val x = r.getAs[Row](idx)
+      Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
+    }
+    Triple(t(0), t(1), t(2))
+  }
+
+  // ------------------------------------------------- solution-set comparison
+
+  type Solution = Map[String, Term]
+
+  private def collectSolutions(df: DataFrame): Seq[Solution] = {
+    // only term-struct columns are variables (a var-free query's internal
+    // __unit gate column is not a binding)
+    val vars = df.schema.fields.zipWithIndex.collect {
+      case (f, idx) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        (f.name, idx)
+    }.toSeq
+    df.collect().toSeq.map { r =>
+      vars.flatMap { case (v, idx) =>
+        val x = r.getAs[Row](idx)
+        if (x == null) None
+        else Some(v -> Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3)))
+      }.toMap
+    }
+  }
+
+  /** Value-canonical view of a term (equalsByValue): numeric/boolean/
+   * dateTime lexical forms canonicalized; everything else as-is. */
+  private def canonTerm(t: Term): Term =
+    if (t.kind == Term.KIND_LIT && t.lang.isEmpty)
+      Term(t.kind, Literals.canonLiteral(t.lex, t.dt), t.dt, "")
+    else t
+
+  private def canonTriple(t: Triple): Triple =
+    Triple(canonTerm(t.s), canonTriplePred(t.p), canonTerm(t.o))
+  private def canonTriplePred(p: Term): Term = p
+
+  /** Multiset equality of solution sets, bnode-isomorphism-aware: encode
+   * each set as an RDF graph — one fresh row bnode per solution carrying a
+   * marker plus (urn:v:var → term) edges — and reuse the graph Iso
+   * matcher. Row bnodes absorb row permutation; term bnodes must map
+   * consistently ACROSS rows, exactly the reference's semantics
+   * (ResultsCompare.equalsByValue). */
+  def sameSolutions(a: Seq[Solution], b: Seq[Solution], ordered: Boolean): Boolean =
+    if (ordered) {
+      a.size == b.size &&
+        canonSeq(a).zip(canonSeq(b)).forall { case (x, y) => x == y }
+    } else Iso.isomorphic(encode(a), encode(b))
+
+  private val RowMarker = Term.iri("urn:graft:row")
+
+  private def encode(sols: Seq[Solution]): Seq[Triple] =
+    sols.zipWithIndex.flatMap { case (sol, k) =>
+      val rowNode = Term.bnode(s"__row$k")
+      Triple(rowNode, RowMarker, Term.string("r")) +:
+        sol.toSeq.map { case (v, t) =>
+          Triple(rowNode, Term.iri("urn:graft:v:" + v), canonTerm(t))
+        }
+    }
+
+  /** Ordered compare: rename bnodes by first occurrence over the row
+   * sequence (vars in sorted order) — sound because order is fixed. */
+  private def canonSeq(sols: Seq[Solution]): Seq[Map[String, Term]] = {
+    val seen = scala.collection.mutable.Map[String, String]()
+    sols.map { sol =>
+      sol.toSeq.sortBy(_._1).map { case (v, t) =>
+        val t2 =
+          if (t.isBNode)
+            Term.bnode(seen.getOrElseUpdate(t.lex, "c" + seen.size))
+          else canonTerm(t)
+        v -> t2
+      }.toMap
+    }
+  }
+
+  /** Detect a top-level ORDER BY (ordered result-set comparison, like the
+   * reference's QueryEvalTest ordered mode) — a subquery ORDER BY does
+   * not order the outer results, but none of the covered suites nest one. */
+  private def hasTopLevelOrderBy(q: String): Boolean =
+    "(?is).*\\bORDER\\s+BY\\b.*".r.matches(q)
+
+  /** DAWG result-set-in-RDF format (vocabulary
+   * http://www.w3.org/2001/sw/DataAccess/tests/result-set#), used by the
+   * older data-r2 suites: rs:solution → rs:binding → (rs:variable,
+   * rs:value), optional rs:index for ordered sets. */
+  private def rdfResultSet(path: String): Seq[Solution] = {
+    val RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+    val triples = readData(path)
+    val byS = triples.groupBy(_.s)
+    def objs(s: Term, p: String): Seq[Term] =
+      byS.getOrElse(s, Nil).collect { case t if t.p.lex == p => t.o }
+    val sols = triples.filter(_.p.lex == RS + "solution").map(_.o)
+    val indexed = sols.map { sNode =>
+      val bindings = objs(sNode, RS + "binding").flatMap { b =>
+        for {
+          v <- objs(b, RS + "variable").headOption
+          value <- objs(b, RS + "value").headOption
+        } yield v.lex -> value
+      }.toMap
+      val idx = objs(sNode, RS + "index").headOption.map(_.lex.toDouble)
+      (idx, bindings)
+    }
+    if (indexed.forall(_._1.isDefined)) indexed.sortBy(_._1.get).map(_._2)
+    else indexed.map(_._2)
+  }
+
+  /** The same DAWG result-set vocabulary serialized as (constrained)
+   * RDF/XML — `rs:solution rdf:parseType="Resource"` elements with
+   * rs:index / rs:binding(variable, value); values are literals
+   * (rdf:datatype / xml:lang), rdf:resource IRIs or rdf:nodeID bnodes.
+   * A targeted DOM walk, not a general RDF/XML parser (which stays out
+   * of scope, SURVEY §7.4). */
+  private def rdfXmlResultSet(path: String): Seq[Solution] = {
+    val RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+    val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(true)
+    val doc = factory.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(readFile(path).getBytes("UTF-8")))
+    def children(e: org.w3c.dom.Element, ns: String, local: String) = {
+      val nl = e.getElementsByTagNameNS(ns, local)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+        .filter(_.getParentNode eq e)
+    }
+    def valueTerm(v: org.w3c.dom.Element): Term = {
+      val res = v.getAttributeNS(RDFNS, "resource")
+      val nid = v.getAttributeNS(RDFNS, "nodeID")
+      val dt = v.getAttributeNS(RDFNS, "datatype")
+      val lang = v.getAttribute("xml:lang")
+      if (res.nonEmpty) Term.iri(res)
+      else if (nid.nonEmpty) Term.bnode(nid)
+      else if (lang.nonEmpty) Term.langLit(v.getTextContent, lang)
+      else if (dt.nonEmpty) Term.lit(v.getTextContent, dt)
+      else Term.string(v.getTextContent)
+    }
+    val sols = doc.getElementsByTagNameNS(RS, "solution")
+    val indexed = (0 until sols.getLength).map { k =>
+      val sol = sols.item(k).asInstanceOf[org.w3c.dom.Element]
+      val idx = children(sol, RS, "index").headOption.map(_.getTextContent.trim.toDouble)
+      val bindings = children(sol, RS, "binding").flatMap { b =>
+        for {
+          v <- children(b, RS, "variable").headOption
+          value <- children(b, RS, "value").headOption
+        } yield v.getTextContent -> valueTerm(value)
+      }.toMap
+      (idx, bindings)
+    }
+    if (indexed.nonEmpty && indexed.forall(_._1.isDefined))
+      indexed.sortBy(_._1.get).map(_._2)
+    else indexed.map(_._2)
+  }
+
+  private def askExpected(resultFile: String): Boolean = {
+    val text = readFile(resultFile)
+    if (resultFile.endsWith(".srx"))
+      "(?s).*<boolean>\\s*(true|false)\\s*</boolean>.*".r
+        .findFirstMatchIn(text).map(_.group(1) == "true")
+        .getOrElse(throw new IllegalArgumentException("no <boolean> in " + resultFile))
+    else if (resultFile.endsWith(".srj"))
+      "(?s).*\"boolean\"\\s*:\\s*(true|false).*".r
+        .findFirstMatchIn(text).map(_.group(1) == "true")
+        .getOrElse(throw new IllegalArgumentException("no boolean in " + resultFile))
+    else if (resultFile.endsWith(".ttl"))
+      // DAWG result-set-in-RDF boolean (rs:boolean)
+      readData(resultFile)
+        .find(_.p.lex == "http://www.w3.org/2001/sw/DataAccess/tests/result-set#boolean")
+        .map(_.o.lex == "true")
+        .getOrElse(throw new IllegalArgumentException("no rs:boolean in " + resultFile))
+    else throw new IllegalArgumentException("ASK result format: " + resultFile)
+  }
+
+  private def render(sols: Seq[Solution]): String =
+    sols.map(s => s.toSeq.sortBy(_._1)
+      .map { case (v, t) => s"?$v=${t.toNTriples}" }.mkString("{", " ", "}"))
+      .mkString(" | ")
+}

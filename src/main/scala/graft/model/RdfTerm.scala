@@ -65,7 +65,24 @@ object Term {
   def bnode(label: String): Term = Term(KIND_BNODE, label, "", "")
   def string(lex: String): Term = Term(KIND_LIT, lex, XSD_STRING, "")
   def lit(lex: String, dt: String): Term = Term(KIND_LIT, lex, dt, "")
-  def langLit(lex: String, lang: String): Term = Term(KIND_LIT, lex, RDF_LANGSTRING, lang)
+  /** RFC 5646 language-tag case canonicalization (the reference's rule,
+   * InternalLangTag.java:62–70): first subtag lower; later subtags: 2
+   * chars → UPPER (region), 4 chars → Titlecase (script), else lower.
+   * Applied on CONSTRUCTION so language tags — case-insensitive per RDF
+   * 1.1 — compare equal as plain strings everywhere ("xyz"@EN == "xyz"@en,
+   * term equality included). graft.normalize.LangTags delegates here. */
+  def canonLangTag(tag: String): String = {
+    if (tag == null || tag.isEmpty) return tag
+    tag.split("-", -1).zipWithIndex.map { case (p, k) =>
+      if (k == 0) p.toLowerCase
+      else if (p.length == 2) p.toUpperCase
+      else if (p.length == 4) p.substring(0, 1).toUpperCase + p.substring(1).toLowerCase
+      else p.toLowerCase
+    }.mkString("-")
+  }
+
+  def langLit(lex: String, lang: String): Term =
+    Term(KIND_LIT, lex, RDF_LANGSTRING, canonLangTag(lang))
   def defaultGraph: Term = iri(DEFAULT_GRAPH)
 }
 

@@ -125,22 +125,9 @@ object Literals {
  * subtag: 2 chars → UPPERCASE (region), 4 chars → Titlecase (script),
  * else lowercase. */
 object LangTags {
-  def canonical(tag: String): String = {
-    if (tag == null || tag.isEmpty) return tag
-    val parts = tag.split("-", -1)
-    val out = new Array[String](parts.length)
-    var i = 0
-    while (i < parts.length) {
-      val p = parts(i)
-      out(i) =
-        if (i == 0) p.toLowerCase
-        else if (p.length == 2) p.toUpperCase
-        else if (p.length == 4) p.substring(0, 1).toUpperCase + p.substring(1).toLowerCase
-        else p.toLowerCase
-      i += 1
-    }
-    out.mkString("-")
-  }
+  /** Single source of truth lives on Term (applied at construction so tag
+   * equality is string equality engine-wide). */
+  def canonical(tag: String): String = Term.canonLangTag(tag)
 }
 
 /**

@@ -138,7 +138,7 @@ object ResultSetIO {
       case _ => // "literal" | "typed-literal" (legacy)
         val dt2 = if (dt.nonEmpty) dt
           else if (lang.nonEmpty) Term.RDF_LANGSTRING else Term.XSD_STRING
-        Row(Term.KIND_LIT, value, dt2, lang)
+        Row(Term.KIND_LIT, value, dt2, Term.canonLangTag(lang))
     }
 
   /** Parse a W3C results-JSON document (via Jackson, which ships with

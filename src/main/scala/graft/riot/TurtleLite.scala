@@ -11,23 +11,27 @@ import graft.model.{NTriplesEscape, Term, Triple}
  * Spark unit is the document, not the line). Grammar coverage mirrors the
  * parts of the reference's LangTurtleBase
  * (jena-arq/src/main/java/org/apache/jena/riot/lang/LangTurtleBase.java,
- * 838 LoC) that RDF fixtures actually use:
+ * 838 LoC) that RDF fixtures and the W3C test manifests actually use:
  *
  *   @prefix / PREFIX, @base / BASE, prefixed names, <iri> refs resolved
  *   against the base (graft.normalize.Iri), `a` → rdf:type,
  *   predicate lists `;`, object lists `,`, bnode labels `_:x`,
- *   string literals with escapes / @lang / ^^dt, numeric shorthand
+ *   anonymous bnodes and bnode property lists `[ p o ; … ]`,
+ *   RDF collections `( e1 e2 … )` → rdf:first/rdf:rest chains,
+ *   string literals with escapes / @lang / ^^dt — short and long
+ *   (`"""…"""`, `'''…'''`) and single-quoted forms —, numeric shorthand
  *   (integer/decimal/double per the Turtle grammar), booleans.
  *
- * Out of scope (documented, not silently wrong): collections `( )`,
- * anonymous bnodes `[ ]`, multiline `\"\"\"` strings — the parser raises on
- * them. Parsing is pure per document ⇒ runs inside `mapPartitions` with no
- * shared state; prefix/base maps are document-local exactly like the
- * reference's per-parser `PrefixMap`.
+ * Still out of scope (documented, raises — never silently wrong):
+ * `@forSome`-era N3 constructs, RDF-star annotation syntax `{| |}`.
  */
 object TurtleLite {
 
-  private val RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RDF_TYPE = RDF + "type"
+  private val RDF_FIRST = RDF + "first"
+  private val RDF_REST = RDF + "rest"
+  private val RDF_NIL = RDF + "nil"
 
   def parse(content: String, baseIri: String = ""): Seq[Triple] =
     new Parser(content, baseIri).run()
@@ -36,6 +40,12 @@ object TurtleLite {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private val out = ListBuffer[Triple]()
+    private var anonN = 0
+
+    /** Fresh document-scoped bnode for `[ … ]` / collection cells — the
+     * "__a" prefix keeps generated labels apart from data labels (the
+     * reference allocates via LabelToNode scopes, LabelToNode.java:48). */
+    private def freshBnode(): Term = { anonN += 1; Term.bnode("__a" + anonN) }
 
     def run(): Seq[Triple] = {
       skip()
@@ -88,6 +98,19 @@ object TurtleLite {
 
     private def triplesBlock(): Unit = {
       val subj = term(isPredicate = false)
+      skip()
+      // `[ p o ] .` / `( … ) .` — a subject-only statement is legal when
+      // the subject form itself emitted triples
+      if (i < s.length && s.charAt(i) == '.') { i += 1; return }
+      predicateObjectList(subj, inBracket = false)
+      skip()
+      if (i < s.length && s.charAt(i) == '.') i += 1
+      else fail("expected '.' after triples")
+    }
+
+    /** `p o (, o)* (; p o …)*` — shared by top-level triples and bnode
+     * property lists (terminated by '.' outside brackets, ']' inside). */
+    private def predicateObjectList(subj: Term, inBracket: Boolean): Unit = {
       var more = true
       while (more) {
         skip()
@@ -103,10 +126,9 @@ object TurtleLite {
         skip()
         if (i < s.length && s.charAt(i) == ';') {
           i += 1; skip()
-          // trailing ';' before '.' is legal Turtle
-          if (i < s.length && s.charAt(i) == '.') { i += 1; more = false }
-        } else if (i < s.length && s.charAt(i) == '.') { i += 1; more = false }
-        else fail("expected ';', ',' or '.'")
+          // trailing ';' before the terminator is legal Turtle
+          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ']')) more = false
+        } else more = false
       }
     }
 
@@ -115,29 +137,71 @@ object TurtleLite {
       if (i >= s.length) fail("unexpected end of document")
       s.charAt(i) match {
         case '<' => Term.iri(graft.normalize.Iri.resolve(base, iriRef().lex))
-        case '"' => if (isPredicate) fail("literal predicate") else literal()
+        case '"' | '\'' => if (isPredicate) fail("literal predicate") else literal()
         case '_' => bnodeLabel()
-        case '(' => fail("collections '()' not supported by TurtleLite")
-        case '[' => fail("anonymous bnodes '[]' not supported by TurtleLite")
+        case '(' =>
+          if (isPredicate) fail("collection predicate") else collection()
+        case '[' =>
+          if (isPredicate) fail("bnode predicate") else bnodePropertyList()
         case _ =>
           val w = tokenWord()
           if (isPredicate && w == "a") Term.iri(RDF_TYPE)
           else if (!isPredicate && (w == "true" || w == "false")) Term.lit(w, Term.XSD_BOOLEAN)
           else if (!isPredicate && w.nonEmpty &&
-            (w.charAt(0).isDigit || w.charAt(0) == '-' || w.charAt(0) == '+' || w.charAt(0) == '.'))
+            (w.charAt(0).isDigit || w.charAt(0) == '-' || w.charAt(0) == '+' ||
+              (w.charAt(0) == '.' && w.length > 1 && w.charAt(1).isDigit)))
             numericLiteral(w)
           else prefixedName(w)
       }
+    }
+
+    /** `( e1 e2 … )` → rdf:first/rdf:rest/rdf:nil chain over fresh bnodes
+     * (LangTurtleBase's triplesList); `()` is rdf:nil itself. */
+    private def collection(): Term = {
+      i += 1 // '('
+      skip()
+      val cells = ListBuffer[Term]()
+      while (i < s.length && s.charAt(i) != ')') {
+        cells += term(isPredicate = false)
+        skip()
+      }
+      if (i >= s.length) fail("unterminated collection")
+      i += 1 // ')'
+      if (cells.isEmpty) Term.iri(RDF_NIL)
+      else {
+        val nodes = cells.map(_ => freshBnode())
+        nodes.zip(cells).zipWithIndex.foreach { case ((n, cell), k) =>
+          out += Triple(n, Term.iri(RDF_FIRST), cell)
+          out += Triple(n, Term.iri(RDF_REST),
+            if (k == cells.size - 1) Term.iri(RDF_NIL) else nodes(k + 1))
+        }
+        nodes.head
+      }
+    }
+
+    /** `[]` / `[ p o ; … ]` → fresh bnode (+ its property triples). */
+    private def bnodePropertyList(): Term = {
+      i += 1 // '['
+      skip()
+      val node = freshBnode()
+      if (i < s.length && s.charAt(i) == ']') { i += 1; return node }
+      predicateObjectList(node, inBracket = true)
+      skip()
+      if (i >= s.length || s.charAt(i) != ']') fail("unterminated '['")
+      i += 1
+      node
     }
 
     /** Token up to whitespace or a structural delimiter. */
     private def tokenWord(): String = {
       val start = i
       while (i < s.length && !Character.isWhitespace(s.charAt(i)) &&
-        ";,".indexOf(s.charAt(i)) < 0 &&
-        // '.' ends a token only when followed by whitespace/EOF (it may be
-        // part of a decimal or a prefixed local name)
-        !(s.charAt(i) == '.' && (i + 1 >= s.length || Character.isWhitespace(s.charAt(i + 1)))))
+        ";,()[]".indexOf(s.charAt(i)) < 0 &&
+        // '.' ends a token only when followed by whitespace/EOF/bracket (it
+        // may be part of a decimal or a prefixed local name)
+        !(s.charAt(i) == '.' && (i + 1 >= s.length ||
+          Character.isWhitespace(s.charAt(i + 1)) ||
+          ")]".indexOf(s.charAt(i + 1)) >= 0)))
         i += 1
       s.substring(start, i)
     }
@@ -173,26 +237,39 @@ object TurtleLite {
       i += 2
       val start = i
       while (i < s.length && !Character.isWhitespace(s.charAt(i)) &&
-        ";,".indexOf(s.charAt(i)) < 0 &&
-        !(s.charAt(i) == '.' && (i + 1 >= s.length || Character.isWhitespace(s.charAt(i + 1)))))
+        ";,()[]".indexOf(s.charAt(i)) < 0 &&
+        !(s.charAt(i) == '.' && (i + 1 >= s.length ||
+          Character.isWhitespace(s.charAt(i + 1)) ||
+          ")]".indexOf(s.charAt(i + 1)) >= 0)))
         i += 1
       Term.bnode(s.substring(start, i))
     }
 
     private def literal(): Term = {
-      if (s.startsWith("\"\"\"", i)) fail("multiline strings not supported by TurtleLite")
-      i += 1
-      val sb = new StringBuilder
-      while (i < s.length && s.charAt(i) != '"') {
-        val c = s.charAt(i)
-        if (c == '\\') {
-          if (i + 1 >= s.length) fail("bad escape")
-          sb.append(c).append(s.charAt(i + 1)); i += 2
-        } else { sb.append(c); i += 1 }
-      }
-      if (i >= s.length) fail("unterminated string")
-      i += 1
-      val lex = NTriplesEscape.unescape(sb.toString)
+      val q = s.charAt(i)
+      val longQ = s.startsWith(q.toString * 3, i)
+      val lex =
+        if (longQ) {
+          i += 3
+          val end = s.indexOf(q.toString * 3, i)
+          if (end < 0) fail("unterminated long string")
+          val raw = s.substring(i, end)
+          i = end + 3
+          NTriplesEscape.unescape(raw)
+        } else {
+          i += 1
+          val sb = new StringBuilder
+          while (i < s.length && s.charAt(i) != q) {
+            val c = s.charAt(i)
+            if (c == '\\') {
+              if (i + 1 >= s.length) fail("bad escape")
+              sb.append(c).append(s.charAt(i + 1)); i += 2
+            } else { sb.append(c); i += 1 }
+          }
+          if (i >= s.length) fail("unterminated string")
+          i += 1
+          NTriplesEscape.unescape(sb.toString)
+        }
       if (i < s.length && s.charAt(i) == '@') {
         i += 1
         val start = i

@@ -61,18 +61,22 @@ object Parser {
   /** CLEAR DEFAULT / CLEAR ALL. */
   case object UpdateClear extends UpdateAst
 
-  def parse(query: String): Op = new P(query).parseQuery()
+  /** `base` resolves relative IRIs in the query (the query file's
+   * location, like QueryFactory.create(query, baseURI)); a BASE
+   * declaration in the text overrides it. */
+  def parse(query: String, base: String = ""): Op = new P(query, base).parseQuery()
 
-  def parseAny(query: String): QueryForm = new P(query).parseAnyForm()
+  def parseAny(query: String, base: String = ""): QueryForm =
+    new P(query, base).parseAnyForm()
 
   /** Parse a ';'-separated SPARQL Update request. */
   def parseUpdate(text: String): Seq[UpdateAst] = new P(text).parseUpdateOps()
 
   // ---------------------------------------------------------------------
-  private final class P(s: String) {
+  private final class P(s: String, baseIri: String = "") {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map[String, String]()
-    private var base = ""
+    private var base = baseIri
     private var sawAgg = false
     /** EXACT names of parser-internal helper vars (__bn_*, __qt*, __ord*,
      * __gk*) introduced so far — SELECT * drops precisely these, never a
@@ -108,7 +112,7 @@ object Parser {
       } else if (kwAhead("DESCRIBE")) {
         eatKw("DESCRIBE")
         ws()
-        if (peekIs('?')) {
+        if (peekVar) {
           val v = varName()
           val w = if (kwAhead("WHERE")) { eatKw("WHERE"); Some(groupGraphPattern()) }
                   else None
@@ -145,7 +149,7 @@ object Parser {
         while (moreProps) {
           ws()
           val pred: TermPat =
-            if (peekIs('?')) TVar(varName()) else TConst(Term.iri(iriOnly()))
+            if (peekVar) TVar(varName()) else TConst(Term.iri(iriOnly()))
           var moreObjs = true
           while (moreObjs) {
             out += TriplePattern(subj, pred, termPat())
@@ -278,7 +282,7 @@ object Parser {
         var goingG = true
         while (goingG) {
           ws()
-          if (peekIs('?')) ks += varName()
+          if (peekVar) ks += varName()
           else if (peekIs('(')) {
             expect('(')
             val e = expression()
@@ -332,6 +336,7 @@ object Parser {
       }
 
       var hiddenOrd = List.empty[String]
+      var sortKeys = List.empty[SortKey]
       if (eatKw2("ORDER", "BY")) {
         val keys = ListBuffer[SortKey]()
         val ordExtends = ListBuffer[(String, RowExpr)]()
@@ -341,7 +346,7 @@ object Parser {
           expect('(')
           ws()
           val save = i
-          if (peekIs('?')) {
+          if (peekVar) {
             val v = varName()
             ws()
             if (peekIs(')')) { i += 1; keys += SortKey(v, asc); return }
@@ -359,25 +364,57 @@ object Parser {
           ws()
           if (eatKw("ASC")) brackettedKey(asc = true)
           else if (eatKw("DESC")) brackettedKey(asc = false)
-          else if (peekIs('?')) keys += SortKey(varName(), ascending = true)
+          else if (peekVar) keys += SortKey(varName(), ascending = true)
           else if (peekIs('(')) brackettedKey(asc = true)
+          else if (i < s.length && s.charAt(i).isLetter &&
+            !kwAhead("LIMIT") && !kwAhead("OFFSET") && !kwAhead("VALUES") &&
+            !kwAhead("GROUP") && !kwAhead("HAVING")) {
+            // bare built-in / cast call as an order condition:
+            // ORDER BY str(?o), ORDER BY xsd:integer(?o)
+            val e = functionCallE().asTermE
+            val hv = s"__ord${ordExtends.size}"
+            hiddenVars += hv
+            ordExtends += (hv -> e)
+            keys += SortKey(hv, ascending = true)
+          }
           else going = false
         }
         ordExtends.foreach { case (v, e) => op = Extend(v, e, op) }
-        op = Order(keys.toList, op)
+        sortKeys = keys.toList
         hiddenOrd = ordExtends.map(_._1).toList
       }
 
       val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
-      if (projVars.nonEmpty) op = Project(projVars, op)
-      else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars) {
-        // SELECT * — drop exactly the generated helper columns (a user var
-        // merely starting with "__" survives)
-        val hv = hiddenVars.toSet
-        op = ExtOp(df => df.drop(df.columns.filter(hv.contains): _*), Nil, op)
+      def applyProject(): Unit = {
+        if (projVars.nonEmpty) op = Project(projVars, op)
+        else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars) {
+          // SELECT * — drop exactly the generated helper columns (a user
+          // var merely starting with "__" survives)
+          val hv = hiddenVars.toSet
+          op = ExtOp(df => df.drop(df.columns.filter(hv.contains): _*), Nil, op)
+        }
       }
-      if (distinct) op = Distinct(op)
-      if (reduced) op = Reduced(op)
+      // Modifier order is order→project→distinct→slice
+      // (AlgebraGenerator.java:480–592) — but dropDuplicates does NOT
+      // preserve order, so DISTINCT/REDUCED over an ordered sequence must
+      // dedup FIRST and sort AFTER (the reference's
+      // TransformOrderByDistinctApplication rewrite). Legal exactly when
+      // every sort key is a projected plain variable; otherwise keep the
+      // literal order (an ORDER BY on a non-projected/derived key under
+      // DISTINCT has no stable answer after projection anyway).
+      val dedupThenSort = (distinct || reduced) && sortKeys.nonEmpty &&
+        hiddenOrd.isEmpty &&
+        sortKeys.forall(k => projVars.isEmpty || projVars.contains(k.v))
+      if (dedupThenSort) {
+        applyProject()
+        op = if (distinct) Distinct(op) else Reduced(op)
+        op = Order(sortKeys, op)
+      } else {
+        if (sortKeys.nonEmpty) op = Order(sortKeys, op)
+        applyProject()
+        if (distinct) op = Distinct(op)
+        if (reduced) op = Reduced(op)
+      }
 
       var limit = -1L; var offset = 0L
       var more = true
@@ -403,7 +440,7 @@ object Parser {
       var going = true
       while (going) {
         ws()
-        if (peekIs('?')) out += SelVar(varName())
+        if (peekVar) out += SelVar(varName())
         else if (peekIs('(')) {
           expect('(')
           val e = expression()
@@ -419,8 +456,26 @@ object Parser {
 
     // ---- group graph pattern
     private def groupGraphPattern(): Op = {
+      val (op, fils) = groupPatternParts()
+      fils.foldLeft(op)((o, f) => Filter(f, o))
+    }
+
+    /** Parse a `{ … }` group, returning (pattern, top-level filters).
+     * SPARQL scopes every FILTER to the WHOLE group regardless of its
+     * textual position (AlgebraGenerator wraps OpFilter around the group
+     * at the end) — so constraints are COLLECTED here and applied by the
+     * caller: groupGraphPattern wraps them as Filter ops; OPTIONAL turns
+     * them into the left-join condition (the LeftJoin expr of SPARQL
+     * §6.2, AlgebraGenerator's getOfOptional path) so a filter on an
+     * outer variable — `OPTIONAL { ?y :q ?w . FILTER(?v=2) }` — sees the
+     * merged row, not the bare RHS. FILTER [NOT] EXISTS likewise applies
+     * at group end (order among group-level filters is immaterial —
+     * they are all row predicates over the same solution set). */
+    private def groupPatternParts(): (Op, List[RowExpr]) = {
       expect('{')
       var current: Option[Op] = None
+      val filters = ListBuffer[RowExpr]()
+      val deferred = ListBuffer[Op => Op]() // EXISTS / NOT EXISTS at group end
       def add(next: Op): Unit =
         current = Some(current.map(Join(_, next)).getOrElse(next))
 
@@ -432,18 +487,18 @@ object Parser {
           ws()
           if (eatKw("EXISTS")) {
             val r = groupGraphPattern()
-            current = Some(SemiJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+            deferred += (o => SemiJoin(o, r))
           } else if (eatKw2("NOT", "EXISTS")) {
             val r = groupGraphPattern()
-            current = Some(AntiJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+            deferred += (o => AntiJoin(o, r))
           } else {
-            val c = constraint()
-            current = Some(Filter(c, current.getOrElse(Table(Nil, Seq(Map.empty)))))
+            filters += constraint()
           }
         }
         else if (eatKw("OPTIONAL")) {
-          val r = groupGraphPattern()
-          current = Some(LeftJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+          val (r, fils) = groupPatternParts()
+          val cond = fils.reduceOption((a, b) => RowExpr(v => a(v) && b(v)))
+          current = Some(LeftJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r, cond))
         }
         else if (eatKw("MINUS")) {
           val r = groupGraphPattern()
@@ -459,17 +514,33 @@ object Parser {
         }
         else if (eatKw("VALUES")) add(valuesClause())
         else if (eatKw("GRAPH")) {
-          val gp = if (peekIs('?')) TVar(varName()) else TConst(iriTerm())
+          val gp = if (peekVar) TVar(varName()) else TConst(iriTerm())
           val inner = groupGraphPattern()
           (gp, inner) match {
+            // GRAPH x {} — dataset-names enumeration / existence gate
+            case (_, Table(Nil, rows)) if rows == Seq(Map.empty[String, Term]) =>
+              add(DatasetNames(gp))
             case (_, Bgp(ps)) => add(QuadBgp(gp, ps))
             // constant graph: any body shape — re-scoped to that graph
             case (TConst(t), other) => add(GraphScope(t, other))
             // variable graph over a complex body: every inner BGP becomes
-            // a quad pattern sharing the graph var, so joins / OPTIONAL /
-            // UNION evaluate per named graph (the graph var joins like
-            // any other shared variable)
-            case (TVar(gv), other) => add(scopeToGraphVar(other, gv))
+            // a quad pattern sharing a HIDDEN graph var, so joins /
+            // OPTIONAL / UNION evaluate per named graph — and the USER
+            // var joins at the boundary only (SPARQL 18.5 eval of
+            // Graph(var, P): Join(eval(D[g], P), {var→g}); the body does
+            // NOT see ?g pre-bound — the W3C graph-optional case)
+            case (TVar(gv), other) =>
+              gvCounter += 1
+              val hv = s"__gv$gvCounter"
+              hiddenVars += hv
+              val scoped = scopeToGraphVar(other, hv)
+              add(ExtOp(df => {
+                if (df.columns.contains(gv))
+                  df.filter(col(gv).isNull || col(gv) === col(hv))
+                    .withColumn(gv, coalesce(col(gv), col(hv)))
+                    .drop(hv)
+                else df.withColumnRenamed(hv, gv)
+              }, Seq(gv), scoped))
           }
         }
         else if (peekIs('{')) {
@@ -495,7 +566,8 @@ object Parser {
         ws()
         if (peekIs('.')) i += 1 // statement separator between pattern elements
       }
-      current.getOrElse(Table(Nil, Seq(Map.empty)))
+      val base = current.getOrElse(Table(Nil, Seq(Map.empty)))
+      (deferred.foldLeft(base)((o, f) => f(o)), filters.toList)
     }
 
     /** Contiguous triple patterns with ';' ',' shorthand and paths. Path
@@ -536,16 +608,69 @@ object Parser {
           pendingExt ++= exts
           pendingFil ++= fils
           (tv, true)
-        } else (note(termPat()), false)
+        } else if (peekIs('(')) (collectionPat(), false)
+        else if (peekIs('[')) (bnodePropListPat(), false)
+        else (note(termPat()), false)
       }
-      var going = true
-      while (going) {
-        val (subj, subjQt) = slotPat()
+      /** `( e1 e2 … )` in a pattern slot: desugars to hidden
+       * non-distinguished variables over rdf:first/rdf:rest/rdf:nil
+       * patterns — matching the collection shape TurtleLite/real Turtle
+       * emits in data (SPARQL 1.1 §4.2.2 Collections). */
+      def collectionPat(): TermPat = {
+        i += 1 // '('
+        ws()
+        val items = ListBuffer[TermPat]()
+        while (!peekIs(')')) {
+          if (i >= s.length) fail("unterminated collection")
+          items += collItem()
+          ws()
+        }
+        i += 1
+        if (items.isEmpty) TConst(Term.iri(RdfNs + "nil"))
+        else {
+          val nodes = items.toList.map { _ =>
+            collCounter += 1
+            val hv = "__cl" + collCounter
+            hiddenVars += hv
+            TVar(hv)
+          }
+          nodes.zip(items).zipWithIndex.foreach { case ((n, item), k) =>
+            bgp += TriplePattern(n, TConst(Term.iri(RdfNs + "first")), item)
+            bgp += TriplePattern(n, TConst(Term.iri(RdfNs + "rest")),
+              if (k == items.size - 1) TConst(Term.iri(RdfNs + "nil")) else nodes(k + 1))
+          }
+          nodes.head
+        }
+      }
+      def collItem(): TermPat = {
+        ws()
+        if (peekIs('(')) collectionPat()
+        else if (peekIs('[')) bnodePropListPat()
+        else note(termPat())
+      }
+      /** `[]` / `[ p o ; … ]` in a pattern slot: a hidden non-distinguished
+       * variable (SPARQL blank-node semantics) plus its property patterns. */
+      def bnodePropListPat(): TermPat = {
+        i += 1 // '['
+        ws()
+        bplCounter += 1
+        val hv = "__bpl" + bplCounter
+        hiddenVars += hv
+        val v = TVar(hv)
+        if (peekIs(']')) { i += 1; v }
+        else {
+          parsePredObjList(v, subjQt = false)
+          ws()
+          expect(']')
+          v
+        }
+      }
+      def parsePredObjList(subj: TermPat, subjQt: Boolean): Unit = {
         var moreProps = true
         while (moreProps) {
           ws()
           // predicate: a variable, or a property path (plain IRI = PLink)
-          val predVar = if (peekIs('?')) Some(note(TVar(varName())).asInstanceOf[TVar]) else None
+          val predVar = if (peekVar) Some(note(TVar(varName())).asInstanceOf[TVar]) else None
           val pth = if (predVar.isEmpty) path() else PLink("")
           var moreObjs = true
           while (moreObjs) {
@@ -560,15 +685,26 @@ object Parser {
             if (peekIs(',')) i += 1 else moreObjs = false
           }
           ws()
-          if (peekIs(';')) { i += 1; ws(); if (peekIs('.') || peekIs('}')) moreProps = false }
+          if (peekIs(';')) {
+            i += 1; ws()
+            if (peekIs('.') || peekIs('}') || peekIs(']')) moreProps = false
+          }
           else moreProps = false
         }
+      }
+      var going = true
+      while (going) {
+        val (subj, subjQt) = slotPat()
+        ws()
+        // `[ p o ] .` — a subject-only statement is legal when the subject
+        // form itself produced patterns
+        if (!peekIs('.') && !peekIs('}')) parsePredObjList(subj, subjQt)
         ws()
         if (peekIs('.')) {
           i += 1; ws()
           // another triples line only if a term follows
-          going = peekIs('?') || peekIs('<') || peekIs('_') || peekIs('"') ||
-            peekPrefixedName()
+          going = peekVar || peekIs('<') || peekIs('_') || peekIs('"') ||
+            peekIs('\'') || peekIs('(') || peekIs('[') || peekPrefixedName()
         } else going = false
       }
       flushInto(None)
@@ -598,6 +734,10 @@ object Parser {
     }
 
     private var qtCounter = 0
+    private var collCounter = 0
+    private var bplCounter = 0
+    private var gvCounter = 0
+    private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
     /** Variable-bearing quoted triple → internal term var + accessor
      * binds/filters (see triplesBlock note). */
@@ -657,7 +797,7 @@ object Parser {
 
     private def valuesClause(): Op = {
       ws()
-      if (peekIs('?')) {
+      if (peekVar) {
         val v = varName()
         expect('{')
         val rows = ListBuffer[Map[String, Term]]()
@@ -672,7 +812,7 @@ object Parser {
       } else {
         expect('(')
         val vars = ListBuffer[String]()
-        while (peekIs('?')) vars += varName()
+        while (peekVar) vars += varName()
         expect(')')
         expect('{')
         val rows = ListBuffer[Map[String, Term]]()
@@ -764,7 +904,7 @@ object Parser {
 
     private def termPat(): TermPat = {
       ws()
-      if (peekIs('?')) TVar(varName())
+      if (peekVar) TVar(varName())
       else if (bnodeIsVar && peekIs('_')) {
         expect('_'); expect(':')
         val hv = "__bn_" + name()
@@ -815,7 +955,11 @@ object Parser {
     private def numberTerm(): Term = {
       val start = i
       if (peekIs('-') || peekIs('+')) i += 1
-      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+      // '.' belongs to the number only when followed by a digit: SPARQL's
+      // DECIMAL is `[0-9]* '.' [0-9]+`, so `123.0.` is a decimal then the
+      // statement dot (unlike Turtle, which allows a trailing-dot decimal)
+      while (i < s.length && (s.charAt(i).isDigit ||
+        (s.charAt(i) == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) ||
         s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
         ((s.charAt(i) == '-' || s.charAt(i) == '+') && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E'))))
         i += 1
@@ -826,14 +970,32 @@ object Parser {
     }
 
     private def literal(): Term = {
-      val quote = s.charAt(i); i += 1
-      val sb = new StringBuilder
-      while (i < s.length && s.charAt(i) != quote) {
-        if (s.charAt(i) == '\\') { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
-        else { sb.append(s.charAt(i)); i += 1 }
-      }
-      i += 1
-      val lex = NTriplesEscape.unescape(sb.toString)
+      val quote = s.charAt(i)
+      val longQ = s.startsWith(quote.toString * 3, i)
+      val lex =
+        if (longQ) {
+          // long string ('''…''' / """…"""): may span lines and contain
+          // bare quotes; escapes still processed
+          i += 3
+          val sb = new StringBuilder
+          while (i < s.length && !s.startsWith(quote.toString * 3, i)) {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          if (i >= s.length) fail("unterminated long string")
+          i += 3
+          NTriplesEscape.unescape(sb.toString)
+        } else {
+          i += 1
+          val sb = new StringBuilder
+          while (i < s.length && s.charAt(i) != quote) {
+            if (s.charAt(i) == '\\') { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+            else { sb.append(s.charAt(i)); i += 1 }
+          }
+          i += 1
+          NTriplesEscape.unescape(sb.toString)
+        }
       if (peekIs('@')) {
         i += 1
         val st = i
@@ -846,27 +1008,80 @@ object Parser {
     }
 
     // ---- expressions → RowExpr (Column trees; SPARQL || && = != < > etc.)
-    private def constraint(): RowExpr = {
-      ws()
-      if (peekIs('(')) { expect('('); val e = expression(); expect(')'); e }
-      else expression()
+
+    /** Typed expression node: the Column a RowExpr produces is a SQL
+     * BOOLEAN (comparisons, logical ops, type tests), a term STRUCT, or —
+     * inside arithmetic chains — a narrow NUMERIC pair struct
+     * `(v: DOUBLE, r: INT)` of shadow value and promotion rank.
+     *
+     * The coercions (SPARQL EBV, boolean→xsd:boolean term, term→numeric
+     * shadow, numeric→canonical term) happen exactly ONCE at each kind
+     * boundary. The numeric kind is load-bearing for plan size: a full
+     * term-struct construction per arithmetic node (numericTerm) references
+     * its operand ~30×, so nested arithmetic `((a+b)*c)-d` grows the
+     * Catalyst tree ~30^depth — analysis then OOMs/stack-overflows on
+     * queries the reference evaluates trivially (observed on the W3C
+     * expr-ops suite). The pair struct keeps per-level fan-out ≤4 and
+     * formats the lexical form once at the boundary, keeping whole-stage
+     * codegen linear in expression size. */
+    private sealed trait ExKind
+    private case object KBool extends ExKind
+    private case object KTerm extends ExKind
+    private case object KNum extends ExKind
+    private case class Ex(e: RowExpr, kind: ExKind) {
+      def asBool: RowExpr = kind match {
+        case KBool => e
+        case KTerm => RowExpr(v => TermCols.ebv(e(v)))
+        case KNum => RowExpr(v => e(v).getField("v") =!= 0.0)
+      }
+      def asTermE: RowExpr = kind match {
+        case KBool => RowExpr(v => SF.toTerm(e(v)))
+        case KTerm => e
+        case KNum => RowExpr { v =>
+          val p = e(v)
+          TermCols.numericTerm(p.getField("v"), p.getField("r"))
+        }
+      }
+      def asNum: RowExpr = kind match {
+        case KNum => e
+        case KTerm => RowExpr { v =>
+          val t = e(v)
+          struct(TermCols.numValue(t).as("v"), TermCols.numRank(t).as("r"))
+        }
+        // a bare boolean is not numeric → eval error (NULL pair)
+        case KBool => RowExpr(_ => slit(null).cast(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.IntegerType)))))
+      }
     }
 
-    private def expression(): RowExpr = orExpr()
+    /** Boolean-valued view (FILTER / HAVING constraints) — a bracketted
+     * expression rides primaryE's '(' handling. */
+    private def constraint(): RowExpr = exprE().asBool
 
-    private def orExpr(): RowExpr = {
-      var l = andExpr()
-      while ({ ws(); s.startsWith("||", i) }) { i += 2; val r = andExpr(); val ll = l
-        l = RowExpr(v => ll(v) || r(v)) }
+    /** Term-valued view (BIND, SELECT exprs, ORDER BY, function args). */
+    private def expression(): RowExpr = exprE().asTermE
+
+    private def exprE(): Ex = orE()
+
+    private def orE(): Ex = {
+      var l = andE()
+      while ({ ws(); s.startsWith("||", i) }) {
+        i += 2; val r = andE(); val lb = l.asBool; val rb = r.asBool
+        l = Ex(RowExpr(v => lb(v) || rb(v)), KBool)
+      }
       l
     }
-    private def andExpr(): RowExpr = {
-      var l = relExpr()
-      while ({ ws(); s.startsWith("&&", i) }) { i += 2; val r = relExpr(); val ll = l
-        l = RowExpr(v => ll(v) && r(v)) }
+    private def andE(): Ex = {
+      var l = relE()
+      while ({ ws(); s.startsWith("&&", i) }) {
+        i += 2; val r = relE(); val lb = l.asBool; val rb = r.asBool
+        l = Ex(RowExpr(v => lb(v) && rb(v)), KBool)
+      }
       l
     }
-    private def relExpr(): RowExpr = {
+    private def relE(): Ex = {
       val l = addExpr()
       ws()
       val opStr =
@@ -877,69 +1092,245 @@ object Parser {
       if (opStr.isEmpty) return l
       i += opStr.length
       val r = addExpr()
-      RowExpr { v =>
-        val (a, b) = (l(v), r(v))
-        // value comparison: numeric space by value, otherwise term equality
-        // / lexical order (our canonical forms make this the SPARQL value
-        // semantics — SURVEY.md §1.7)
-        val numCmp = (TermCols.numValue(asTerm(a)), TermCols.numValue(asTerm(b)))
-        def bothNum = numCmp._1.isNotNull && numCmp._2.isNotNull
-        opStr match {
-          case "=" => when(bothNum, numCmp._1 === numCmp._2).otherwise(asTerm(a) === asTerm(b))
-          case "!=" => when(bothNum, numCmp._1 =!= numCmp._2).otherwise(asTerm(a) =!= asTerm(b))
-          case "<" => when(bothNum, numCmp._1 < numCmp._2)
-            .otherwise(TermCols.lex(asTerm(a)) < TermCols.lex(asTerm(b)))
-          case ">" => when(bothNum, numCmp._1 > numCmp._2)
-            .otherwise(TermCols.lex(asTerm(a)) > TermCols.lex(asTerm(b)))
-          case "<=" => when(bothNum, numCmp._1 <= numCmp._2)
-            .otherwise(TermCols.lex(asTerm(a)) <= TermCols.lex(asTerm(b)))
-          case ">=" => when(bothNum, numCmp._1 >= numCmp._2)
-            .otherwise(TermCols.lex(asTerm(a)) >= TermCols.lex(asTerm(b)))
-        }
+      // an arithmetic operand keeps the comparison in the numeric shadow —
+      // no term round-trip (a non-numeric other side is an eval error →
+      // NULL → row dropped, the SPARQL comparison-error semantics)
+      if (l.kind == KNum || r.kind == KNum) {
+        val (ln, rn) = (l.asNum, r.asNum)
+        return Ex(RowExpr { v =>
+          val (x, y) = (ln(v).getField("v"), rn(v).getField("v"))
+          opStr match {
+            case "=" => x === y
+            case "!=" => x =!= y
+            case "<" => x < y
+            case ">" => x > y
+            case "<=" => x <= y
+            case ">=" => x >= y
+          }
+        }, KBool)
       }
+      val lt = l.asTermE
+      val rt = r.asTermE
+      Ex(RowExpr { v =>
+        val (ta, tb) = (lt(v), rt(v))
+        // Value comparison dispatched by VALUE SPACE (NodeValue.java:385,
+        // SPARQL 17.3 operator mapping + the open-world extensions):
+        // numeric double shadow, boolean truth value, zoned/unzoned
+        // temporal epoch shadows (XSD's partial order: mixed zoned-ness is
+        // determinate only beyond the ±14 h implicit-timezone window, else
+        // a type ERROR), plain-string and lang-string spaces; the fallback
+        // is RDFterm-equal — same term TRUE, two non-same literals a type
+        // ERROR (NULL → row dropped), else FALSE. COALESCE form: a shadow
+        // verdict is NULL unless BOTH sides live in that space, so the
+        // first non-NULL verdict wins — and each operand is referenced
+        // once per space (plan-size discipline, see numericTerm's note).
+        import graft.model.{Term => T}
+        val DT = T.XSD_DATETIME
+        val DA = T.XSD + "date"
+        val (na, nb) = (TermCols.numValue(ta), TermCols.numValue(tb))
+        val (ba, bb) = (TermCols.boolValue(ta), TermCols.boolValue(tb))
+        // temporal shadows keyed on (primitive type, zoned-ness): zoned ↔
+        // unzoned compares only through the ±14 h window; date ↔ dateTime
+        // never compares by value
+        val (tza, tzb) = (TermCols.zonedEpoch(ta, DT), TermCols.zonedEpoch(tb, DT))
+        val (tua, tub) = (TermCols.unzonedEpoch(ta, DT), TermCols.unzonedEpoch(tb, DT))
+        val (dza, dzb) = (TermCols.zonedEpoch(ta, DA), TermCols.zonedEpoch(tb, DA))
+        val (dua, dub) = (TermCols.unzonedEpoch(ta, DA), TermCols.unzonedEpoch(tb, DA))
+        val (sa, sb2) = (TermCols.strValue(ta), TermCols.strValue(tb))
+        val (la, lb) = (TermCols.langStrValue(ta), TermCols.langStrValue(tb))
+        val W = 50400L // 14 h — XSD implicit-timezone window
+        val err = slit(null).cast(org.apache.spark.sql.types.BooleanType)
+        def bothLit = TermCols.isLiteral(ta) && TermCols.isLiteral(tb)
+        // NVCompare.sameValueAs VSPACE_UNKNOWN branch: either side in an
+        // unknown/invalid value space → same term TRUE; differing
+        // lang-taggedness → disjoint spaces, determinate verdict;
+        // otherwise type ERROR. Two KNOWN but different spaces
+        // (string vs num, date vs dateTime, lang vs plain) →
+        // VSPACE_DIFFERENT → determinate not-same-value.
+        def unknownSpace =
+          TermCols.unknownSpaceLit(ta) || TermCols.unknownSpaceLit(tb)
+        def langnessDiffers =
+          (TermCols.dt(ta) === T.RDF_LANGSTRING) =!=
+            (TermCols.dt(tb) === T.RDF_LANGSTRING)
+        // reaching the fallback with two same-primitive temporals means the
+        // zoned/unzoned window left the order INDETERMINATE → type error
+        def samePrimTemporal =
+          (TermCols.dt(ta) === DT && TermCols.dt(tb) === DT) ||
+          (TermCols.dt(ta) === DA && TermCols.dt(tb) === DA)
+        // determinate verdicts across zoned/unzoned of ONE primitive; NULL
+        // (indeterminate → error fallthrough) inside the window
+        def crossLt(za: Column, ub: Column, ua: Column, zb: Column) = coalesce(
+          when(za + W < ub, true).when(za - W > ub, false),
+          when(ua + W < zb, true).when(ua - W > zb, false))
+        def crossNe(za: Column, ub: Column, ua: Column, zb: Column) = coalesce(
+          when(abs(za - ub) > W, true),
+          when(abs(ua - zb) > W, true))
+        val tLt = coalesce(tza < tzb, tua < tub, crossLt(tza, tub, tua, tzb))
+        val dLt = coalesce(dza < dzb, dua < dub, crossLt(dza, dub, dua, dzb))
+        val tGt = coalesce(tza > tzb, tua > tub, crossLt(tzb, tua, tub, tza))
+        val dGt = coalesce(dza > dzb, dua > dub, crossLt(dzb, dua, dub, dza))
+        opStr match {
+          case "=" => coalesce(na === nb, ba === bb,
+            tza === tzb, tua === tub, dza === dzb, dua === dub,
+            when(crossNe(tza, tub, tua, tzb), false),
+            when(crossNe(dza, dub, dua, dzb), false),
+            sa === sb2, la === lb,
+            when(ta.isNull || tb.isNull, err) // unbound/eval-error operand
+              .when(ta === tb, true)
+              .when(bothLit && unknownSpace && langnessDiffers, false)
+              .when(bothLit && (unknownSpace || samePrimTemporal), err)
+              .otherwise(false))
+          case "!=" => coalesce(na =!= nb, ba =!= bb,
+            tza =!= tzb, tua =!= tub, dza =!= dzb, dua =!= dub,
+            crossNe(tza, tub, tua, tzb), crossNe(dza, dub, dua, dzb),
+            sa =!= sb2, la =!= lb,
+            when(ta.isNull || tb.isNull, err) // unbound/eval-error operand
+              .when(ta === tb, false)
+              .when(bothLit && unknownSpace && langnessDiffers, true)
+              .when(bothLit && (unknownSpace || samePrimTemporal), err)
+              .otherwise(true))
+          case "<" => coalesce(na < nb, ba < bb, tLt, dLt, sa < sb2)
+          case ">" => coalesce(na > nb, ba > bb, tGt, dGt, sa > sb2)
+          case "<=" => coalesce(na <= nb, ba <= bb,
+            tza <= tzb, tua <= tub, crossLt(tza, tub, tua, tzb),
+            dza <= dzb, dua <= dub, crossLt(dza, dub, dua, dzb),
+            sa <= sb2)
+          case ">=" => coalesce(na >= nb, ba >= bb,
+            tza >= tzb, tua >= tub, crossLt(tzb, tua, tub, tza),
+            dza >= dzb, dua >= dub, crossLt(dzb, dua, dub, dza),
+            sa >= sb2)
+        }
+      }, KBool)
     }
-    private def addExpr(): RowExpr = {
-      var l = unary()
+    private def addExpr(): Ex = {
+      var l = unaryE()
       var going = true
       while (going) {
         ws()
-        if (peekIs('+') ) { i += 1; val r = unary(); val ll = l
-          l = num2(ll, r, _ + _) }
-        else if (peekIs('-')) { i += 1; val r = unary(); val ll = l
-          l = num2(ll, r, _ - _) }
-        else if (peekIs('*')) { i += 1; val r = unary(); val ll = l
-          l = num2(ll, r, _ * _) }
-        else if (peekIs('/') ) { i += 1; val r = unary(); val ll = l
-          l = num2(ll, r, _ / _, isDiv = true) }
+        if (peekIs('+') ) { i += 1; val r = unaryE(); val ll = l
+          l = Ex(num2(ll.asNum, r.asNum, _ + _), KNum) }
+        else if (peekIs('-')) { i += 1; val r = unaryE(); val ll = l
+          l = Ex(num2(ll.asNum, r.asNum, _ - _), KNum) }
+        else if (peekIs('*')) { i += 1; val r = unaryE(); val ll = l
+          l = Ex(num2(ll.asNum, r.asNum, _ * _), KNum) }
+        else if (peekIs('/') ) { i += 1; val r = unaryE(); val ll = l
+          l = Ex(num2(ll.asNum, r.asNum, _ / _, isDiv = true), KNum) }
         else going = false
       }
       l
     }
-    /** Arithmetic with XSD numeric promotion (SF.numericBinOp): 1+2 is
-     * "3"^^xsd:integer, not a flat double (NodeValue.java:385 ladder). */
+    /** Arithmetic with XSD numeric promotion over the narrow numeric-pair
+     * kind: 1+2 is "3"^^xsd:integer, not a flat double (NodeValue.java:385
+     * ladder); zero-divisor semantics as in SF.numericBinOp. Operands and
+     * result are (v,r) pair structs — see the Ex scaladoc for why. */
     private def num2(l: RowExpr, r: RowExpr, f: (Column, Column) => Column,
-                     isDiv: Boolean = false): RowExpr =
-      RowExpr(v => SF.numericBinOp(asTerm(l(v)), asTerm(r(v)), f, isDiv))
-
-    private def unary(): RowExpr = {
-      ws()
-      if (peekIs('!')) { i += 1; val e = unary(); RowExpr(v => !toBool(e(v))) }
-      else primary()
+                     isDiv: Boolean = false): RowExpr = RowExpr { v =>
+      val a = l(v)
+      val b = r(v)
+      val (va, vb) = (a.getField("v"), b.getField("v"))
+      val rank0 = greatest(a.getField("r"), b.getField("r"))
+      val rank = if (isDiv) greatest(rank0, slit(1)) else rank0
+      val res =
+        if (!isDiv) f(va, vb)
+        else when(vb =!= 0.0, va / vb)
+          .when(rank0 >= 2 && vb === 0.0,
+            when(va > 0.0, Double.PositiveInfinity)
+              .when(va < 0.0, Double.NegativeInfinity)
+              .otherwise(Double.NaN))
+      struct(res.as("v"), rank.as("r"))
     }
 
-    private def primary(): RowExpr = {
+    private def unaryE(): Ex = {
       ws()
-      if (peekIs('(')) { expect('('); val e = expression(); expect(')'); e }
-      else if (peekIs('?')) { val v = varName(); RowExpr(r => r(v)) }
+      if (peekIs('!')) {
+        i += 1; val e = unaryE()
+        val eb = e.asBool
+        Ex(RowExpr(v => !eb(v)), KBool)
+      }
+      // unary minus/plus on a non-numeric-literal operand: -?o, -(…)
+      // (a leading sign followed by a digit is a signed numeric constant,
+      // handled in primaryE)
+      else if ((peekIs('-') || peekIs('+')) &&
+        !(i + 1 < s.length && (s.charAt(i + 1).isDigit || s.charAt(i + 1) == '.'))) {
+        val neg = peekIs('-')
+        i += 1
+        val e = unaryE()
+        val p = e.asNum
+        Ex(RowExpr { v =>
+          val x = p(v)
+          struct((if (neg) -x.getField("v") else x.getField("v")).as("v"),
+            x.getField("r").as("r"))
+        }, KNum)
+      }
+      else primaryE()
+    }
+
+    private def primaryE(): Ex = {
+      ws()
+      if (peekIs('(')) { expect('('); val e = exprE(); expect(')'); e }
+      else if (peekVar) { val v = varName(); Ex(RowExpr(r => r(v)), KTerm) }
       else if (peekIs('"') || peekIs('\'') || peekIs('<') || (i < s.length && s.charAt(i).isDigit) ||
         ((peekIs('-') || peekIs('+')) && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
-        val t = constTerm(); RowExpr(_ => TermCols.const(t))
+        val t = constTerm(); Ex(RowExpr(_ => TermCols.const(t)), KTerm)
       }
-      else functionCall()
+      else if (kwAhead("true")) { eatKw("true")
+        Ex(RowExpr(_ => TermCols.const(Term.lit("true", Term.XSD_BOOLEAN))), KTerm) }
+      else if (kwAhead("false")) { eatKw("false")
+        Ex(RowExpr(_ => TermCols.const(Term.lit("false", Term.XSD_BOOLEAN))), KTerm) }
+      else functionCallE()
+    }
+
+    /** Built-ins with a BOOLEAN SQL result — everything else yields a term
+     * struct. Drives the Ex kind so EBV/term wraps land correctly. */
+    private val boolFns = Set("REGEX", "BOUND", "SAMETERM", "ISIRI", "ISURI",
+      "ISBLANK", "ISLITERAL", "ISNUMERIC", "ISTRIPLE", "CONTAINS",
+      "STRSTARTS", "STRENDS", "LANGMATCHES")
+
+    private def functionCallE(): Ex = {
+      val save = i
+      val nm = if (peekIs(':')) "" else name()
+      i = save
+      Ex(functionCall(),
+        if (boolFns.contains(nm.toUpperCase)) KBool else KTerm)
     }
 
     private def functionCall(): RowExpr = {
-      val fn = name().toUpperCase
+      val rawName = if (peekIs(':')) "" else name() // ':z' = empty prefix
+      // prefixed-name call: XSD constructor cast (xsd:integer(?x), E_Cast)
+      // or a registry function named by IRI
+      if (peekIs(':')) {
+        i += 1
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+          s.charAt(i) == '-')) i += 1
+        val local = s.substring(st, i)
+        val iri = prefixes.get(rawName) match {
+          case Some(ns) => ns + local
+          case None => fail(s"undeclared prefix '$rawName:'")
+        }
+        ws()
+        // a prefixed name NOT followed by '(' is an IRI constant in the
+        // expression (e.g. `datatype(?v) = xsd:string`)
+        if (!peekIs('(')) return RowExpr(_ => TermCols.const(Term.iri(iri)))
+        expect('(')
+        val fnArgs = ListBuffer[RowExpr]()
+        ws()
+        if (!peekIs(')')) {
+          fnArgs += expression()
+          while ({ ws(); peekIs(',') }) { i += 1; fnArgs += expression() }
+        }
+        expect(')')
+        val argv = fnArgs.toList
+        if (iri.startsWith(Term.XSD)) {
+          if (argv.size != 1) fail(s"cast $iri takes one argument")
+          return RowExpr(v => SF.castFn(argv.head(v), iri))
+        }
+        return graft.functions.Registry.function(iri) match {
+          case Some(f) => RowExpr(v => f(argv.map(_(v))))
+          case None => fail(s"unsupported function <$iri>")
+        }
+      }
+      val fn = rawName.toUpperCase
       ws()
       def args(n: Int): Seq[RowExpr] = {
         expect('(')
@@ -981,7 +1372,20 @@ object Parser {
           RowExpr(v => SparqlAggregates.foldList(a(v)))
         case "STR" => val a = args(1).head; RowExpr(v => SF.str(a(v)))
         case "LANG" => val a = args(1).head; RowExpr(v => SF.langFn(a(v)))
-        case "DATATYPE" => val a = args(1).head; RowExpr(v => SF.datatype(a(v)))
+        case "DATATYPE" =>
+          expect('(')
+          val a = exprE()
+          expect(')')
+          a.kind match {
+            // DATATYPE of an arithmetic result: read the promotion rank off
+            // the numeric pair — no term formatting round-trip
+            case KNum => RowExpr { v =>
+              val p = a.e(v)
+              when(p.getField("v").isNotNull,
+                TermCols.rankDatatypeTerm(p.getField("r")))
+            }
+            case _ => val t = a.asTermE; RowExpr(v => SF.datatype(t(v)))
+          }
         case "IRI" | "URI" => val a = args(1).head; RowExpr(v => SF.iriFn(a(v)))
         case "STRLEN" => val a = args(1).head; RowExpr(v => SF.strlen(a(v)))
         case "UCASE" => val a = args(1).head; RowExpr(v => SF.ucase(a(v)))
@@ -1070,8 +1474,19 @@ object Parser {
           RowExpr(v => SF.coalesceFn(out.toList.map(_(v)): _*))
         case "IF" =>
           val as = args(3)
-          RowExpr(v => SF.ifFn(toBool(as(0)(v)), as(1)(v), as(2)(v)))
+          // the condition arrives as a term (expression() wraps booleans);
+          // EBV recovers the SQL boolean — errors → NULL → ELSE branch is
+          // NOT taken either (whole IF errors per SPARQL; when() yields
+          // NULL when the condition is NULL only if no otherwise matches,
+          // so route the NULL-cond case explicitly to an unbound term)
+          RowExpr { v =>
+            val c = TermCols.ebv(as(0)(v))
+            when(c.isNull, slit(null).cast(TermCols.schema))
+              .otherwise(SF.ifFn(c, as(1)(v), as(2)(v)))
+          }
         case "SAMETERM" => val as = args(2); RowExpr(v => SF.sameTerm(as(0)(v), as(1)(v)))
+        case "LANGMATCHES" => val as = args(2)
+          RowExpr(v => SF.langMatches(as(0)(v), as(1)(v)))
         case "ISIRI" | "ISURI" => val a = args(1).head; RowExpr(v => TermCols.isIri(a(v)))
         case "ISBLANK" => val a = args(1).head; RowExpr(v => TermCols.isBlank(a(v)))
         case "ISLITERAL" => val a = args(1).head; RowExpr(v => TermCols.isLiteral(a(v)))
@@ -1109,12 +1524,6 @@ object Parser {
       }
     }
 
-    /** Boolean coercion of a compiled expression value: Column[Boolean]
-     * passes through; term structs go through EBV. A Column's runtime type
-     * is unknown statically, so builders return booleans for boolean ops
-     * and term structs otherwise; asTerm/toBool mediate. */
-    private def toBool(c: Column): Column = c
-    private def asTerm(c: Column): Column = c
 
     // ---- low-level lexing
     private def ws(): Unit = {
@@ -1171,6 +1580,8 @@ object Parser {
       i += 1
       name()
     }
+    /** Is the next token a variable? (SPARQL allows both ?v and $v.) */
+    private def peekVar: Boolean = peekIs('?') || peekIs('$')
     private def name(): String = {
       val st = i
       while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1

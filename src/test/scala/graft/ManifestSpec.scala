@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.golden.GoldenRunner
+
+/**
+ * Manifest-driven golden gate over the reference's OWN W3C test data
+ * (VERDICT r2 "Next round" #1): every `mf:QueryEvaluationTest` of the
+ * vendored SPARQL 1.0 evaluation suites under
+ * jena-arq/testing/rdf-tests-cg/sparql/sparql10/ (plus the ARQ EngineMain
+ * manifest) runs through Parser → Compiler → DataFrame and compares
+ * against the stored expectation (.srx / .srj / result-set-in-RDF),
+ * bnode-isomorphism-aware and value-canonical — the same machinery as the
+ * reference's ManifestProcessor + ResultsCompare.
+ *
+ * Every non-skipped case must PASS; the skip map documents the triaged
+ * known gaps. ~300 reference-derived cases execute green.
+ */
+class ManifestSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark.newSession()
+    // harness-only settings (production sessions keep the defaults):
+    // golden fixtures are 1–100 rows — Janino compilation and the
+    // quadratic NestedColumnAliasing rule dominate wall clock on the wide
+    // term-struct expressions; interpreted eval is instant
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    s.conf.set("spark.sql.optimizer.expression.nestedPruning.enabled", "false")
+    s.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private val SP10 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql10"
+
+  /** suite dir → (test name → triage reason) for the known gaps. */
+  private val suites: Seq[(String, Map[String, String])] = Seq(
+    "basic" -> Map.empty,
+    "triple-match" -> Map.empty,
+    "optional" -> Map.empty,
+    "optional-filter" -> Map.empty,
+    "algebra" -> Map.empty,
+    "ask" -> Map.empty,
+    "bound" -> Map.empty,
+    "distinct" -> Map.empty,
+    "sort" -> Map.empty,
+    "expr-equals" -> Map.empty,
+    "expr-ops" -> Map.empty,
+    "expr-builtin" -> Map.empty,
+    "boolean-effective-value" -> Map.empty,
+    "open-world" -> Map.empty,
+    "cast" -> Map.empty,
+    "type-promotion" -> Map.empty,
+    "regex" -> Map.empty,
+    "reduced" -> Map.empty,
+    "solution-seq" -> Map.empty,
+    "bnode-coreference" -> Map.empty,
+    "graph" -> Map.empty,
+    "dataset" -> Map.empty,
+    "construct" -> Map(
+      "dawg-construct-reification-1" ->
+        "bnode property list inside a CONSTRUCT template (patterns support [..]; templates raise)"),
+    "i18n" -> Map(
+      "normalization-01" ->
+        "non-ASCII characters in prefixed-name local parts (HR:resumé)",
+      "normalization-02" ->
+        "RFC 3986 SYNTAX-based IRI normalization (%63→c, case) is not applied to absolute IRIs — SURVEY §3.B: resolve always, normalize only where the reference does; Jena normalizes here"))
+
+  private var totalPassed = 0
+
+  suites.foreach { case (dir, skips) =>
+    test(s"W3C sparql10/$dir manifest") {
+      val results = GoldenRunner.runManifest(spark, s"$SP10/$dir/manifest.ttl", skips)
+      val failed = results.collect { case GoldenRunner.CaseResult(n, GoldenRunner.Failed(d)) =>
+        s"$n: ${d.linesIterator.take(2).mkString(" // ")}" }
+      assert(failed.isEmpty, s"${failed.size} failing cases:\n  " + failed.mkString("\n  "))
+      val passed = results.count(_.outcome == GoldenRunner.Passed)
+      totalPassed += passed
+      assert(passed > 0, "suite executed no cases")
+    }
+  }
+
+  test("ARQ EngineMain manifest") {
+    val skips = Map("Filter placement in BGPs with property function" ->
+      "property function with list-object arguments is not wired through the text parser")
+    val results = GoldenRunner.runManifest(spark,
+      "/root/reference/jena-arq/testing/ARQ/EngineMain/manifest.ttl", skips)
+    assert(!results.exists(_.outcome.isInstanceOf[GoldenRunner.Failed]))
+  }
+
+  test("coverage floor: at least 280 reference-derived cases pass") {
+    assert(totalPassed >= 280, s"only $totalPassed W3C cases passed")
+  }
+}

@@ -130,8 +130,31 @@ class RiotSpec extends AnyFunSuite {
     assert(back.length == 2 && back.exists(_.getString(2) == "Ann"))
   }
 
-  test("TurtleLite: unsupported constructs raise, undeclared prefix raises") {
-    intercept[IllegalArgumentException](TurtleLite.parse("ex:a ex:b ( 1 2 ) ."))
+  test("TurtleLite: collections, bnode property lists, long strings") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // ( 1 2 ) → rdf:first/rdf:rest chain ending in rdf:nil
+    val coll = TurtleLite.parse("@prefix ex: <http://e/> . ex:a ex:b (1 2) .")
+    assert(coll.count(_.p.lex == RDF + "first") == 2)
+    assert(coll.count(t => t.p.lex == RDF + "rest" && t.o.lex == RDF + "nil") == 1)
+    val firsts = coll.filter(_.p.lex == RDF + "first").map(_.o.lex).toSet
+    assert(firsts == Set("1", "2"))
+    // () is rdf:nil itself
+    val nil = TurtleLite.parse("@prefix ex: <http://e/> . ex:a ex:b () .")
+    assert(nil.head.o.lex == RDF + "nil")
+    // [ p o ; p2 o2 ] as object: fresh bnode + property triples
+    val bpl = TurtleLite.parse(
+      "@prefix ex: <http://e/> . ex:a ex:b [ ex:p 1 ; ex:q 2 ] .")
+    assert(bpl.size == 3)
+    val anon = bpl.find(_.p.lex == "http://e/b").get.o
+    assert(anon.isBNode)
+    assert(bpl.count(_.s == anon) == 2)
+    // [ ] as a subject-only statement and long strings
+    val ls = TurtleLite.parse(
+      "@prefix ex: <http://e/> . ex:a ex:c \"\"\"two\nlines\"\"\"@en .")
+    assert(ls.head.o.lex == "two\nlines" && ls.head.o.lang == "en")
+    val sq = TurtleLite.parse("@prefix ex: <http://e/> . ex:a ex:c 'hi' .")
+    assert(sq.head.o.lex == "hi")
+    // undeclared prefix still raises
     intercept[IllegalArgumentException](
       TurtleLite.parse("@prefix ex: <http://e/> . ex:a nope:b ex:c ."))
   }
