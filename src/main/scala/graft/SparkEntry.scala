@@ -57,6 +57,7 @@ object SparkEntry {
     "u1_update"           -> SparqlQueries.u1_update _,
     "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
     "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
+    "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )

@@ -94,6 +94,87 @@ object Compiler {
     }
   }
 
+  /**
+   * Id-encoded snapshot (TripleStore.materializeEncoded output — the TDB2
+   * NodeTable analog, jena-tdb2/.../nodetable/NodeTable.java): narrow
+   * (s_id, p_id, o_id) LONG fact layouts plus a terms dictionary. A BGP
+   * compiles to id-equi-joins over ~24-byte rows — the shuffle moves ids,
+   * not lexical forms — and the dictionary joins back in ONCE per variable
+   * at the BGP boundary (the columnar "decode at projection edges" of
+   * SURVEY.md §1.6). Pattern constants are translated to ids by a
+   * driver-side dictionary probe, bounded by the query's constant count.
+   */
+  final case class EncodedSnapshotGraph(override val spark: SparkSession, dir: String)
+      extends GraphSource {
+    /** Struct view (decoded) — fallback for operators beyond BGPs. */
+    lazy val df: DataFrame =
+      graft.store.TripleStore.decodeEncoded(spark, dir).select("s", "p", "o")
+
+    private def terms: DataFrame = spark.read.parquet(s"$dir/terms")
+
+    /** Driver-side constant→id probe (one scan for all constants of the
+     * BGP; a term missing from the dictionary matches nothing). */
+    private def idsOf(cs: Seq[Term]): Map[Term, Long] = {
+      if (cs.isEmpty) return Map.empty
+      val cond = cs.map(t => col("kind") === t.kind && col("lex") === t.lex &&
+        col("dt") === t.dt && col("lang") === t.lang).reduce(_ || _)
+      terms.filter(cond).select("id", "kind", "lex", "dt", "lang").collect()
+        .map(r => Term(r.getByte(1), r.getString(2), r.getString(3), r.getString(4)) ->
+          r.getLong(0)).toMap
+    }
+
+    def scanBgp(patterns: Seq[TriplePattern]): Compiled = {
+      val consts = patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case TConst(t) => t }.distinct
+      val ids = idsOf(consts)
+      val missingConst = consts.exists(t => !ids.contains(t))
+
+      def scanOne(tp: TriplePattern, k: Int): DataFrame = {
+        val layout = (tp.s, tp.p, tp.o) match {
+          case (TConst(_), _, _) => "spo"
+          case (_, TConst(_), _) => "pos"
+          case (_, _, TConst(_)) => "osp"
+          case _ => "spo"
+        }
+        var d = spark.read.parquet(s"$dir/$layout").select("s_id", "p_id", "o_id")
+        if (missingConst) d = d.limit(0) // a constant outside the dictionary
+        val slots = Seq(("s_id", tp.s), ("p_id", tp.p), ("o_id", tp.o))
+        slots.foreach {
+          case (c, TConst(t)) => d = d.where(col(c) === ids.getOrElse(t, Long.MinValue))
+          case _ =>
+        }
+        val byVar = slots.collect { case (c, TVar(n)) => (n, c) }.groupBy(_._1)
+        byVar.values.filter(_.size > 1).foreach { occ =>
+          occ.map(_._2).sliding(2).foreach {
+            case Seq(a, b) => d = d.where(col(a) === col(b))
+            case _ =>
+          }
+        }
+        val out = byVar.map { case (n, occ) => col(occ.head._2).as(n) }.toSeq
+        if (out.isEmpty) d.select(lit(1).as(s"__u$k")).limit(1) else d.select(out: _*)
+      }
+
+      val scans = patterns.zipWithIndex.map { case (tp, k) => scanOne(tp, k) }
+      val joined = scans.reduceLeft { (l, r) =>
+        val shared = l.columns.toSet.intersect(r.columns.toSet)
+          .filterNot(_.startsWith("__u")).toSeq.sorted
+        if (shared.nonEmpty) l.join(r, shared, "inner") else l.crossJoin(r)
+      }
+      val vars = joined.columns.filterNot(_.startsWith("__u")).toSeq
+      // decode: one dictionary join per variable, id → term struct
+      val decoded = vars.foldLeft(joined.select(vars.map(col): _*)) { (d, v) =>
+        val dict = terms.select(col("id").as(s"__tid_$v"),
+          struct(col("kind"), col("lex"), col("dt"), col("lang")).as(s"__t_$v"))
+        d.join(dict, col(v) === col(s"__tid_$v"))
+      }
+      val out = vars.map(v => col(s"__t_$v").as(v))
+      Compiled(
+        if (out.isEmpty) joined.select(lit(1).as("__unit")).limit(1)
+        else decoded.select(out: _*),
+        vars.toSet, Set.empty)
+    }
+  }
+
   /** Materialized QUAD snapshot (GSPO/GPOS/GOSP layouts): GRAPH patterns
    * pick the layout by s/p/o shape — every quad layout leads with g_lex,
    * so a bound graph prunes file ranges on all of them — and push flat
@@ -172,6 +253,7 @@ object Compiler {
       g match {
         case sg: SnapshotGraph =>
           patterns.map(sg.scanPattern).reduceLeft(join(_, _, "inner"))
+        case esg: EncodedSnapshotGraph => esg.scanBgp(patterns)
         case qsg: QuadSnapshotGraph =>
           // un-GRAPHed BGP over a quad store = default graph only
           patterns.map(qsg.scanQuadPattern(TAny, _, defaultOnly = true))

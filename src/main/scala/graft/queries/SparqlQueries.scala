@@ -64,6 +64,27 @@ object SparqlQueries {
       TermCols.lex(col("nname")).as("nname"))
   }
 
+  /** r16's BGP evaluated against an ID-ENCODED store snapshot
+   * (Compiler.EncodedSnapshotGraph over TripleStore.materializeEncoded):
+   * the chain joins run on narrow LONG id columns and the dictionary
+   * joins back in per projected variable — identical results to the
+   * term-struct path, verified by the same DuckDB oracle as r16. The
+   * snapshot is committed once per input dir and reused (resume-by-
+   * manifest, like every store stage). */
+  def r25_encoded_bgp(s: SparkSession, d: String): DataFrame = {
+    val snap = s"/tmp/graft_encsnap_${Integer.toHexString(d.hashCode)}"
+    if (!graft.store.TripleStore.isCommitted(snap))
+      graft.store.TripleStore.materializeEncoded(
+        triples(s, d).withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+        snap, None, partitions = 8)
+    val op = Project(Seq("c", "nname"), Bgp(Seq(
+      tp(v("c"), p(pInNation), v("n")),
+      tp(v("n"), p(pName), v("nname")))))
+    val out = Compiler.compile(op, Compiler.EncodedSnapshotGraph(s, snap))
+    out.select(TermCols.lex(col("c")).as("c"),
+      TermCols.lex(col("nname")).as("nname"))
+  }
+
   /** OPTIONAL + GROUP: nations with their customer count, zero included
    * (compatible-binding left join, then count(bound var)). */
   def r17_optional_group(s: SparkSession, d: String): DataFrame = {
@@ -247,6 +268,9 @@ object SparqlQueries {
          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
          GROUP BY 1 HAVING count(*) >= 1""",
     "r16_bgp" ->
+      """SELECT 'urn:g:c:' || c_custkey AS c, n_name AS nname
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "r25_encoded_bgp" ->
       """SELECT 'urn:g:c:' || c_custkey AS c, n_name AS nname
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",
     "r17_optional_group" ->

@@ -226,6 +226,40 @@ class PlanSpec extends AnyFunSuite {
       "banded simhash candidates must come from an equi-join:\n" + p)
   }
 
+  test("encoded snapshot: BGP joins on long ids with pushed id filters") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = Files.createTempDirectory("plan_enc").toString + "/snap"
+    val ts = (1 to 600).map(k => Triple(
+      Term.iri(EX + "s" + (k % 200)), Term.iri(EX + "p" + (k % 4)),
+      Term.iri(EX + "s" + ((k + 1) % 200))))
+    graft.store.TripleStore.materializeEncoded(
+      spark.createDataset(ts).toDF()
+        .withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+      dir, None, partitions = 2)
+    val esg = Compiler.EncodedSnapshotGraph(spark, dir)
+    val op = Bgp(Seq(
+      TriplePattern(TVar("x"), TConst(Term.iri(EX + "p1")), TVar("y")),
+      TriplePattern(TVar("y"), TConst(Term.iri(EX + "p2")), TVar("z"))))
+    val df = Compiler.compile(op, esg)
+    val p = plan(df)
+    // the pattern constants reached the narrow layout scans as ID filters
+    assert(p.contains("/pos"), "predicate-bound patterns must scan the id POS layout:\n" + p)
+    assert(p.contains("EqualTo(p_id,"), "constant must be pushed as an id filter:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "BGP chain must stay on id equi-joins:\n" + p)
+    // identical results to the term-struct evaluation of the same BGP
+    val reference = Compiler.compile(op, spark.createDataset(ts).toDF())
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("x.lex"), col("y.lex"), col("z.lex"))
+        .collect().map(_.toSeq).toSet
+    assert(rows(df) == rows(reference), "encoded and struct evaluations must agree")
+    assert(df.count() > 0)
+    // a constant missing from the dictionary matches nothing (no error)
+    val none = Compiler.compile(
+      Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "nope")), TVar("y")))), esg)
+    assert(none.count() == 0)
+  }
+
   test("linker broadcast path broadcasts the dictionary") {
     import graft.fixtures.{CorpusGen, DictRow}
     val corpus = spark.createDataset(CorpusGen.generate(42, 5, 4))
