@@ -58,6 +58,7 @@ object SparkEntry {
     "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
     "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
     "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
+    "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )

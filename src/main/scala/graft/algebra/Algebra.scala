@@ -55,7 +55,12 @@ final case class POneOrMore(p: Path) extends Path             // P_OneOrMore  p+
 final case class PZeroOrMore(p: Path) extends Path            // P_ZeroOrMore p*
 final case class PZeroOrOne(p: Path) extends Path             // P_ZeroOrOne  p?
 /** !(:p1|...|:pn) — any forward predicate not in the set (P_NegPropSet). */
-final case class PNegPropSet(iris: Seq[String]) extends Path
+/** `!(p1|…|^q1|…)` — P_NegPropSet with forward AND inverse members
+ * (reference: jena-arq/.../sparql/path/P_NegPropSet.java): matches x→y if
+ * some triple (x,p,y) has p ∉ fwd, OR some triple (y,p,x) has p ∉ inv
+ * (each direction only contributes when its member list is present). */
+final case class PNegPropSet(iris: Seq[String],
+                             invIris: Seq[String] = Nil) extends Path
 /** p{n,m} fixed/bounded repetition (P_FixedLength / P_Mod). */
 final case class PFixedLength(p: Path, n: Int) extends Path
 /** p{n,m} / p{n,} modifier (P_Mod.java:35): between `min` and `max`

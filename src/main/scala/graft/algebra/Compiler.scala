@@ -791,9 +791,22 @@ object PathEval {
         g.df.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
           .select(col("s").as("src"), col("o").as("dst"))
     }
-    case PNegPropSet(iris) =>
-      g.df.filter(TermCols.isIri(col("p")) && !TermCols.lex(col("p")).isin(iris: _*))
-        .select(col("s").as("src"), col("o").as("dst"))
+    case PNegPropSet(fwd, inv) =>
+      // SPARQL 1.1 §9.1 NPS translation: !(p…|^q…) =
+      //   NPS(fwd)  ∪  ^NPS(inv) — each direction present only when its
+      // member list is (P_NegPropSet.java fwd/bwd split)
+      def dirScan(excluded: Seq[String], reversed: Boolean): DataFrame = {
+        val base = g.df.filter(TermCols.isIri(col("p")) &&
+          !TermCols.lex(col("p")).isin(excluded: _*))
+        if (reversed) base.select(col("o").as("src"), col("s").as("dst"))
+        else base.select(col("s").as("src"), col("o").as("dst"))
+      }
+      (fwd.nonEmpty, inv.nonEmpty) match {
+        case (_, false) => dirScan(fwd, reversed = false)
+        case (false, true) => dirScan(inv, reversed = true)
+        case (true, true) =>
+          dirScan(fwd, reversed = false).union(dirScan(inv, reversed = true))
+      }
     case PInverse(p) =>
       pairs(g, p).select(col("dst").as("src"), col("src").as("dst"))
     case PAlt(a, b) => pairs(g, a).union(pairs(g, b)) // bag union (SPARQL alt)

@@ -59,11 +59,30 @@ object SparqlAggregates {
   /** SAMPLE — any one bound value (AggSample). */
   def sample(t: Column): Column = first(t, ignoreNulls = true)
 
+  /** SUM(DISTINCT ?v) / AVG(DISTINCT ?v) — the reference's
+   * AggSumDistinct / AggAvgDistinct: Distinct applies to the VALUE
+   * multiset ("1" and "01" collapse on the numeric shadow), the
+   * XSD-promoted result type and error poisoning are unchanged. AVG
+   * DISTINCT = sum_distinct / count_distinct (no avg_distinct builtin). */
+  def sumDistinctAgg(t: Column): Column =
+    when(!poisoned(t), numericTerm(
+      coalesce(sum_distinct(numValue(t)), lit(0.0)),
+      coalesce(max(numRank(t)), lit(0))))
+  def avgDistinctAgg(t: Column): Column =
+    when(!poisoned(t), numericTerm(
+      sum_distinct(numValue(t)) / count_distinct(numValue(t)),
+      greatest(coalesce(max(numRank(t)), lit(0)), lit(1))))
+
   /** GROUP_CONCAT(?v; separator=sep). Deterministic variant: elements are
    * sorted (the reference concatenates in arrival order, which is only
    * deterministic single-threaded — SURVEY.md §2.4 notes this divergence). */
   def groupConcat(t: Column, sep: String = " "): Column =
     strTerm(concat_ws(sep, sort_array(collect_list(lex(t)))))
+
+  /** GROUP_CONCAT(DISTINCT ?v; separator=sep) — AggGroupConcatDistinct;
+   * collect_set dedups, sorted for determinism like groupConcat. */
+  def groupConcatDistinct(t: Column, sep: String = " "): Column =
+    strTerm(concat_ws(sep, sort_array(collect_set(lex(t)))))
 
   /** MEDIAN / MODE — ARQ extension aggregates (AggMedian/AggMode), exact. */
   def medianAgg(t: Column): Column =

@@ -169,10 +169,14 @@ object SparqlFunctions {
   def sha384Fn(t: Column): Column = when(isStringLit(t), strOf(sha2(lex(t), 384)))
   def sha512Fn(t: Column): Column = when(isStringLit(t), strOf(sha2(lex(t), 512)))
 
-  // ---- datetime accessors (E_DateTime*): on the timestamp shadow value
+  // ---- datetime accessors (E_DateTime*): on the timestamp shadow value.
+  // Component accessors read the LOCAL (lexical) components, so the
+  // timezone designator is stripped before parsing — HOURS of
+  // "…T10:00:00+05:30" is 10, not the session-zone instant hour.
   private val dtTypes = Seq(Term.XSD_DATETIME, Term.XSD + "date")
   private def tsValue(t: Column): Column =
-    when(isLiteral(t) && dt(t).isin(dtTypes: _*), try_to_timestamp(lex(t)))
+    when(isLiteral(t) && dt(t).isin(dtTypes: _*),
+      try_to_timestamp(regexp_replace(lex(t), "(Z|[+-]\\d{2}:\\d{2})$", "")))
   def yearFn(t: Column): Column = whenTs(t, year)
   def monthFn(t: Column): Column = whenTs(t, month)
   def dayFn(t: Column): Column = whenTs(t, dayofmonth)
@@ -199,6 +203,87 @@ object SparqlFunctions {
 
   /** RAND(): xsd:double in [0,1) — nondeterministic like the reference. */
   def randFn(): Column = TermCols.numericTerm(rand(), lit(3))
+
+  // ---- durations + timezone adjustment (E_AdjustToTimezone,
+  //      op:add-dayTimeDuration-to-dateTime — the reference's NodeValue
+  //      dateTime arithmetic on our timestamp shadow)
+
+  /** Total seconds of a dayTimeDuration lexical form (-?PnDTnHnMn(.n)S).
+   * Year/month components have no fixed length in seconds → NULL (a
+   * SPARQL eval error), like the reference's dayTime-only operators. */
+  def durationSeconds(lx: Column): Column = {
+    // regexp_extract yields "" on no match — guard the cast (ANSI throws)
+    def part(re: String) = {
+      val x = regexp_extract(lx, re, 1)
+      when(x =!= "", x.cast(org.apache.spark.sql.types.DoubleType)).otherwise(0.0)
+    }
+    val sign = when(lx.startsWith("-"), -1.0).otherwise(1.0)
+    val total = sign * (part("(\\d+)D") * 86400 +
+      part("T(?:\\d+H)?(?:(\\d+)M)?") * 60 +
+      part("(\\d+)H") * 3600 +
+      part("(\\d+(?:\\.\\d+)?)S"))
+    when(lx.rlike("^-?P\\d+[YM]"), lit(null).cast(org.apache.spark.sql.types.DoubleType))
+      .when(lx.rlike("^-?P"), total)
+  }
+
+  private def tzDesignator(lx: Column): Column =
+    regexp_extract(lx, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+  private def localWallTs(lx: Column): Column =
+    try_to_timestamp(regexp_replace(lx, "(Z|[+-]\\d{2}:\\d{2})$", ""))
+
+  /** ADJUST(dateTime, tz) — ARQ's E_AdjustToTimezone /
+   * fn:adjust-dateTime-to-timezone: `tz` is a dayTimeDuration naming the
+   * target offset, or "" to strip the designator. A ZONED input converts
+   * its instant to the target offset's wall clock; an UNZONED input keeps
+   * its wall clock and gains the designator. Offsets beyond ±14 h are
+   * errors (NULL). */
+  def adjustFn(t: Column, tz: Column): Column = {
+    val lx = lex(t)
+    val des = tzDesignator(lx)
+    val localStr = regexp_replace(lx, "(Z|[+-]\\d{2}:\\d{2})$", "")
+    val local = try_to_timestamp(localStr)
+    val curOff = when(des === "", lit(null).cast(org.apache.spark.sql.types.DoubleType))
+      .when(des.isin("Z", "+00:00", "-00:00"), 0.0)
+      .otherwise(when(substring(des, 1, 1) === "-", -1.0).otherwise(1.0) *
+        (substring(des, 2, 2).cast(org.apache.spark.sql.types.DoubleType) * 3600 +
+          substring(des, 5, 2).cast(org.apache.spark.sql.types.DoubleType) * 60))
+    val target = durationSeconds(lex(tz))
+    val newLocal = when(curOff.isNotNull,
+        (local.cast(org.apache.spark.sql.types.DoubleType) - curOff + target)
+          .cast(org.apache.spark.sql.types.TimestampType))
+      .otherwise(local)
+    val offMin = abs(target / 60).cast(org.apache.spark.sql.types.IntegerType)
+    val desOut = when(target === 0.0, lit("Z")).otherwise(concat(
+      when(target < 0, "-").otherwise("+"),
+      lpad(floor(offMin / 60).cast(org.apache.spark.sql.types.IntegerType)
+        .cast(org.apache.spark.sql.types.StringType), 2, "0"), lit(":"),
+      lpad(pmod(offMin, lit(60)).cast(org.apache.spark.sql.types.StringType), 2, "0")))
+    val isDT = isLiteral(t) && dt(t) === Term.XSD_DATETIME
+    when(isDT && isStringLit(tz) && lex(tz) === "",
+      mk(lit(Term.KIND_LIT), localStr, lit(Term.XSD_DATETIME), lit("")))
+      .when(isDT && target.isNotNull && abs(target) <= 50400 && local.isNotNull,
+        mk(lit(Term.KIND_LIT),
+          concat(date_format(newLocal, "yyyy-MM-dd'T'HH:mm:ss"), desOut),
+          lit(Term.XSD_DATETIME), lit("")))
+  }
+
+  /** dateTime ± dayTimeDuration: wall-clock arithmetic, the designator is
+   * preserved (op:add/subtract-dayTimeDuration-to-dateTime). */
+  def dtAddDuration(t: Column, dur: Column, plus: Boolean): Column = {
+    val lx = lex(t)
+    val des = tzDesignator(lx)
+    val local = localWallTs(lx)
+    val secs0 = durationSeconds(lex(dur))
+    val secs = if (plus) secs0 else -secs0
+    when(isLiteral(t) && dt(t) === Term.XSD_DATETIME && isLiteral(dur) &&
+        local.isNotNull && secs.isNotNull,
+      mk(lit(Term.KIND_LIT),
+        concat(date_format(
+          (local.cast(org.apache.spark.sql.types.DoubleType) + secs)
+            .cast(org.apache.spark.sql.types.TimestampType),
+          "yyyy-MM-dd'T'HH:mm:ss"), des),
+        lit(Term.XSD_DATETIME), lit("")))
+  }
 
   /** XPath constructor casts `xsd:integer(?x)` etc. (reference: E_Cast /
    * XSDFuncOp cast table). Invalid source values are eval errors → NULL

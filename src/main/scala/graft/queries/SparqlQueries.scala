@@ -85,6 +85,30 @@ object SparqlQueries {
       TermCols.lex(col("nname")).as("nname"))
   }
 
+  /** Timezone arithmetic end-to-end through the TEXT parser (ADJUST =
+   * E_AdjustToTimezone + HOURS over the adjusted local clock): events'
+   * UTC timestamps become zoned xsd:dateTime literals, ADJUST converts
+   * each instant to the +05:30 wall clock, HOURS reads the local hour. */
+  def r26_tz_adjust(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val g = ev.select(
+      TermCols.iriTerm(concat(lit(NS + "e:"), col("event_id").cast("string"))).as("s"),
+      TermCols.const(Term.iri(NS + "ts")).as("p"),
+      TermCols.mk(lit(Term.KIND_LIT),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit(Term.XSD_DATETIME), lit("")).as("o"))
+    val q = """
+      PREFIX g: <urn:g:>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      SELECT ?h (COUNT(*) AS ?n) WHERE {
+        ?e g:ts ?t .
+        BIND(HOURS(ADJUST(?t, "PT5H30M"^^xsd:dayTimeDuration)) AS ?h)
+      } GROUP BY ?h"""
+    val out = Compiler.compile(graft.sparql.Parser.parse(q), g)
+    out.select(TermCols.lex(col("h")).cast("long").as("h"),
+      TermCols.lex(col("n")).cast("long").as("n"))
+  }
+
   /** OPTIONAL + GROUP: nations with their customer count, zero included
    * (compatible-binding left join, then count(bound var)). */
   def r17_optional_group(s: SparkSession, d: String): DataFrame = {
@@ -273,6 +297,10 @@ object SparqlQueries {
     "r25_encoded_bgp" ->
       """SELECT 'urn:g:c:' || c_custkey AS c, n_name AS nname
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "r26_tz_adjust" ->
+      """SELECT CAST(hour(ts + INTERVAL 5 HOUR + INTERVAL 30 MINUTE) AS BIGINT) AS h,
+         count(*) AS n
+         FROM events GROUP BY 1""",
     "r17_optional_group" ->
       """SELECT n_name AS nname, count(c_custkey) AS n_cust
          FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey

@@ -874,13 +874,24 @@ object Parser {
     private def pathPrimary(): Path = {
       ws()
       if (peekIs('!')) {
-        i += 1; expect('(')
-        val iris = ListBuffer[String]()
-        iris += iriOnly()
+        // !(p1|…|^q1|…) — members may be inverse (^iri); bare `!p` and
+        // `!^p` (no parens) are also legal SPARQL
+        i += 1
+        val paren = peekIs('(')
+        if (paren) i += 1
+        val fwd = ListBuffer[String]()
+        val inv = ListBuffer[String]()
+        def member(): Unit = {
+          ws()
+          if (peekIs('^')) { i += 1; inv += iriOnly() } else fwd += iriOnly()
+        }
+        member()
         ws()
-        while (peekIs('|')) { i += 1; iris += iriOnly(); ws() }
-        expect(')')
-        PNegPropSet(iris.toList)
+        if (paren) {
+          while (peekIs('|')) { i += 1; member(); ws() }
+          expect(')')
+        }
+        PNegPropSet(fwd.toList, inv.toList)
       } else if (peekIs('(')) {
         i += 1
         val p = path()
@@ -1028,15 +1039,18 @@ object Parser {
     private case object KBool extends ExKind
     private case object KTerm extends ExKind
     private case object KNum extends ExKind
+    /** A syntactic xsd:duration/dayTimeDuration constant — lets `+`/`-`
+     * dispatch to dateTime±duration arithmetic statically. */
+    private case object KDur extends ExKind
     private case class Ex(e: RowExpr, kind: ExKind) {
       def asBool: RowExpr = kind match {
         case KBool => e
-        case KTerm => RowExpr(v => TermCols.ebv(e(v)))
+        case KTerm | KDur => RowExpr(v => TermCols.ebv(e(v)))
         case KNum => RowExpr(v => e(v).getField("v") =!= 0.0)
       }
       def asTermE: RowExpr = kind match {
         case KBool => RowExpr(v => SF.toTerm(e(v)))
-        case KTerm => e
+        case KTerm | KDur => e
         case KNum => RowExpr { v =>
           val p = e(v)
           TermCols.numericTerm(p.getField("v"), p.getField("r"))
@@ -1044,7 +1058,7 @@ object Parser {
       }
       def asNum: RowExpr = kind match {
         case KNum => e
-        case KTerm => RowExpr { v =>
+        case KTerm | KDur => RowExpr { v =>
           val t = e(v)
           struct(TermCols.numValue(t).as("v"), TermCols.numRank(t).as("r"))
         }
@@ -1208,9 +1222,16 @@ object Parser {
       while (going) {
         ws()
         if (peekIs('+') ) { i += 1; val r = unaryE(); val ll = l
-          l = Ex(num2(ll.asNum, r.asNum, _ + _), KNum) }
+          l = if (r.kind == KDur) {
+            // dateTime + dayTimeDuration (op:add-dayTimeDuration-to-dateTime)
+            val lt = ll.asTermE; val rt = r.e
+            Ex(RowExpr(v => SF.dtAddDuration(lt(v), rt(v), plus = true)), KTerm)
+          } else Ex(num2(ll.asNum, r.asNum, _ + _), KNum) }
         else if (peekIs('-')) { i += 1; val r = unaryE(); val ll = l
-          l = Ex(num2(ll.asNum, r.asNum, _ - _), KNum) }
+          l = if (r.kind == KDur) {
+            val lt = ll.asTermE; val rt = r.e
+            Ex(RowExpr(v => SF.dtAddDuration(lt(v), rt(v), plus = false)), KTerm)
+          } else Ex(num2(ll.asNum, r.asNum, _ - _), KNum) }
         else if (peekIs('*')) { i += 1; val r = unaryE(); val ll = l
           l = Ex(num2(ll.asNum, r.asNum, _ * _), KNum) }
         else if (peekIs('/') ) { i += 1; val r = unaryE(); val ll = l
@@ -1271,7 +1292,11 @@ object Parser {
       else if (peekVar) { val v = varName(); Ex(RowExpr(r => r(v)), KTerm) }
       else if (peekIs('"') || peekIs('\'') || peekIs('<') || (i < s.length && s.charAt(i).isDigit) ||
         ((peekIs('-') || peekIs('+')) && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
-        val t = constTerm(); Ex(RowExpr(_ => TermCols.const(t)), KTerm)
+        val t = constTerm()
+        val kind =
+          if (t.dt == Term.XSD + "dayTimeDuration" || t.dt == Term.XSD + "duration") KDur
+          else KTerm
+        Ex(RowExpr(_ => TermCols.const(t)), kind)
       }
       else if (kwAhead("true")) { eatKw("true")
         Ex(RowExpr(_ => TermCols.const(Term.lit("true", Term.XSD_BOOLEAN))), KTerm) }
@@ -1342,6 +1367,14 @@ object Parser {
         expect(')')
         out.toList
       }
+      // `(DISTINCT? expr)` — the aggregate-argument form
+      def aggArg(): (RowExpr, Boolean) = {
+        expect('('); ws()
+        val d = eatKw("DISTINCT")
+        val a = expression()
+        expect(')')
+        (a, d)
+      }
       fn match {
         case "COUNT" => sawAgg = true;
           expect('(')
@@ -1352,18 +1385,27 @@ object Parser {
               RowExpr(v => TermCols.intTerm(count_distinct(a(v)))) }
             else { val a = expression(); RowExpr(v => TermCols.intTerm(count(a(v)))) }
           expect(')'); e
-        case "SUM" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.sumAgg(a(v)))
-        case "AVG" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.avgAgg(a(v)))
-        case "MIN" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.minAgg(a(v)))
-        case "MAX" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.maxAgg(a(v)))
-        case "SAMPLE" => sawAgg = true; val a = args(1).head; RowExpr(v => SparqlAggregates.sample(a(v)))
+        case "SUM" => sawAgg = true; val (a, d) = aggArg()
+          RowExpr(v => if (d) SparqlAggregates.sumDistinctAgg(a(v))
+                       else SparqlAggregates.sumAgg(a(v)))
+        case "AVG" => sawAgg = true; val (a, d) = aggArg()
+          RowExpr(v => if (d) SparqlAggregates.avgDistinctAgg(a(v))
+                       else SparqlAggregates.avgAgg(a(v)))
+        // DISTINCT is a semantic no-op for MIN/MAX/SAMPLE (AggMinDistinct
+        // javadoc: "identical to AggMin") — parsed and dropped
+        case "MIN" => sawAgg = true; val a = aggArg()._1; RowExpr(v => SparqlAggregates.minAgg(a(v)))
+        case "MAX" => sawAgg = true; val a = aggArg()._1; RowExpr(v => SparqlAggregates.maxAgg(a(v)))
+        case "SAMPLE" => sawAgg = true; val a = aggArg()._1; RowExpr(v => SparqlAggregates.sample(a(v)))
         case "GROUP_CONCAT" => sawAgg = true;
-          expect('('); val a = expression()
+          expect('('); ws()
+          val distinctG = eatKw("DISTINCT")
+          val a = expression()
           val sep = if ({ ws(); peekIs(';') }) {
-            i += 1; ws(); expectKw("SEPARATOR"); expect('='); literal().lex
+            i += 1; ws(); expectKw("SEPARATOR"); expect('='); ws(); literal().lex
           } else " "
           expect(')')
-          RowExpr(v => SparqlAggregates.groupConcat(a(v), sep))
+          RowExpr(v => if (distinctG) SparqlAggregates.groupConcatDistinct(a(v), sep)
+                       else SparqlAggregates.groupConcat(a(v), sep))
         case "MEDIAN" => sawAgg = true; val a = args(1).head
           RowExpr(v => SparqlAggregates.medianAgg(a(v)))
         case "MODE" => sawAgg = true; val a = args(1).head
@@ -1487,6 +1529,8 @@ object Parser {
         case "SAMETERM" => val as = args(2); RowExpr(v => SF.sameTerm(as(0)(v), as(1)(v)))
         case "LANGMATCHES" => val as = args(2)
           RowExpr(v => SF.langMatches(as(0)(v), as(1)(v)))
+        case "ADJUST" => val as = args(2)
+          RowExpr(v => SF.adjustFn(as(0)(v), as(1)(v)))
         case "ISIRI" | "ISURI" => val a = args(1).head; RowExpr(v => TermCols.isIri(a(v)))
         case "ISBLANK" => val a = args(1).head; RowExpr(v => TermCols.isBlank(a(v)))
         case "ISLITERAL" => val a = args(1).head; RowExpr(v => TermCols.isLiteral(a(v)))

@@ -84,6 +84,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tzOfNow != null && tzOfNow.lex.nonEmpty)
   }
 
+  test("ADJUST + duration arithmetic (E_AdjustToTimezone, dayTimeDuration)") {
+    val df = one(Term.lit("2024-03-05T10:15:30+01:00", Term.XSD_DATETIME),
+      Term.lit("2024-03-05T23:30:00Z", Term.XSD_DATETIME),
+      Term.lit("2024-03-05T10:15:30", Term.XSD_DATETIME))
+    def dur(s0: String) = TermCols.const(Term.lit(s0, Term.XSD + "dayTimeDuration"))
+    // zoned → new offset converts the instant's wall clock
+    assert(evalT(df, SF.adjustFn(col("t0"), dur("PT0S")))
+      == Term.lit("2024-03-05T09:15:30Z", Term.XSD_DATETIME))
+    assert(evalT(df, SF.adjustFn(col("t0"), dur("PT5H30M")))
+      == Term.lit("2024-03-05T14:45:30+05:30", Term.XSD_DATETIME))
+    // unzoned keeps its wall clock and gains the designator
+    assert(evalT(df, SF.adjustFn(col("t2"), dur("PT5H30M")))
+      == Term.lit("2024-03-05T10:15:30+05:30", Term.XSD_DATETIME))
+    // "" strips the designator
+    assert(evalT(df, SF.adjustFn(col("t0"), TermCols.const(Term.string(""))))
+      == Term.lit("2024-03-05T10:15:30", Term.XSD_DATETIME))
+    // dateTime ± dayTimeDuration: wall-clock arithmetic, designator kept
+    assert(evalT(df, SF.dtAddDuration(col("t1"), dur("PT45M"), plus = true))
+      == Term.lit("2024-03-06T00:15:00Z", Term.XSD_DATETIME))
+    assert(evalT(df, SF.dtAddDuration(col("t1"), dur("P1DT2H"), plus = false))
+      == Term.lit("2024-03-04T21:30:00Z", Term.XSD_DATETIME))
+    // year/month durations have no fixed seconds → eval error (unbound)
+    assert(df.select(SF.dtAddDuration(col("t1"), dur("P1M"), plus = true).as("r"))
+      .head().getAs[Row]("r") == null)
+    // cross-timezone equality through the zoned shadow: +01:00 == Z form
+    val g = spark.createDataset(Seq(
+      Triple(Term.iri("urn:x"), Term.iri("urn:y"), Term.iri("urn:z")))).toDF()
+    val q = Compiler.compile(graft.sparql.Parser.parse(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+         SELECT ?x WHERE {
+           VALUES ?x { 1 }
+           FILTER("2024-03-05T10:15:30+01:00"^^xsd:dateTime =
+                  "2024-03-05T09:15:30Z"^^xsd:dateTime)
+         }"""), g)
+    assert(q.count() == 1)
+  }
+
+  test("DISTINCT aggregates: SUM/AVG/GROUP_CONCAT (AggSumDistinct family)") {
+    val vals = Seq(
+      Term.lit("1", Term.XSD_INTEGER), Term.lit("1", Term.XSD_INTEGER),
+      Term.lit("01", Term.XSD_INTEGER), // same VALUE as "1" — distinct term
+      Term.lit("2", Term.XSD_INTEGER))
+    val df = spark.createDataset(vals.map(Tuple1(_))).toDF("v")
+    def agg1(c: org.apache.spark.sql.Column): Term = {
+      val r = df.agg(c.as("r")).head().getAs[Row]("r")
+      if (r == null) null else Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    assert(agg1(SparqlAggregates.sumDistinctAgg(col("v"))) == Term.lit("3", Term.XSD_INTEGER))
+    assert(agg1(SparqlAggregates.avgDistinctAgg(col("v"))) == Term.lit("1.5", Term.XSD_DECIMAL))
+    assert(agg1(SparqlAggregates.groupConcatDistinct(col("v"), ",")).lex == "01,1,2")
+  }
+
   test("aggregates: sum/avg poisoned by non-numeric; min over term order; concat") {
     val vals = Seq(
       Term.lit("1", Term.XSD_INTEGER), Term.lit("2", Term.XSD_INTEGER),

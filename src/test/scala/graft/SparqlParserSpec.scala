@@ -59,6 +59,36 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("negated property sets with inverse members !(p|^q) (P_NegPropSet)") {
+    val P = """PREFIX ex: <http://example/>
+      PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    """
+    // forward-only NPS: exactly the knows edges survive the exclusions
+    val fwd = run(P + "SELECT ?x ?y WHERE { ?x !(ex:name|ex:email|ex:age|rdf:type) ?y }")
+    assert(fwd.length == 2)
+    // inverse-only NPS: the same edges REVERSED (and nothing forward)
+    val inv = lexes(P + "SELECT ?x ?y WHERE { ?x !(^ex:name|^ex:email|^ex:age|^rdf:type) ?y }", "x")
+    assert(inv.toSet == Set(EX + "bob", EX + "carol"))
+    // mixed members: union of both directions
+    val mixed = run(P + """SELECT ?x ?y WHERE {
+      ?x !(ex:name|ex:email|ex:age|rdf:type|^ex:name|^ex:email|^ex:age|^rdf:type) ?y }""")
+    assert(mixed.length == 4)
+  }
+
+  test("SUM/AVG/GROUP_CONCAT DISTINCT parse and evaluate") {
+    val q = """
+      PREFIX ex: <http://example/>
+      SELECT (SUM(DISTINCT ?a) AS ?s) (AVG(DISTINCT ?a) AS ?m)
+             (GROUP_CONCAT(DISTINCT ?n ; SEPARATOR=",") AS ?c)
+      WHERE { ?p ex:age ?a . ?q ex:name ?n }"""
+    val row = run(q).head
+    // distinct ages {30, 9, 27}: sum 66, avg 22; names dedup across the
+    // cross-joined pattern
+    assert(row.getAs[Row]("s").getString(1) == "66")
+    assert(row.getAs[Row]("m").getString(1) == "22.0")
+    assert(row.getAs[Row]("c").getString(1) == "Alice,Bob,Carol")
+  }
+
   test("OPTIONAL + BOUND filter") {
     val q = """
       PREFIX ex: <http://example/>
