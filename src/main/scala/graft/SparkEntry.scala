@@ -232,9 +232,9 @@ object SparkEntry {
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 18""",
-    // d7 banding is COMPLETE for hamming ≤ 5 (6 segments, pigeonhole), so
-    // the oracle is the brute-force pair scan over the same exact-simhash
-    // cluster representatives
+    // d7 banding is COMPLETE for hamming ≤ 5 (6 segments, pigeonhole) —
+    // except where the per-(band,seg) > 64-member cap drops a degenerate
+    // segment; the oracle mirrors the banded join + cap exactly
     "d7_simhash_lsh" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
@@ -254,10 +254,18 @@ object SparkEntry {
                'sum')::BIGINT AS simhash
            FROM h),
          reps AS (
-           SELECT simhash, min(doc_id) AS rep_id FROM s GROUP BY 1)
-         SELECT a.rep_id AS a_id, b.rep_id AS b_id,
+           SELECT simhash, min(doc_id) AS rep_id FROM s GROUP BY 1),
+         banded AS (
+           SELECT rep_id, simhash, b AS band,
+                  (simhash >> CAST(b * 10 AS INT)) & 1023 AS seg
+           FROM reps, range(0, 6) t(b)),
+         capped AS (
+           SELECT * FROM banded
+           QUALIFY count(*) OVER (PARTITION BY band, seg) <= 64)
+         SELECT DISTINCT a.rep_id AS a_id, b.rep_id AS b_id,
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-         FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+         FROM capped a JOIN capped b
+           ON a.band = b.band AND a.seg = b.seg AND a.rep_id < b.rep_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""",
     "s2_ann_lsh" -> graft.queries.OpsQueries.s2SqlDuck,
     "s1_ann_topk" ->

@@ -102,6 +102,17 @@ final case class QuadBgp(g: TermPat, patterns: Seq[TriplePattern]) extends Op
  * A VARIABLE graph over a non-BGP body stays out of the subset (the g
  * binding would have to thread through every inner operator). */
 final case class GraphScope(g: Term, input: Op) extends Op
+/** GRAPH ?var { any body } — the general OpGraph for a VARIABLE graph
+ * name over bodies the QuadBgp rewrite cannot express faithfully
+ * (property paths, subqueries/aggregates, MINUS, graph-independent
+ * bodies): SPARQL 18.5 eval — union over the dataset's named graphs g of
+ * Join(eval(D[g], body), {var→g}). The var is NOT visible inside the body
+ * (W3C graph-variable-scope); a body that itself binds the name joins at
+ * the boundary. The compiler enumerates the DISTINCT named-graph names
+ * driver-side — bounded by the dataset's graph count, which is small in
+ * practice (a 100 TB corpus has few named graphs, not few rows); the
+ * per-graph bodies then evaluate distributed. */
+final case class GraphVarEnum(v: String, body: Op) extends Op
 
 // ---- projections / filters / binds (§2.2)
 final case class Project(vars: Seq[String], input: Op) extends Op
@@ -128,6 +139,15 @@ final case class AntiJoin(l: Op, r: Op) extends Op
  * *bound* variable; disjoint-domain rows survive (differs from AntiJoin!
  * OpExecutor.java:267–277, QueryIterMinus.java:35). */
 final case class Minus(l: Op, r: Op) extends Op
+/** Expression-level EXISTS (E_Exists/E_NotExists INSIDE a constraint, e.g.
+ * `FILTER(?a = ?b || NOT EXISTS {…})`): extends every input row with a
+ * BOUND boolean term `v` = whether `r` has a compatible match — usable at
+ * any polarity/position, unlike the Semi/AntiJoin rewrite which is sound
+ * only for whole-FILTER [NOT] EXISTS. */
+final case class ExistsFlag(v: String, r: Op, input: Op) extends Op
+/** Drop helper columns (e.g. spent EXISTS flags) preserving the remaining
+ * vars' boundness — a Project complement. */
+final case class DropVars(vars: Seq[String], input: Op) extends Op
 /** LATERAL — per-left-row evaluation of the RHS with the left's bindings
  * in scope (OpLateral, OpExecutor.java:240). Our solution sets are
  * evaluated set-at-a-time, so the correlated re-execution compiles to the

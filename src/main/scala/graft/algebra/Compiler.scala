@@ -259,10 +259,13 @@ object Compiler {
           patterns.map(qsg.scanQuadPattern(TAny, _, defaultOnly = true))
             .reduceLeft(join(_, _, "inner"))
         case _ =>
-          // on a quad table, an un-GRAPHed BGP matches the default graph only
+          // on a quad table, an un-GRAPHed BGP matches the default graph
+          // only; s-NULL marker rows (empty-graph existence markers) are
+          // not triples
           val base =
             if (hasGraphCol(g.df))
-              g.df.filter(TermCols.lex(col("g")) === DefaultGraph || col("g").isNull)
+              g.df.filter((TermCols.lex(col("g")) === DefaultGraph || col("g").isNull) &&
+                col("s").isNotNull)
             else g.df
           patterns.map(scan(base, _)).reduceLeft(join(_, _, "inner"))
       }
@@ -275,14 +278,29 @@ object Compiler {
             .reduceLeft(join(_, _, "inner"))
         case _ =>
           require(hasGraphCol(g.df), "QuadBgp needs a quad table (g column)")
-          // GRAPH never matches the default graph (SPARQL dataset semantics)
-          val named = g.df.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+          // GRAPH never matches the default graph (SPARQL dataset
+          // semantics); empty-graph marker rows are not triples
+          val named = g.df.filter(TermCols.lex(col("g")) =!= DefaultGraph &&
+            col("g").isNotNull && col("s").isNotNull)
           patterns.map(scan(named, _, extraSlots = Seq(("g", gp))))
             .reduceLeft(join(_, _, "inner"))
       }
 
     case PathPattern(s, path, o) =>
-      val pairs = PathEval.pairs(g, path) // (src, dst) term structs
+      var pairs = PathEval.pairs(g, path) // (src, dst) term structs
+      // A zero-length-matching path with a CONSTANT endpoint matches that
+      // constant against itself even when the term is absent from the
+      // graph ({ ?s :p* :o } on the empty graph binds ?s = :o — SPARQL
+      // 18.4 ZeroLengthPath over the evaluation's term universe; the W3C
+      // empty-dataset cases pin this).
+      if (PathEval.allowsZero(path)) {
+        val consts = Seq(s, o).collect { case TConst(t) => t }.distinct
+        consts.foreach { t =>
+          pairs = pairs.union(g.spark.range(1)
+            .select(TermCols.const(t).as("src"), TermCols.const(t).as("dst")))
+        }
+        if (consts.nonEmpty) pairs = pairs.distinct()
+      }
       bindPair(pairs, s, o)
 
     case Project(vars, in) =>
@@ -314,6 +332,58 @@ object Compiler {
 
     case Minus(l, r) => minusJoin(comp(l, g), comp(r, g))
 
+    case ExistsFlag(v, r, in) =>
+      val l = comp(in, g)
+      val rc = comp(r, g)
+      val rr = renamedRight(rc)
+      val shared = l.vars.intersect(rc.vars).toSeq.sorted
+      val mv = maybeShared(l, rc, shared)
+      val lid = tagged(l.df)
+      val matched =
+        if (mv.size <= MaxDecomposedVars)
+          compatMatches(lid, rr, l.certain, rc.certain,
+            shared.filterNot(mv.contains), mv)
+        else {
+          val cond = shared.map { sv =>
+            (col(sv) <=> col(RP + sv)) || col(sv).isNull || col(RP + sv).isNull
+          }.foldLeft(lit(true))(_ && _)
+          lid.join(rr, cond, "inner")
+        }
+      val ids = matched.select(col(LID)).distinct().withColumn("__exm", lit(true))
+      val df = lid.join(ids, Seq(LID), "left_outer")
+        .withColumn(v, TermCols.boolTerm(coalesce(col("__exm"), lit(false))))
+        .drop(LID, "__exm")
+      Compiled(df, l.certain + v, l.maybe)
+
+    case DropVars(vs, in) =>
+      val c = comp(in, g)
+      Compiled(c.df.drop(vs.filter(c.vars.contains): _*),
+        c.certain -- vs, c.maybe -- vs)
+
+    case GraphVarEnum(gv, body) =>
+      // enumerate the dataset's named graphs (driver-side, bounded by the
+      // graph COUNT — see the Algebra node's scaladoc) and evaluate the
+      // body per graph — SPARQL 18.5: Union over g of
+      // Join(eval(D[g], P), {(var, g)}). The var is NOT visible inside
+      // the body (W3C graph-variable-scope); a body that itself binds the
+      // var joins at the boundary (compatible-binding restriction).
+      val names = namedGraphTerms(g) match {
+        // zero named graphs: one never-matching name keeps the schema and
+        // yields the (correct) empty result
+        case Seq() => Seq(Term.iri("urn:graft:no-such-graph"))
+        case ns => ns
+      }
+      names.map { t =>
+        val c = comp(GraphScope(t, body), g)
+        val const = TermCols.const(t)
+        val df =
+          if (c.vars(gv))
+            c.df.filter(col(gv).isNull || col(gv) === const)
+              .withColumn(gv, coalesce(col(gv), const))
+          else c.df.withColumn(gv, const)
+        Compiled(df, c.certain + gv, c.maybe - gv)
+      }.reduceLeft(unionPad)
+
     case Lateral(l, r) => lateral(comp(l, g), r, g)
 
     case Unfold(listVar, outVar, idxVar, in) =>
@@ -329,21 +399,27 @@ object Compiler {
       Compiled(exploded.drop(listVar), c.certain - listVar,
         c.maybe - listVar ++ Set(outVar) ++ idxVar.toSet)
 
-    case Union(l, r) =>
-      val (cl, cr) = (comp(l, g), comp(r, g))
-      val all = (cl.vars ++ cr.vars).toSeq.sorted
-      def pad(c: Compiled) = c.df.select(
-        all.map(v => if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema).as(v)): _*)
-      Compiled(pad(cl).union(pad(cr)),
-        cl.certain.intersect(cr.certain), (cl.vars ++ cr.vars) -- cl.certain.intersect(cr.certain))
+    case Union(l, r) => unionPad(comp(l, g), comp(r, g))
 
     case Group(keys, aggs, in) =>
       val c = comp(in, g)
-      val aggCols = aggs.map { case (name, e) => e(v => resolve(c, v)).as(name) }
-      val out =
-        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
-        else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      Compiled(out, c.certain.intersect(keys.toSet), aggs.map(_._1).toSet ++ c.maybe.intersect(keys.toSet))
+      if (aggs.isEmpty) {
+        // GROUP BY with no aggregates in scope — one row per group, keys
+        // only (SELECT ?s { … } GROUP BY ?s ≡ projected distinct)
+        Compiled(c.df.select(keys.map(col): _*).dropDuplicates(),
+          c.certain.intersect(keys.toSet), keys.toSet -- c.certain)
+      } else {
+        // "*" resolves to the whole visible row — COUNT(DISTINCT *)
+        // (AggCountDistinct over bindings, not a single var)
+        def res(v: String): Column =
+          if (v == "*") struct(c.df.columns.map(col): _*) else resolve(c, v)
+        val aggCols = aggs.map { case (name, e) => e(res).as(name) }
+        val out =
+          if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+          else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        Compiled(out, c.certain.intersect(keys.toSet),
+          aggs.map(_._1).toSet ++ c.maybe.intersect(keys.toSet))
+      }
 
     case Order(keys, in) =>
       val c = comp(in, g)
@@ -389,7 +465,8 @@ object Compiler {
           require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
           DfGraph(g.df
             .filter(col("g") === TermCols.const(gname) &&
-              TermCols.lex(col("g")) =!= DefaultGraph)
+              TermCols.lex(col("g")) =!= DefaultGraph &&
+              col("s").isNotNull) // drop empty-graph marker rows
             .select("s", "p", "o"))
       }
       comp(in, scoped)
@@ -440,6 +517,32 @@ object Compiler {
   /** Resolve a variable to its column; unknown vars are NULL (unbound). */
   private def resolve(c: Compiled, v: String): Column =
     if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema)
+
+  /** Distinct NAMED graph names of the dataset (driver-side; bounded by
+   * the graph count). Sorted for deterministic union order. */
+  private def namedGraphTerms(g: GraphSource): Seq[Term] = {
+    val names: DataFrame = g match {
+      case qsg: QuadSnapshotGraph => qsg.df.select(col("g"))
+      case _ =>
+        require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
+        g.df.select(col("g"))
+    }
+    names.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+      .distinct().collect().map { r =>
+        val x = r.getStruct(0)
+        graft.model.Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
+      }.toSeq.sortBy(t => (t.kind, t.lex))
+  }
+
+  /** SPARQL bag union with unbound padding for one-sided vars. */
+  private def unionPad(cl: Compiled, cr: Compiled): Compiled = {
+    val all = (cl.vars ++ cr.vars).toSeq.sorted
+    def pad(c: Compiled) = c.df.select(
+      all.map(v => if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema).as(v)): _*)
+    Compiled(pad(cl).union(pad(cr)),
+      cl.certain.intersect(cr.certain),
+      (cl.vars ++ cr.vars) -- cl.certain.intersect(cr.certain))
+  }
 
   // ---- triple-pattern scan (Graph.find, the 8 MatchPattern shapes —
   //      PatternClassifier.java:51; constants become pushable predicates)
@@ -778,6 +881,17 @@ object PathEval {
 
   import Compiler.{GraphSource, SnapshotGraph}
 
+  /** Can `path` match with zero steps? (Drives the constant-endpoint
+   * zero-length augmentation in the PathPattern compile.) */
+  def allowsZero(p: Path): Boolean = p match {
+    case PZeroOrMore(_) | PZeroOrOne(_) => true
+    case PMod(_, min, _) => min == 0
+    case PAlt(a, b) => allowsZero(a) || allowsZero(b)
+    case PSeq(a, b) => allowsZero(a) && allowsZero(b)
+    case PInverse(q) => allowsZero(q)
+    case _ => false
+  }
+
   /** All (src, dst) term pairs connected by `path`. Over a store snapshot,
    * a plain link scans the POS layout with the predicate pushed down (the
    * hot case — every closure's per-round probe); composite paths fall back
@@ -859,7 +973,8 @@ object PathEval {
    * SPARQL's zero-length-path node set. */
   private def allNodes(g: GraphSource): DataFrame = {
     val n = g.df.select(col("s").as("n"))
-      .union(g.df.select(col("o").as("n"))).distinct()
+      .union(g.df.select(col("o").as("n")))
+      .filter(col("n").isNotNull).distinct()
     n.select(col("n").as("src"), col("n").as("dst"))
   }
 }

@@ -21,8 +21,12 @@ import graft.model.Term
  */
 object SparqlAggregates {
 
+  // coalesce: over an EMPTY group max() is NULL, and when(NULL) would make
+  // the whole aggregate unbound — but SUM/AVG of the empty group are
+  // DEFINED as 0 (SPARQL 18.5.1)
   private def poisoned(t: Column): Column =
-    max(when(t.isNotNull && !isNumeric(t), 1).otherwise(0)) === 1
+    coalesce(max(when(t.isNotNull && !isNumeric(t), 1).otherwise(0)) === 1,
+      lit(false))
 
   private def numAgg(t: Column, f: Column => Column, outDt: String): Column =
     when(!poisoned(t),
@@ -47,7 +51,11 @@ object SparqlAggregates {
   def avgAgg(t: Column): Column =
     when(!poisoned(t), numericTerm(
       coalesce(avg(numValue(t)), lit(0.0)),
-      greatest(coalesce(max(numRank(t)), lit(0)), lit(1))))
+      // AVG of the empty group is the INTEGER 0 (Avg({}) = 0, SPARQL
+      // 18.5.1), not decimal — rank promotes to decimal only when values
+      // exist
+      when(count(numValue(t)) === 0, lit(0))
+        .otherwise(greatest(coalesce(max(numRank(t)), lit(0)), lit(1)))))
   /** MIN/MAX over the SPARQL total order (NodeCmp) — min_by/max_by on the
    * derived sort key returns the original term. Unbound (NULL) inputs are
    * SKIPPED (AggMin accumulates eval errors silently): min_by/max_by
@@ -70,8 +78,9 @@ object SparqlAggregates {
       coalesce(max(numRank(t)), lit(0))))
   def avgDistinctAgg(t: Column): Column =
     when(!poisoned(t), numericTerm(
-      sum_distinct(numValue(t)) / count_distinct(numValue(t)),
-      greatest(coalesce(max(numRank(t)), lit(0)), lit(1))))
+      coalesce(sum_distinct(numValue(t)) / count_distinct(numValue(t)), lit(0.0)),
+      when(count(numValue(t)) === 0, lit(0))
+        .otherwise(greatest(coalesce(max(numRank(t)), lit(0)), lit(1)))))
 
   /** GROUP_CONCAT(?v; separator=sep). Deterministic variant: elements are
    * sorted (the reference concatenates in arrival order, which is only

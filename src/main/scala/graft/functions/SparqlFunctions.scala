@@ -46,13 +46,47 @@ object SparqlFunctions {
   def datatype(t: Column): Column =
     when(isLiteral(t), TermCols.iriTerm(when(dt(t) === "", S).otherwise(dt(t))))
 
+  /** A SIMPLE literal in the RDF 1.1 sense: xsd:string, no language tag —
+   * the only legal first argument of STRDT/STRLANG (E_StrDatatype
+   * updated-for-RDF-1.1 rule: a lang-tagged or otherwise-typed input is a
+   * type error). */
+  private def isSimpleLit(t: Column): Column = isLiteral(t) && dt(t) === S
+
   // ---- term constructors (E_IRI, E_BNode, E_StrDatatype, E_StrLang)
-  def iriFn(t: Column): Column =
-    when(isIri(t), t).otherwise(when(isStringLit(t), TermCols.iriTerm(lex(t))))
+  /** IRI(str): resolves RELATIVE strings against the query's base IRI
+   * (E_IRI carries the parser base). Column-level resolution covers the
+   * common shapes (scheme-absolute kept; //authority, /rooted, #fragment,
+   * plain relative against the base's directory). */
+  def iriFn(t: Column, base: String = ""): Column = {
+    val sx = lex(t)
+    val resolved =
+      if (base.isEmpty) sx
+      else {
+        val schemeEnd = base.indexOf("://")
+        val root = if (schemeEnd > 0) {
+          val auth = base.indexOf('/', schemeEnd + 3)
+          if (auth > 0) base.substring(0, auth) else base
+        } else base
+        val scheme = if (schemeEnd > 0) base.substring(0, schemeEnd + 1) else ""
+        val noFrag = { val h = base.indexOf('#'); if (h >= 0) base.substring(0, h) else base }
+        val dir = {
+          val cut = noFrag.lastIndexOf('/')
+          if (cut > schemeEnd + 2) noFrag.substring(0, cut + 1) else noFrag + "/"
+        }
+        when(sx.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), sx)
+          .when(sx.startsWith("//"), concat(lit(scheme), sx))
+          .when(sx.startsWith("/"), concat(lit(root), sx))
+          .when(sx.startsWith("#"), concat(lit(noFrag), sx))
+          .otherwise(concat(lit(dir), sx))
+      }
+    when(isIri(t), t).otherwise(when(isStringLit(t), TermCols.iriTerm(resolved)))
+  }
   def strdt(t: Column, dtIri: Column): Column =
-    when(isStringLit(t), mk(lit(Term.KIND_LIT), lex(t), lex(dtIri), lit("")))
+    when(isSimpleLit(t) && isIri(dtIri),
+      mk(lit(Term.KIND_LIT), lex(t), lex(dtIri), lit("")))
   def strlang(t: Column, langTag: Column): Column =
-    when(isStringLit(t), mk(lit(Term.KIND_LIT), lex(t), lit(Term.RDF_LANGSTRING), lex(langTag)))
+    when(isSimpleLit(t) && isSimpleLit(langTag) && lex(langTag) =!= "",
+      mk(lit(Term.KIND_LIT), lex(t), lit(Term.RDF_LANGSTRING), lex(langTag)))
   /** BNODE() per-row fresh label: deterministic from a provided seed col. */
   def bnodeFn(seed: Column): Column =
     mk(lit(Term.KIND_BNODE), sha2(seed.cast(StringType), 256).substr(1, 32), lit(""), lit(""))
@@ -60,27 +94,54 @@ object SparqlFunctions {
   // ---- string functions (E_Str*, SURVEY §2.9 row 1)
   def strlen(t: Column): Column =
     when(isStringLit(t), TermCols.intTerm(length(lex(t))))
-  def substrFn(t: Column, pos: Column, len: Column): Column =
-    likeInput(t, substring(lex(t), pos.cast(IntegerType), len.cast(IntegerType)))
+  /** SUBSTR with optional length (fn:substring 2- and 3-argument forms);
+   * the result keeps the source's lang/dt. */
+  def substrFn(t: Column, pos: Column, len: Option[Column]): Column = {
+    val l = len.map(_.cast(IntegerType)).getOrElse(length(lex(t)))
+    likeInput(t, substring(lex(t), pos.cast(IntegerType), l))
+  }
   def ucase(t: Column): Column = likeInput(t, upper(lex(t)))
   def lcase(t: Column): Column = likeInput(t, lower(lex(t)))
   def strstarts(a: Column, b: Column): Column = lex(a).startsWith(lex(b))
   def strends(a: Column, b: Column): Column = lex(a).endsWith(lex(b))
   def containsFn(a: Column, b: Column): Column = lex(a).contains(lex(b))
-  /** STRBEFORE/STRAFTER: first occurrence; "" when absent (SPARQL 17.4.3). */
+  /** Argument compatibility of the two-string functions (SPARQL 17.4.3.4
+   * fn argument rules): arg2 must be simple/xsd:string, or carry the SAME
+   * language tag as arg1 — otherwise a type error. */
+  private def strArgsCompatible(a: Column, b: Column): Column =
+    isStringLit(a) && isStringLit(b) && (dt(b) === S || lang(a) === lang(b))
+  /** STRBEFORE/STRAFTER (SPARQL 17.4.3.4): the matched prefix/suffix keeps
+   * arg1's lang/dt; an EMPTY arg2 yields ""-with-arg1's-lang (STRBEFORE) /
+   * arg1 itself (STRAFTER); NO MATCH yields a PLAIN "" (no lang — the
+   * spec's 'empty simple literal' case); incompatible args are errors. */
   def strbefore(a: Column, b: Column): Column = {
     val pos = instr(lex(a), lex(b))
-    likeInput(a, when(length(lex(b)) === 0, lit(""))
-      .when(pos > 0, lex(a).substr(lit(1), pos - 1))
-      .otherwise(lit("")))
+    when(strArgsCompatible(a, b),
+      when(length(lex(b)) === 0, likeInput(a, lit("")))
+        .when(pos > 0, likeInput(a, lex(a).substr(lit(1), pos - 1)))
+        .otherwise(strOf(lit(""))))
   }
   def strafter(a: Column, b: Column): Column = {
     val pos = instr(lex(a), lex(b))
-    likeInput(a, when(length(lex(b)) === 0, lex(a))
-      .when(pos > 0, lex(a).substr(pos + length(lex(b)), length(lex(a))))
-      .otherwise(lit("")))
+    when(strArgsCompatible(a, b),
+      when(length(lex(b)) === 0, likeInput(a, lex(a)))
+        .when(pos > 0, likeInput(a, lex(a).substr(pos + length(lex(b)), length(lex(a)))))
+        .otherwise(strOf(lit(""))))
   }
-  def concatFn(ts: Column*): Column = strOf(concat(ts.map(lex): _*))
+  /** CONCAT (fn:concat + the SPARQL literal-type rules): every argument
+   * must be a string literal (simple/xsd:string/langString) — numerics are
+   * type errors; the result carries a language tag only when ALL arguments
+   * share it, else it is a plain xsd:string. */
+  def concatFn(ts: Column*): Column = {
+    if (ts.isEmpty) return strOf(lit(""))
+    val allStr = ts.map(isStringLit).reduce(_ && _)
+    val sameLang = ts.map(t => dt(t) === Term.RDF_LANGSTRING &&
+      lang(t) === lang(ts.head)).reduce(_ && _)
+    val glued = concat(ts.map(lex): _*)
+    when(allStr && sameLang,
+      mk(lit(Term.KIND_LIT), glued, lit(Term.RDF_LANGSTRING), lang(ts.head)))
+      .when(allStr, strOf(glued))
+  }
   def replaceFn(t: Column, pattern: Column, replacement: Column): Column =
     likeInput(t, regexp_replace(lex(t), pattern.getField("lex"), replacement.getField("lex")))
   def regex(t: Column, pattern: String): Column = lex(t).rlike(pattern)
@@ -182,7 +243,14 @@ object SparqlFunctions {
   def dayFn(t: Column): Column = whenTs(t, dayofmonth)
   def hoursFn(t: Column): Column = whenTs(t, hour)
   def minutesFn(t: Column): Column = whenTs(t, minute)
-  def secondsFn(t: Column): Column = whenTs(t, second)
+  /** SECONDS(): xsd:decimal (op:seconds-from-dateTime is xs:decimal —
+   * fractional seconds survive), read from the lexical seconds field. */
+  def secondsFn(t: Column): Column = {
+    val secLex = regexp_extract(lex(t),
+      ":(\\d{2}(?:\\.\\d+)?)(?:Z|[+-]\\d{2}:\\d{2})?$", 1)
+    when(tsValue(t).isNotNull && secLex =!= "",
+      TermCols.decTerm(secLex.cast(DoubleType), scale = 3))
+  }
   private def whenTs(t: Column, f: Column => Column): Column = {
     val ts = tsValue(t)
     when(ts.isNotNull, TermCols.intTerm(f(ts)))
@@ -200,6 +268,21 @@ object SparqlFunctions {
   def tzFn(t: Column): Column =
     when(isLiteral(t) && dt(t).isin(dtTypes: _*),
       strOf(regexp_extract(lex(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
+
+  /** TIMEZONE(dt): the designator as an xsd:dayTimeDuration
+   * (fn:timezone-from-dateTime); ERROR when the input carries none. */
+  def timezoneFn(t: Column): Column = {
+    val des = regexp_extract(lex(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val hh = substring(des, 2, 2).cast(IntegerType)
+    val mm = substring(des, 5, 2).cast(IntegerType)
+    val dur = when(des.isin("Z", "+00:00", "-00:00"), lit("PT0S"))
+      .otherwise(concat(
+        when(substring(des, 1, 1) === "-", "-").otherwise(""),
+        lit("PT"), hh.cast(StringType), lit("H"),
+        when(mm > 0, concat(mm.cast(StringType), lit("M"))).otherwise(lit(""))))
+    when(isLiteral(t) && dt(t).isin(dtTypes: _*) && des =!= "",
+      mk(lit(Term.KIND_LIT), dur, lit(Term.XSD + "dayTimeDuration"), lit("")))
+  }
 
   /** RAND(): xsd:double in [0,1) — nondeterministic like the reference. */
   def randFn(): Column = TermCols.numericTerm(rand(), lit(3))
@@ -293,7 +376,20 @@ object SparqlFunctions {
     val lx = lex(t)
     dtIri match {
       case Term.XSD_STRING =>
-        when(t.isNotNull && kind(t) =!= Term.KIND_BNODE, strTerm(lx))
+        // casting goes through the VALUE space for known datatypes
+        // (XSDFuncOp: "0"^^boolean → "false", 0.0 decimal → "0",
+        // 0E1 double → "0", 1.25 float → "1.25"); lexical form otherwise
+        val boolStr = when(lx.isin("true", "1"), "true").otherwise("false")
+        val d = numValue(t)
+        val numStr = when(dt(t) === Term.XSD_INTEGER, lx)
+          .when(d === d.cast(org.apache.spark.sql.types.LongType)
+            .cast(org.apache.spark.sql.types.DoubleType),
+            d.cast(org.apache.spark.sql.types.LongType).cast(StringType))
+          .otherwise(d.cast(StringType))
+        when(t.isNotNull && kind(t) =!= Term.KIND_BNODE, strTerm(coalesce(
+          when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN, boolStr),
+          when(isNumeric(t), numStr),
+          lx)))
       case Term.XSD_BOOLEAN =>
         when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN, t)
           .when(isLiteral(t) && lx.isin("true", "false"), mk(lit(Term.KIND_LIT), lx, lit(Term.XSD_BOOLEAN), lit("")))
@@ -331,11 +427,18 @@ object SparqlFunctions {
   }
 
   /** BNODE(): fresh blank node per row (nondeterministic label);
-   * BNODE(str): label derived from the string within the solution. */
+   * BNODE(str): the mapping str→bnode is scoped to ONE solution row
+   * (SPARQL 17.4.2.9) — equal strings in the same row give the same
+   * bnode, the same string in different rows gives different bnodes. The
+   * row scope rides a per-row counter (each expression instance advances
+   * once per row, so two BNODE calls in one projection agree). */
   def bnodeFresh(): Column =
     mk(lit(Term.KIND_BNODE), regexp_replace(expr("uuid()"), "-", ""), lit(""), lit(""))
   def bnodeLabeled(t: Column): Column =
-    when(isStringLit(t), mk(lit(Term.KIND_BNODE), lex(t), lit(""), lit("")))
+    when(isStringLit(t), mk(lit(Term.KIND_BNODE),
+      concat(lit("r"), monotonically_increasing_id().cast(StringType),
+        lit("_"), lex(t)),
+      lit(""), lit("")))
 
   /** REGEX with optional flags ('i','s','m','x' — mapped to the
    * embedded-flag prefix Java regex understands, like the reference's

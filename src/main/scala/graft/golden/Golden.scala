@@ -161,7 +161,12 @@ object GoldenRunner {
               Paths.get(f).toAbsolutePath.toString)
           val nq = namedFiles.zipWithIndex.flatMap { case (f, k) =>
             val gname = Term.iri("file://" + f)
-            scoped(readData(f), s"g$k").map(t => Quad(t.s, t.p, t.o, gname))
+            val ts = scoped(readData(f), s"g$k")
+            // an EMPTY named graph still EXISTS in the dataset (GRAPH ?g
+            // must enumerate it): a marker quad with NULL triple slots,
+            // filtered out of every triple scan by the compiler
+            if (ts.isEmpty) Seq(Quad(null, null, null, gname))
+            else ts.map(t => Quad(t.s, t.p, t.o, gname))
           }
           spark.createDataset(dq ++ nq)(
             org.apache.spark.sql.Encoders.product[Quad]).toDF()
@@ -233,6 +238,8 @@ object GoldenRunner {
     val base = "file://" + Paths.get(path).toAbsolutePath.toString
     if (path.endsWith(".nt"))
       readFile(path).split("\n").toSeq.flatMap(l => NTriples.parseLine(l, strict = false))
+    else if (path.endsWith(".rdf"))
+      graft.riot.RdfXmlLite.parse(readFile(path), base)
     else TurtleLite.parse(readFile(path), base)
   }
 

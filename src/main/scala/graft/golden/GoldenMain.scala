@@ -2,47 +2,46 @@ package graft.golden
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc survey driver: run manifests given as args, print one line per
- * case — used to triage which W3C suites the engine covers (the
- * ManifestSpec encodes the curated outcome). */
+/**
+ * CLI over the manifest-driven golden runner: `runMain graft.golden.GoldenMain
+ * <manifest.ttl> [testName]` prints one line per case (PASS/FAIL/SKIP + the
+ * failure detail) — the triage loop for onboarding a new W3C suite into
+ * ManifestSpec. Same session settings as ManifestSpec (interpreted eval:
+ * golden fixtures are 1–100 rows, Janino dominates otherwise).
+ */
 object GoldenMain {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: GoldenMain <manifest.ttl> [testName]")
     val spark = SparkSession.builder()
-      .appName("graft-golden").master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      // NestedColumnAliasing is quadratic in the number of nested-field
-      // references; wide term-struct expression trees (value-space compare
-      // over formatted arithmetic) make it burn minutes on W3C one-row
-      // queries. Our scans read flat columns, so the rule buys nothing.
-      .config("spark.sql.optimizer.expression.nestedPruning.enabled", "false")
-      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
-      // golden tests run on 1–100 row fixtures: Janino compilation of the
-      // wide term-struct expressions dominates wall clock (~12 s per
-      // query), interpreted eval is instant — turn codegen off in THIS
-      // harness session only (production sessions keep codegen)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.codegen.wholeStage", "false")
       .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      .config("spark.sql.optimizer.expression.nestedPruning.enabled", "false")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+      .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    var pass = 0; var fail = 0; var skip = 0
-    args.foreach { m =>
-      println(s"== $m")
-      Manifest.load(m).foreach { e =>
-        val t0 = System.nanoTime()
-        val outcome = GoldenRunner.runManifest(spark, m, only = Some(e.name)).head.outcome
-        val secs = (System.nanoTime() - t0) / 1e9
-        val tag = if (secs > 2) f" [$secs%.1fs]" else ""
-        outcome match {
-          case GoldenRunner.Passed => pass += 1; println(s"  PASS  ${e.name}$tag")
-          case GoldenRunner.Failed(d) =>
-            fail += 1
-            println(s"  FAIL  ${e.name}$tag: ${d.linesIterator.take(3).mkString(" // ")}")
-          case GoldenRunner.Skipped(why) => skip += 1; println(s"  skip  ${e.name}: $why")
-        }
+    spark.sparkContext.setLogLevel("ERROR")
+    val (manifests, onlyArg) = args.partition(_.endsWith(".ttl"))
+    val only = onlyArg.headOption
+    var (tp, tf, ts) = (0, 0, 0)
+    manifests.foreach { m =>
+      println(s"## $m")
+      val results = GoldenRunner.runManifest(spark, m, only = only)
+      results.foreach {
+        case GoldenRunner.CaseResult(n, GoldenRunner.Passed) => println(s"PASS $n")
+        case GoldenRunner.CaseResult(n, GoldenRunner.Skipped(r)) => println(s"SKIP $n — $r")
+        case GoldenRunner.CaseResult(n, GoldenRunner.Failed(d)) =>
+          println(s"FAIL $n\n  ${d.linesIterator.mkString("\n  ")}")
       }
+      val p = results.count(_.outcome == GoldenRunner.Passed)
+      val f = results.count(_.outcome.isInstanceOf[GoldenRunner.Failed])
+      val s = results.count(_.outcome.isInstanceOf[GoldenRunner.Skipped])
+      tp += p; tf += f; ts += s
+      println(s"== $p passed, $f failed, $s skipped — $m")
     }
-    println(s"TOTAL pass=$pass fail=$fail skip=$skip")
+    println(s"== TOTAL $tp passed, $tf failed, $ts skipped")
     spark.stop()
+    if (tf > 0) sys.exit(1)
   }
 }

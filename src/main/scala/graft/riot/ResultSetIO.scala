@@ -174,7 +174,15 @@ object ResultSetIO {
         val cell = if (i < cells.length) cells(i).trim else ""
         if (cell.isEmpty) null
         else {
-          val t = NTriples.parseTerm(cell)
+          // SPARQL TSV (SPARQL 1.1 Results CSV/TSV §4): numbers and
+          // booleans may appear BARE, typed by their lexical form
+          val t =
+            if (cell.matches("[+-]?\\d+")) Term.lit(cell, Term.XSD_INTEGER)
+            else if (cell.matches("[+-]?\\d*\\.\\d+")) Term.lit(cell, Term.XSD_DECIMAL)
+            else if (cell.matches("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)[eE][+-]?\\d+"))
+              Term.lit(cell, Term.XSD_DOUBLE)
+            else if (cell == "true" || cell == "false") Term.lit(cell, Term.XSD_BOOLEAN)
+            else NTriples.parseTerm(cell)
           Row(t.kind, t.lex, t.dt, t.lang)
         }
       }: _*)

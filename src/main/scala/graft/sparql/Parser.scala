@@ -86,6 +86,16 @@ object Parser {
     private val hiddenVars = scala.collection.mutable.Set[String]()
     private def usedHiddenVars: Boolean = hiddenVars.nonEmpty
 
+    /** Non-null while parsing a FILTER constraint: each expression-level
+     * [NOT] EXISTS{…} registers an `ExistsFlag` wrapper here and reads a
+     * hidden boolean var — sound at ANY polarity/position (||, !, IF,
+     * comparisons), unlike a semi/anti-join rewrite. The wrappers apply at
+     * group end (with the other deferred EXISTS ops), the flag filters
+     * right after, then the flags drop. */
+    private var existsCtx: ListBuffer[Op => Op] = null
+    private var existsVars: ListBuffer[String] = null
+    private var exCounter = 0
+
     def parseAnyForm(): Parser.QueryForm = {
       prologue()
       if (kwAhead("ASK")) {
@@ -97,15 +107,42 @@ object Parser {
         Parser.AskQ(op)
       } else if (kwAhead("CONSTRUCT")) {
         eatKw("CONSTRUCT")
-        val template = templateBlock()
-        expectKw("WHERE")
-        var op = groupGraphPattern()
-        var more = true
-        var limit = -1L
-        while (more) {
-          if (eatKw("LIMIT")) limit = integer() else more = false
+        ws()
+        // long form: CONSTRUCT { template } …; short form: CONSTRUCT
+        // [FROM …] WHERE { triples } — the braces are BOTH the template
+        // and the pattern (ConstructQuery second alternative)
+        val longForm = peekIs('{')
+        var template: Seq[TriplePattern] = Nil
+        if (longForm) template = templateBlock()
+        val fromDefaults = ListBuffer[String]()
+        val fromNamed = ListBuffer[String]()
+        var goingFrom = true
+        while (goingFrom) {
+          if (eatKw2("FROM", "NAMED")) fromNamed += iriOnly()
+          else if (eatKw("FROM")) fromDefaults += iriOnly()
+          else goingFrom = false
         }
-        if (limit >= 0) op = Slice(0, limit, op)
+        expectKw("WHERE")
+        var op =
+          if (longForm) groupGraphPattern()
+          else {
+            ws()
+            val save = i
+            template = templateBlock() // first pass: the template triples
+            i = save
+            groupGraphPattern() // second pass: the same text as a pattern
+          }
+        if (fromDefaults.nonEmpty || fromNamed.nonEmpty)
+          op = DatasetClause(fromDefaults.toList, fromNamed.toList, op)
+        var limit = -1L; var offset = 0L
+        var more = true
+        while (more) {
+          if (eatKw("LIMIT")) limit = integer()
+          else if (eatKw("OFFSET")) offset = integer()
+          else more = false
+        }
+        if (limit >= 0 || offset > 0)
+          op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
         ws()
         if (i < s.length) fail("trailing content after CONSTRUCT")
         Parser.ConstructQ(template, op)
@@ -142,9 +179,43 @@ object Parser {
     private def templateBlock0(): Seq[TriplePattern] = {
       expect('{')
       val out = ListBuffer[TriplePattern]()
-      ws()
-      while (!peekIs('}')) {
-        val subj = termPat()
+      // template bnodes are remapped to FRESH bnodes per solution row by
+      // Construct — collections/property lists expand to labeled template
+      // bnodes and get that per-row remapping for free
+      var tbn = 0
+      def freshB(): TermPat = { tbn += 1; TConst(Term.bnode("tmpl" + tbn)) }
+      def slot(): TermPat = {
+        ws()
+        if (peekIs('(')) collection()
+        else if (peekIs('[')) propListNode()
+        else termPat()
+      }
+      def collection(): TermPat = {
+        i += 1; ws()
+        val items = ListBuffer[TermPat]()
+        while (!peekIs(')')) {
+          if (i >= s.length) fail("unterminated collection in template")
+          items += slot(); ws()
+        }
+        i += 1
+        if (items.isEmpty) TConst(Term.iri(RdfNs + "nil"))
+        else {
+          val nodes = items.toList.map(_ => freshB())
+          nodes.zip(items).zipWithIndex.foreach { case ((n, item), k) =>
+            out += TriplePattern(n, TConst(Term.iri(RdfNs + "first")), item)
+            out += TriplePattern(n, TConst(Term.iri(RdfNs + "rest")),
+              if (k == items.size - 1) TConst(Term.iri(RdfNs + "nil")) else nodes(k + 1))
+          }
+          nodes.head
+        }
+      }
+      def propListNode(): TermPat = {
+        i += 1; ws()
+        val n = freshB()
+        if (peekIs(']')) { i += 1; n }
+        else { predObjList(n); ws(); expect(']'); n }
+      }
+      def predObjList(subj: TermPat): Unit = {
         var moreProps = true
         while (moreProps) {
           ws()
@@ -152,14 +223,21 @@ object Parser {
             if (peekVar) TVar(varName()) else TConst(Term.iri(iriOnly()))
           var moreObjs = true
           while (moreObjs) {
-            out += TriplePattern(subj, pred, termPat())
+            out += TriplePattern(subj, pred, slot())
             ws()
             if (peekIs(',')) i += 1 else moreObjs = false
           }
           ws()
-          if (peekIs(';')) { i += 1; ws(); if (peekIs('.') || peekIs('}')) moreProps = false }
+          if (peekIs(';')) { i += 1; ws()
+            if (peekIs('.') || peekIs('}') || peekIs(']')) moreProps = false }
           else moreProps = false
         }
+      }
+      ws()
+      while (!peekIs('}')) {
+        val subj = slot()
+        ws()
+        if (!peekIs('.') && !peekIs('}')) predObjList(subj)
         ws()
         if (peekIs('.')) i += 1
         ws()
@@ -311,7 +389,15 @@ object Parser {
       if (eatKw("HAVING")) {
         val sawBefore = sawAgg
         sawAgg = false
-        havingExpr = Some(constraint())
+        // HAVING takes one or more juxtaposed constraints — conjunctive
+        // (HavingClause ::= 'HAVING' HavingCondition+)
+        var he = constraint()
+        while ({ ws(); peekIs('(') }) {
+          val h2 = constraint()
+          val h1 = he
+          he = RowExpr(v => h1(v) && h2(v))
+        }
+        havingExpr = Some(he)
         havingAgg = sawAgg
         sawAgg = sawBefore || sawAgg
       }
@@ -425,6 +511,9 @@ object Parser {
       }
       if (limit >= 0 || offset > 0)
         op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
+      // trailing VALUES clause (grammar: SelectQuery … ValuesClause) —
+      // joined with the query result (SPARQL 10.2)
+      if (eatKw("VALUES")) op = Join(op, valuesClause())
       op
     }
 
@@ -473,9 +562,26 @@ object Parser {
      * they are all row predicates over the same solution set). */
     private def groupPatternParts(): (Op, List[RowExpr]) = {
       expect('{')
+      ws()
+      // a GroupGraphPattern may be a DIRECT SubSelect: '{' SELECT … '}'
+      // (grammar rule GroupGraphPattern ::= '{' (SubSelect |
+      // GroupGraphPatternSub) '}')
+      if (kwAhead("SELECT")) {
+        val sub = selectBody()
+        expect('}')
+        return (sub, Nil)
+      }
       var current: Option[Op] = None
       val filters = ListBuffer[RowExpr]()
       val deferred = ListBuffer[Op => Op]() // EXISTS / NOT EXISTS at group end
+      // constraints containing expression-level EXISTS: applied at group
+      // end INSIDE this group (after their ExistsFlag wrappers), then the
+      // spent flag vars drop. An OPTIONAL whose filter holds EXISTS thus
+      // evaluates the flag over the RHS rows — ARQ evaluates such filters
+      // over the merged row; divergence only when the EXISTS body names
+      // left-only vars (rare; none of the W3C suites do).
+      val flagFilters = ListBuffer[RowExpr]()
+      val flagVars = ListBuffer[String]()
       def add(next: Op): Unit =
         current = Some(current.map(Join(_, next)).getOrElse(next))
 
@@ -492,7 +598,18 @@ object Parser {
             val r = groupGraphPattern()
             deferred += (o => AntiJoin(o, r))
           } else {
-            filters += constraint()
+            // [NOT] EXISTS may appear INSIDE the constraint at any
+            // position — compiled to hidden boolean flags (see existsCtx)
+            val save = existsCtx; val saveV = existsVars
+            existsCtx = ListBuffer(); existsVars = ListBuffer()
+            try {
+              val c = constraint()
+              if (existsCtx.nonEmpty) {
+                deferred ++= existsCtx
+                flagFilters += c
+                flagVars ++= existsVars
+              } else filters += c
+            } finally { existsCtx = save; existsVars = saveV }
           }
         }
         else if (eatKw("OPTIONAL")) {
@@ -523,24 +640,30 @@ object Parser {
             case (_, Bgp(ps)) => add(QuadBgp(gp, ps))
             // constant graph: any body shape — re-scoped to that graph
             case (TConst(t), other) => add(GraphScope(t, other))
-            // variable graph over a complex body: every inner BGP becomes
-            // a quad pattern sharing a HIDDEN graph var, so joins /
-            // OPTIONAL / UNION evaluate per named graph — and the USER
-            // var joins at the boundary only (SPARQL 18.5 eval of
-            // Graph(var, P): Join(eval(D[g], P), {var→g}); the body does
-            // NOT see ?g pre-bound — the W3C graph-optional case)
+            // variable graph over a complex body — fast path: every inner
+            // BGP becomes a quad pattern sharing a HIDDEN graph var, so
+            // joins / OPTIONAL / UNION evaluate per named graph with NO
+            // driver-side enumeration — and the USER var joins at the
+            // boundary only (SPARQL 18.5 eval of Graph(var, P):
+            // Join(eval(D[g], P), {var→g}); the body does NOT see ?g
+            // pre-bound — the W3C graph-optional case). Bodies the rewrite
+            // cannot express (paths, subqueries, MINUS, VALUES-only, a
+            // filter on ?g itself) take the per-graph enumeration node.
             case (TVar(gv), other) =>
               gvCounter += 1
               val hv = s"__gv$gvCounter"
-              hiddenVars += hv
-              val scoped = scopeToGraphVar(other, hv)
-              add(ExtOp(df => {
-                if (df.columns.contains(gv))
-                  df.filter(col(gv).isNull || col(gv) === col(hv))
-                    .withColumn(gv, coalesce(col(gv), col(hv)))
-                    .drop(hv)
-                else df.withColumnRenamed(hv, gv)
-              }, Seq(gv), scoped))
+              scopeToGraphVar(other, hv, gv) match {
+                case Some(scoped) if containsBgp(other) =>
+                  hiddenVars += hv
+                  add(ExtOp(df => {
+                    if (df.columns.contains(gv))
+                      df.filter(col(gv).isNull || col(gv) === col(hv))
+                        .withColumn(gv, coalesce(col(gv), col(hv)))
+                        .drop(hv)
+                    else df.withColumnRenamed(hv, gv)
+                  }, Seq(gv), scoped))
+                case _ => add(GraphVarEnum(gv, other))
+              }
           }
         }
         else if (peekIs('{')) {
@@ -567,7 +690,12 @@ object Parser {
         if (peekIs('.')) i += 1 // statement separator between pattern elements
       }
       val base = current.getOrElse(Table(Nil, Seq(Map.empty)))
-      (deferred.foldLeft(base)((o, f) => f(o)), filters.toList)
+      var out = deferred.foldLeft(base)((o, f) => f(o))
+      if (flagFilters.nonEmpty) {
+        out = flagFilters.foldLeft(out)((o, f) => Filter(f, o))
+        out = DropVars(flagVars.toList, out)
+      }
+      (out, filters.toList)
     }
 
     /** Contiguous triple patterns with ';' ',' shorthand and paths. Path
@@ -775,24 +903,64 @@ object Parser {
 
     /** Rewrite a GRAPH ?v body: every BGP becomes a QuadBgp on the graph
      * var (shared across the body, so structure-preserving operators keep
-     * per-graph semantics); operators that scan in other ways raise. */
-    private def scopeToGraphVar(op: Op, gv: String): Op = op match {
-      case Bgp(ps) => QuadBgp(TVar(gv), ps)
-      case q: QuadBgp => fail("nested GRAPH inside GRAPH ?var is not supported")
-      case Join(l, r) => Join(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
-      case LeftJoin(l, r, c) =>
-        LeftJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv), c)
-      case SemiJoin(l, r) => SemiJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
-      case AntiJoin(l, r) => AntiJoin(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
-      case Minus(l, r) => Minus(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
-      case Union(l, r) => Union(scopeToGraphVar(l, gv), scopeToGraphVar(r, gv))
-      case Filter(c, in) => Filter(c, scopeToGraphVar(in, gv))
-      case Extend(v, e, in) => Extend(v, e, scopeToGraphVar(in, gv))
-      case Distinct(in) => Distinct(scopeToGraphVar(in, gv))
-      case Reduced(in) => Reduced(scopeToGraphVar(in, gv))
-      case t: Table => t // VALUES is graph-independent
-      case _ => fail("unsupported operator inside GRAPH ?var " +
-        "(paths/subqueries need a constant graph name)")
+     * per-graph semantics — and nothing is enumerated driver-side).
+     * Returns None for shapes the shared-var rewrite cannot express
+     * faithfully — paths, subqueries/aggregates, MINUS (a shared hidden
+     * var would satisfy its ≥1-both-bound requirement artificially),
+     * nested GRAPH — which fall back to GraphVarEnum. */
+    private def scopeToGraphVar(op: Op, gv: String, userVar: String): Option[Op] = {
+      def go(o: Op): Option[Op] = o match {
+        case Bgp(ps) => Some(QuadBgp(TVar(gv), ps))
+        case _: QuadBgp => None // nested GRAPH
+        case Join(l, r) => for { a <- go(l); b <- go(r) } yield Join(a, b)
+        case LeftJoin(l, r, c) =>
+          if (c.exists(refsVar(_, userVar))) None
+          else for { a <- go(l); b <- go(r) } yield LeftJoin(a, b, c)
+        case SemiJoin(l, r) => for { a <- go(l); b <- go(r) } yield SemiJoin(a, b)
+        case AntiJoin(l, r) => for { a <- go(l); b <- go(r) } yield AntiJoin(a, b)
+        case Minus(_, _) => None // needs per-graph eval without a shared var
+        case Union(l, r) => for { a <- go(l); b <- go(r) } yield Union(a, b)
+        // an expression naming the graph var itself needs ARQ's
+        // substitution semantics — only the enumeration path provides it
+        case Filter(c, in) => if (refsVar(c, userVar)) None else go(in).map(Filter(c, _))
+        case Extend(v, e, in) =>
+          if (refsVar(e, userVar)) None else go(in).map(Extend(v, e, _))
+        case ExistsFlag(v, r, in) => for { a <- go(r); b <- go(in) } yield ExistsFlag(v, a, b)
+        case DropVars(vs, in) => go(in).map(DropVars(vs, _))
+        case Distinct(in) => go(in).map(Distinct(_))
+        case Reduced(in) => go(in).map(Reduced(_))
+        case t: Table => Some(t) // VALUES is graph-independent
+        case _ => None // paths, subqueries, aggregates, slices, …
+      }
+      go(op)
+    }
+
+    /** Conservatively decide whether a RowExpr references `name`: build it
+     * once against a recording resolver; an expression that cannot be
+     * probed (throws) is assumed to reference it. */
+    private def refsVar(e: RowExpr, name: String): Boolean = {
+      var found = false
+      try e { n => if (n == name) found = true; slit(null).cast(TermCols.schema) }
+      catch { case _: Throwable => return true }
+      found
+    }
+
+    /** Does the op tree contain a triple-scanning leaf (so the QuadBgp
+     * rewrite binds the hidden graph var at all)? */
+    private def containsBgp(op: Op): Boolean = op match {
+      case _: Bgp => true
+      case Join(l, r) => containsBgp(l) || containsBgp(r)
+      case LeftJoin(l, r, _) => containsBgp(l) || containsBgp(r)
+      case SemiJoin(l, _) => containsBgp(l)
+      case AntiJoin(l, _) => containsBgp(l)
+      case Union(l, r) => containsBgp(l) && containsBgp(r)
+      case Filter(_, in) => containsBgp(in)
+      case Extend(_, _, in) => containsBgp(in)
+      case ExistsFlag(_, _, in) => containsBgp(in)
+      case DropVars(_, in) => containsBgp(in)
+      case Distinct(in) => containsBgp(in)
+      case Reduced(in) => containsBgp(in)
+      case _ => false
     }
 
     private def valuesClause(): Op = {
@@ -833,23 +1001,29 @@ object Parser {
       }
     }
 
-    // ---- property paths (subset: link, ^, /, |, +, *, ?, !(...))
+    // ---- property paths (subset: link, ^, /, |, +, *, ?, !(...)).
+    // Grammar precedence (SPARQL 1.1 §18.2.2.6 Path productions):
+    // '|' (PathAlternative) is LOOSER than '/' (PathSequence), which is
+    // looser than '^'/modifiers — :p1|:p2/:p3|:p4 = :p1|(:p2/:p3)|:p4.
     private def path(): Path = {
-      var l = pathElt()
-      var going = true
-      while (going) {
-        ws()
-        if (peekIs('/')) { i += 1; l = PSeq(l, pathElt()) }
-        else if (peekIs('|')) { i += 1; l = PAlt(l, pathElt()) }
-        else going = false
-      }
+      var l = pathSeq()
+      while ({ ws(); peekIs('|') }) { i += 1; l = PAlt(l, pathSeq()) }
       l
+    }
+    private def pathSeq(): Path = {
+      var l = pathEltOrInverse()
+      while ({ ws(); peekIs('/') }) { i += 1; l = PSeq(l, pathEltOrInverse()) }
+      l
+    }
+    // '^' wraps the WHOLE element incl. its modifier (^p* = ^(p*)) —
+    // PathEltOrInverse ::= PathElt | '^' PathElt
+    private def pathEltOrInverse(): Path = {
+      ws()
+      if (peekIs('^')) { i += 1; PInverse(pathElt()) } else pathElt()
     }
     private def pathElt(): Path = {
       ws()
-      var p: Path =
-        if (peekIs('^')) { i += 1; PInverse(pathPrimary()) }
-        else pathPrimary()
+      var p: Path = pathPrimary()
       // postfix modifiers
       ws()
       if (peekIs('+')) { i += 1; p = POneOrMore(p) }
@@ -1098,6 +1272,16 @@ object Parser {
     private def relE(): Ex = {
       val l = addExpr()
       ws()
+      // IN / NOT IN (SPARQL 17.4.1.9/.10): a fold of `=` comparisons under
+      // || — SPARQL's error-absorbing OR (a TRUE match wins over an
+      // erroring member) falls out of SQL 3-valued OR; NOT IN is the
+      // 3-valued negation
+      if (eatKw("IN")) return inListEx(l, negated = false)
+      if (kwAhead("NOT")) {
+        val save = i
+        eatKw("NOT")
+        if (eatKw("IN")) return inListEx(l, negated = true) else i = save
+      }
       val opStr =
         if (s.startsWith("!=", i)) "!=" else if (s.startsWith("<=", i)) "<="
         else if (s.startsWith(">=", i)) ">=" else if (peekIs('=')) "="
@@ -1106,6 +1290,28 @@ object Parser {
       if (opStr.isEmpty) return l
       i += opStr.length
       val r = addExpr()
+      cmpEx(opStr, l, r)
+    }
+
+    /** `expr [NOT] IN ( e1, …, en )` — empty lists are legal:
+     * IN () = false, NOT IN () = true. */
+    private def inListEx(l: Ex, negated: Boolean): Ex = {
+      expect('(')
+      val items = ListBuffer[Ex]()
+      ws()
+      if (!peekIs(')')) {
+        items += exprE()
+        while ({ ws(); peekIs(',') }) { i += 1; items += exprE() }
+      }
+      expect(')')
+      val folded: RowExpr =
+        if (items.isEmpty) RowExpr(_ => slit(false))
+        else items.toList.map(it => cmpEx("=", l, it).asBool)
+          .reduce((a, b) => RowExpr(v => a(v) || b(v)))
+      Ex(if (negated) RowExpr(v => !folded(v)) else folded, KBool)
+    }
+
+    private def cmpEx(opStr: String, l: Ex, r: Ex): Ex = {
       // an arithmetic operand keeps the comparison in the numeric shadow —
       // no term round-trip (a non-numeric other side is an eval error →
       // NULL → row dropped, the SPARQL comparison-error semantics)
@@ -1302,6 +1508,27 @@ object Parser {
         Ex(RowExpr(_ => TermCols.const(Term.lit("true", Term.XSD_BOOLEAN))), KTerm) }
       else if (kwAhead("false")) { eatKw("false")
         Ex(RowExpr(_ => TermCols.const(Term.lit("false", Term.XSD_BOOLEAN))), KTerm) }
+      else if (kwAhead("EXISTS") || kwAhead("NOT")) {
+        val save = i
+        val neg = eatKw("NOT")
+        if (eatKw("EXISTS")) {
+          if (existsCtx == null)
+            fail("EXISTS is only supported inside FILTER constraints")
+          ws()
+          // tolerate a bracketted group: EXISTS ({ … })
+          val paren = peekIs('(')
+          if (paren) i += 1
+          val r = groupGraphPattern()
+          if (paren) expect(')')
+          exCounter += 1
+          val hv = "__ex" + exCounter
+          hiddenVars += hv
+          existsVars += hv
+          existsCtx += (o => ExistsFlag(hv, r, o))
+          Ex(RowExpr(v =>
+            if (neg) !TermCols.ebv(v(hv)) else TermCols.ebv(v(hv))), KBool)
+        } else { i = save; functionCallE() }
+      }
       else functionCallE()
     }
 
@@ -1381,8 +1608,14 @@ object Parser {
           ws()
           val e: RowExpr =
             if (peekIs('*')) { i += 1; RowExpr(_ => TermCols.intTerm(count(slit(1)))) }
-            else if (eatKw("DISTINCT")) { val a = expression()
-              RowExpr(v => TermCols.intTerm(count_distinct(a(v)))) }
+            else if (eatKw("DISTINCT")) {
+              ws()
+              if (peekIs('*')) { // COUNT(DISTINCT *): distinct solution rows
+                i += 1
+                RowExpr(v => TermCols.intTerm(count_distinct(v("*"))))
+              } else { val a = expression()
+                RowExpr(v => TermCols.intTerm(count_distinct(a(v)))) }
+            }
             else { val a = expression(); RowExpr(v => TermCols.intTerm(count(a(v)))) }
           expect(')'); e
         case "SUM" => sawAgg = true; val (a, d) = aggArg()
@@ -1428,13 +1661,17 @@ object Parser {
             }
             case _ => val t = a.asTermE; RowExpr(v => SF.datatype(t(v)))
           }
-        case "IRI" | "URI" => val a = args(1).head; RowExpr(v => SF.iriFn(a(v)))
+        case "IRI" | "URI" => val a = args(1).head
+          val b = base // relative strings resolve against the query base
+          RowExpr(v => SF.iriFn(a(v), b))
         case "STRLEN" => val a = args(1).head; RowExpr(v => SF.strlen(a(v)))
         case "UCASE" => val a = args(1).head; RowExpr(v => SF.ucase(a(v)))
         case "LCASE" => val a = args(1).head; RowExpr(v => SF.lcase(a(v)))
         case "SUBSTR" =>
-          val as = args(3)
-          RowExpr(v => SF.substrFn(as(0)(v), TermCols.numValue(as(1)(v)), TermCols.numValue(as(2)(v))))
+          val as = args(2) // 2- or 3-argument form (fn:substring)
+          if (as.size < 2 || as.size > 3) fail("SUBSTR takes 2 or 3 arguments")
+          RowExpr(v => SF.substrFn(as(0)(v), TermCols.numValue(as(1)(v)),
+            as.lift(2).map(a => TermCols.numValue(a(v)))))
         case "CONTAINS" => val as = args(2); RowExpr(v => SF.containsFn(as(0)(v), as(1)(v)))
         case "STRSTARTS" => val as = args(2); RowExpr(v => SF.strstarts(as(0)(v), as(1)(v)))
         case "STRENDS" => val as = args(2); RowExpr(v => SF.strends(as(0)(v), as(1)(v)))
@@ -1442,8 +1679,12 @@ object Parser {
         case "STRAFTER" => val as = args(2); RowExpr(v => SF.strafter(as(0)(v), as(1)(v)))
         case "CONCAT" =>
           expect('(')
-          val out = ListBuffer(expression())
-          while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          val out = ListBuffer[RowExpr]()
+          ws()
+          if (!peekIs(')')) { // CONCAT() with no args = ""
+            out += expression()
+            while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          }
           expect(')')
           RowExpr(v => SF.concatFn(out.toList.map(_(v)): _*))
         case "REGEX" =>
@@ -1481,6 +1722,7 @@ object Parser {
         case "NOW" => args(0); RowExpr(_ => SF.nowFn())
         case "RAND" => args(0); RowExpr(_ => SF.randFn())
         case "TZ" => val a = args(1).head; RowExpr(v => SF.tzFn(a(v)))
+        case "TIMEZONE" => val a = args(1).head; RowExpr(v => SF.timezoneFn(a(v)))
         case "HOURS" => val a = args(1).head; RowExpr(v => SF.hoursFn(a(v)))
         case "MINUTES" => val a = args(1).head; RowExpr(v => SF.minutesFn(a(v)))
         case "SECONDS" => val a = args(1).head; RowExpr(v => SF.secondsFn(a(v)))
@@ -1510,10 +1752,16 @@ object Parser {
         case "BOUND" => val a = args(1).head; RowExpr(v => SF.bound(a(v)))
         case "COALESCE" =>
           expect('(')
-          val out = ListBuffer(expression())
-          while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          val out = ListBuffer[RowExpr]()
+          ws()
+          if (!peekIs(')')) {
+            out += expression()
+            while ({ ws(); peekIs(',') }) { i += 1; out += expression() }
+          }
           expect(')')
-          RowExpr(v => SF.coalesceFn(out.toList.map(_(v)): _*))
+          // COALESCE() with no args: no expression evaluates → error/unbound
+          if (out.isEmpty) RowExpr(_ => slit(null).cast(TermCols.schema))
+          else RowExpr(v => SF.coalesceFn(out.toList.map(_(v)): _*))
         case "IF" =>
           val as = args(3)
           // the condition arrives as a term (expression() wraps booleans);

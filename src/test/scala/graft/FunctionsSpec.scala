@@ -40,7 +40,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(evalT(df, SF.strlen(col("t0"))) == Term.lit("11", Term.XSD_INTEGER))
     // string ops preserve the language tag (SPARQL 17.4.3)
     assert(evalT(df, SF.ucase(col("t0"))) == Term.langLit("HELLO WORLD", "en"))
-    assert(evalT(df, SF.substrFn(col("t0"), lit(1), lit(5))) == Term.langLit("Hello", "en"))
+    assert(evalT(df, SF.substrFn(col("t0"), lit(1), Some(lit(5)))) == Term.langLit("Hello", "en"))
     val ab = one(Term.string("aXbXc"), Term.string("X"))
     assert(evalT(ab, SF.strbefore(col("t0"), col("t1"))) == Term.string("a"))
     assert(evalT(ab, SF.strafter(col("t0"), col("t1"))) == Term.string("bXc"))

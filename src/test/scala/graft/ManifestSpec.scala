@@ -7,15 +7,15 @@ import graft.golden.GoldenRunner
 /**
  * Manifest-driven golden gate over the reference's OWN W3C test data
  * (VERDICT r2 "Next round" #1): every `mf:QueryEvaluationTest` of the
- * vendored SPARQL 1.0 evaluation suites under
- * jena-arq/testing/rdf-tests-cg/sparql/sparql10/ (plus the ARQ EngineMain
+ * vendored SPARQL 1.0 AND 1.1 evaluation suites under
+ * jena-arq/testing/rdf-tests-cg/sparql/ (plus the ARQ EngineMain
  * manifest) runs through Parser → Compiler → DataFrame and compares
- * against the stored expectation (.srx / .srj / result-set-in-RDF),
- * bnode-isomorphism-aware and value-canonical — the same machinery as the
- * reference's ManifestProcessor + ResultsCompare.
+ * against the stored expectation (.srx / .srj / .tsv /
+ * result-set-in-RDF), bnode-isomorphism-aware and value-canonical — the
+ * same machinery as the reference's ManifestProcessor + ResultsCompare.
  *
- * Every non-skipped case must PASS; the skip map documents the triaged
- * known gaps. ~300 reference-derived cases execute green.
+ * Every non-skipped case must PASS; the skip maps document the triaged
+ * known gaps. 500+ reference-derived cases execute green.
  */
 class ManifestSpec extends AnyFunSuite {
 
@@ -34,6 +34,7 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   private val SP10 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql10"
+  private val SP11 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql11"
 
   /** suite dir → (test name → triage reason) for the known gaps. */
   private val suites: Seq[(String, Map[String, String])] = Seq(
@@ -68,11 +69,31 @@ class ManifestSpec extends AnyFunSuite {
       "normalization-02" ->
         "RFC 3986 SYNTAX-based IRI normalization (%63→c, case) is not applied to absolute IRIs — SURVEY §3.B: resolve always, normalize only where the reference does; Jena normalizes here"))
 
+  /** SPARQL 1.1 evaluation suites — every query-evaluation case green;
+   * the only skips are non-evaluation types (NegativeSyntaxTest11,
+   * CSVResultFormatTest), auto-skipped by the runner. */
+  private val suites11: Seq[(String, Map[String, String])] = Seq(
+    "aggregates" -> Map.empty,
+    "bind" -> Map.empty,
+    "bindings" -> Map.empty,
+    "cast" -> Map.empty,
+    "construct" -> Map.empty,
+    "csv-tsv-res" -> Map.empty,
+    "exists" -> Map.empty,
+    "functions" -> Map.empty,
+    "grouping" -> Map.empty,
+    "json-res" -> Map.empty,
+    "negation" -> Map.empty,
+    "project-expression" -> Map.empty,
+    "property-path" -> Map.empty,
+    "subquery" -> Map.empty)
+
   private var totalPassed = 0
 
-  suites.foreach { case (dir, skips) =>
-    test(s"W3C sparql10/$dir manifest") {
-      val results = GoldenRunner.runManifest(spark, s"$SP10/$dir/manifest.ttl", skips)
+  private def runSuite(name: String, manifest: String,
+                       skips: Map[String, String]): Unit =
+    test(name) {
+      val results = GoldenRunner.runManifest(spark, manifest, skips)
       val failed = results.collect { case GoldenRunner.CaseResult(n, GoldenRunner.Failed(d)) =>
         s"$n: ${d.linesIterator.take(2).mkString(" // ")}" }
       assert(failed.isEmpty, s"${failed.size} failing cases:\n  " + failed.mkString("\n  "))
@@ -80,7 +101,11 @@ class ManifestSpec extends AnyFunSuite {
       totalPassed += passed
       assert(passed > 0, "suite executed no cases")
     }
-  }
+
+  suites.foreach { case (dir, skips) =>
+    runSuite(s"W3C sparql10/$dir manifest", s"$SP10/$dir/manifest.ttl", skips) }
+  suites11.foreach { case (dir, skips) =>
+    runSuite(s"W3C sparql11/$dir manifest", s"$SP11/$dir/manifest.ttl", skips) }
 
   test("ARQ EngineMain manifest") {
     val skips = Map("Filter placement in BGPs with property function" ->
@@ -90,7 +115,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(!results.exists(_.outcome.isInstanceOf[GoldenRunner.Failed]))
   }
 
-  test("coverage floor: at least 280 reference-derived cases pass") {
-    assert(totalPassed >= 280, s"only $totalPassed W3C cases passed")
+  test("coverage floor: at least 500 reference-derived cases pass") {
+    assert(totalPassed >= 500, s"only $totalPassed W3C cases passed")
   }
 }

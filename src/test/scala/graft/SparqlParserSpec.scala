@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algebra.Compiler
+import graft.algebra._
 import graft.model.{Term, Triple}
 import graft.sparql.Parser
 
@@ -241,9 +241,20 @@ class SparqlParserSpec extends AnyFunSuite {
       (EX + "g1", "A", Some("a@x")),
       (EX + "g1", "B", None),
       (EX + "g2", "A-elsewhere", None)))
-    // paths inside GRAPH ?var stay out of the subset — raises
-    intercept[IllegalArgumentException](Parser.parse(
-      s"""PREFIX ex: <$EX> SELECT ?n WHERE { GRAPH ?g { ?s ex:knows+ ?n . FILTER(BOUND(?n)) } }"""))
+    // paths inside GRAPH ?var take the per-graph enumeration path
+    // (GraphVarEnum) — parses and evaluates per named graph
+    val pg = Parser.parse(
+      s"""PREFIX ex: <$EX> SELECT ?n WHERE { GRAPH ?g { ?s ex:knows+ ?n . FILTER(BOUND(?n)) } }""")
+    assert(findEnum(pg), "expected a GraphVarEnum node for a path body")
+  }
+
+  private def findEnum(op: Op): Boolean = op match {
+    case GraphVarEnum(_, _) => true
+    case Project(_, in) => findEnum(in)
+    case Filter(_, in) => findEnum(in)
+    case Distinct(in) => findEnum(in)
+    case Join(l, r) => findEnum(l) || findEnum(r)
+    case _ => false
   }
 
   test("DESCRIBE text forms") {
