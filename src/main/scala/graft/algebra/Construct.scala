@@ -51,4 +51,40 @@ object Construct {
     // CONSTRUCT output is a GRAPH — set semantics (Graph.add dedupes)
     parts.reduce(_.union(_)).dropDuplicates("s", "p", "o")
   }
+
+  /** Quad template instantiation for SPARQL Update (UpdateEngineWorker's
+   * TemplateLib.template over quads): like `construct` plus a graph slot
+   * per pattern — `None` targets `defaultG` (the dataset default or the
+   * WITH graph), a variable slot takes its per-solution binding (skipped
+   * unless bound to an IRI — graph names are IRIs). Returns (s,p,o,g). */
+  def constructQuads(template: Seq[graft.sparql.Parser.QuadPat],
+                     solutions: DataFrame, defaultG: Term,
+                     bnodeScope: String = ""): DataFrame = {
+    val withRow = solutions.withColumn("__row", monotonically_increasing_id())
+    def slotCol(p: TermPat): Column = p match {
+      case TConst(t) if t.isBNode =>
+        // labels are fresh per (bnodeScope, solution row): one scope per
+        // DATA request / per template EXECUTION (two INSERT WHERE ops in
+        // one request mint DIFFERENT bnodes — the W3C same-bnode cases)
+        TermCols.mk(lit(Term.KIND_BNODE),
+          concat(lit(t.lex + bnodeScope + "_r"), col("__row")), lit(""), lit(""))
+      case TConst(t) => TermCols.const(t)
+      case TVar(n) if withRow.columns.contains(n) => col(n)
+      case _ => lit(null).cast(TermCols.schema)
+    }
+    val parts = template.map { case graft.sparql.Parser.QuadPat(gp, tp) =>
+      val s = slotCol(tp.s); val p = slotCol(tp.p); val o = slotCol(tp.o)
+      val g = gp.map(slotCol).getOrElse(TermCols.const(defaultG))
+      withRow.select(s.as("s"), p.as("p"), o.as("o"), g.as("g"))
+        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        .where(TermCols.kind(col("s")) =!= Term.KIND_LIT)
+        .where(TermCols.isIri(col("p")))
+        .where(TermCols.isIri(col("g")))
+    }
+    if (parts.isEmpty)
+      withRow.limit(0).select(
+        lit(null).cast(TermCols.schema).as("s"), lit(null).cast(TermCols.schema).as("p"),
+        lit(null).cast(TermCols.schema).as("o"), lit(null).cast(TermCols.schema).as("g"))
+    else parts.reduce(_.union(_)).dropDuplicates("s", "p", "o", "g")
+  }
 }

@@ -33,7 +33,13 @@ object Manifest {
   val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
   val MFX = "http://jena.hpl.hp.com/2005/05/test-manifest-extra#"
   val QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+  val UT = "http://www.w3.org/2009/sparql/tests/test-update#"
   private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+  /** Pre-/post-state of an UpdateEvaluationTest: default-graph files plus
+   * (file, graph-name) named-graph pairs. */
+  final case class DatasetSpec(data: Seq[String], graphData: Seq[(String, String)])
 
   final case class Entry(
       name: String,
@@ -41,7 +47,11 @@ object Manifest {
       query: Option[String],    // local file path
       data: Seq[String],        // local file paths (default graph)
       graphData: Seq[String],   // local file paths (named graphs)
-      result: Option[String])   // local file path
+      result: Option[String],   // local file path
+      // SPARQL Update tests (ut: vocabulary)
+      request: Option[String] = None,
+      updPre: DatasetSpec = DatasetSpec(Nil, Nil),
+      updPost: Option[DatasetSpec] = None)
 
   /** Parse one manifest.ttl into its test entries (list order kept). */
   def load(manifestPath: String): Seq[Entry] = {
@@ -70,6 +80,17 @@ object Manifest {
     val manifestNodes = triples.collect {
       case t if t.p.lex == RDF + "type" && t.o.lex == MF + "Manifest" => t.s
     }.distinct
+    // ut:graphData [ ut:graph <file> ; rdfs:label "name" ] pairs
+    def utGraphPairs(node: Term): Seq[(String, String)] =
+      objs(node, UT + "graphData").flatMap { gd =>
+        for {
+          f <- obj(gd, UT + "graph")
+          label <- obj(gd, RDFS + "label")
+        } yield (path(f), label.lex)
+      }
+    def datasetSpec(node: Term): DatasetSpec =
+      DatasetSpec(objs(node, UT + "data").map(path), utGraphPairs(node))
+
     manifestNodes.flatMap { m =>
       objs(m, MF + "entries").flatMap(listItems).map { e =>
         val action = obj(e, MF + "action")
@@ -77,13 +98,18 @@ object Manifest {
           case a if a.kind == Term.KIND_IRI && byS.get(a).isEmpty => Some(a)
           case a => obj(a, QT + "query")
         }
+        val resultNode = obj(e, MF + "result")
         Entry(
           name = obj(e, MF + "name").map(_.lex).getOrElse(e.lex),
           types = objs(e, RDF + "type").map(_.lex).toSet,
           query = query.map(path),
           data = action.toSeq.flatMap(objs(_, QT + "data")).map(path),
           graphData = action.toSeq.flatMap(objs(_, QT + "graphData")).map(path),
-          result = obj(e, MF + "result").map(path))
+          result = resultNode.filter(r =>
+            r.kind == Term.KIND_IRI && byS.get(r).isEmpty).map(path),
+          request = action.flatMap(obj(_, UT + "request")).map(path),
+          updPre = action.map(datasetSpec).getOrElse(DatasetSpec(Nil, Nil)),
+          updPost = resultNode.map(datasetSpec))
       }
     }
   }
@@ -100,6 +126,7 @@ object GoldenRunner {
 
   private val EvalTypes = Set(
     Manifest.MF + "QueryEvaluationTest", Manifest.MFX + "TestQuery")
+  private val UpdateEvalTypes = Set(Manifest.MF + "UpdateEvaluationTest")
 
   /** Run every entry of a manifest; `skip` maps test names to triage
    * reasons (recorded, not executed). */
@@ -110,6 +137,8 @@ object GoldenRunner {
       .filter(e => only.forall(_ == e.name)).map { e =>
       CaseResult(e.name,
         if (skip.contains(e.name)) Skipped(skip(e.name))
+        else if (e.types.intersect(UpdateEvalTypes).nonEmpty)
+          runUpdateEntry(spark, e)
         else if (e.types.intersect(EvalTypes).isEmpty)
           Skipped("not a query-evaluation test: " + e.types.map(shortT).mkString(","))
         else runEntry(spark, e))
@@ -222,6 +251,85 @@ object GoldenRunner {
       // Throwable: a harness must survive StackOverflowError from a
       // pathologically deep Column tree and report it as that case's
       // failure instead of killing the whole run
+      case ex: Throwable =>
+        Failed("exception: " + ex.getClass.getSimpleName + ": " + ex.getMessage)
+    }
+  }
+
+  /** Execute one `mf:UpdateEvaluationTest`: build the pre-state quad
+   * dataset (ut:data default + ut:graphData named, empty graphs as
+   * existence markers), run the .ru request through the quad Update
+   * engine, and compare the post-state graph-by-graph: the default graph
+   * and every expected named graph must match by bnode isomorphism, and
+   * any actual named graph NOT in the expectation must be empty (graph
+   * EXISTENCE after emptying is representation-defined — Jena's mem
+   * datasets drop empty graphs — so the comparison is content-based). */
+  def runUpdateEntry(spark: SparkSession, e: Manifest.Entry): Outcome = {
+    try {
+      import graft.model.Quad
+      val requestFile = e.request.getOrElse(return Skipped("no ut:request"))
+      val post = e.updPost.getOrElse(return Skipped("no mf:result dataset"))
+
+      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] = {
+        def st(t: Term) = if (t.isBNode) Term.bnode(tag + "_" + t.lex) else t
+        ts.map(t => Triple(st(t.s), t.p, st(t.o)))
+      }
+      def quadsOf(spec: Manifest.DatasetSpec, tag: String): Seq[Quad] = {
+        val dq = spec.data.zipWithIndex.flatMap { case (f, k) =>
+          scoped(readData(f), s"${tag}d$k")
+            .map(t => Quad(t.s, t.p, t.o, Term.defaultGraph)) }
+        val nq = spec.graphData.zipWithIndex.flatMap { case ((f, name), k) =>
+          val g = Term.iri(name)
+          val ts = scoped(readData(f), s"${tag}g$k")
+          if (ts.isEmpty) Seq(Quad(null, null, null, g))
+          else ts.map(t => Quad(t.s, t.p, t.o, g))
+        }
+        dq ++ nq
+      }
+
+      val pre = spark.createDataset(quadsOf(e.updPre, "a"))(
+        org.apache.spark.sql.Encoders.product[Quad]).toDF()
+      val after = graft.sparql.Update.runDataset(pre, readFile(requestFile))
+
+      // actual post-state, grouped by graph, markers dropped
+      val actual: Map[String, Seq[Triple]] = after.collect().toSeq
+        .flatMap { r =>
+          def t(idx: Int): Term = {
+            val x = r.getAs[Row](idx)
+            if (x == null) null
+            else Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
+          }
+          val g = t(3)
+          if (t(0) == null) None else Some(g.lex -> Triple(t(0), t(1), t(2)))
+        }
+        .groupBy(_._1).map { case (g, ts) => g -> ts.map(_._2) }
+
+      val dgLex = Term.defaultGraph.lex
+      val expDefault = post.data.zipWithIndex.flatMap { case (f, k) =>
+        scoped(readData(f), s"ed$k") }
+      val expNamed: Map[String, Seq[Triple]] = post.graphData.zipWithIndex
+        .map { case ((f, name), k) => name -> scoped(readData(f), s"eg$k") }.toMap
+
+      def iso(a: Seq[Triple], b: Seq[Triple]) =
+        Iso.isomorphic(a.map(canonTriple), b.map(canonTriple))
+
+      val defaultBad =
+        if (iso(actual.getOrElse(dgLex, Nil), expDefault)) None
+        else Some(s"default graph: ${actual.getOrElse(dgLex, Nil).size} triples " +
+          s"vs expected ${expDefault.size}")
+      val namedBad = expNamed.collectFirst {
+        case (name, exp) if !iso(actual.getOrElse(name, Nil), exp) =>
+          s"graph <$name>: ${actual.getOrElse(name, Nil).size} triples " +
+            s"vs expected ${exp.size}"
+      }
+      val extraBad = (actual.keySet - dgLex -- expNamed.keySet)
+        .find(g => actual(g).nonEmpty)
+        .map(g => s"unexpected non-empty graph <$g> (${actual(g).size} triples)")
+      defaultBad.orElse(namedBad).orElse(extraBad) match {
+        case Some(msg) => Failed(msg)
+        case None => Passed
+      }
+    } catch {
       case ex: Throwable =>
         Failed("exception: " + ex.getClass.getSimpleName + ": " + ex.getMessage)
     }

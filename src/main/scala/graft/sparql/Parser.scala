@@ -50,16 +50,43 @@ object Parser {
                              where: Option[Op]) extends QueryForm
 
   /** Parsed SPARQL Update operations (reference AST: update/Update*.java;
-   * executed by graft.sparql.Update — UpdateEngineWorker.java:66,342,370). */
+   * executed by graft.sparql.Update — UpdateEngineWorker.java:66,342,370).
+   * Quad-aware: every triple carries an optional graph slot. */
   sealed trait UpdateAst
-  /** INSERT DATA / DELETE DATA — concrete triples only. */
-  final case class UpdateData(insert: Boolean, triples: Seq[TriplePattern]) extends UpdateAst
-  /** DELETE {t} INSERT {t} WHERE {p} (either template may be empty);
-   * DELETE WHERE {p} parses as delete-template == where-pattern. */
-  final case class UpdateModify(delete: Seq[TriplePattern],
-                                insert: Seq[TriplePattern], where: Op) extends UpdateAst
-  /** CLEAR DEFAULT / CLEAR ALL. */
-  case object UpdateClear extends UpdateAst
+  /** One template/data entry: triple + optional GRAPH slot (None = the
+   * default graph, or the WITH graph when one is declared). */
+  final case class QuadPat(g: Option[TermPat], tp: TriplePattern)
+  /** INSERT DATA / DELETE DATA — concrete quads only. */
+  final case class UpdateData(insert: Boolean, quads: Seq[QuadPat]) extends UpdateAst
+  /** [WITH <g>] DELETE {q} INSERT {q} [USING …] WHERE {p} (either template
+   * may be empty); DELETE WHERE {p} parses as delete-template ==
+   * where-pattern. `withGraph` redirects the default graph for templates
+   * AND the WHERE; USING/USING NAMED re-scope the WHERE's dataset like
+   * FROM / FROM NAMED (UpdateEngineWorker.java:342 + DynamicDatasets). */
+  final case class UpdateModify(delete: Seq[QuadPat], insert: Seq[QuadPat],
+                                where: Op,
+                                withGraph: Option[String] = None,
+                                usingDefault: Seq[String] = Nil,
+                                usingNamed: Seq[String] = Nil) extends UpdateAst
+  /** Graph-management target (GraphStore spec 3.2.2–3.2.5). */
+  sealed trait GraphRef
+  case object GDefault extends GraphRef
+  final case class GNamed(iri: String) extends GraphRef
+  case object GAllNamed extends GraphRef
+  case object GAll extends GraphRef
+  /** CLEAR (drop=false) / DROP (drop=true): CLEAR keeps the emptied graph
+   * in the dataset, DROP removes it. */
+  final case class UpdateClear(target: GraphRef, silent: Boolean,
+                               drop: Boolean) extends UpdateAst
+  final case class UpdateCreate(iri: String, silent: Boolean) extends UpdateAst
+  /** ADD / COPY / MOVE src TO dst. */
+  final case class UpdateTransfer(kind: String, from: GraphRef, to: GraphRef,
+                                  silent: Boolean) extends UpdateAst
+  /** LOAD <doc> [INTO GRAPH <g>] — no document fetch in this engine
+   * (executors read datasets, not web documents): always an error, which
+   * SILENT converts to a no-op (the W3C load-silent behavior). */
+  final case class UpdateLoad(doc: String, into: Option[String],
+                              silent: Boolean) extends UpdateAst
 
   /** `base` resolves relative IRIs in the query (the query file's
    * location, like QueryFactory.create(query, baseURI)); a BASE
@@ -176,74 +203,111 @@ object Parser {
       finally bnodeIsVar = saveBnodeMode
     }
 
+    // template bnodes are remapped to FRESH bnodes per solution row by
+    // Construct — collections/property lists expand to labeled template
+    // bnodes and get that per-row remapping for free
+    private var tbnCounter = 0
+    private def tmplFreshB(): TermPat = {
+      tbnCounter += 1; TConst(Term.bnode("tmpl" + tbnCounter))
+    }
+    private def tmplSlot(out: ListBuffer[TriplePattern]): TermPat = {
+      ws()
+      if (peekIs('(')) tmplCollection(out)
+      else if (peekIs('[')) tmplPropListNode(out)
+      else termPat()
+    }
+    private def tmplCollection(out: ListBuffer[TriplePattern]): TermPat = {
+      i += 1; ws()
+      val items = ListBuffer[TermPat]()
+      while (!peekIs(')')) {
+        if (i >= s.length) fail("unterminated collection in template")
+        items += tmplSlot(out); ws()
+      }
+      i += 1
+      if (items.isEmpty) TConst(Term.iri(RdfNs + "nil"))
+      else {
+        val nodes = items.toList.map(_ => tmplFreshB())
+        nodes.zip(items).zipWithIndex.foreach { case ((n, item), k) =>
+          out += TriplePattern(n, TConst(Term.iri(RdfNs + "first")), item)
+          out += TriplePattern(n, TConst(Term.iri(RdfNs + "rest")),
+            if (k == items.size - 1) TConst(Term.iri(RdfNs + "nil")) else nodes(k + 1))
+        }
+        nodes.head
+      }
+    }
+    private def tmplPropListNode(out: ListBuffer[TriplePattern]): TermPat = {
+      i += 1; ws()
+      val n = tmplFreshB()
+      if (peekIs(']')) { i += 1; n }
+      else { tmplPredObjList(n, out); ws(); expect(']'); n }
+    }
+    private def tmplPredObjList(subj: TermPat, out: ListBuffer[TriplePattern]): Unit = {
+      var moreProps = true
+      while (moreProps) {
+        ws()
+        val pred: TermPat =
+          if (peekVar) TVar(varName()) else TConst(Term.iri(iriOnly()))
+        var moreObjs = true
+        while (moreObjs) {
+          out += TriplePattern(subj, pred, tmplSlot(out))
+          ws()
+          if (peekIs(',')) i += 1 else moreObjs = false
+        }
+        ws()
+        if (peekIs(';')) { i += 1; ws()
+          if (peekIs('.') || peekIs('}') || peekIs(']')) moreProps = false }
+        else moreProps = false
+      }
+    }
+    /** One template statement: subject + its predicate-object list. */
+    private def tmplStatement(out: ListBuffer[TriplePattern]): Unit = {
+      val subj = tmplSlot(out)
+      ws()
+      if (!peekIs('.') && !peekIs('}')) tmplPredObjList(subj, out)
+    }
+
     private def templateBlock0(): Seq[TriplePattern] = {
       expect('{')
       val out = ListBuffer[TriplePattern]()
-      // template bnodes are remapped to FRESH bnodes per solution row by
-      // Construct — collections/property lists expand to labeled template
-      // bnodes and get that per-row remapping for free
-      var tbn = 0
-      def freshB(): TermPat = { tbn += 1; TConst(Term.bnode("tmpl" + tbn)) }
-      def slot(): TermPat = {
-        ws()
-        if (peekIs('(')) collection()
-        else if (peekIs('[')) propListNode()
-        else termPat()
-      }
-      def collection(): TermPat = {
-        i += 1; ws()
-        val items = ListBuffer[TermPat]()
-        while (!peekIs(')')) {
-          if (i >= s.length) fail("unterminated collection in template")
-          items += slot(); ws()
-        }
-        i += 1
-        if (items.isEmpty) TConst(Term.iri(RdfNs + "nil"))
-        else {
-          val nodes = items.toList.map(_ => freshB())
-          nodes.zip(items).zipWithIndex.foreach { case ((n, item), k) =>
-            out += TriplePattern(n, TConst(Term.iri(RdfNs + "first")), item)
-            out += TriplePattern(n, TConst(Term.iri(RdfNs + "rest")),
-              if (k == items.size - 1) TConst(Term.iri(RdfNs + "nil")) else nodes(k + 1))
-          }
-          nodes.head
-        }
-      }
-      def propListNode(): TermPat = {
-        i += 1; ws()
-        val n = freshB()
-        if (peekIs(']')) { i += 1; n }
-        else { predObjList(n); ws(); expect(']'); n }
-      }
-      def predObjList(subj: TermPat): Unit = {
-        var moreProps = true
-        while (moreProps) {
-          ws()
-          val pred: TermPat =
-            if (peekVar) TVar(varName()) else TConst(Term.iri(iriOnly()))
-          var moreObjs = true
-          while (moreObjs) {
-            out += TriplePattern(subj, pred, slot())
-            ws()
-            if (peekIs(',')) i += 1 else moreObjs = false
-          }
-          ws()
-          if (peekIs(';')) { i += 1; ws()
-            if (peekIs('.') || peekIs('}') || peekIs(']')) moreProps = false }
-          else moreProps = false
-        }
-      }
       ws()
       while (!peekIs('}')) {
-        val subj = slot()
-        ws()
-        if (!peekIs('.') && !peekIs('}')) predObjList(subj)
+        tmplStatement(out)
         ws()
         if (peekIs('.')) i += 1
         ws()
       }
       i += 1
       out.toList
+    }
+
+    /** Quad template/data block: bare triples (default graph / WITH graph)
+     * interleaved with `GRAPH <g>/?v { triples }` sections (the Quads
+     * production of the Update grammar). */
+    private def quadBlock(): Seq[Parser.QuadPat] = {
+      val saveBnodeMode = bnodeIsVar
+      bnodeIsVar = false
+      try {
+        expect('{')
+        val out = ListBuffer[Parser.QuadPat]()
+        ws()
+        while (!peekIs('}')) {
+          if (kwAhead("GRAPH")) {
+            eatKw("GRAPH")
+            ws()
+            val gp: TermPat = if (peekVar) TVar(varName()) else TConst(iriTerm())
+            out ++= templateBlock0().map(t => Parser.QuadPat(Some(gp), t))
+          } else {
+            val tmp = ListBuffer[TriplePattern]()
+            tmplStatement(tmp)
+            out ++= tmp.map(t => Parser.QuadPat(None, t))
+          }
+          ws()
+          if (peekIs('.')) i += 1
+          ws()
+        }
+        i += 1
+        out.toList
+      } finally bnodeIsVar = saveBnodeMode
     }
 
     def parseQuery(): Op = {
@@ -254,14 +318,18 @@ object Parser {
       op
     }
 
-    /** SPARQL Update grammar subset (SPARQLParser's Update productions):
-     * INSERT/DELETE DATA, DELETE WHERE, DELETE/INSERT ... WHERE, CLEAR —
-     * ';'-separated. GRAPH-targeted forms (WITH/USING/INTO) raise. */
+    /** SPARQL 1.1 Update grammar (SPARQLParser's Update productions),
+     * ';'-separated: INSERT/DELETE DATA (quads), DELETE WHERE,
+     * [WITH] DELETE/INSERT [USING] WHERE, CLEAR/DROP/CREATE,
+     * ADD/COPY/MOVE, LOAD. */
     def parseUpdateOps(): Seq[Parser.UpdateAst] = {
       prologue()
       val out = ListBuffer[Parser.UpdateAst]()
       var going = true
       while (going) {
+        ws()
+        // per-operation prologues are legal between ';'-separated ops
+        prologue()
         ws()
         if (i >= s.length) going = false
         else if (eatKw2("INSERT", "DATA"))
@@ -269,22 +337,67 @@ object Parser {
         else if (eatKw2("DELETE", "DATA"))
           out += Parser.UpdateData(insert = false, dataBlock(allowBnodes = false))
         else if (eatKw2("DELETE", "WHERE")) {
-          val pat = templateBlock()
+          val pat = quadBlock()
           requireNoBnodes(pat, "DELETE WHERE")
-          out += Parser.UpdateModify(pat, Nil, Bgp(pat))
-        } else if (eatKw("DELETE")) {
-          val del = templateBlock()
-          requireNoBnodes(del, "DELETE template")
-          val ins = if (eatKw("INSERT")) templateBlock() else Nil
-          expectKw("WHERE")
-          out += Parser.UpdateModify(del, ins, groupGraphPattern())
-        } else if (eatKw("INSERT")) {
-          val ins = templateBlock()
-          expectKw("WHERE")
-          out += Parser.UpdateModify(Nil, ins, groupGraphPattern())
-        } else if (eatKw("CLEAR")) {
-          if (!eatKw("ALL")) eatKw("DEFAULT")
-          out += Parser.UpdateClear
+          out += Parser.UpdateModify(pat, Nil, quadsAsWhere(pat))
+        } else if (kwAhead("WITH") || kwAhead("DELETE") || kwAhead("INSERT")) {
+          val withG = if (eatKw("WITH")) Some(iriOnly()) else None
+          if (eatKw2("DELETE", "WHERE")) {
+            val pat = quadBlock()
+            requireNoBnodes(pat, "DELETE WHERE")
+            out += Parser.UpdateModify(pat, Nil, quadsAsWhere(pat), withG)
+          } else {
+            val del =
+              if (eatKw("DELETE")) {
+                val d = quadBlock(); requireNoBnodes(d, "DELETE template"); d
+              } else Nil
+            val ins = if (eatKw("INSERT")) quadBlock() else Nil
+            if (del.isEmpty && ins.isEmpty)
+              fail("DELETE/INSERT WHERE needs at least one template")
+            val usingD = ListBuffer[String]()
+            val usingN = ListBuffer[String]()
+            var goingU = true
+            while (goingU) {
+              if (eatKw2("USING", "NAMED")) usingN += iriOnly()
+              else if (eatKw("USING")) usingD += iriOnly()
+              else goingU = false
+            }
+            expectKw("WHERE")
+            out += Parser.UpdateModify(del, ins, groupGraphPattern(), withG,
+              usingD.toList, usingN.toList)
+          }
+        } else if (kwAhead("CLEAR") || kwAhead("DROP")) {
+          val drop = kwAhead("DROP")
+          if (drop) eatKw("DROP") else eatKw("CLEAR")
+          val silent = eatKw("SILENT")
+          val target: Parser.GraphRef =
+            if (eatKw("GRAPH")) Parser.GNamed(iriOnly())
+            else if (eatKw("DEFAULT")) Parser.GDefault
+            else if (eatKw("NAMED")) Parser.GAllNamed
+            else if (eatKw("ALL")) Parser.GAll
+            else fail("CLEAR/DROP needs GRAPH <iri> | DEFAULT | NAMED | ALL")
+          out += Parser.UpdateClear(target, silent, drop)
+        } else if (eatKw("CREATE")) {
+          val silent = eatKw("SILENT")
+          expectKw("GRAPH")
+          out += Parser.UpdateCreate(iriOnly(), silent)
+        } else if (kwAhead("ADD") || kwAhead("COPY") || kwAhead("MOVE")) {
+          val kind =
+            if (eatKw("ADD")) "ADD" else if (eatKw("COPY")) "COPY"
+            else { eatKw("MOVE"); "MOVE" }
+          val silent = eatKw("SILENT")
+          def ref(): Parser.GraphRef =
+            if (eatKw("DEFAULT")) Parser.GDefault
+            else { eatKw("GRAPH"); Parser.GNamed(iriOnly()) }
+          val from = ref()
+          expectKw("TO")
+          val to = ref()
+          out += Parser.UpdateTransfer(kind, from, to, silent)
+        } else if (eatKw("LOAD")) {
+          val silent = eatKw("SILENT")
+          val doc = iriOnly()
+          val into = if (eatKw2("INTO", "GRAPH")) Some(iriOnly()) else None
+          out += Parser.UpdateLoad(doc, into, silent)
         } else fail("unsupported update operation")
         ws()
         if (peekIs(';')) i += 1
@@ -292,22 +405,35 @@ object Parser {
       out.toList
     }
 
-    /** Concrete-triples block for INSERT/DELETE DATA — no variables. */
-    private def dataBlock(allowBnodes: Boolean): Seq[TriplePattern] = {
-      val tps = templateBlock()
-      tps.foreach { tp =>
-        Seq(tp.s, tp.p, tp.o).foreach {
+    /** DELETE WHERE's quads act as their own WHERE pattern: bare triples
+     * form a BGP, graph'd sections quad-BGPs, joined on shared vars. */
+    private def quadsAsWhere(quads: Seq[Parser.QuadPat]): Op = {
+      val bare = quads.collect { case Parser.QuadPat(None, tp) => tp }
+      val byG = quads.collect { case Parser.QuadPat(Some(gp), tp) => (gp, tp) }
+        .groupBy(_._1)
+      val parts: Seq[Op] =
+        (if (bare.nonEmpty) Seq(Bgp(bare)) else Nil) ++
+          byG.toSeq.sortBy(_._1.toString).map { case (gp, tps) =>
+            QuadBgp(gp, tps.map(_._2)) }
+      parts.reduceLeftOption(Join(_, _)).getOrElse(Table(Nil, Seq(Map.empty)))
+    }
+
+    /** Concrete-quads block for INSERT/DELETE DATA — no variables. */
+    private def dataBlock(allowBnodes: Boolean): Seq[Parser.QuadPat] = {
+      val qs = quadBlock()
+      qs.foreach { case Parser.QuadPat(g, tp) =>
+        (g.toSeq ++ Seq(tp.s, tp.p, tp.o)).foreach {
           case TVar(n) => fail(s"variable ?$n not allowed in DATA block")
           case TConst(t) if t.isBNode && !allowBnodes =>
             fail("blank node not allowed in DELETE DATA")
           case _ =>
         }
       }
-      tps
+      qs
     }
 
-    private def requireNoBnodes(tps: Seq[TriplePattern], where: String): Unit =
-      tps.foreach { tp =>
+    private def requireNoBnodes(qs: Seq[Parser.QuadPat], where: String): Unit =
+      qs.foreach { case Parser.QuadPat(_, tp) =>
         Seq(tp.s, tp.p, tp.o).foreach {
           case TConst(t) if t.isBNode => fail(s"blank node not allowed in $where")
           case _ =>

@@ -86,7 +86,20 @@ class ManifestSpec extends AnyFunSuite {
     "negation" -> Map.empty,
     "project-expression" -> Map.empty,
     "property-path" -> Map.empty,
-    "subquery" -> Map.empty)
+    "subquery" -> Map.empty,
+    // SPARQL 1.1 Update evaluation suites (mf:UpdateEvaluationTest → the
+    // quad Update engine; dataset compared graph-by-graph by isomorphism)
+    "basic-update" -> Map.empty,
+    "delete-data" -> Map.empty,
+    "delete-where" -> Map.empty,
+    "delete" -> Map.empty,
+    "delete-insert" -> Map.empty,
+    "add" -> Map.empty,
+    "clear" -> Map.empty,
+    "copy" -> Map.empty,
+    "drop" -> Map.empty,
+    "move" -> Map.empty,
+    "update-silent" -> Map.empty)
 
   private var totalPassed = 0
 
@@ -115,7 +128,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(!results.exists(_.outcome.isInstanceOf[GoldenRunner.Failed]))
   }
 
-  test("coverage floor: at least 500 reference-derived cases pass") {
-    assert(totalPassed >= 500, s"only $totalPassed W3C cases passed")
+  test("coverage floor: at least 590 reference-derived cases pass") {
+    assert(totalPassed >= 590, s"only $totalPassed W3C cases passed")
   }
 }
