@@ -34,7 +34,11 @@ import graft.model.{NTriplesEscape, Term}
  * ASK / CONSTRUCT / DESCRIBE text forms parse via `parseAny`; SPARQL
  * Update requests via `parseUpdate`; subqueries (`{ SELECT ... }`) nest
  * with per-SELECT aggregate scoping. Out of the subset (raises, never
- * mis-parses): SERVICE.
+ * mis-parses): SERVICE. The ARQ path EXTENSIONS `P_Shortest`/`P_Multi`/
+ * `P_Distinct` are deliberately absent: standard SPARQL 1.1 query text
+ * has no surface syntax for them (ARQ builds them only through its Java
+ * algebra API), so no parsable query can reach them — documented raise
+ * per SURVEY §2.8.
  */
 object Parser {
 
