@@ -191,14 +191,20 @@ object TermCols {
    * (Node.java:275) — the GraphMemValue trick (SURVEY.md §1.4). */
   def sameTerm(a: Column, b: Column): Column = a === b
 
-  /** Effective boolean value (E_EBV): boolean literals by lexical form,
-   * numerics by != 0, strings by non-empty; else NULL (⇒ filter drops —
-   * the reference's eval-error semantics, QueryIterFilterExpr.java:52–63). */
-  def ebv(t: Column): Column =
-    when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN, lex(t) === "true")
-      .when(isNumeric(t), lex(t).cast(DoubleType) =!= 0.0)
-      .when(isLiteral(t) && (dt(t) === Term.XSD_STRING || dt(t) === Term.RDF_LANGSTRING),
+  /** Effective boolean value (E_EBV, SPARQL 1.2 §17.2.2): VALID boolean
+   * lexical forms ("true"/"1"/"false"/"0") by value, numerics by
+   * != 0 ∧ ¬NaN, xsd:string by non-empty; everything else — including
+   * ill-formed booleans/numerics and language-tagged strings — is an eval
+   * error → NULL (⇒ filter drops, QueryIterFilterExpr.java:52–63). */
+  def ebv(t: Column): Column = {
+    val d = lex(t).cast(DoubleType)
+    when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,
+      when(lex(t).isin("true", "1"), true)
+        .when(lex(t).isin("false", "0"), false))
+      .when(isNumeric(t), when(isnan(d), false).otherwise(d =!= 0.0))
+      .when(isLiteral(t) && dt(t) === Term.XSD_STRING && lang(t) === "",
         length(lex(t)) > 0)
+  }
 
   // --- term constructors from plain SQL values (wrap agg/BIND results)
   def iriTerm(c: Column): Column = mk(lit(Term.KIND_IRI), c, lit(""), lit(""))
@@ -212,8 +218,12 @@ object TermCols {
     val stripped = regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
     mk(lit(Term.KIND_LIT), stripped, lit(Term.XSD_DECIMAL), lit(""))
   }
+  /** NULL-preserving: a NULL boolean (eval error) yields a NULL term —
+   * BIND of an errored expression must leave the var unbound, not bind
+   * "false" (three-valued logic, E_LogicalNot over an error). */
   def boolTerm(c: Column): Column =
-    mk(lit(Term.KIND_LIT), when(c, "true").otherwise("false"), lit(Term.XSD_BOOLEAN), lit(""))
+    when(c.isNotNull,
+      mk(lit(Term.KIND_LIT), when(c, "true").otherwise("false"), lit(Term.XSD_BOOLEAN), lit("")))
 
   /** Canonical N-Triples rendering as a column expression (NodeFormatterNT
    * — escaping via a regexp_replace chain, stays in codegen). Used by the
@@ -241,6 +251,42 @@ object TermCols {
    * datatype/lang. A derived struct column ⇒ plain multi-column sort —
    * no custom physical ordering needed (SURVEY.md §7.2).
    */
+  /** Sortable encoding of a triple term's COMPONENTS (SPARQL 1.2 orders
+   * triple terms recursively: subject, then predicate, then object —
+   * NodeCmp compareRDFTerms triple branch). Kind prefix (bnode < IRI <
+   * numeric lit < other lit < triple term) then the component key;
+   * \u0001 separates components so a prefix IRI sorts before its
+   * extensions. UDF — evaluated ONLY on triple-term rows (rare in data,
+   * never on the scan/join hot path). */
+  private[graft] def ttOrderKey(lexForm: String): String = {
+    def numVal(t: Term): Option[Double] =
+      if (t.kind != Term.KIND_LIT) None
+      else if (!Set(Term.XSD_INTEGER, Term.XSD_DECIMAL, Term.XSD_DOUBLE,
+        Term.XSD_FLOAT, Term.XSD + "long", Term.XSD + "int", Term.XSD + "short",
+        Term.XSD + "byte", Term.XSD + "nonNegativeInteger",
+        Term.XSD + "positiveInteger", Term.XSD + "negativeInteger",
+        Term.XSD + "nonPositiveInteger", Term.XSD + "unsignedLong",
+        Term.XSD + "unsignedInt", Term.XSD + "unsignedShort",
+        Term.XSD + "unsignedByte").contains(t.dt)) None
+      else try Some(t.lex.toDouble) catch { case _: NumberFormatException => None }
+    def enc(t: Term): String = t.kind match {
+      case Term.KIND_BNODE => "1" + t.lex
+      case Term.KIND_IRI => "2" + t.lex
+      case Term.KIND_TRIPLE_TERM =>
+        graft.riot.NTriples.parseTripleTermComponents(t.lex) match {
+          case Some((s, p, o)) =>
+            "4" + enc(s) + "\u0001" + enc(p) + "\u0001" + enc(o)
+          case None => "4" + t.lex
+        }
+      case _ => numVal(t) match {
+        case Some(d) => "30" + f"${d + 1e15}%030.9f"
+        case None => "31" + t.lex + "\u0002" + t.dt + "\u0002" + t.lang
+      }
+    }
+    enc(Term(Term.KIND_TRIPLE_TERM, lexForm, "", ""))
+  }
+  private lazy val ttOrderKeyUdf = udf((l: String) => ttOrderKey(l))
+
   def sortKey(t: Column): Column = {
     val rank = when(t.isNull, 0)
       .when(kind(t) === Term.KIND_BNODE, 1)
@@ -257,7 +303,8 @@ object TermCols {
       rank.as("kindRank"),
       vsRank.as("vsRank"),
       coalesce(numValue(t), lit(0.0)).as("numKey"),
-      coalesce(lex(t), lit("")).as("lexKey"),
+      coalesce(when(kind(t) === Term.KIND_TRIPLE_TERM, ttOrderKeyUdf(lex(t)))
+        .otherwise(lex(t)), lit("")).as("lexKey"),
       coalesce(dt(t), lit("")).as("dtKey"),
       coalesce(lang(t), lit("")).as("langKey"))
   }

@@ -42,9 +42,26 @@ object SparqlFunctions {
   /** STR(term): lexical form of a literal, or the IRI string. */
   def str(t: Column): Column =
     when(isLiteral(t) || isIri(t), strOf(lex(t)))
-  def langFn(t: Column): Column = when(isLiteral(t), strOf(lang(t)))
+  /** RDF 1.2 initial-text-direction literals ("x"@en--ltr) store the
+   * combined tag in `lang` ("en--ltr"); the direction-aware accessors
+   * split it (reference: NodeFunctions.lang/langdir after the
+   * dirLangString addition). */
+  val RDF_DIRLANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#dirLangString"
+  private def baseLang(t: Column): Column = regexp_replace(lang(t), "--.*$", "")
+  private def dirPart(t: Column): Column = regexp_extract(lang(t), "--(.*)$", 1)
+
+  def langFn(t: Column): Column = when(isLiteral(t), strOf(baseLang(t)))
+  /** LANGDIR(lit) → "ltr"/"rtl"/"" (SPARQL 1.2); error on non-literals. */
+  def langDirFn(t: Column): Column = when(isLiteral(t), strOf(dirPart(t)))
+  /** hasLANG / hasLANGDIR — boolean, FALSE (not error) for non-literals. */
+  def hasLangFn(t: Column): Column = isLiteral(t) && lang(t) =!= ""
+  def hasLangDirFn(t: Column): Column = isLiteral(t) && lang(t).contains("--")
   def datatype(t: Column): Column =
-    when(isLiteral(t), TermCols.iriTerm(when(dt(t) === "", S).otherwise(dt(t))))
+    when(isLiteral(t), TermCols.iriTerm(
+      when(dt(t) === "", S)
+        .when(dt(t) === Term.RDF_LANGSTRING && lang(t).contains("--"),
+          RDF_DIRLANGSTRING)
+        .otherwise(dt(t))))
 
   /** A SIMPLE literal in the RDF 1.1 sense: xsd:string, no language tag —
    * the only legal first argument of STRDT/STRLANG (E_StrDatatype
@@ -87,6 +104,14 @@ object SparqlFunctions {
   def strlang(t: Column, langTag: Column): Column =
     when(isSimpleLit(t) && isSimpleLit(langTag) && lex(langTag) =!= "",
       mk(lit(Term.KIND_LIT), lex(t), lit(Term.RDF_LANGSTRING), lex(langTag)))
+  /** STRLANGDIR(str, lang, dir) — SPARQL 1.2 E_StrLangDir: dir must be
+   * exactly "ltr" or "rtl" (case-sensitive), lang non-empty; otherwise an
+   * eval error. */
+  def strlangdir(t: Column, langTag: Column, dir: Column): Column =
+    when(isSimpleLit(t) && isSimpleLit(langTag) && lex(langTag) =!= "" &&
+      isSimpleLit(dir) && lex(dir).isin("ltr", "rtl"),
+      mk(lit(Term.KIND_LIT), lex(t), lit(Term.RDF_LANGSTRING),
+        concat(lex(langTag), lit("--"), lex(dir))))
   /** BNODE() per-row fresh label: deterministic from a provided seed col. */
   def bnodeFn(seed: Column): Column =
     mk(lit(Term.KIND_BNODE), sha2(seed.cast(StringType), 256).substr(1, 32), lit(""), lit(""))
@@ -474,7 +499,9 @@ object SparqlFunctions {
   //      (they are opaque struct-equality values there).
   def tripleFn(s: Column, p: Column, o: Column): Column =
     when(s.isNotNull && p.isNotNull && o.isNotNull &&
-      kind(s) =!= Term.KIND_LIT && isIri(p),
+      // RDF 1.2 triple-term well-formedness: subject is an IRI or bnode
+      // (triple terms only appear in object position), predicate an IRI
+      (kind(s) === Term.KIND_IRI || kind(s) === Term.KIND_BNODE) && isIri(p),
       mk(lit(Term.KIND_TRIPLE_TERM),
         concat(lit("<<( "), TermCols.ntCol(s), lit(" "), TermCols.ntCol(p),
           lit(" "), TermCols.ntCol(o), lit(" )>>")),
@@ -490,4 +517,70 @@ object SparqlFunctions {
   def subjectFn(t: Column): Column = when(isTripleFn(t), subjectUdf(lex(t)))
   def predicateFn(t: Column): Column = when(isTripleFn(t), predicateUdf(lex(t)))
   def objectFn(t: Column): Column = when(isTripleFn(t), objectUdf(lex(t)))
+
+  /** SPARQL 1.2 `=` over two triple terms: component-wise VALUE equality,
+   * recursing into nested triple terms (the reference's NodeValue
+   * sameValueAs triple-term branch). Three-valued: null = eval error
+   * (indeterminate component comparison). Off scan/join hot paths —
+   * reached only from a FILTER with both sides already triple terms. */
+  private[graft] def termValueEq(x: Term, y: Term): java.lang.Boolean = {
+    import graft.model.{Term => T}
+    if (x == y) return java.lang.Boolean.TRUE
+    if (x.kind != y.kind) return java.lang.Boolean.FALSE
+    x.kind match {
+      case T.KIND_TRIPLE_TERM =>
+        (graft.riot.NTriples.parseTripleTermComponents(x.lex),
+          graft.riot.NTriples.parseTripleTermComponents(y.lex)) match {
+          case (Some((s1, p1, o1)), Some((s2, p2, o2))) =>
+            val vs = Seq(termValueEq(s1, s2), termValueEq(p1, p2), termValueEq(o1, o2))
+            if (vs.contains(java.lang.Boolean.FALSE)) java.lang.Boolean.FALSE
+            else if (vs.contains(null)) null
+            else java.lang.Boolean.TRUE
+          case _ => null
+        }
+      case T.KIND_LIT =>
+        val numericDts = Set(T.XSD_INTEGER, T.XSD_DECIMAL, T.XSD_DOUBLE, T.XSD_FLOAT,
+          T.XSD + "long", T.XSD + "int", T.XSD + "short", T.XSD + "byte",
+          T.XSD + "nonNegativeInteger", T.XSD + "nonPositiveInteger",
+          T.XSD + "positiveInteger", T.XSD + "negativeInteger",
+          T.XSD + "unsignedLong", T.XSD + "unsignedInt", T.XSD + "unsignedShort",
+          T.XSD + "unsignedByte")
+        def num(t: Term): Option[BigDecimal] =
+          if (!numericDts(t.dt)) None
+          else try {
+            if (t.dt == T.XSD_DOUBLE || t.dt == T.XSD_FLOAT)
+              Some(BigDecimal(t.lex.toDouble))
+            else Some(BigDecimal(t.lex))
+          } catch { case _: NumberFormatException => None }
+        def bool(t: Term): Option[Boolean] =
+          if (t.dt != T.XSD_BOOLEAN) None
+          else t.lex match {
+            case "true" | "1" => Some(true)
+            case "false" | "0" => Some(false)
+            case _ => None
+          }
+        (num(x), num(y)) match {
+          case (Some(a), Some(b)) => java.lang.Boolean.valueOf(a == b)
+          case _ => (bool(x), bool(y)) match {
+            case (Some(a), Some(b)) => java.lang.Boolean.valueOf(a == b)
+            case _ =>
+              val knownPlain = Set(T.XSD_STRING, T.RDF_LANGSTRING)
+              if (knownPlain(x.dt) && knownPlain(y.dt))
+                java.lang.Boolean.valueOf(x == y) // lex+lang exact (x != y here)
+              else if ((x.dt == T.RDF_LANGSTRING) != (y.dt == T.RDF_LANGSTRING))
+                java.lang.Boolean.FALSE // disjoint lang/plain spaces
+              else null // unknown/temporal space, differing terms → eval error
+          }
+        }
+      case _ => java.lang.Boolean.FALSE // IRIs/bnodes: identity only
+    }
+  }
+
+  private val tripleEqUdf = udf { (a: String, b: String) =>
+    val r = termValueEq(Term(Term.KIND_TRIPLE_TERM, a, "", ""),
+      Term(Term.KIND_TRIPLE_TERM, b, "", ""))
+    if (r == null) Option.empty[Boolean] else Some(r.booleanValue)
+  }
+  /** Column form of [[termValueEq]] over two triple-term columns. */
+  def tripleValueEq(a: Column, b: Column): Column = tripleEqUdf(lex(a), lex(b))
 }

@@ -127,6 +127,10 @@ object GoldenRunner {
   private val EvalTypes = Set(
     Manifest.MF + "QueryEvaluationTest", Manifest.MFX + "TestQuery")
   private val UpdateEvalTypes = Set(Manifest.MF + "UpdateEvaluationTest")
+  private val PosSyntaxTypes = Set("PositiveSyntaxTest", "PositiveSyntaxTest11",
+    "PositiveUpdateSyntaxTest", "PositiveUpdateSyntaxTest11").map(Manifest.MF + _)
+  private val NegSyntaxTypes = Set("NegativeSyntaxTest", "NegativeSyntaxTest11",
+    "NegativeUpdateSyntaxTest", "NegativeUpdateSyntaxTest11").map(Manifest.MF + _)
 
   /** Run every entry of a manifest; `skip` maps test names to triage
    * reasons (recorded, not executed). */
@@ -139,12 +143,96 @@ object GoldenRunner {
         if (skip.contains(e.name)) Skipped(skip(e.name))
         else if (e.types.intersect(UpdateEvalTypes).nonEmpty)
           runUpdateEntry(spark, e)
+        else if (e.types.intersect(PosSyntaxTypes).nonEmpty ||
+          e.types.intersect(NegSyntaxTypes).nonEmpty)
+          runSyntaxEntry(e, negative = e.types.intersect(NegSyntaxTypes).nonEmpty)
         else if (e.types.intersect(EvalTypes).isEmpty)
           Skipped("not a query-evaluation test: " + e.types.map(shortT).mkString(","))
         else runEntry(spark, e))
     }
 
   private def shortT(iri: String) = iri.substring(iri.lastIndexOf('#') + 1)
+
+  // ------------------------------------------------- triple-term helpers
+
+  /** Rewrite every blank-node label in a term with `f`, descending into
+   * triple-term components — labels inside the canonical `<<( … )>>` text
+   * are real bnodes, so a per-document scope must rename them too. */
+  private def mapBnodes(t: Term, f: String => String): Term = t.kind match {
+    case Term.KIND_BNODE => Term.bnode(f(t.lex))
+    case Term.KIND_TRIPLE_TERM =>
+      NTriples.parseTripleTermComponents(t.lex) match {
+        case Some((s, p, o)) =>
+          Term(Term.KIND_TRIPLE_TERM,
+            "<<( " + mapBnodes(s, f).toNTriples + " " + mapBnodes(p, f).toNTriples +
+              " " + mapBnodes(o, f).toNTriples + " )>>", "", "")
+        case None => t
+      }
+    case _ => t
+  }
+
+  private def hasBnode(t: Term): Boolean = t.kind match {
+    case Term.KIND_BNODE => true
+    case Term.KIND_TRIPLE_TERM =>
+      NTriples.parseTripleTermComponents(t.lex).exists {
+        case (s, p, o) => hasBnode(s) || hasBnode(p) || hasBnode(o)
+      }
+    case _ => false
+  }
+
+  private val TtS = Term.iri("urn:graft:tt:s")
+  private val TtP = Term.iri("urn:graft:tt:p")
+  private val TtO = Term.iri("urn:graft:tt:o")
+
+  /** Expand triple terms CONTAINING bnodes into synthetic component nodes
+   * (`_:__ttK urn:graft:tt:s S …`, recursive) so [[Iso]] — which treats
+   * terms atomically — can include tt-embedded bnodes in the bijection.
+   * Ground triple terms stay opaque: their canonical text already
+   * compares. Applied to BOTH sides before any isomorphism check. */
+  private def expandTT(ts: Seq[Triple]): Seq[Triple] = {
+    val out = ListBuffer[Triple]()
+    var k = 0
+    def conv(t: Term): Term =
+      if (t.kind == Term.KIND_TRIPLE_TERM && hasBnode(t))
+        NTriples.parseTripleTermComponents(t.lex) match {
+          case Some((s, p, o)) =>
+            k += 1
+            val n = Term.bnode("__tt" + k)
+            out += Triple(n, TtS, conv(s))
+            out += Triple(n, TtP, conv(p))
+            out += Triple(n, TtO, conv(o))
+            n
+          case None => t
+        }
+      else t
+    ts.foreach(t => out += Triple(conv(t.s), t.p, conv(t.o)))
+    out.toList
+  }
+
+  private def isoTT(a: Seq[Triple], b: Seq[Triple]): Boolean =
+    Iso.isomorphic(expandTT(a.map(canonTriple)), expandTT(b.map(canonTriple)))
+
+  /** Positive/NegativeSyntaxTest: the action IRI is the query/update file
+   * itself; a positive test must parse, a negative one must RAISE (the
+   * reference's SyntaxTest). `.ru` files go through the Update grammar. */
+  def runSyntaxEntry(e: Manifest.Entry, negative: Boolean): Outcome = {
+    val file = e.query.orElse(e.request)
+      .getOrElse(return Skipped("no action file"))
+    val text = readFile(file)
+    val qBase = "file://" + Paths.get(file).toAbsolutePath.getParent.toString + "/"
+    val parsed: Either[Throwable, Unit] =
+      try {
+        if (file.endsWith(".ru")) graft.sparql.Parser.parseUpdate(text)
+        else graft.sparql.Parser.parseAny(text, qBase)
+        Right(())
+      } catch { case t: Throwable => Left(t) }
+    (parsed, negative) match {
+      case (Right(_), false) => Passed
+      case (Left(_), true) => Passed
+      case (Left(t), false) => Failed("did not parse: " + t.getMessage)
+      case (Right(_), true) => Failed("parsed but must be rejected")
+    }
+  }
 
   def runEntry(spark: SparkSession, e: Manifest.Entry): Outcome = {
     try {
@@ -162,21 +250,33 @@ object GoldenRunner {
 
       // each document gets its own bnode-label scope (the reference's
       // LabelToNode.createScopeByDocumentHash) — labels must not collide
-      // across qt:data / qt:graphData files
-      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] = {
-        def st(t: Term) = if (t.isBNode) Term.bnode(tag + "_" + t.lex) else t
-        ts.map(t => Triple(st(t.s), t.p, st(t.o)))
+      // across qt:data / qt:graphData files. RDF graphs are SETS: dedup
+      // (reified-triple sugar can assert the same rdf:reifies triple twice)
+      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] =
+        ts.map(t => Triple(mapBnodes(t.s, tag + "_" + _), t.p,
+          mapBnodes(t.o, tag + "_" + _))).distinct
+      // qt:data may be TriG (named-graph blocks) — those rows land in
+      // named graphs of the quad dataset, not the default graph
+      import graft.model.Quad
+      val dataQuads: Seq[Quad] = e.data.zipWithIndex.flatMap { case (f, k) =>
+        if (f.endsWith(".trig"))
+          graft.riot.TrigLite.parse(readFile(f),
+            "file://" + Paths.get(f).toAbsolutePath.toString)
+            .map(q => Quad(mapBnodes(q.s, s"d${k}_" + _), q.p,
+              mapBnodes(q.o, s"d${k}_" + _), q.g)).distinct
+        else scoped(readData(f), s"d$k").map(t =>
+          Quad(t.s, t.p, t.o, Term.defaultGraph))
       }
-      val defTriples = e.data.zipWithIndex.flatMap { case (f, k) =>
-        scoped(readData(f), s"d$k") }
+      val defTriples = dataQuads.collect {
+        case q if q.g.lex == Term.DEFAULT_GRAPH => Triple(q.s, q.p, q.o) }
       // named graphs are named by their file:// location (how the
       // reference's manifest runner loads qt:graphData)
       val useQuads = e.graphData.nonEmpty ||
+        dataQuads.size != defTriples.size ||
         "(?is).*\\b(GRAPH|FROM)\\b.*".r.matches(queryText)
       val g: DataFrame =
         if (useQuads) {
-          import graft.model.Quad
-          val dq = defTriples.map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
+          val dq = dataQuads
           // FROM / FROM NAMED name graphs by LOCATION — the reference's
           // runner loads those files into the dataset; mirror that for
           // file:// IRIs resolving to existing test files
@@ -242,7 +342,7 @@ object GoldenRunner {
           if (!resultFile.endsWith(".ttl") && !resultFile.endsWith(".nt"))
             return Skipped("CONSTRUCT result format: " + resultFile.split('.').last)
           val expected = readData(resultFile)
-          if (Iso.isomorphic(actual.map(canonTriple), expected.map(canonTriple))) Passed
+          if (isoTT(actual, expected)) Passed
           else Failed(s"CONSTRUCT: ${actual.size} triples vs expected ${expected.size}")
 
         case _ => Skipped("query form not in runner (DESCRIBE)")
@@ -270,13 +370,18 @@ object GoldenRunner {
       val requestFile = e.request.getOrElse(return Skipped("no ut:request"))
       val post = e.updPost.getOrElse(return Skipped("no mf:result dataset"))
 
-      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] = {
-        def st(t: Term) = if (t.isBNode) Term.bnode(tag + "_" + t.lex) else t
-        ts.map(t => Triple(st(t.s), t.p, st(t.o)))
-      }
+      def scoped(ts: Seq[Triple], tag: String): Seq[Triple] =
+        ts.map(t => Triple(mapBnodes(t.s, tag + "_" + _), t.p,
+          mapBnodes(t.o, tag + "_" + _))).distinct
       def quadsOf(spec: Manifest.DatasetSpec, tag: String): Seq[Quad] = {
+        // ut:data may be TriG — its GRAPH blocks land in named graphs
         val dq = spec.data.zipWithIndex.flatMap { case (f, k) =>
-          scoped(readData(f), s"${tag}d$k")
+          if (f.endsWith(".trig"))
+            graft.riot.TrigLite.parse(readFile(f),
+              "file://" + Paths.get(f).toAbsolutePath.toString)
+              .map(q => Quad(mapBnodes(q.s, s"${tag}d${k}_" + _), q.p,
+                mapBnodes(q.o, s"${tag}d${k}_" + _), q.g)).distinct
+          else scoped(readData(f), s"${tag}d$k")
             .map(t => Quad(t.s, t.p, t.o, Term.defaultGraph)) }
         val nq = spec.graphData.zipWithIndex.flatMap { case ((f, name), k) =>
           val g = Term.iri(name)
@@ -305,13 +410,14 @@ object GoldenRunner {
         .groupBy(_._1).map { case (g, ts) => g -> ts.map(_._2) }
 
       val dgLex = Term.defaultGraph.lex
-      val expDefault = post.data.zipWithIndex.flatMap { case (f, k) =>
-        scoped(readData(f), s"ed$k") }
-      val expNamed: Map[String, Seq[Triple]] = post.graphData.zipWithIndex
-        .map { case ((f, name), k) => name -> scoped(readData(f), s"eg$k") }.toMap
+      val expQuads = quadsOf(post, "e")
+      val expDefault = expQuads.collect {
+        case q if q.s != null && q.g.lex == dgLex => q.triple }
+      val expNamed: Map[String, Seq[Triple]] = expQuads
+        .filter(q => q.g.lex != dgLex).groupBy(_.g.lex)
+        .map { case (g, qs) => g -> qs.filter(_.s != null).map(_.triple) }
 
-      def iso(a: Seq[Triple], b: Seq[Triple]) =
-        Iso.isomorphic(a.map(canonTriple), b.map(canonTriple))
+      def iso(a: Seq[Triple], b: Seq[Triple]) = isoTT(a, b)
 
       val defaultBad =
         if (iso(actual.getOrElse(dgLex, Nil), expDefault)) None
@@ -384,6 +490,14 @@ object GoldenRunner {
   private def canonTerm(t: Term): Term =
     if (t.kind == Term.KIND_LIT && t.lang.isEmpty)
       Term(t.kind, Literals.canonLiteral(t.lex, t.dt), t.dt, "")
+    else if (t.kind == Term.KIND_TRIPLE_TERM)
+      NTriples.parseTripleTermComponents(t.lex) match {
+        case Some((s, p, o)) =>
+          Term(Term.KIND_TRIPLE_TERM,
+            "<<( " + canonTerm(s).toNTriples + " " + canonTerm(p).toNTriples +
+              " " + canonTerm(o).toNTriples + " )>>", "", "")
+        case None => t
+      }
     else t
 
   private def canonTriple(t: Triple): Triple =
@@ -400,7 +514,7 @@ object GoldenRunner {
     if (ordered) {
       a.size == b.size &&
         canonSeq(a).zip(canonSeq(b)).forall { case (x, y) => x == y }
-    } else Iso.isomorphic(encode(a), encode(b))
+    } else Iso.isomorphic(expandTT(encode(a)), expandTT(encode(b)))
 
   private val RowMarker = Term.iri("urn:graft:row")
 
@@ -417,14 +531,10 @@ object GoldenRunner {
    * sequence (vars in sorted order) — sound because order is fixed. */
   private def canonSeq(sols: Seq[Solution]): Seq[Map[String, Term]] = {
     val seen = scala.collection.mutable.Map[String, String]()
+    def rename(t: Term): Term =
+      mapBnodes(canonTerm(t), l => seen.getOrElseUpdate(l, "c" + seen.size))
     sols.map { sol =>
-      sol.toSeq.sortBy(_._1).map { case (v, t) =>
-        val t2 =
-          if (t.isBNode)
-            Term.bnode(seen.getOrElseUpdate(t.lex, "c" + seen.size))
-          else canonTerm(t)
-        v -> t2
-      }.toMap
+      sol.toSeq.sortBy(_._1).map { case (v, t) => v -> rename(t) }.toMap
     }
   }
 

@@ -141,6 +141,16 @@ object ResultSetIO {
         Row(Term.KIND_LIT, value, dt2, Term.canonLangTag(lang))
     }
 
+  private def rowToTerm(r: Row): Term =
+    Term(r.getByte(0), r.getString(1), r.getString(2), r.getString(3))
+
+  /** A `"type":"triple"` binding (SPARQL 1.2 results-JSON): nested
+   * subject/predicate/object term objects → canonical triple-term text. */
+  private def tripleTermRow(sR: Row, pR: Row, oR: Row): Row =
+    Row(Term.KIND_TRIPLE_TERM,
+      "<<( " + rowToTerm(sR).toNTriples + " " + rowToTerm(pR).toNTriples + " " +
+        rowToTerm(oR).toNTriples + " )>>", "", "")
+
   /** Parse a W3C results-JSON document (via Jackson, which ships with
    * Spark) into a solution DataFrame. */
   def fromSparqlJson(spark: SparkSession, json: String): DataFrame = {
@@ -148,14 +158,25 @@ object ResultSetIO {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val vars = root.path("head").path("vars").elements().asScala.map(_.asText).toSeq
+    def jsonTerm(n: com.fasterxml.jackson.databind.JsonNode): Row =
+      if (n.path("type").asText == "triple") {
+        val v = n.path("value")
+        tripleTermRow(jsonTerm(v.path("subject")), jsonTerm(v.path("predicate")),
+          jsonTerm(v.path("object")))
+      } else {
+        // SPARQL 1.2 dirLangString bindings carry "its:dir" next to
+        // "xml:lang" — stored combined ("en--ltr") in the lang slot
+        val lang0 = Option(n.get("xml:lang")).map(_.asText).getOrElse("")
+        val dir = Option(n.get("its:dir")).map(_.asText).getOrElse("")
+        termRow(n.path("type").asText,
+          n.path("value").asText,
+          if (dir.nonEmpty) lang0 + "--" + dir else lang0,
+          Option(n.get("datatype")).map(_.asText).getOrElse(""))
+      }
     val rows = root.path("results").path("bindings").elements().asScala.map { b =>
       Row(vars.map { v =>
         val n = b.get(v)
-        if (n == null) null
-        else termRow(n.path("type").asText,
-          n.path("value").asText,
-          Option(n.get("xml:lang")).map(_.asText).getOrElse(""),
-          Option(n.get("datatype")).map(_.asText).getOrElse(""))
+        if (n == null) null else jsonTerm(n)
       }: _*)
     }.toSeq
     solutionsDf(spark, vars, rows)
@@ -210,15 +231,30 @@ object ResultSetIO {
             .collectFirst { case e: org.w3c.dom.Element => e }
             .getOrElse(throw new IllegalArgumentException("empty <binding>"))
         }
-        val term = child.getTagName match {
-          case "uri" => termRow("uri", child.getTextContent, "", "")
-          case "bnode" => termRow("bnode", child.getTextContent, "", "")
-          case "literal" => termRow("literal", child.getTextContent,
-            Option(child.getAttribute("xml:lang")).getOrElse(""),
-            Option(child.getAttribute("datatype")).getOrElse(""))
+        def xmlTerm(e: org.w3c.dom.Element): Row = e.getTagName match {
+          case "uri" => termRow("uri", e.getTextContent, "", "")
+          case "bnode" => termRow("bnode", e.getTextContent, "", "")
+          case "literal" =>
+            val lang0 = Option(e.getAttribute("xml:lang")).getOrElse("")
+            val dir = Option(e.getAttribute("its:dir")).getOrElse("")
+            termRow("literal", e.getTextContent,
+              if (dir.nonEmpty) lang0 + "--" + dir else lang0,
+              Option(e.getAttribute("datatype")).getOrElse(""))
+          case "triple" => // SPARQL 1.2: <triple><subject>…<predicate>…<object>…
+            def slot(tag: String): Row = {
+              val nl = e.getChildNodes
+              val holder = (0 until nl.getLength).map(nl.item).collectFirst {
+                case c: org.w3c.dom.Element if c.getTagName == tag => c
+              }.getOrElse(throw new IllegalArgumentException(s"<triple> missing <$tag>"))
+              val hn = holder.getChildNodes
+              xmlTerm((0 until hn.getLength).map(hn.item).collectFirst {
+                case c: org.w3c.dom.Element => c
+              }.getOrElse(throw new IllegalArgumentException(s"empty <$tag>")))
+            }
+            tripleTermRow(slot("subject"), slot("predicate"), slot("object"))
           case other => throw new IllegalArgumentException(s"unknown term element <$other>")
         }
-        name -> term
+        name -> xmlTerm(child)
       }.toMap
       Row(vars.map(v => bound.getOrElse(v, null)): _*)
     }

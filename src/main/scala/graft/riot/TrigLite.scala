@@ -26,6 +26,7 @@ object TrigLite {
 
   private final class Splitter(s: String, baseIri: String) {
     private var i = 0
+    private var blockN = 0
     private val prolog = new StringBuilder
     private val defaultBuf = new StringBuilder
     private val prefixes = scala.collection.mutable.Map[String, String]()
@@ -148,8 +149,14 @@ object TrigLite {
         }
       }
       if (depth > 0) fail("unterminated graph block")
-      val body = s.substring(bodyStart, i - 1)
-      TurtleLite.parse(prolog.toString + body, base)
+      // TriG: the last statement's '.' is optional before '}' — TurtleLite
+      // (fed the extracted body) requires it, so supply one
+      val body0 = s.substring(bodyStart, i - 1)
+      val body =
+        if (body0.trim.nonEmpty && !body0.trim.endsWith(".")) body0 + "\n."
+        else body0
+      blockN += 1
+      TurtleLite.parse(prolog.toString + body, base, freshScope = s"g${blockN}_")
         .foreach(t => out += Quad(t.s, t.p, t.o, g))
       skip()
       if (i < s.length && s.charAt(i) == '.') i += 1 // optional trailing '.'

@@ -20,10 +20,16 @@ import graft.model.{NTriplesEscape, Term, Triple}
  *   RDF collections `( e1 e2 … )` → rdf:first/rdf:rest chains,
  *   string literals with escapes / @lang / ^^dt — short and long
  *   (`"""…"""`, `'''…'''`) and single-quoted forms —, numeric shorthand
- *   (integer/decimal/double per the Turtle grammar), booleans.
+ *   (integer/decimal/double per the Turtle grammar), booleans,
+ *   RDF 1.2 triple terms `<<( s p o )>>`, reified triples
+ *   `<< s p o ~ reifier >>` (sugar for `reifier rdf:reifies <<( s p o )>>`;
+ *   a fresh bnode reifier when `~` is absent; the inner triple is NOT
+ *   asserted — reference: LangTurtleBase reifiedTriple/tripleTerm paths),
+ *   and annotation syntax `o ~ r {| p2 o2 |}` (asserts the base triple AND
+ *   reifies it, annotation properties hang off the reifier).
  *
  * Still out of scope (documented, raises — never silently wrong):
- * `@forSome`-era N3 constructs, RDF-star annotation syntax `{| |}`.
+ * `@forSome`-era N3 constructs.
  */
 object TurtleLite {
 
@@ -32,11 +38,16 @@ object TurtleLite {
   private val RDF_FIRST = RDF + "first"
   private val RDF_REST = RDF + "rest"
   private val RDF_NIL = RDF + "nil"
+  private val RDF_REIFIES = RDF + "reifies"
 
-  def parse(content: String, baseIri: String = ""): Seq[Triple] =
-    new Parser(content, baseIri).run()
+  /** `freshScope` namespaces GENERATED bnode labels (anon `[]`, collection
+   * cells, reifiers) — TriG passes a per-graph-block scope so generated
+   * labels never collide across blocks, while EXPLICIT `_:label`s keep
+   * document scope. */
+  def parse(content: String, baseIri: String = "", freshScope: String = ""): Seq[Triple] =
+    new Parser(content, baseIri, freshScope).run()
 
-  private final class Parser(s: String, var base: String) {
+  private final class Parser(s: String, var base: String, freshScope: String) {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private val out = ListBuffer[Triple]()
@@ -45,7 +56,7 @@ object TurtleLite {
     /** Fresh document-scoped bnode for `[ … ]` / collection cells — the
      * "__a" prefix keeps generated labels apart from data labels (the
      * reference allocates via LabelToNode scopes, LabelToNode.java:48). */
-    private def freshBnode(): Term = { anonN += 1; Term.bnode("__a" + anonN) }
+    private def freshBnode(): Term = { anonN += 1; Term.bnode("__a" + freshScope + anonN) }
 
     def run(): Seq[Triple] = {
       skip()
@@ -121,13 +132,15 @@ object TurtleLite {
           val obj = term(isPredicate = false)
           out += Triple(subj, pred, obj)
           skip()
+          annotation(subj, pred, obj)
           if (i < s.length && s.charAt(i) == ',') i += 1 else moreObj = false
         }
         skip()
         if (i < s.length && s.charAt(i) == ';') {
           i += 1; skip()
           // trailing ';' before the terminator is legal Turtle
-          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ']')) more = false
+          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ']' ||
+            s.charAt(i) == '|')) more = false
         } else more = false
       }
     }
@@ -136,6 +149,10 @@ object TurtleLite {
       skip()
       if (i >= s.length) fail("unexpected end of document")
       s.charAt(i) match {
+        case '<' if s.startsWith("<<(", i) =>
+          if (isPredicate) fail("triple-term predicate") else tripleTerm()
+        case '<' if s.startsWith("<<", i) =>
+          if (isPredicate) fail("reified-triple predicate") else reifiedTriple()
         case '<' => Term.iri(graft.normalize.Iri.resolve(base, iriRef().lex))
         case '"' | '\'' => if (isPredicate) fail("literal predicate") else literal()
         case '_' => bnodeLabel()
@@ -153,6 +170,85 @@ object TurtleLite {
             numericLiteral(w)
           else prefixedName(w)
       }
+    }
+
+    /** Annotation tail after an asserted triple: `( '~' reifier? )?`
+     * `( '{|' predicateObjectList '|}' )*` — each annotation block hangs
+     * its properties off a reifier of the just-asserted triple (Turtle 1.2
+     * `annotation` production; the base triple stays asserted). */
+    private def annotation(subj: Term, pred: Term, obj: Term): Unit = {
+      var reifier: Option[Term] = None
+      def theReifier(): Term = reifier.getOrElse {
+        val r = freshBnode()
+        out += Triple(r, Term.iri(RDF_REIFIES), Term(Term.KIND_TRIPLE_TERM,
+          "<<( " + subj.toNTriples + " " + pred.toNTriples + " " + obj.toNTriples + " )>>",
+          "", ""))
+        reifier = Some(r)
+        r
+      }
+      var going = true
+      while (going) {
+        skip()
+        if (i < s.length && s.charAt(i) == '~') {
+          i += 1; skip()
+          val r =
+            if (i < s.length && (s.charAt(i) == '{' || s.charAt(i) == '~')) freshBnode()
+            else term(isPredicate = false)
+          out += Triple(r, Term.iri(RDF_REIFIES), Term(Term.KIND_TRIPLE_TERM,
+            "<<( " + subj.toNTriples + " " + pred.toNTriples + " " + obj.toNTriples + " )>>",
+            "", ""))
+          reifier = Some(r)
+        } else if (s.startsWith("{|", i)) {
+          i += 2
+          val r = theReifier()
+          skip()
+          if (!s.startsWith("|}", i)) predicateObjectList(r, inBracket = true)
+          skip()
+          if (!s.startsWith("|}", i)) fail("expected '|}' closing annotation")
+          i += 2
+          reifier = None // a following block reifies afresh (each {|…|} its own reifier)
+        } else going = false
+      }
+    }
+
+    /** RDF 1.2 triple term `<<( s p o )>>` — canonical-text encoding, same
+     * form as NTriples.tripleTerm (Term.KIND_TRIPLE_TERM docs). Components
+     * are any term, including nested triple terms / reified triples. */
+    private def tripleTerm(): Term = {
+      i += 3 // '<<('
+      val ts = term(isPredicate = false); skip()
+      val tp = term(isPredicate = true); skip()
+      val to = term(isPredicate = false); skip()
+      if (!s.startsWith(")>>", i)) fail("expected ')>>' closing triple term")
+      i += 3
+      Term(Term.KIND_TRIPLE_TERM,
+        "<<( " + ts.toNTriples + " " + tp.toNTriples + " " + to.toNTriples + " )>>", "", "")
+    }
+
+    /** RDF 1.2 reified triple `<< s p o ( ~ reifier )? >>`: emits
+     * `reifier rdf:reifies <<( s p o )>>` (inner triple NOT asserted) and
+     * the term value is the reifier node — a fresh bnode unless `~` names
+     * one (Turtle 1.2 `reifiedTriple` production). */
+    private def reifiedTriple(): Term = {
+      i += 2 // '<<'
+      val ts = term(isPredicate = false); skip()
+      val tp = term(isPredicate = true); skip()
+      val to = term(isPredicate = false); skip()
+      val tt = Term(Term.KIND_TRIPLE_TERM,
+        "<<( " + ts.toNTriples + " " + tp.toNTriples + " " + to.toNTriples + " )>>", "", "")
+      val reifier =
+        if (i < s.length && s.charAt(i) == '~') {
+          i += 1; skip()
+          // a reifier may be an IRI or a blank node; '>' right after '~'
+          // means an anonymous reifier was written as `~ >>`? — the
+          // grammar allows bare `~` (fresh bnode) too
+          if (s.startsWith(">>", i)) freshBnode() else term(isPredicate = false)
+        } else freshBnode()
+      skip()
+      if (!s.startsWith(">>", i)) fail("expected '>>' closing reified triple")
+      i += 2
+      out += Triple(reifier, Term.iri(RDF_REIFIES), tt)
+      reifier
     }
 
     /** `( e1 e2 … )` → rdf:first/rdf:rest/rdf:nil chain over fresh bnodes
@@ -192,11 +288,12 @@ object TurtleLite {
       node
     }
 
-    /** Token up to whitespace or a structural delimiter. */
+    /** Token up to whitespace or a structural delimiter ('>' '{' '|' '}'
+     * '~' end tokens for the RDF 1.2 `>>` / `{| |}` / `~` constructs). */
     private def tokenWord(): String = {
       val start = i
       while (i < s.length && !Character.isWhitespace(s.charAt(i)) &&
-        ";,()[]".indexOf(s.charAt(i)) < 0 &&
+        ";,()[]>{|}~".indexOf(s.charAt(i)) < 0 &&
         // '.' ends a token only when followed by whitespace/EOF/bracket (it
         // may be part of a decimal or a prefixed local name)
         !(s.charAt(i) == '.' && (i + 1 >= s.length ||
@@ -237,7 +334,7 @@ object TurtleLite {
       i += 2
       val start = i
       while (i < s.length && !Character.isWhitespace(s.charAt(i)) &&
-        ";,()[]".indexOf(s.charAt(i)) < 0 &&
+        ";,()[]>{|}~".indexOf(s.charAt(i)) < 0 &&
         !(s.charAt(i) == '.' && (i + 1 >= s.length ||
           Character.isWhitespace(s.charAt(i + 1)) ||
           ")]".indexOf(s.charAt(i + 1)) >= 0)))
@@ -274,7 +371,12 @@ object TurtleLite {
         i += 1
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
-        Term.langLit(lex, s.substring(start, i))
+        val tag = s.substring(start, i)
+        // RDF 1.2 LANGTAG: optional '--dir' suffix, dir ∈ {ltr, rtl}
+        val di = tag.indexOf("--")
+        if (di >= 0 && tag.substring(di + 2) != "ltr" && tag.substring(di + 2) != "rtl")
+          fail(s"invalid base direction '${tag.substring(di + 2)}' (must be ltr or rtl)")
+        Term.langLit(lex, tag)
       } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
         i += 2
         skip()

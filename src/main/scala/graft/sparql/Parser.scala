@@ -109,6 +109,11 @@ object Parser {
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var base = baseIri
     private var sawAgg = false
+    /** Variables referenced in expression position OUTSIDE aggregate
+     * arguments — read as per-SELECT-expression deltas to enforce the
+     * grouped-query scope rule (vars must be group keys / earlier
+     * aliases; SPARQL §19.8, the reference's Query.setResultVars check). */
+    private val exprVarRefs = ListBuffer[String]()
     /** EXACT names of parser-internal helper vars (__bn_*, __qt*, __ord*,
      * __gk*) introduced so far — SELECT * drops precisely these, never a
      * legitimate user variable that happens to start with "__" (a user
@@ -176,7 +181,7 @@ object Parser {
           op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
         ws()
         if (i < s.length) fail("trailing content after CONSTRUCT")
-        Parser.ConstructQ(template, op)
+        Parser.ConstructQ(template, applyTmplExts(op))
       } else if (kwAhead("DESCRIBE")) {
         eatKw("DESCRIBE")
         ws()
@@ -214,11 +219,147 @@ object Parser {
     private def tmplFreshB(): TermPat = {
       tbnCounter += 1; TConst(Term.bnode("tmpl" + tbnCounter))
     }
+    /** Variable-bearing triple terms in TEMPLATES compile to hidden
+     * `__ttN` columns Extended onto the WHERE op (TRIPLE(...) over the
+     * solution's bindings); the template slot is then a plain TVar. The
+     * accumulated extends wrap the op at ConstructQ/UpdateMod build. */
+    private var ttCounter = 0
+    private val tmplExts = ListBuffer[(String, RowExpr)]()
+    private def applyTmplExts(op: Op): Op = {
+      val wrapped = tmplExts.foldLeft(op) { case (o, (n, e)) => Extend(n, e, o) }
+      tmplExts.clear()
+      wrapped
+    }
     private def tmplSlot(out: ListBuffer[TriplePattern]): TermPat = {
       ws()
-      if (peekIs('(')) tmplCollection(out)
+      if (s.startsWith("<<(", i)) tmplTT(out)
+      else if (s.startsWith("<<", i)) tmplReified(out)
+      else if (peekIs('(')) tmplCollection(out)
       else if (peekIs('[')) tmplPropListNode(out)
       else termPat()
+    }
+    private def pat2re(p: TermPat): RowExpr = p match {
+      case TVar(n) => RowExpr(v => v(n))
+      case TConst(t) => RowExpr(_ => TermCols.const(t))
+    }
+    /** Triple-term component in a template: term, nested `<<( )>>`, or
+     * nested reified `<< >>` (its reifier node). Left = ground constant,
+     * Right = per-solution expression. */
+    private def tmplTTComp(out: ListBuffer[TriplePattern]): Either[Term, RowExpr] = {
+      ws()
+      if (s.startsWith("<<(", i)) {
+        i += 3
+        val a = tmplTTComp(out); val b = tmplTTComp(out); val c = tmplTTComp(out)
+        ws()
+        if (!s.startsWith(")>>", i)) fail("expected ')>>' closing triple term")
+        i += 3
+        (a, b, c) match {
+          case (Left(x), Left(y), Left(z)) => Left(ttOf(x, y, z))
+          case _ =>
+            val (ca, cb, cc) =
+              (a.fold(t => RowExpr(_ => TermCols.const(t)), identity),
+                b.fold(t => RowExpr(_ => TermCols.const(t)), identity),
+                c.fold(t => RowExpr(_ => TermCols.const(t)), identity))
+            Right(RowExpr(v => SF.tripleFn(ca(v), cb(v), cc(v))))
+        }
+      } else if (s.startsWith("<<", i)) {
+        tmplReified(out) match {
+          case TConst(t) => Left(t)
+          case TVar(n) => Right(RowExpr(v => v(n)))
+        }
+      } else if (peekIs('[')) {
+        i += 1; ws()
+        if (!peekIs(']')) fail("only '[]' (no property list) is allowed here")
+        i += 1
+        tmplFreshB() match {
+          case TConst(t) => Left(t)
+          case TVar(n) => Right(RowExpr(v => v(n)))
+        }
+      } else if (aKeywordAhead) { i += 1; Left(Term.iri(RdfNs + "type")) }
+      else termPat() match {
+        case TConst(t) => Left(t)
+        case TVar(n) => Right(RowExpr(v => v(n)))
+      }
+    }
+    private def tmplTT(out: ListBuffer[TriplePattern]): TermPat =
+      tmplTTComp(out) match {
+        case Left(t) => TConst(t)
+        case Right(ex) =>
+          ttCounter += 1
+          val nv = "__tt" + ttCounter
+          tmplExts += (nv -> ex)
+          TVar(nv)
+      }
+    /** Reified triple in a template: `<< s p o ( ~ reifier )? >>` emits a
+     * `reifier rdf:reifies tt` template triple; the value is the reifier
+     * (a fresh template bnode — remapped per solution — unless named). */
+    private def tmplReified(out: ListBuffer[TriplePattern]): TermPat = {
+      i += 2
+      val a = tmplTTComp(out); val b = tmplTTComp(out); val c = tmplTTComp(out)
+      ws()
+      val reif: TermPat =
+        if (peekIs('~')) {
+          i += 1; ws()
+          if (s.startsWith(">>", i)) tmplFreshB() else termPat()
+        } else tmplFreshB()
+      ws()
+      if (!s.startsWith(">>", i)) fail("expected '>>' closing reified triple")
+      i += 2
+      val tt: TermPat = (a, b, c) match {
+        case (Left(x), Left(y), Left(z)) => TConst(ttOf(x, y, z))
+        case _ =>
+          ttCounter += 1
+          val nv = "__tt" + ttCounter
+          val (ca, cb, cc) =
+            (a.fold(t => RowExpr(_ => TermCols.const(t)), identity),
+              b.fold(t => RowExpr(_ => TermCols.const(t)), identity),
+              c.fold(t => RowExpr(_ => TermCols.const(t)), identity))
+          tmplExts += (nv -> RowExpr(v => SF.tripleFn(ca(v), cb(v), cc(v))))
+          TVar(nv)
+      }
+      out += TriplePattern(reif, TConst(Term.iri(RdfNs + "reifies")), tt)
+      reif
+    }
+    /** Annotation tail in a template: asserts the base triple (caller did)
+     * and reifies it per block. */
+    private def tmplAnnotation(subj: TermPat, pred: TermPat, obj: TermPat,
+        out: ListBuffer[TriplePattern]): Unit = {
+      def ttSlot(): TermPat = (subj, pred, obj) match {
+        case (TConst(x), TConst(y), TConst(z)) => TConst(ttOf(x, y, z))
+        case _ =>
+          ttCounter += 1
+          val nv = "__tt" + ttCounter
+          val (ca, cb, cc) = (pat2re(subj), pat2re(pred), pat2re(obj))
+          tmplExts += (nv -> RowExpr(v => SF.tripleFn(ca(v), cb(v), cc(v))))
+          TVar(nv)
+      }
+      var reifier: Option[TermPat] = None
+      var going = true
+      while (going) {
+        ws()
+        if (peekIs('~')) {
+          i += 1; ws()
+          val r =
+            if (peekIs('{') || peekIs('~') || peekIs('.') || peekIs(';') ||
+              peekIs(',') || peekIs('}')) tmplFreshB()
+            else termPat()
+          out += TriplePattern(r, TConst(Term.iri(RdfNs + "reifies")), ttSlot())
+          reifier = Some(r)
+        } else if (s.startsWith("{|", i)) {
+          i += 2
+          val r = reifier.getOrElse {
+            val fb = tmplFreshB()
+            out += TriplePattern(fb, TConst(Term.iri(RdfNs + "reifies")), ttSlot())
+            fb
+          }
+          ws()
+          if (!s.startsWith("|}", i)) tmplPredObjList(r, out)
+          ws()
+          if (!s.startsWith("|}", i)) fail("expected '|}' closing annotation")
+          i += 2
+          reifier = None
+        } else going = false
+      }
     }
     private def tmplCollection(out: ListBuffer[TriplePattern]): TermPat = {
       i += 1; ws()
@@ -253,8 +394,10 @@ object Parser {
           if (peekVar) TVar(varName()) else TConst(Term.iri(iriOnly()))
         var moreObjs = true
         while (moreObjs) {
-          out += TriplePattern(subj, pred, tmplSlot(out))
+          val obj = tmplSlot(out)
+          out += TriplePattern(subj, pred, obj)
           ws()
+          tmplAnnotation(subj, pred, obj, out)
           if (peekIs(',')) i += 1 else moreObjs = false
         }
         ws()
@@ -367,8 +510,8 @@ object Parser {
               else goingU = false
             }
             expectKw("WHERE")
-            out += Parser.UpdateModify(del, ins, groupGraphPattern(), withG,
-              usingD.toList, usingN.toList)
+            out += Parser.UpdateModify(del, ins, applyTmplExts(groupGraphPattern()),
+              withG, usingD.toList, usingN.toList)
           }
         } else if (kwAhead("CLEAR") || kwAhead("DROP")) {
           val drop = kwAhead("DROP")
@@ -508,7 +651,9 @@ object Parser {
         }
         ks.toList
       } else Nil
-      val selExprs = proj.collect { case SelExpr(v, e) => v -> e }
+      val selExprs = proj.collect { case SelExpr(v, e, _, _) => v -> e }
+      val aggSelExprs = proj.collect { case SelExpr(v, e, true, _) => v -> e }
+      val postSelExprs = proj.collect { case SelExpr(v, e, false, _) => v -> e }
       val grouped = groupKeys.nonEmpty || sawAgg
       // parse HAVING before finalizing the Group: an inline aggregate in
       // the constraint — HAVING(COUNT(?x) > 5) — must be HOISTED into the
@@ -534,10 +679,34 @@ object Parser {
       if (havingAgg && !grouped)
         fail("HAVING with an aggregate requires GROUP BY or an aggregated SELECT")
       if (grouped) {
+        // `(expr AS ?v)` must not redefine a var the GROUP BY exposes
+        // (SPARQL §19.8 "in-scope" rule; group-by-scope syntax tests)
+        selExprs.map(_._1).find(groupKeys.contains).foreach(v =>
+          fail(s"SELECT expression reuses in-scope variable ?$v from GROUP BY"))
+        // grouped-query projection scope (SPARQL §19.8): a projected var
+        // must be a group key (or an earlier AS alias), and a
+        // non-aggregate SELECT expression may only reference group keys
+        // and earlier aliases. Vars inside aggregate arguments are exempt
+        // (their refs were dropped by noNestedAgg's log rollback).
+        val visible = scala.collection.mutable.Set[String](groupKeys: _*)
+        proj.foreach {
+          case SelVar(v) =>
+            if (!visible.contains(v))
+              fail(s"SELECT variable ?$v is not a GROUP BY key in a grouped query")
+          case SelExpr(v, _, true, _) => visible += v
+          case SelExpr(v, _, false, refs) =>
+            refs.find(r => !visible.contains(r)).foreach(r =>
+              fail(s"variable ?$r in SELECT expression is neither grouped nor an earlier alias"))
+            visible += v
+        }
         val aggs =
-          if (havingAgg) selExprs :+ ("__having" -> havingExpr.get)
-          else selExprs
+          if (havingAgg) aggSelExprs :+ ("__having" -> havingExpr.get)
+          else aggSelExprs
         op = Group(groupKeys, aggs, op)
+        // non-aggregate select expressions evaluate ABOVE the group, in
+        // projection order, so they can reference earlier AS aliases
+        // (e.g. (COUNT(?v) AS ?c) (?c+1 AS ?d))
+        postSelExprs.foreach { case (v, e) => op = Extend(v, e, op) }
         havingExpr.foreach { c =>
           op = if (havingAgg) Filter(RowExpr(v => v("__having")), op) else Filter(c, op)
         }
@@ -600,7 +769,7 @@ object Parser {
         hiddenOrd = ordExtends.map(_._1).toList
       }
 
-      val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _) => v }
+      val projVars = proj.map { case SelVar(v) => v; case SelExpr(v, _, _, _) => v }
       def applyProject(): Unit = {
         if (projVars.nonEmpty) op = Project(projVars, op)
         else if (hiddenOrd.nonEmpty || hiddenGroupExpr || usedHiddenVars) {
@@ -650,7 +819,8 @@ object Parser {
     // ---- projection
     private sealed trait Sel
     private case class SelVar(v: String) extends Sel
-    private case class SelExpr(v: String, e: RowExpr) extends Sel
+    private case class SelExpr(v: String, e: RowExpr, agg: Boolean,
+        refs: List[String] = Nil) extends Sel
 
     private def projection(): List[Sel] = {
       val out = ListBuffer[Sel]()
@@ -662,11 +832,21 @@ object Parser {
         if (peekVar) out += SelVar(varName())
         else if (peekIs('(')) {
           expect('(')
+          // track whether THIS expression contains an aggregate: a
+          // non-aggregate select expression in a grouped query evaluates
+          // ABOVE the Group (it may reference earlier AS aliases —
+          // AlgebraGenerator's projectionExtends order)
+          val sawBefore = sawAgg
+          val refMark = exprVarRefs.length
+          sawAgg = false
           val e = expression()
+          val exprAgg = sawAgg
+          sawAgg = sawBefore || sawAgg
+          val refs = exprVarRefs.drop(refMark).toList
           expectKw("AS")
           val v = varName()
           expect(')')
-          out += SelExpr(v, e)
+          out += SelExpr(v, e, exprAgg, refs)
         } else going = false
       }
       if (out.isEmpty) fail("empty SELECT projection")
@@ -846,10 +1026,24 @@ object Parser {
       val pendingExt = ListBuffer[(String, RowExpr)]()
       val pendingFil = ListBuffer[RowExpr]()
       def flushInto(next: Option[Op]): Unit = {
+        // vars the BGP/path pieces bind directly — a pending accessor
+        // Extend for one of those must become a unification Filter instead
+        // (e.g. `<<?s ?p :o>> ?p ?z`: ?p is extracted from the triple term
+        // AND matched as the outer predicate; the accessor decision was
+        // made before the outer slots were parsed)
+        val pieceVars: Set[String] =
+          (bgp.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++ next.toSeq.flatMap {
+            case PathPattern(s2, _, o2) => Seq(s2, o2)
+            case _ => Nil
+          }).collect { case TVar(n) => n }.toSet
         val pieces = (if (bgp.nonEmpty) Seq(Bgp(bgp.toList)) else Nil) ++ next.toSeq
         bgp.clear()
         pieces.foreach(p => op = Some(op.map(Join(_, p)).getOrElse(p)))
-        pendingExt.foreach { case (v, e) => op = Some(Extend(v, e, op.get)) }
+        pendingExt.foreach { case (v, e) =>
+          if (pieceVars(v))
+            op = Some(Filter(RowExpr(r => r(v) === e(r)), op.get))
+          else op = Some(Extend(v, e, op.get))
+        }
         pendingFil.foreach(f => op = Some(Filter(f, op.get)))
         pendingExt.clear()
         pendingFil.clear()
@@ -858,17 +1052,178 @@ object Parser {
         p match { case TVar(n) => chunkVars += n; case _ => }
         p
       }
-      // (pattern, had a variable-bearing quoted triple)
+      // (pattern, needs a chunk flush — quoted/reified forms bind hidden
+      // vars that later patterns must see joined in)
       def slotPat(): (TermPat, Boolean) = {
         ws()
-        if (s.startsWith("<<", i) && quotedTripleHasVars) {
-          val (tv, exts, fils) = quotedTriplePattern(chunkVars)
-          pendingExt ++= exts
-          pendingFil ++= fils
-          (tv, true)
-        } else if (peekIs('(')) (collectionPat(), false)
+        if (s.startsWith("<<(", i)) {
+          ttComp() match {
+            case CC(t) => (TConst(t), false)
+            case CN(a, b, c) =>
+              val tv = freshQt()
+              emitTTBindings(tv, a, b, c)
+              (TVar(tv), true)
+            case CV(n) => (TVar(n), true) // cannot arise from '<<('
+          }
+        } else if (s.startsWith("<<", i)) (reifiedPattern(), true)
+        else if (peekIs('(')) (collectionPat(), false)
         else if (peekIs('[')) (bnodePropListPat(), false)
         else (note(termPat()), false)
+      }
+      /** Fresh hidden var over an opaque triple-term column. */
+      def freshQt(): String = {
+        qtCounter += 1
+        val tv = "__qt" + qtCounter
+        hiddenVars += tv
+        chunkVars += tv
+        tv
+      }
+      /** One component of a triple-term/reified-triple pattern: a var, a
+       * constant, a NESTED var-bearing triple term, or a nested reified
+       * triple (whose value is its reifier node). */
+      def ttComp(predSlot: Boolean = false): TTComp = {
+        ws()
+        if (s.startsWith("<<(", i)) {
+          i += 3
+          val a = ttComp(); val b = ttComp(predSlot = true); val c = ttComp()
+          ws()
+          if (!s.startsWith(")>>", i)) fail("expected ')>>' closing triple term")
+          i += 3
+          (a, b, c) match {
+            case (CC(x), CC(y), CC(z)) => CC(ttOf(x, y, z))
+            case _ => CN(a, b, c)
+          }
+        } else if (s.startsWith("<<", i)) {
+          reifiedPattern() match {
+            case TVar(n) => CV(n)
+            case TConst(t) => CC(t)
+          }
+        } else if (peekIs('[')) {
+          // ANON `[]` inside a triple-term/reified pattern: a fresh
+          // non-distinguished variable (property lists are not in the
+          // ReifiedTriple/TripleTerm grammar — only bare blank nodes).
+          // Never legal in the PREDICATE slot (Verb is var | iri only).
+          if (predSlot) fail("a blank node cannot be a predicate")
+          i += 1; ws()
+          if (!peekIs(']')) fail("only '[]' (no property list) is allowed here")
+          i += 1
+          qtCounter += 1
+          val hv = "__an" + qtCounter
+          hiddenVars += hv
+          chunkVars += hv
+          CV(hv)
+        } else if (aKeywordAhead) { i += 1; CC(Term.iri(RdfNs + "type")) }
+        else termPat() match {
+          case TVar(n) => CV(n)
+          case TConst(t) => CC(t)
+        }
+      }
+      /** Bind/unify the components of the triple term held in hidden var
+       * `tv` via the SUBJECT/PREDICATE/OBJECT accessors — the
+       * set-at-a-time twin of the reference's per-binding term
+       * unification (SolverRX3.java:95–110). Fresh vars Extend, vars
+       * already seen in the chunk Filter-unify, constants Filter-match;
+       * nested triple terms recurse through a fresh hidden var. */
+      def emitTTBindings(tv: String, a: TTComp, b: TTComp, c: TTComp): Unit = {
+        pendingFil += RowExpr(v => SF.isTripleFn(v(tv)))
+        def comp(cp: TTComp, acc: Column => Column): Unit = cp match {
+          case CV(nm) =>
+            if (chunkVars(nm)) pendingFil += RowExpr(v => v(nm) === acc(v(tv)))
+            else {
+              chunkVars += nm
+              pendingExt += (nm -> RowExpr(v => acc(v(tv))))
+            }
+          case CC(t) => pendingFil += RowExpr(v => acc(v(tv)) === TermCols.const(t))
+          case CN(x, y, z) =>
+            val nv = freshQt()
+            pendingExt += (nv -> RowExpr(v => acc(v(tv))))
+            emitTTBindings(nv, x, y, z)
+        }
+        comp(a, SF.subjectFn); comp(b, SF.predicateFn); comp(c, SF.objectFn)
+      }
+      /** SPARQL 1.2 annotation tail after a pattern triple:
+       * `( '~' reifier? )? ( '{|' predicateObjectList '|}' )*` — each
+       * block matches `reifier rdf:reifies <triple term of (s,p,o)>` plus
+       * the annotation patterns on the reifier. Returns whether anything
+       * was parsed (caller flushes the chunk). */
+      def patAnnotation(subj: TermPat, pred: TermPat, obj: TermPat): Boolean = {
+        def asComp(p: TermPat): TTComp = p match {
+          case TVar(n) => CV(n)
+          case TConst(t) => CC(t)
+        }
+        def ttPat(): TermPat = (subj, pred, obj) match {
+          case (TConst(x), TConst(y), TConst(z)) => TConst(ttOf(x, y, z))
+          case _ =>
+            val tv = freshQt()
+            emitTTBindings(tv, asComp(subj), asComp(pred), asComp(obj))
+            TVar(tv)
+        }
+        var any = false
+        var reifier: Option[TermPat] = None
+        var going = true
+        while (going) {
+          ws()
+          if (peekIs('~')) {
+            i += 1; ws()
+            val r: TermPat =
+              if (peekIs('{') || peekIs('~') || peekIs('.') || peekIs(';') ||
+                peekIs(',') || peekIs('}')) {
+                rfCounter += 1
+                val hv = "__rf" + rfCounter; hiddenVars += hv; TVar(hv)
+              } else note(termPat())
+            bgp += TriplePattern(r, TConst(Term.iri(RdfNs + "reifies")), ttPat())
+            reifier = Some(r)
+            any = true
+          } else if (s.startsWith("{|", i)) {
+            i += 2
+            val r = reifier.getOrElse {
+              rfCounter += 1
+              val hv = "__rf" + rfCounter; hiddenVars += hv
+              val fresh = TVar(hv)
+              bgp += TriplePattern(fresh, TConst(Term.iri(RdfNs + "reifies")), ttPat())
+              fresh
+            }
+            ws()
+            if (!s.startsWith("|}", i)) parsePredObjList(r, subjQt = false)
+            ws()
+            if (!s.startsWith("|}", i)) fail("expected '|}' closing annotation")
+            i += 2
+            reifier = None
+            any = true
+          } else going = false
+        }
+        any
+      }
+      /** SPARQL 1.2 reified triple pattern `<< s p o ( ~ reifier )? >>`:
+       * adds `reifier rdf:reifies <triple term>` to the BGP and stands for
+       * the reifier node (a fresh hidden — non-distinguished — var when
+       * `~` is absent, mirroring the reference's desugaring in
+       * ParserBase.createReifiedTriple). */
+      def reifiedPattern(): TermPat = {
+        i += 2 // '<<'
+        val a = ttComp(); val b = ttComp(predSlot = true); val c = ttComp()
+        ws()
+        val reif: TermPat =
+          if (peekIs('~')) {
+            i += 1; ws()
+            if (s.startsWith(">>", i)) { rfCounter += 1
+              val hv = "__rf" + rfCounter; hiddenVars += hv; TVar(hv) }
+            else note(termPat())
+          } else { rfCounter += 1
+            val hv = "__rf" + rfCounter; hiddenVars += hv; TVar(hv) }
+        ws()
+        if (!s.startsWith(">>", i)) fail("expected '>>' closing reified triple")
+        i += 2
+        val tt: TermPat = (a, b, c) match {
+          case (CC(x), CC(y), CC(z)) => TConst(ttOf(x, y, z))
+          case _ =>
+            val tv = freshQt()
+            emitTTBindings(tv, a, b, c)
+            TVar(tv)
+        }
+        reif match { case TVar(n) => chunkVars += n; case _ => }
+        bgp += TriplePattern(reif, TConst(Term.iri(RdfNs + "reifies")), tt)
+        reif
       }
       /** `( e1 e2 … )` in a pattern slot: desugars to hidden
        * non-distinguished variables over rdf:first/rdf:rest/rdf:nil
@@ -902,7 +1257,14 @@ object Parser {
       }
       def collItem(): TermPat = {
         ws()
-        if (peekIs('(')) collectionPat()
+        if (s.startsWith("<<(", i)) ttComp() match {
+          case CC(t) => TConst(t)
+          case CV(n) => TVar(n)
+          case CN(a, b, c) =>
+            val tv = freshQt(); emitTTBindings(tv, a, b, c); TVar(tv)
+        }
+        else if (s.startsWith("<<", i)) reifiedPattern()
+        else if (peekIs('(')) collectionPat()
         else if (peekIs('[')) bnodePropListPat()
         else note(termPat())
       }
@@ -933,12 +1295,17 @@ object Parser {
           var moreObjs = true
           while (moreObjs) {
             val (obj, objQt) = slotPat()
+            var annotated = false
             (predVar, pth) match {
-              case (Some(pv), _) => bgp += TriplePattern(subj, pv, obj)
-              case (None, PLink(iri)) => bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
+              case (Some(pv), _) =>
+                bgp += TriplePattern(subj, pv, obj)
+                annotated = patAnnotation(subj, pv, obj)
+              case (None, PLink(iri)) =>
+                bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
+                annotated = patAnnotation(subj, TConst(Term.iri(iri)), obj)
               case (None, other) => flushInto(Some(PathPattern(subj, other, obj)))
             }
-            if (subjQt || objQt) flushInto(None)
+            if (subjQt || objQt || annotated) flushInto(None)
             ws()
             if (peekIs(',')) i += 1 else moreObjs = false
           }
@@ -952,11 +1319,16 @@ object Parser {
       }
       var going = true
       while (going) {
+        ws()
+        val subjIsTT = s.startsWith("<<(", i)
         val (subj, subjQt) = slotPat()
         ws()
         // `[ p o ] .` — a subject-only statement is legal when the subject
-        // form itself produced patterns
+        // form itself produced patterns; a bare triple term is NOT (the
+        // grammar requires a propertyListNotEmpty after a TripleTerm)
         if (!peekIs('.') && !peekIs('}')) parsePredObjList(subj, subjQt)
+        else if (subjIsTT)
+          fail("a triple term cannot stand alone as a statement")
         ws()
         if (peekIs('.')) {
           i += 1; ws()
@@ -969,67 +1341,25 @@ object Parser {
       op.getOrElse(Bgp(Nil))
     }
 
-    /** Does the `<< … >>` starting at `i` contain a variable? (Scans past
-     * string literals; single `<`/`>` of IRIs do not affect nesting.) */
-    private def quotedTripleHasVars: Boolean = {
-      var j = i + 2
-      var depth = 1
-      while (j < s.length && depth > 0) {
-        if (s.startsWith("<<", j)) { depth += 1; j += 2 }
-        else if (s.startsWith(">>", j)) { depth -= 1; j += 2 }
-        else s.charAt(j) match {
-          case '"' =>
-            j += 1
-            while (j < s.length && s.charAt(j) != '"') {
-              if (s.charAt(j) == '\\') j += 2 else j += 1
-            }
-            j += 1
-          case '?' | '$' => return true
-          case _ => j += 1
-        }
-      }
-      false
-    }
+    /** Bare `a` (rdf:type) next, as a whole word (not a pname prefix)? */
+    private def aKeywordAhead: Boolean =
+      i < s.length && s.charAt(i) == 'a' &&
+        (i + 1 >= s.length || Character.isWhitespace(s.charAt(i + 1)) ||
+          "<(\"'?$".indexOf(s.charAt(i + 1)) >= 0)
 
     private var qtCounter = 0
+    private var rfCounter = 0
     private var collCounter = 0
     private var bplCounter = 0
     private var gvCounter = 0
     private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-    /** Variable-bearing quoted triple → internal term var + accessor
-     * binds/filters (see triplesBlock note). */
-    private def quotedTriplePattern(chunkVars: scala.collection.mutable.Set[String])
-        : (TermPat, List[(String, RowExpr)], List[RowExpr]) = {
-      i += 2
-      qtCounter += 1
-      val tv = "__qt" + qtCounter
-      hiddenVars += tv
-      val exts = ListBuffer[(String, RowExpr)]()
-      val fils = ListBuffer[RowExpr]()
-      fils += RowExpr(v => SF.isTripleFn(v(tv)))
-      def slot(acc: Column => Column): Unit = {
-        ws()
-        if (peekIs('?') || peekIs('$')) {
-          val nm = varName()
-          if (chunkVars(nm)) fils += RowExpr(v => v(nm) === acc(v(tv)))
-          else {
-            chunkVars += nm
-            exts += (nm -> RowExpr(v => acc(v(tv))))
-          }
-        } else {
-          val c = constTerm()
-          fils += RowExpr(v => acc(v(tv)) === TermCols.const(c))
-        }
-      }
-      slot(SF.subjectFn)
-      slot(SF.predicateFn)
-      slot(SF.objectFn)
-      ws()
-      if (!s.startsWith(">>", i)) fail("expected '>>'")
-      i += 2
-      (TVar(tv), exts.toList, fils.toList)
-    }
+    /** Component of a triple-term / reified-triple PATTERN: variable,
+     * constant, or nested var-bearing triple term. */
+    private sealed trait TTComp
+    private final case class CV(n: String) extends TTComp
+    private final case class CC(t: Term) extends TTComp
+    private final case class CN(a: TTComp, b: TTComp, c: TTComp) extends TTComp
 
     /** Rewrite a GRAPH ?v body: every BGP becomes a QuadBgp on the graph
      * var (shared across the body, so structure-preserving operators keep
@@ -1112,6 +1442,8 @@ object Parser {
         val vars = ListBuffer[String]()
         while (peekVar) vars += varName()
         expect(')')
+        if (vars.distinct.size != vars.size)
+          fail("duplicate variable in VALUES clause")
         expect('{')
         val rows = ListBuffer[Map[String, Term]]()
         ws()
@@ -1229,32 +1561,45 @@ object Parser {
       else TConst(constTerm())
     }
 
-    /** RDF-star quoted triple `<< s p o >>` (SPARQL 1.2 surface syntax) —
-     * CONSTANT components only, canonicalized to the engine's opaque
-     * triple-term text (matching the N-Triples `<<( … )>>` storage form,
-     * so pattern constants equi-match stored triple terms). Variables
-     * inside quoted triples raise: set-at-a-time unification through the
-     * opaque encoding is out of the supported subset. */
+    /** RDF 1.2 triple term `<<( s p o )>>` (SPARQL 1.2 TripleTerm
+     * production) — CONSTANT components only here (variable-bearing forms
+     * go through the pattern/expression paths), canonicalized to the
+     * engine's opaque triple-term text (matching the N-Triples storage
+     * form, so constants equi-match stored triple terms). */
     private def quotedTriple(): Term = {
-      i += 2 // '<<'
+      i += 3 // '<<('
       def slot(): Term = {
         ws()
         if (peekIs('?') || peekIs('$'))
-          fail("variables inside quoted triples are not supported (constants only)")
-        constTerm()
+          fail("variables are not allowed in a constant triple term here")
+        if (aKeywordAhead) { i += 1; Term.iri(RdfNs + "type") }
+        else constTerm()
       }
       val (ts, tp, to) = (slot(), slot(), slot())
       ws()
-      if (!s.startsWith(">>", i)) fail("expected '>>'")
-      i += 2
+      if (!s.startsWith(")>>", i)) fail("expected ')>>' closing triple term")
+      i += 3
+      // a CONSTANT triple term denotes an RDF 1.2 term: its subject must
+      // be an IRI or blank node (literals/triple terms cannot be subjects)
+      if (ts.kind != Term.KIND_IRI && ts.kind != Term.KIND_BNODE)
+        fail("triple-term subject must be an IRI or blank node")
+      if (tp.kind != Term.KIND_IRI)
+        fail("triple-term predicate must be an IRI")
+      ttOf(ts, tp, to)
+    }
+
+    /** Canonical triple-term constant from three component terms. */
+    private def ttOf(ts: Term, tp: Term, to: Term): Term =
       Term(Term.KIND_TRIPLE_TERM,
         "<<( " + ts.toNTriples + " " + tp.toNTriples + " " + to.toNTriples + " )>>",
         "", "")
-    }
 
     private def constTerm(): Term = {
       ws()
-      if (s.startsWith("<<", i)) quotedTriple()
+      if (s.startsWith("<<(", i)) quotedTriple()
+      else if (s.startsWith("<<", i))
+        fail("a reified triple << … >> is not a constant term (SPARQL 1.2: " +
+          "use <<( s p o )>> for the triple term; << >> is pattern sugar)")
       else if (peekIs('<')) Term.iri(iriRef())
       else if (peekIs('"') || peekIs('\'')) literal()
       else if (peekIs('_')) { expect('_'); expect(':'); Term.bnode(name()) }
@@ -1300,6 +1645,7 @@ object Parser {
           }
           if (i >= s.length) fail("unterminated long string")
           i += 3
+          checkCodepointEscapes(sb.toString)
           NTriplesEscape.unescape(sb.toString)
         } else {
           i += 1
@@ -1309,13 +1655,19 @@ object Parser {
             else { sb.append(s.charAt(i)); i += 1 }
           }
           i += 1
+          checkCodepointEscapes(sb.toString)
           NTriplesEscape.unescape(sb.toString)
         }
       if (peekIs('@')) {
         i += 1
         val st = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
-        Term.langLit(lex, s.substring(st, i))
+        val tag = s.substring(st, i)
+        // RDF 1.2 LANGTAG: optional '--dir' suffix, dir ∈ {ltr, rtl}
+        val di = tag.indexOf("--")
+        if (di >= 0 && tag.substring(di + 2) != "ltr" && tag.substring(di + 2) != "rtl")
+          fail(s"invalid base direction '${tag.substring(di + 2)}' (must be ltr or rtl)")
+        Term.langLit(lex, tag)
       } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
         i += 2
         Term.lit(lex, iriOnly())
@@ -1527,6 +1879,8 @@ object Parser {
             sa === sb2, la === lb,
             when(ta.isNull || tb.isNull, err) // unbound/eval-error operand
               .when(ta === tb, true)
+              .when(SF.isTripleFn(ta) && SF.isTripleFn(tb), // SPARQL 1.2:
+                SF.tripleValueEq(ta, tb)) // component-wise value equality
               .when(bothLit && unknownSpace && langnessDiffers, false)
               .when(bothLit && (unknownSpace || samePrimTemporal), err)
               .otherwise(false))
@@ -1536,6 +1890,8 @@ object Parser {
             sa =!= sb2, la =!= lb,
             when(ta.isNull || tb.isNull, err) // unbound/eval-error operand
               .when(ta === tb, false)
+              .when(SF.isTripleFn(ta) && SF.isTripleFn(tb),
+                !SF.tripleValueEq(ta, tb))
               .when(bothLit && unknownSpace && langnessDiffers, true)
               .when(bothLit && (unknownSpace || samePrimTemporal), err)
               .otherwise(true))
@@ -1625,7 +1981,28 @@ object Parser {
     private def primaryE(): Ex = {
       ws()
       if (peekIs('(')) { expect('('); val e = exprE(); expect(')'); e }
-      else if (peekVar) { val v = varName(); Ex(RowExpr(r => r(v)), KTerm) }
+      else if (peekVar) { val v = varName(); exprVarRefs += v; Ex(RowExpr(r => r(v)), KTerm) }
+      else if (s.startsWith("<<(", i)) {
+        // SPARQL 1.2 ExprTripleTerm: `<<( c1 c2 c3 )>>` over vars/consts —
+        // compiles to the TRIPLE(…) constructor (SF.tripleFn), which
+        // yields NULL (eval error) for an ill-formed subject/predicate.
+        // A constant literal or nested triple term in the SUBJECT slot is
+        // a SYNTAX error (the ExprTripleTerm grammar): reject at parse
+        i += 3
+        ws()
+        if (peekIs('"') || peekIs('\'') || s.startsWith("<<(", i) ||
+          (i < s.length && (s.charAt(i).isDigit || ((peekIs('-') || peekIs('+')) &&
+            i + 1 < s.length && s.charAt(i + 1).isDigit))) ||
+          kwAhead("TRUE") || kwAhead("FALSE"))
+          fail("triple-term subject must be an IRI, blank node, or variable")
+        val se = primaryE(); ws()
+        val pe = primaryE(); ws()
+        val oe = primaryE(); ws()
+        if (!s.startsWith(")>>", i)) fail("expected ')>>' closing triple term")
+        i += 3
+        val (st, pt, ot) = (se.asTermE, pe.asTermE, oe.asTermE)
+        Ex(RowExpr(v => SF.tripleFn(st(v), pt(v), ot(v))), KTerm)
+      }
       else if (peekIs('"') || peekIs('\'') || peekIs('<') || (i < s.length && s.charAt(i).isDigit) ||
         ((peekIs('-') || peekIs('+')) && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
         val t = constTerm()
@@ -1666,7 +2043,7 @@ object Parser {
      * struct. Drives the Ex kind so EBV/term wraps land correctly. */
     private val boolFns = Set("REGEX", "BOUND", "SAMETERM", "ISIRI", "ISURI",
       "ISBLANK", "ISLITERAL", "ISNUMERIC", "ISTRIPLE", "CONTAINS",
-      "STRSTARTS", "STRENDS", "LANGMATCHES")
+      "STRSTARTS", "STRENDS", "LANGMATCHES", "HASLANG", "HASLANGDIR")
 
     private def functionCallE(): Ex = {
       val save = i
@@ -1724,11 +2101,25 @@ object Parser {
         expect(')')
         out.toList
       }
-      // `(DISTINCT? expr)` — the aggregate-argument form
+      // `(DISTINCT? expr)` — the aggregate-argument form. An aggregate
+      // inside an aggregate's argument is illegal (SPARQL §19.8 grammar
+      // note; the reference's AggregatorFactory check). Variables inside
+      // the argument are NOT subject to the group-key scope rule, so
+      // their refs are dropped from the expression-var log.
+      def noNestedAgg[A](parse: => A): A = {
+        val outer = sawAgg
+        val refMark = exprVarRefs.length
+        sawAgg = false
+        val r = parse
+        if (sawAgg) fail("aggregate functions cannot be nested")
+        sawAgg = outer
+        exprVarRefs.remove(refMark, exprVarRefs.length - refMark)
+        r
+      }
       def aggArg(): (RowExpr, Boolean) = {
         expect('('); ws()
         val d = eatKw("DISTINCT")
-        val a = expression()
+        val a = noNestedAgg(expression())
         expect(')')
         (a, d)
       }
@@ -1743,10 +2134,11 @@ object Parser {
               if (peekIs('*')) { // COUNT(DISTINCT *): distinct solution rows
                 i += 1
                 RowExpr(v => TermCols.intTerm(count_distinct(v("*"))))
-              } else { val a = expression()
+              } else { val a = noNestedAgg(expression())
                 RowExpr(v => TermCols.intTerm(count_distinct(a(v)))) }
             }
-            else { val a = expression(); RowExpr(v => TermCols.intTerm(count(a(v)))) }
+            else { val a = noNestedAgg(expression())
+              RowExpr(v => TermCols.intTerm(count(a(v)))) }
           expect(')'); e
         case "SUM" => sawAgg = true; val (a, d) = aggArg()
           RowExpr(v => if (d) SparqlAggregates.sumDistinctAgg(a(v))
@@ -1762,7 +2154,7 @@ object Parser {
         case "GROUP_CONCAT" => sawAgg = true;
           expect('('); ws()
           val distinctG = eatKw("DISTINCT")
-          val a = expression()
+          val a = noNestedAgg(expression())
           val sep = if ({ ws(); peekIs(';') }) {
             i += 1; ws(); expectKw("SEPARATOR"); expect('='); ws(); literal().lex
           } else " "
@@ -1777,6 +2169,9 @@ object Parser {
           RowExpr(v => SparqlAggregates.foldList(a(v)))
         case "STR" => val a = args(1).head; RowExpr(v => SF.str(a(v)))
         case "LANG" => val a = args(1).head; RowExpr(v => SF.langFn(a(v)))
+        case "LANGDIR" => val a = args(1).head; RowExpr(v => SF.langDirFn(a(v)))
+        case "HASLANG" => val a = args(1).head; RowExpr(v => SF.hasLangFn(a(v)))
+        case "HASLANGDIR" => val a = args(1).head; RowExpr(v => SF.hasLangDirFn(a(v)))
         case "DATATYPE" =>
           expect('(')
           val a = exprE()
@@ -1842,6 +2237,8 @@ object Parser {
         case "ENCODE_FOR_URI" => val a = args(1).head; RowExpr(v => SF.encodeForUri(a(v)))
         case "STRDT" => val as = args(2); RowExpr(v => SF.strdt(as(0)(v), as(1)(v)))
         case "STRLANG" => val as = args(2); RowExpr(v => SF.strlang(as(0)(v), as(1)(v)))
+        case "STRLANGDIR" => val as = args(3)
+          RowExpr(v => SF.strlangdir(as(0)(v), as(1)(v), as(2)(v)))
         case "BNODE" =>
           expect('(')
           ws()
@@ -2016,6 +2413,33 @@ object Parser {
       while (i < s.length && s.charAt(i).isDigit) i += 1
       s.substring(st, i).toLong
     }
+    /** Reject `\\u`/`\\U` escapes denoting surrogate code points
+     * (U+D800–U+DFFF): SPARQL 1.2 forbids them even as a high/low pair —
+     * escapes denote code POINTS, and surrogates are not RDF characters
+     * (the reference's EscapeStr checkers). */
+    private def checkCodepointEscapes(raw: String): Unit = {
+      var j = 0
+      while (j < raw.length) {
+        if (raw.charAt(j) == '\\' && j + 1 < raw.length) {
+          raw.charAt(j + 1) match {
+            case 'u' if j + 6 <= raw.length =>
+              val cp = try Integer.parseInt(raw.substring(j + 2, j + 6), 16)
+                       catch { case _: NumberFormatException => fail("bad \\u escape") }
+              if (cp >= 0xD800 && cp <= 0xDFFF)
+                fail(f"surrogate code point escape \\u$cp%04X is not legal")
+              j += 6
+            case 'U' if j + 10 <= raw.length =>
+              val cp = try java.lang.Long.parseLong(raw.substring(j + 2, j + 10), 16)
+                       catch { case _: NumberFormatException => fail("bad \\U escape") }
+              if (cp >= 0xD800L && cp <= 0xDFFFL)
+                fail(f"surrogate code point escape \\U$cp%08X is not legal")
+              j += 10
+            case _ => j += 2
+          }
+        } else j += 1
+      }
+    }
+
     private def iriRef(): String = {
       ws()
       expect('<')
@@ -2023,6 +2447,7 @@ object Parser {
       if (close < 0) fail("unterminated IRI")
       val body = s.substring(i, close)
       i = close + 1
+      checkCodepointEscapes(body)
       val full = NTriplesEscape.unescape(body)
       if (base.nonEmpty && !full.contains(":")) graft.normalize.Iri.resolve(base, full)
       else full
@@ -2058,6 +2483,16 @@ object Parser {
           expect(':')
           prefixes(pfx) = iriRef()
         } else if (eatKw("BASE")) base = iriRef()
+        else if (eatKw("VERSION")) {
+          // SPARQL 1.2 VersionDecl: `VERSION "1.2"` — accepted and
+          // recorded nowhere (the engine implements the 1.2 surface)
+          ws()
+          if (!peekIs('"') && !peekIs('\'')) fail("VERSION needs a string literal")
+          // the VersionSpecifier production takes only SHORT string forms
+          if (s.startsWith("\"\"\"", i) || s.startsWith("'''", i))
+            fail("VERSION takes a short string literal")
+          literal()
+        }
         else going = false
       }
     }

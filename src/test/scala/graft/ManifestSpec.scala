@@ -35,6 +35,7 @@ class ManifestSpec extends AnyFunSuite {
 
   private val SP10 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql10"
   private val SP11 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql11"
+  private val SP12 = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql12"
 
   /** suite dir → (test name → triage reason) for the known gaps. */
   private val suites: Seq[(String, Map[String, String])] = Seq(
@@ -101,6 +102,22 @@ class ManifestSpec extends AnyFunSuite {
     "move" -> Map.empty,
     "update-silent" -> Map.empty)
 
+  /** SPARQL 1.2 suites (RDF 1.2: triple terms `<<( )>>`, reified triples
+   * `<< >>` → rdf:reifies, annotation syntax `{| |}`, dirLangString
+   * `@en--ltr`, VERSION, codepoint-escape rules) — evaluation AND
+   * Positive/NegativeSyntaxTest cases all execute. */
+  private val suites12: Seq[(String, Map[String, String])] = Seq(
+    "eval-triple-terms" -> Map.empty,
+    "expression" -> Map.empty,
+    "grouping" -> Map.empty,
+    "rdf11" -> Map.empty,
+    "lang-basedir" -> Map.empty,
+    "syntax" -> Map.empty,
+    "syntax-triple-terms-positive" -> Map.empty,
+    "syntax-triple-terms-negative" -> Map.empty,
+    "version" -> Map.empty,
+    "codepoint-escapes" -> Map.empty)
+
   private var totalPassed = 0
 
   private def runSuite(name: String, manifest: String,
@@ -119,6 +136,8 @@ class ManifestSpec extends AnyFunSuite {
     runSuite(s"W3C sparql10/$dir manifest", s"$SP10/$dir/manifest.ttl", skips) }
   suites11.foreach { case (dir, skips) =>
     runSuite(s"W3C sparql11/$dir manifest", s"$SP11/$dir/manifest.ttl", skips) }
+  suites12.foreach { case (dir, skips) =>
+    runSuite(s"W3C sparql12/$dir manifest", s"$SP12/$dir/manifest.ttl", skips) }
 
   test("ARQ EngineMain manifest") {
     val skips = Map("Filter placement in BGPs with property function" ->
@@ -128,7 +147,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(!results.exists(_.outcome.isInstanceOf[GoldenRunner.Failed]))
   }
 
-  test("coverage floor: at least 590 reference-derived cases pass") {
-    assert(totalPassed >= 590, s"only $totalPassed W3C cases passed")
+  test("coverage floor: at least 850 reference-derived cases pass") {
+    assert(totalPassed >= 850, s"only $totalPassed W3C cases passed")
   }
 }

@@ -299,7 +299,7 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(lexes(q2, "n").toSet == Set("Alice", "Bob", "Carol"))
   }
 
-  test("RDF-star quoted triple constants match stored triple terms") {
+  test("RDF 1.2 triple-term constants <<( )>> match stored triple terms") {
     import graft.model.Quad
     val stmt = Term(Term.KIND_TRIPLE_TERM,
       s"""<<( <${EX}alice> <${EX}age> "30"^^<${Term.XSD_INTEGER}> )>>""", "", "")
@@ -310,7 +310,7 @@ class SparqlParserSpec extends AnyFunSuite {
     val q = s"""
       PREFIX ex: <$EX>
       SELECT ?c ?w WHERE {
-        ?c ex:states << ex:alice ex:age 30 >> .
+        ?c ex:states <<( ex:alice ex:age 30 )>> .
         ?c ex:by ?w }"""
     val rows = Compiler.compile(Parser.parse(q), g2).collect()
     assert(rows.length == 1)
@@ -328,7 +328,7 @@ class SparqlParserSpec extends AnyFunSuite {
     val varQ = s"""
       PREFIX ex: <$EX>
       SELECT ?x ?w WHERE {
-        ?c ex:states << ?x ex:age 30 >> .
+        ?c ex:states <<( ?x ex:age 30 )>> .
         ?c ex:by ?w }"""
     val vr = Compiler.compile(Parser.parse(varQ), g2).collect()
     assert(vr.length == 1)
@@ -337,11 +337,11 @@ class SparqlParserSpec extends AnyFunSuite {
     // non-matching constant component inside the quoted pattern → no rows
     val miss = s"""
       PREFIX ex: <$EX>
-      SELECT ?x WHERE { ?c ex:states << ?x ex:height 30 >> }"""
+      SELECT ?x WHERE { ?c ex:states <<( ?x ex:height 30 )>> }"""
     assert(Compiler.compile(Parser.parse(miss), g2).count() == 0)
     // SELECT * must not leak the internal __qt var
     val star = Compiler.compile(Parser.parse(
-      s"""PREFIX ex: <$EX> SELECT * WHERE { ?c ex:states << ?x ex:age 30 >> }"""), g2)
+      s"""PREFIX ex: <$EX> SELECT * WHERE { ?c ex:states <<( ?x ex:age 30 )>> }"""), g2)
     assert(!star.columns.exists(_.startsWith("__")))
   }
 
