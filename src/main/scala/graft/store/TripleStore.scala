@@ -82,8 +82,15 @@ object TripleStore {
     val spo = spark.read.parquet(s"$snapshotDir/spo")
     val total = spo.count()
 
+    // POS/OSP carry the 12 term columns only: the query read path
+    // (Compiler.scanPattern) never touches repo/lang on the secondary
+    // layouts, the struct fallback and lineage read SPO — so the two
+    // derived range shuffles move ~15% fewer bytes per row, which is pure
+    // win on the memory-bandwidth-bound materialize stage (BASELINE.md
+    // per-stage split).
     def sortedWrite(name: String, keys: Seq[String]): Unit =
-      spo.repartitionByRange(partitions, keys.map(col): _*)
+      spo.select(termCols.map(col): _*)
+        .repartitionByRange(partitions, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$snapshotDir/$name")
@@ -153,8 +160,11 @@ object TripleStore {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
+    // repo/lang ride only the primary SPO layout (decodeEncoded's default);
+    // the id-BGP read path (Compiler.scanBgp) projects the three id columns
     def idWrite(name: String, keys: Seq[String]): Unit =
-      facts.select("s_id", "p_id", "o_id", "repo", "lang")
+      facts.select(Seq("s_id", "p_id", "o_id") ++
+          (if (name == "spo") Seq("repo", "lang") else Nil) map col: _*)
         .repartitionByRange(partitions, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$name")
