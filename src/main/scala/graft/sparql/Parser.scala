@@ -50,7 +50,7 @@ object Parser {
   /** DESCRIBE <iri>... | DESCRIBE ?v [WHERE {...}] — resources to slice
    * (concise bounded description) either named directly or bound by the
    * pattern. */
-  final case class DescribeQ(iris: Seq[String], v: Option[String],
+  final case class DescribeQ(iris: Seq[String], vars: Seq[String],
                              where: Option[Op]) extends QueryForm
 
   /** Parsed SPARQL Update operations (reference AST: update/Update*.java;
@@ -122,6 +122,76 @@ object Parser {
     private val hiddenVars = scala.collection.mutable.Set[String]()
     private def usedHiddenVars: Boolean = hiddenVars.nonEmpty
 
+    /** Basic-graph-pattern scope for blank-node labels: a label may be
+     * used in ONE BGP only (SPARQL §19.6; the reference rejects reuse
+     * across OPTIONAL/UNION/GRAPH/groups — syntax-sparql4 syn-bad-3x).
+     * The scope id bumps at every group entry and after every non-triples
+     * element except FILTER (filters do not delimit a BGP). */
+    private var bgpScopeCtr = 0
+    private var bgpScope = 0
+    private def newBgpScope(): Unit = { bgpScopeCtr += 1; bgpScope = bgpScopeCtr }
+    private val bnodeLabelScope = scala.collection.mutable.Map[String, Int]()
+
+    /** In-scope variables of a parsed pattern (SPARQL §18.2.1) — drives
+     * the BIND / `(expr AS ?v)` "target must not already be in scope"
+     * rejections (the reference's checks in SyntaxVarScope). */
+    private def opVars(op: Op): Set[String] = {
+      def pv(ps: Seq[TermPat]): Set[String] =
+        ps.collect { case TVar(n) => n }.toSet
+      op match {
+        case Bgp(ps) => pv(ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)))
+        case PathPattern(s0, _, o0) => pv(Seq(s0, o0))
+        case QuadBgp(g, ps) => pv(Seq(g) ++ ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)))
+        case GraphScope(_, in) => opVars(in)
+        case GraphVarEnum(v, in) => opVars(in) + v
+        case Project(vs, _) => vs.toSet
+        case Filter(_, in) => opVars(in)
+        case Extend(v, _, in) => opVars(in) + v
+        case Table(vs, rows) => vs.toSet ++ rows.flatMap(_.keys)
+        case Join(l, r) => opVars(l) ++ opVars(r)
+        case LeftJoin(l, r, _) => opVars(l) ++ opVars(r)
+        case SemiJoin(l, _) => opVars(l)
+        case AntiJoin(l, _) => opVars(l)
+        case Minus(l, _) => opVars(l)
+        case ExistsFlag(v, _, in) => opVars(in) + v
+        case DropVars(vs, in) => opVars(in) -- vs
+        case Lateral(l, r) => opVars(l) ++ opVars(r)
+        case Unfold(_, ov, iv, in) => opVars(in) + ov ++ iv
+        case Group(keys, aggs, _) => keys.toSet ++ aggs.map(_._1)
+        case Order(_, in) => opVars(in)
+        case Slice(_, _, in) => opVars(in)
+        case Distinct(in) => opVars(in)
+        case Reduced(in) => opVars(in)
+        case Union(l, r) => opVars(l) ++ opVars(r)
+        case DatasetNames(g) => pv(Seq(g))
+        case DatasetClause(_, _, in) => opVars(in)
+        case Label(_, in) => opVars(in)
+        case Null => Set.empty
+        case ExtOp(_, vs, in) => opVars(in) ++ vs
+      }
+    }
+
+    /** Does a TERM (a possible triple subject) begin at the cursor? Drives
+     * the strict "triples must be '.'-separated" rejections. */
+    private def peekTermStart: Boolean = {
+      ws()
+      peekVar || peekIs('<') || peekIs('_') || peekIs('"') || peekIs('\'') ||
+        peekIs('(') || peekIs('[') || peekIs(':') ||
+        (i < s.length && (s.charAt(i).isDigit ||
+          ((s.charAt(i) == '+' || s.charAt(i) == '-') && i + 1 < s.length &&
+            s.charAt(i + 1).isDigit))) ||
+        kwAhead("true") || kwAhead("false") || peekPrefixedName()
+    }
+
+    /** Does a VERB (property-path start) begin at the cursor? A dangling
+     * ';' or a subject-only statement is followed by something else. */
+    private def peekVerbStart: Boolean = {
+      ws()
+      peekVar || aKeywordAhead || (peekIs('<') && !s.startsWith("<<", i)) ||
+        peekIs(':') || peekIs('(') || peekIs('^') || peekIs('!') ||
+        peekPrefixedName()
+    }
+
     /** Non-null while parsing a FILTER constraint: each expression-level
      * [NOT] EXISTS{…} registers an `ExistsFlag` wrapper here and reads a
      * hidden boolean var — sound at ANY polarity/position (||, !, IF,
@@ -185,21 +255,32 @@ object Parser {
       } else if (kwAhead("DESCRIBE")) {
         eatKw("DESCRIBE")
         ws()
-        if (peekVar) {
-          val v = varName()
-          val w = if (kwAhead("WHERE")) { eatKw("WHERE"); Some(groupGraphPattern()) }
-                  else None
-          ws()
-          if (i < s.length) fail("trailing content after DESCRIBE")
-          Parser.DescribeQ(Nil, Some(v), w)
-        } else {
-          val iris = ListBuffer[String]()
-          iris += iriOnly()
-          while ({ ws(); peekIs('<') || peekPrefixedName() }) iris += iriOnly()
-          ws()
-          if (i < s.length) fail("trailing content after DESCRIBE")
-          Parser.DescribeQ(iris.toList, None, None)
+        // DESCRIBE ( VarOrIri+ | '*' ) WhereClause? — vars and IRIs mix
+        // freely (syntax-sparql2 syntax-form-describe02)
+        val dVars = ListBuffer[String]()
+        val iris = ListBuffer[String]()
+        var star = false
+        if (peekIs('*')) { i += 1; star = true }
+        else {
+          var goingD = true
+          while (goingD) {
+            ws()
+            if (peekVar) dVars += varName()
+            else if (peekIs('<') || peekIs(':') || peekPrefixedName()) iris += iriOnly()
+            else goingD = false
+          }
+          if (dVars.isEmpty && iris.isEmpty) fail("DESCRIBE needs a target")
         }
+        val w = if (kwAhead("WHERE") || peekIs('{')) {
+          eatKw("WHERE"); Some(groupGraphPattern())
+        } else None
+        ws()
+        if (i < s.length) fail("trailing content after DESCRIBE")
+        val vs =
+          if (star)
+            w.map(opVars(_).filterNot(_.startsWith("__")).toSeq.sorted).getOrElse(Nil)
+          else dVars.toList
+        Parser.DescribeQ(iris.toList, vs, w)
       } else Parser.SelectQ(parseQueryNoPrologue())
     }
 
@@ -469,6 +550,23 @@ object Parser {
      * ';'-separated: INSERT/DELETE DATA (quads), DELETE WHERE,
      * [WITH] DELETE/INSERT [USING] WHERE, CLEAR/DROP/CREATE,
      * ADD/COPY/MOVE, LOAD. */
+    /** Blank-node label → index of the update operation that used it: a
+     * label may not recur in a LATER operation of the same request
+     * (SPARQL 1.1 Update §19.6; syntax-update-54). */
+    private val dataBnodeLabels = scala.collection.mutable.Map[String, Int]()
+    private def checkDataBnodes(qs: Seq[Parser.QuadPat], opIdx: Int): Unit =
+      qs.foreach { case Parser.QuadPat(g, tp) =>
+        (g.toSeq ++ Seq(tp.s, tp.p, tp.o)).foreach {
+          case TConst(t) if t.isBNode =>
+            dataBnodeLabels.get(t.lex) match {
+              case Some(prev) if prev != opIdx =>
+                fail(s"blank node label _:${t.lex} reused across update operations")
+              case _ => dataBnodeLabels(t.lex) = opIdx
+            }
+          case _ =>
+        }
+      }
+
     def parseUpdateOps(): Seq[Parser.UpdateAst] = {
       prologue()
       val out = ListBuffer[Parser.UpdateAst]()
@@ -479,8 +577,11 @@ object Parser {
         prologue()
         ws()
         if (i >= s.length) going = false
-        else if (eatKw2("INSERT", "DATA"))
-          out += Parser.UpdateData(insert = true, dataBlock(allowBnodes = true))
+        else if (eatKw2("INSERT", "DATA")) {
+          val d = dataBlock(allowBnodes = true)
+          checkDataBnodes(d, out.size)
+          out += Parser.UpdateData(insert = true, d)
+        }
         else if (eatKw2("DELETE", "DATA"))
           out += Parser.UpdateData(insert = false, dataBlock(allowBnodes = false))
         else if (eatKw2("DELETE", "WHERE")) {
@@ -498,6 +599,10 @@ object Parser {
               if (eatKw("DELETE")) {
                 val d = quadBlock(); requireNoBnodes(d, "DELETE template"); d
               } else Nil
+            // NOTE: bnode labels in INSERT templates are instantiated
+            // fresh per operation — reuse across operations is legal
+            // (basic-update insert-where-same-bnode); only INSERT DATA
+            // carries the §19.6 cross-operation reuse restriction.
             val ins = if (eatKw("INSERT")) quadBlock() else Nil
             if (del.isEmpty && ins.isEmpty)
               fail("DELETE/INSERT WHERE needs at least one template")
@@ -547,7 +652,10 @@ object Parser {
           out += Parser.UpdateLoad(doc, into, silent)
         } else fail("unsupported update operation")
         ws()
+        // operations are ';'-separated (UpdateUnit grammar) — juxtaposed
+        // operations are a syntax error (syntax-update-bad-07)
         if (peekIs(';')) i += 1
+        else if (i < s.length) fail("expected ';' between update operations")
       }
       out.toList
     }
@@ -623,6 +731,13 @@ object Parser {
 
       eatKw("WHERE")
       var op = groupGraphPattern()
+      // §19.8 projection rules (the reference's SyntaxVarScope checks):
+      // no duplicate projected names; an AS target must not already be
+      // in scope in the WHERE pattern (syn-bad-03, syntax-SELECTscope2)
+      val projNames = proj.map { case SelVar(v) => v; case SelExpr(v, _, _, _) => v }
+      projNames.diff(projNames.distinct).headOption.foreach(v =>
+        fail(s"duplicate variable ?$v in SELECT projection"))
+      val whereScopeForAs = opVars(op)
       if (fromDefaults.nonEmpty || fromNamed.nonEmpty)
         op = DatasetClause(fromDefaults.toList, fromNamed.toList, op)
 
@@ -678,7 +793,20 @@ object Parser {
       }
       if (havingAgg && !grouped)
         fail("HAVING with an aggregate requires GROUP BY or an aggregated SELECT")
+      // §19.8 AS-target in-scope rule (the reference's SyntaxVarScope):
+      // ungrouped, the target must not be in scope in the WHERE pattern
+      // (syn-bad-03, syntax-SELECTscope2). GROUPED, grouping re-scopes the
+      // projection — only the GROUP BY-exposed vars conflict (checked
+      // below; sparql12 group-by-scope-1 is legal, -bad-1..3 are not).
+      if (!grouped) {
+        proj.collect { case SelExpr(v, _, _, _) => v }
+          .find(whereScopeForAs.contains)
+          .foreach(v => fail(s"AS target ?$v is already in scope in the WHERE pattern"))
+      }
       if (grouped) {
+        // SELECT * cannot combine with grouping (syntax-query syn-bad-01)
+        if (proj.isEmpty)
+          fail("SELECT * cannot be used with GROUP BY or aggregates")
         // `(expr AS ?v)` must not redefine a var the GROUP BY exposes
         // (SPARQL §19.8 "in-scope" rule; group-by-scope syntax tests)
         selExprs.map(_._1).find(groupKeys.contains).foreach(v =>
@@ -751,11 +879,11 @@ object Parser {
           else if (eatKw("DESC")) brackettedKey(asc = false)
           else if (peekVar) keys += SortKey(varName(), ascending = true)
           else if (peekIs('(')) brackettedKey(asc = true)
-          else if (i < s.length && s.charAt(i).isLetter &&
+          else if (peekIs(':') || (i < s.length && s.charAt(i).isLetter &&
             !kwAhead("LIMIT") && !kwAhead("OFFSET") && !kwAhead("VALUES") &&
-            !kwAhead("GROUP") && !kwAhead("HAVING")) {
-            // bare built-in / cast call as an order condition:
-            // ORDER BY str(?o), ORDER BY xsd:integer(?o)
+            !kwAhead("GROUP") && !kwAhead("HAVING"))) {
+            // bare built-in / cast / custom-function call as an order
+            // condition: ORDER BY str(?o), xsd:integer(?o), :func2(?o)
             val e = functionCallE().asTermE
             val hv = s"__ord${ordExtends.size}"
             hiddenVars += hv
@@ -872,6 +1000,7 @@ object Parser {
      * they are all row predicates over the same solution set). */
     private def groupPatternParts(): (Op, List[RowExpr]) = {
       expect('{')
+      newBgpScope() // a group starts a fresh basic graph pattern
       ws()
       // a GroupGraphPattern may be a DIRECT SubSelect: '{' SELECT … '}'
       // (grammar rule GroupGraphPattern ::= '{' (SubSelect |
@@ -895,12 +1024,25 @@ object Parser {
       def add(next: Op): Unit =
         current = Some(current.map(Join(_, next)).getOrElse(next))
 
+      // tracks whether the LAST element was a GraphPatternNotTriples —
+      // only those may be followed by an optional '.' (grammar
+      // GroupGraphPatternSub); a '.' after a triples block was consumed
+      // by the block itself, so a leftover one is the `?s ?p ?o . .`
+      // double-dot error (syntax-sparql3 syn-bad-08..13)
+      var lastNonTriples = false
       var going = true
       while (going) {
         ws()
         if (peekIs('}')) { i += 1; going = false }
         else if (eatKw("FILTER")) {
           ws()
+          // Constraint ::= BrackettedExpression | BuiltInCall |
+          // FunctionCall — a bare variable or literal must be rejected
+          // (syntax-sparql3 filter-missing-parens)
+          if (peekVar || peekIs('"') || peekIs('\'') ||
+            (i < s.length && s.charAt(i).isDigit))
+            fail("FILTER needs a bracketted expression, built-in, or function call")
+          lastNonTriples = true
           if (eatKw("EXISTS")) {
             val r = groupGraphPattern()
             deferred += (o => SemiJoin(o, r))
@@ -926,10 +1068,12 @@ object Parser {
           val (r, fils) = groupPatternParts()
           val cond = fils.reduceOption((a, b) => RowExpr(v => a(v) && b(v)))
           current = Some(LeftJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r, cond))
+          newBgpScope(); lastNonTriples = true
         }
         else if (eatKw("MINUS")) {
           val r = groupGraphPattern()
           current = Some(Minus(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+          newBgpScope(); lastNonTriples = true
         }
         else if (eatKw("BIND")) {
           expect('(')
@@ -937,9 +1081,16 @@ object Parser {
           expectKw("AS")
           val v = varName()
           expect(')')
+          // the BIND target must not already be in scope in this group
+          // (SPARQL §19.8; syntax-query syntax-BINDscope6..8)
+          if (current.exists(c => opVars(c).contains(v)))
+            fail(s"BIND target ?$v is already in scope in this group")
           current = Some(Extend(v, e, current.getOrElse(Table(Nil, Seq(Map.empty)))))
+          newBgpScope(); lastNonTriples = true
         }
-        else if (eatKw("VALUES")) add(valuesClause())
+        else if (eatKw("VALUES")) {
+          add(valuesClause()); newBgpScope(); lastNonTriples = true
+        }
         else if (eatKw("GRAPH")) {
           val gp = if (peekVar) TVar(varName()) else TConst(iriTerm())
           val inner = groupGraphPattern()
@@ -975,29 +1126,23 @@ object Parser {
                 case _ => add(GraphVarEnum(gv, other))
               }
           }
+          newBgpScope(); lastNonTriples = true
         }
         else if (peekIs('{')) {
-          // subquery `{ SELECT ... }`, or a group / UNION chain
-          val save = i
-          i += 1
-          val isSub = kwAhead("SELECT")
-          i = save
-          if (isSub) {
-            expect('{')
-            val sub = selectBody()
-            expect('}')
-            add(sub)
-          } else {
-            var acc = groupGraphPattern()
-            while (eatKw("UNION")) acc = Union(acc, groupGraphPattern())
-            add(acc)
-          }
+          // a group / subselect (groupGraphPattern handles both), or a
+          // UNION chain over either form
+          var acc = groupGraphPattern()
+          while (eatKw("UNION")) acc = Union(acc, groupGraphPattern())
+          add(acc)
+          newBgpScope(); lastNonTriples = true
         }
         else {
           add(triplesBlock())
+          lastNonTriples = false
         }
         ws()
-        if (peekIs('.')) i += 1 // statement separator between pattern elements
+        // optional statement dot ONLY after a GraphPatternNotTriples
+        if (lastNonTriples && peekIs('.')) { i += 1; lastNonTriples = false }
       }
       val base = current.getOrElse(Table(Nil, Seq(Map.empty)))
       var out = deferred.foldLeft(base)((o, f) => f(o))
@@ -1312,7 +1457,10 @@ object Parser {
           ws()
           if (peekIs(';')) {
             i += 1; ws()
-            if (peekIs('.') || peekIs('}') || peekIs(']')) moreProps = false
+            // a dangling ';' is legal — continue only if a verb follows
+            // (`:s :p :o ; OPTIONAL {...}` / `; FILTER(?x)`: the property
+            // list ends and the keyword belongs to the group)
+            moreProps = peekVerbStart
           }
           else moreProps = false
         }
@@ -1321,21 +1469,36 @@ object Parser {
       while (going) {
         ws()
         val subjIsTT = s.startsWith("<<(", i)
+        val sizeBefore = bgp.size
+        val extBefore = pendingExt.size
+        val opBefore = op
         val (subj, subjQt) = slotPat()
         ws()
         // `[ p o ] .` — a subject-only statement is legal when the subject
-        // form itself produced patterns; a bare triple term is NOT (the
-        // grammar requires a propertyListNotEmpty after a TripleTerm)
-        if (!peekIs('.') && !peekIs('}')) parsePredObjList(subj, subjQt)
+        // form itself produced patterns (bnode property list, non-empty
+        // collection, reified triple); a bare term/ANON/nil is NOT
+        // (VarOrTerm requires PropertyListNotEmpty — syntax-sparql3
+        // lone-node / lone-list / bnode-dot)
+        if (peekVerbStart) parsePredObjList(subj, subjQt)
         else if (subjIsTT)
           fail("a triple term cannot stand alone as a statement")
+        else if (bgp.size == sizeBefore && pendingExt.size == extBefore &&
+          (op eq opBefore) && !subjQt)
+          // nothing emitted (bnode lists with a PATH verb flush into `op`,
+          // so compare that reference too)
+          fail("expected a predicate-object list after the subject")
         ws()
         if (peekIs('.')) {
           i += 1; ws()
           // another triples line only if a term follows
-          going = peekVar || peekIs('<') || peekIs('_') || peekIs('"') ||
-            peekIs('\'') || peekIs('(') || peekIs('[') || peekPrefixedName()
-        } else going = false
+          going = peekTermStart
+        } else {
+          // TriplesSameSubject must be '.'-separated: a juxtaposed term
+          // here is the missing-DOT error (syntax-sparql3 syn-bad-02..04)
+          if (peekTermStart)
+            fail("expected '.' between triples")
+          going = false
+        }
       }
       flushInto(None)
       op.getOrElse(Bgp(Nil))
@@ -1538,7 +1701,10 @@ object Parser {
     private def iriOnly(): String = {
       ws()
       if (peekIs('<')) iriRef()
-      else if (kwAhead("a")) { eatKw("a"); "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
+      // `a:` / `a.b:` are PREFIXES, not the rdf:type keyword
+      else if (!peekPrefixedName() && kwAhead("a")) {
+        eatKw("a"); "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      }
       else prefixedIri()
     }
 
@@ -1554,7 +1720,13 @@ object Parser {
       if (peekVar) TVar(varName())
       else if (bnodeIsVar && peekIs('_')) {
         expect('_'); expect(':')
-        val hv = "__bn_" + name()
+        val lbl = name()
+        bnodeLabelScope.get(lbl) match {
+          case Some(sc) if sc != bgpScope =>
+            fail(s"blank node label _:$lbl is reused across basic graph patterns")
+          case _ => bnodeLabelScope(lbl) = bgpScope
+        }
+        val hv = "__bn_" + lbl
         hiddenVars += hv
         TVar(hv)
       }
@@ -2086,7 +2258,12 @@ object Parser {
         }
         return graft.functions.Registry.function(iri) match {
           case Some(f) => RowExpr(v => f(argv.map(_(v))))
-          case None => fail(s"unsupported function <$iri>")
+          case None =>
+            // a FunctionCall with an unbound IRI is syntactically VALID
+            // (syntax-sparql2 syntax-function-0x); like the reference's
+            // E_Function it fails when the expression is actually built
+            RowExpr(_ => throw new IllegalArgumentException(
+              s"unknown function <$iri>"))
         }
       }
       val fn = rawName.toUpperCase
@@ -2358,9 +2535,11 @@ object Parser {
     private def peekPrefixedName(): Boolean = {
       ws()
       i < s.length && (s.charAt(i).isLetter) && {
-        // something like pn:local before a non-keyword context
+        // something like pn:local before a non-keyword context; PN_PREFIX
+        // may contain '.'/'-' medially (`x.y:`)
         val save = i
-        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+          s.charAt(i) == '-' || s.charAt(i) == '.')) i += 1
         val r = i < s.length && s.charAt(i) == ':'
         i = save; r
       }
@@ -2452,20 +2631,54 @@ object Parser {
       if (base.nonEmpty && !full.contains(":")) graft.normalize.Iri.resolve(base, full)
       else full
     }
-    private def prefixedIri(): String = {
-      ws()
-      val pfx = {
-        val st = i
-        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
-        s.substring(st, i)
-      }
-      expect(':')
+    private def isHexAt(j: Int): Boolean =
+      j < s.length && { val c = s.charAt(j)
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F') }
+    /** Characters a '\' may escape inside PN_LOCAL (PN_LOCAL_ESC). */
+    private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+
+    /** Prefix label before ':' — PN_PREFIX allows '.'/'-'/digits medially
+     * (`x.y:`); a trailing '.' never belongs to the label. */
+    private def pnPrefixLabel(): String = {
       val st = i
       while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
         s.charAt(i) == '-' || s.charAt(i) == '.')) i += 1
-      // a trailing '.' is a statement terminator, not part of the local name
-      var local = s.substring(st, i)
-      while (local.endsWith(".")) { local = local.dropRight(1); i -= 1 }
+      var p = s.substring(st, i)
+      while (p.endsWith(".")) { p = p.dropRight(1); i -= 1 }
+      p
+    }
+
+    /** PN_LOCAL per SPARQL 1.1: may START with a digit or ':', may CONTAIN
+     * ':' and medial '.'/'-', takes %XX verbatim into the IRI and '\'
+     * escapes (PN_LOCAL_ESC) unescaped; may not end with '.'
+     * (syntax-query syn-pname-* / qname-escape-*). */
+    private def prefixedIri(): String = {
+      ws()
+      val pfx = pnPrefixLabel()
+      expect(':')
+      val sb = new StringBuilder
+      var rawDotRun = 0 // trailing RAW '.'s (statement terminators), not \.
+      var going = true
+      while (going) {
+        if (i >= s.length) going = false
+        else {
+          val c = s.charAt(i)
+          if (c == '%' && isHexAt(i + 1) && isHexAt(i + 2)) {
+            sb.append(s, i, i + 3); i += 3; rawDotRun = 0
+          } else if (c == '\\' && i + 1 < s.length &&
+            pnLocalEsc.indexOf(s.charAt(i + 1)) >= 0) {
+            sb.append(s.charAt(i + 1)); i += 2; rawDotRun = 0
+          } else if (c.isLetterOrDigit || c == '_' || c == ':' ||
+            ((c == '-' || c == '.') && sb.nonEmpty)) {
+            sb.append(c); i += 1
+            rawDotRun = if (c == '.') rawDotRun + 1 else 0
+          } else going = false
+        }
+      }
+      var local = sb.toString
+      while (rawDotRun > 0 && local.endsWith(".")) {
+        local = local.dropRight(1); i -= 1; rawDotRun -= 1
+      }
       prefixes.get(pfx) match {
         case Some(ns) => ns + local
         case None => fail(s"undeclared prefix '$pfx:'")
@@ -2480,6 +2693,11 @@ object Parser {
           val pfx = { val st = i
             while (i < s.length && s.charAt(i) != ':') i += 1
             s.substring(st, i).trim }
+          // PN_PREFIX starts with a LETTER (PN_CHARS_BASE — digits and
+          // '_' may only appear after it; syn-bad-pname-05/-07)
+          if (pfx.nonEmpty && (!pfx.head.isLetter || pfx.last == '.' ||
+            !pfx.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')))
+            fail(s"invalid prefix label '$pfx'")
           expect(':')
           prefixes(pfx) = iriRef()
         } else if (eatKw("BASE")) base = iriRef()

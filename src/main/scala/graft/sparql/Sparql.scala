@@ -38,19 +38,23 @@ object Sparql {
   def describeQuery(query: String, graph: DataFrame,
                     maxResources: Int = 100000): DataFrame =
     Parser.parseAny(query) match {
-      case Parser.DescribeQ(iris, None, None) => describeAll(iris, graph)
-      case Parser.DescribeQ(_, Some(v), whereOpt) =>
+      case Parser.DescribeQ(iris, Seq(), _) => describeAll(iris, graph)
+      case Parser.DescribeQ(fixed, vars, whereOpt) =>
         import org.apache.spark.sql.functions._
         import graft.algebra.TermCols
         val op = whereOpt.getOrElse(
           throw new IllegalArgumentException("DESCRIBE ?v requires a WHERE pattern"))
         val sols = Compiler.compile(op, graph)
-        val iris = sols.filter(TermCols.isIri(col(v)))
-          .select(TermCols.lex(col(v))).distinct()
-          .limit(maxResources + 1).collect().map(_.getString(0)).toSeq
-        require(iris.size <= maxResources,
-          s"DESCRIBE ?$v binds more than $maxResources resources")
-        describeAll(iris, graph)
+        // one pass: every projected var's IRI bindings, unioned (the
+        // reference describes the union of all DESCRIBE targets)
+        val bound = vars.filter(sols.columns.contains).flatMap { v =>
+          sols.filter(TermCols.isIri(col(v)))
+            .select(TermCols.lex(col(v))).distinct()
+            .limit(maxResources + 1).collect().map(_.getString(0)).toSeq
+        }.distinct
+        require(bound.size <= maxResources,
+          s"DESCRIBE binds more than $maxResources resources")
+        describeAll((fixed ++ bound).distinct, graph)
       case _ => throw new IllegalArgumentException("not a DESCRIBE query")
     }
 
