@@ -203,3 +203,9 @@ case object Null extends Op
 // ---- extension escape hatch (OpExt, OpExecutor.java:347)
 final case class ExtOp(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                        certainVars: Seq[String], input: Op) extends Op
+
+/** ExtOp variant for property functions that also read the GRAPH
+ * (container membership, rdf:first/rest collection traversal — the
+ * OpPropFunc shapes of pfunction/library): `f(solutions, triples)`. */
+final case class GraphOp(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+                         certainVars: Seq[String], input: Op) extends Op

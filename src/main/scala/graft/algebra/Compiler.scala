@@ -305,8 +305,12 @@ object Compiler {
 
     case Project(vars, in) =>
       val c = comp(in, g)
-      Compiled(c.df.select(vars.map(col): _*),
-        c.certain.intersect(vars.toSet), c.maybe.intersect(vars.toSet))
+      // projecting a var the pattern never binds is legal SPARQL — it is
+      // simply unbound in every row (ARQ ValueTesting, pfunc ASK shapes)
+      Compiled(c.df.select(vars.map(v =>
+          if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema).as(v)): _*),
+        c.certain.intersect(vars.toSet),
+        vars.toSet -- c.certain)
 
     case Filter(cond, in) =>
       val c = comp(in, g)
@@ -512,6 +516,13 @@ object Compiler {
       val df = f(c.df)
       val vars = df.columns.toSet
       Compiled(df, certainVars.toSet.intersect(vars), vars -- certainVars)
+
+    case GraphOp(f, certainVars, in) =>
+      val c = comp(in, g)
+      val df = f(c.df, g.df)
+      val vars = df.columns.toSet
+      Compiled(df, c.certain.intersect(vars) ++ certainVars.toSet.intersect(vars),
+        (vars -- c.certain) -- certainVars)
   }
 
   /** Resolve a variable to its column; unknown vars are NULL (unbound). */
@@ -608,8 +619,12 @@ object Compiler {
    * OPTIONAL/EXISTS/MINUS/LATERAL results. Checkpointing materializes one
    * id assignment that every consumer shares (same device as
    * transitiveClosure's per-round checkpoint). */
-  private def tagged(ldf: DataFrame): DataFrame =
-    ldf.withColumn(LID, monotonically_increasing_id()).localCheckpoint(true)
+  private def tagged(ldf: DataFrame): DataFrame = taggedAs(ldf, LID)
+
+  /** [[tagged]] with a caller-chosen column name — nested LATERAL scopes
+   * each need their own live tag column. */
+  private def taggedAs(ldf: DataFrame, name: String): DataFrame =
+    ldf.withColumn(name, monotonically_increasing_id()).localCheckpoint(true)
 
   private def renamedRight(r: Compiled): DataFrame =
     r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, RP + c))
@@ -750,28 +765,162 @@ object Compiler {
       l.certain, l.maybe ++ (r.vars -- l.certain))
   }
 
-  /** LATERAL (OpLateral, OpExecutor.java:240): the RHS is evaluated per
-   * left row with the left's bindings in scope. For a plain RHS this is
-   * the same compatible-binding join as Join. A per-row-sensitive RHS —
-   * Slice/TopN (optionally over Order) — cannot alias to a global limit:
-   * each left row must keep its own first `limit` RHS matches, so the
-   * slice compiles to a row_number window over a per-left-row id
-   * (QueryIterLateral re-executes the RHS per row; the window is the
-   * set-at-a-time equivalent). Other modifier shapes raise rather than
-   * silently mis-evaluate. */
-  private def lateral(l: Compiled, r: Op, g: GraphSource): Compiled = r match {
+  /** LATERAL (OpLateral, OpExecutor.java:240; exec QueryIterLateral): the
+   * RHS is re-evaluated per left row with the left row's bindings
+   * SUBSTITUTED in — filters and BINDs inside the RHS see the left's
+   * variables, per-row modifiers (LIMIT/OFFSET, aggregation, DISTINCT,
+   * OPTIONAL) apply within each left row's evaluation, and a sub-SELECT
+   * re-scopes: only its projected variables correlate (ARQ Lateral +
+   * Syntax-Lateral suites). Set-at-a-time compilation [[lat]] threads the
+   * left frame down the RHS tree: pattern leaves correlate via
+   * compatible-binding joins, per-row-sensitive operators partition by a
+   * per-left-row tag (row-stable: [[taggedAs]] checkpoints eagerly). The
+   * tag + checkpoint are paid only when [[perRowSensitive]] says the RHS
+   * needs them — a plain RHS stays the old single-join plan. */
+  private def lateral(l: Compiled, r: Op, g: GraphSource): Compiled =
+    if (!perRowSensitive(r)) lat(l, r, g, tag = "")
+    else {
+      val t = freshTag()
+      val lt = Compiled(taggedAs(l.df, t), l.certain + t, l.maybe)
+      val out = lat(lt, r, g, t)
+      Compiled(out.df.drop(t), out.certain - t, out.maybe)
+    }
+
+  /** Does this RHS shape observe per-left-row evaluation (vs evaluating
+   * identically for every left row)? Decides whether [[lateral]] must
+   * materialize a per-left-row tag. */
+  private def perRowSensitive(op: Op): Boolean = op match {
+    case Slice(_, _, _) => true
+    case Group(_, _, _) => true
+    case Distinct(_) | Reduced(_) => true
+    case Lateral(_, _) => true
+    case Order(_, in) => perRowSensitive(in)
+    case Filter(_, in) => perRowSensitive(in)
+    case Extend(_, _, in) => perRowSensitive(in)
+    case Project(_, in) => perRowSensitive(in)
+    case Label(_, in) => perRowSensitive(in)
+    case DropVars(_, in) => perRowSensitive(in)
+    case Join(a, b) => perRowSensitive(a) || perRowSensitive(b)
+    case LeftJoin(a, b, _) => perRowSensitive(a) || perRowSensitive(b)
+    case Union(a, b) => perRowSensitive(a) || perRowSensitive(b)
+    case SemiJoin(a, _) => perRowSensitive(a)
+    case AntiJoin(a, _) => perRowSensitive(a)
+    case Minus(a, _) => perRowSensitive(a)
+    case _ => false
+  }
+
+  /** Pattern/visible variables of an RHS subtree — the collision guard for
+   * sub-SELECT scope renaming in [[lat]]'s Project case. */
+  private def opVisibleVars(op: Op): Set[String] = {
+    def pv(ps: Seq[TermPat]): Set[String] = ps.collect { case TVar(n) => n }.toSet
+    op match {
+      case Bgp(ps) => pv(ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)))
+      case PathPattern(s0, _, o0) => pv(Seq(s0, o0))
+      case QuadBgp(gp, ps) => pv(Seq(gp) ++ ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)))
+      case GraphScope(_, in) => opVisibleVars(in)
+      case GraphVarEnum(v, in) => opVisibleVars(in) + v
+      case Project(vs, _) => vs.toSet
+      case Filter(_, in) => opVisibleVars(in)
+      case Extend(v, _, in) => opVisibleVars(in) + v
+      case Table(vs, _) => vs.toSet
+      case Join(a, b) => opVisibleVars(a) ++ opVisibleVars(b)
+      case LeftJoin(a, b, _) => opVisibleVars(a) ++ opVisibleVars(b)
+      case SemiJoin(a, _) => opVisibleVars(a)
+      case AntiJoin(a, _) => opVisibleVars(a)
+      case Minus(a, _) => opVisibleVars(a)
+      case ExistsFlag(v, _, in) => opVisibleVars(in) + v
+      case DropVars(vs, in) => opVisibleVars(in) -- vs
+      case Lateral(a, b) => opVisibleVars(a) ++ opVisibleVars(b)
+      case Unfold(_, ov, iv, in) => opVisibleVars(in) + ov ++ iv
+      case Group(keys, aggs, _) => keys.toSet ++ aggs.map(_._1)
+      case Order(_, in) => opVisibleVars(in)
+      case Slice(_, _, in) => opVisibleVars(in)
+      case Distinct(in) => opVisibleVars(in)
+      case Reduced(in) => opVisibleVars(in)
+      case Union(a, b) => opVisibleVars(a) ++ opVisibleVars(b)
+      case DatasetNames(gp) => pv(Seq(gp))
+      case DatasetClause(_, _, in) => opVisibleVars(in)
+      case Label(_, in) => opVisibleVars(in)
+      case ExtOp(_, vs, in) => opVisibleVars(in) ++ vs
+      case GraphOp(_, vs, in) => opVisibleVars(in) ++ vs
+      case _ => Set.empty
+    }
+  }
+
+  /** Correlated compile of a LATERAL RHS: `l` already holds the left
+   * columns (plus the per-left-row `tag` column when the RHS is
+   * per-row-sensitive); the result holds left + RHS columns with the
+   * substitution semantics applied. */
+  private def lat(l: Compiled, r: Op, g: GraphSource, tag: String): Compiled = r match {
+    case Filter(cond, in) =>
+      // RHS filters see the LEFT bindings (lateral-3 "filter scope")
+      val c = lat(l, in, g, tag)
+      Compiled(c.df.filter(cond(v => resolve(c, v))), c.certain, c.maybe)
+    case Extend(name, expr, in) =>
+      val c = lat(l, in, g, tag)
+      require(!c.vars.contains(name), s"Extend onto bound var $name")
+      Compiled(c.df.withColumn(name, expr(v => resolve(c, v))),
+        c.certain, c.maybe + name)
+    case Join(a, b) => lat(lat(l, a, g, tag), b, g, tag)
+    case Union(a, b) => unionPad(lat(l, a, g, tag), lat(l, b, g, tag))
+    case Distinct(in) =>
+      // per-left-row dedup: the tag keeps duplicate left rows distinct
+      val c = lat(l, in, g, tag)
+      Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+    case Reduced(in) => lat(l, Distinct(in), g, tag)
+    case Order(_, in) =>
+      // ordering without a slice has no observable effect on the multiset
+      lat(l, in, g, tag)
+    case Label(_, in) => lat(l, in, g, tag)
+    case DropVars(vs, in) =>
+      val c = lat(l, in, g, tag)
+      Compiled(c.df.drop(vs: _*), c.certain -- vs, c.maybe -- vs)
+    case LeftJoin(a, b, cond) =>
+      // per-row OPTIONAL (optional-in-lateral): left' rows unmatched by
+      // the correlated RHS survive with unbound RHS vars. Fresh tag —
+      // left' may have multiplied the original left rows.
+      val l2 = lat(l, a, g, tag)
+      val t2 = freshTag()
+      val lt2 = Compiled(taggedAs(l2.df, t2), l2.certain + t2, l2.maybe)
+      val m0 = lat(lt2, b, g, t2)
+      val matched = cond match {
+        case Some(e) => Compiled(m0.df.filter(e(v => resolve(m0, v))), m0.certain, m0.maybe)
+        case None => m0
+      }
+      val rhsVars = (matched.vars -- lt2.vars).toSeq.sorted
+      val unmatched0 = lt2.df.join(
+        matched.df.select(col(t2)).distinct(), Seq(t2), "left_anti")
+      val padded = rhsVars.foldLeft(unmatched0)((d, v) =>
+        d.withColumn(v, lit(null).cast(TermCols.schema)))
+      val out = matched.df.unionByName(
+        padded.select(matched.df.columns.map(col): _*)).drop(t2)
+      Compiled(out, l2.certain, l2.maybe ++ rhsVars)
+    case SemiJoin(a, b) => halfJoin(lat(l, a, g, tag), comp(b, g), "left_semi")
+    case AntiJoin(a, b) => halfJoin(lat(l, a, g, tag), comp(b, g), "left_anti")
+    case Minus(a, b) => minusJoin(lat(l, a, g, tag), comp(b, g))
     case Slice(offset, limit, inner) =>
+      // per-left-row LIMIT/OFFSET: row_number window over the tag
       require(offset <= Int.MaxValue && (limit == Long.MaxValue || limit <= Int.MaxValue),
         s"LATERAL slice ($offset, $limit) exceeds supported range")
-      val (body, sortKeys) = inner match {
-        case Order(ks, i2) => (i2, ks)
-        case other => (other, Seq.empty[SortKey])
+      require(tag.nonEmpty, "internal: per-row slice without a lateral tag")
+      // the parser's modifier nesting is slice(project(order(…))) — peel
+      // both wrappers so the window sees the sort keys; the projection is
+      // re-applied after the window (ORDER BY may reference vars the
+      // SELECT clause then drops)
+      val (body, sortKeys, projOpt) = inner match {
+        case Order(ks, i2) => (i2, ks, None)
+        case Project(vs, Order(ks, i2)) => (i2, ks, Some(vs))
+        case Project(vs, i2) => (i2, Nil, Some(vs))
+        case other => (other, Seq.empty[SortKey], None)
       }
-      val cr = comp(body, g)
-      // unique per-left-row tag — duplicates of a left row each keep their
-      // own `limit` matches (bag semantics)
-      val taggedL = Compiled(tagged(l.df), l.certain + LID, l.maybe)
-      val joined = join(taggedL, cr, "inner")
+      projOpt.foreach { vs =>
+        val hidden = (opVisibleVars(body) -- vs).intersect(l.vars - tag)
+        require(hidden.isEmpty,
+          s"LATERAL sub-SELECT hides variable(s) ${hidden.mkString(", ")} that " +
+            "collide with left-side bindings while using LIMIT/OFFSET — " +
+            "rename the inner variables (scope rename is not implemented here)")
+      }
+      val joined = lat(l, body, g, tag)
       import org.apache.spark.sql.expressions.Window
       val orderCols =
         if (sortKeys.isEmpty) Seq(lit(1).asc)
@@ -779,25 +928,73 @@ object Compiler {
           val sk = TermCols.sortKey(resolve(joined, k.v))
           if (k.ascending) sk.asc else sk.desc
         }
-      val w = Window.partitionBy(col("__lid")).orderBy(orderCols: _*)
+      val w = Window.partitionBy(col(tag)).orderBy(orderCols: _*)
       val keep =
         if (limit == Long.MaxValue) col("__rn") > offset
         else col("__rn") > offset && col("__rn") <= offset + limit
-      val limited = joined.df
-        .withColumn("__rn", row_number().over(w))
-        .where(keep)
-        .drop("__rn", "__lid")
-      Compiled(limited, joined.certain - "__lid", joined.maybe)
-    case Order(_, inner) =>
-      // ordering inside LATERAL without a slice has no observable effect
-      // on the (unordered) solution multiset — evaluate the body
-      lateral(l, inner, g)
+      val limited = joined.df.withColumn("__rn", row_number().over(w)).where(keep)
+        .drop("__rn")
+      projOpt match {
+        case Some(vs) =>
+          val keepCols = (l.vars ++ vs.filter(joined.vars)).toSeq.sorted
+          Compiled(limited.select(keepCols.map(col): _*),
+            l.certain ++ vs.toSet.intersect(joined.certain),
+            (keepCols.toSet -- l.certain) -- vs.toSet.intersect(joined.certain))
+        case None => Compiled(limited, joined.certain, joined.maybe)
+      }
+    case Group(keys, aggs, in) =>
+      // per-left-row aggregation: group by (left cols + keys); with no
+      // keys every left row yields exactly one row — unmatched left rows
+      // get the aggregate-over-empty values (COUNT=0 etc.), obtained from
+      // one global empty-frame aggregation.
+      require(tag.nonEmpty, "internal: per-row group without a lateral tag")
+      val c = lat(l, in, g, tag)
+      require(aggs.nonEmpty, "LATERAL grouped subquery without aggregates")
+      def res(v: String): Column =
+        if (v == "*") struct(c.df.columns.map(col): _*) else resolve(c, v)
+      val aggCols = aggs.map { case (name, e) => e(res).as(name) }
+      val lCols = l.vars.toSeq.sorted
+      val grouped = c.df.groupBy((lCols ++ keys).map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val out =
+        if (keys.nonEmpty) grouped
+        else {
+          val emptyVals = c.df.where(lit(false)).agg(aggCols.head, aggCols.tail: _*)
+          val missing = l.df.select(lCols.map(col): _*)
+            .join(grouped.select(col(tag)).distinct(), Seq(tag), "left_anti")
+            .crossJoin(emptyVals)
+          grouped.unionByName(missing.select(grouped.columns.map(col): _*))
+        }
+      Compiled(out, l.certain ++ keys.filter(c.certain), // agg outputs may be null
+        aggs.map(_._1).toSet ++ (l.maybe ++ keys.filterNot(c.certain)))
+    case Project(vs, inner) =>
+      // sub-SELECT: only the PROJECTED vars stay in scope — hidden inner
+      // vars are fresh (lateral-5 "different scope"). An uncorrelated
+      // subquery (no projected var bound on the left) evaluates once,
+      // globally — including its LIMIT (lateral-in-optional).
+      val corr = vs.toSet.intersect(l.vars -- Set(tag))
+      if (!perRowSensitive(inner) || corr.isEmpty)
+        join(l, comp(Project(vs, inner), g), "inner")
+      else {
+        val hidden = (opVisibleVars(inner) -- vs).intersect(l.vars - tag)
+        require(hidden.isEmpty,
+          s"LATERAL sub-SELECT hides variable(s) ${hidden.mkString(", ")} that " +
+            "collide with left-side bindings while using per-row modifiers — " +
+            "rename the inner variables (scope rename is not implemented here)")
+        val c = lat(l, inner, g, tag)
+        val keep = (l.vars ++ vs.filter(c.vars)).toSeq.sorted
+        Compiled(c.df.select(keep.map(col): _*),
+          l.certain ++ vs.toSet.intersect(c.certain),
+          (keep.toSet -- l.certain) -- vs.toSet.intersect(c.certain))
+      }
     case _ =>
-      // includes Distinct RHS: per-left-row distinct of the RHS matches ==
-      // join against the globally-distinct RHS (dedup commutes with the
-      // equi-restriction), which `comp` already produces
+      // pattern leaves & everything shape-insensitive: the correlated
+      // re-execution IS the compatible-binding join (SURVEY §2.3)
       join(l, comp(r, g), "inner")
   }
+
+  private val tagCtr = new java.util.concurrent.atomic.AtomicLong()
+  private def freshTag(): String = "__lt" + tagCtr.incrementAndGet()
 
   private def halfJoin(l: Compiled, r: Compiled, how: String): Compiled = {
     val rr = renamedRight(r)

@@ -54,30 +54,138 @@ object PropFuncs {
 
   private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
+  /** (list, idx, member) rows for EVERY collection cell in the graph —
+   * the set-at-a-time footing for the reference's list:* property
+   * functions over rdf:first/rdf:rest chains (pfunction/library/list*,
+   * which walk the chain per binding). Iterative rdf:rest hops with a
+   * loud bound — cyclic `rest` chains are malformed data and raise
+   * rather than loop. Index is 0-based (reference ListIndex output).
+   * Cost note: the table is O(Σ per-list length²/2) rows — the same work
+   * the reference's per-binding walks do, batched; pathological chain
+   * lengths hit `maxLen` loudly. */
+  def listIndexTable(graph: DataFrame, maxLen: Int = 10000): DataFrame = {
+    val first = graph
+      .filter(TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "first"))
+      .select(col("s").as("__cell"), col("o").as("__member"))
+    val rest = graph
+      .filter(TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "rest"))
+      .select(col("s").as("__from"), col("o").as("__to"))
+    // NOTE: frontier/rest/cells all derive from `graph` — every join below
+    // uses explicit frame aliases so the analyzer cannot mis-resolve the
+    // shared-lineage attributes (a bare col(...) in a self-join can bind
+    // to the wrong side and silently reverse the traversal).
+    val cells = first.select(col("__cell"))
+      .union(rest.select(col("__from").as("__cell"))).distinct().localCheckpoint(true)
+    var frontier = cells.select(col("__cell").as("__list"), col("__cell").as("__at"),
+      lit(0L).as("__idx")).localCheckpoint(true)
+    var reach = frontier
+    var iter = 0
+    while (!frontier.isEmpty) {
+      iter += 1
+      if (iter > maxLen) throw new IllegalStateException(
+        s"rdf:rest chain longer than $maxLen (or cyclic) — malformed collection")
+      frontier = frontier.alias("f").join(rest.alias("r"),
+          col("f.__at") === col("r.__from"))
+        .select(col("f.__list").as("__list"), col("r.__to").as("__at"),
+          (col("f.__idx") + 1).as("__idx"))
+        .alias("n")
+        .join(cells.alias("c"), col("n.__at") === col("c.__cell"), "left_semi")
+        .localCheckpoint(true)
+      if (!frontier.isEmpty) reach = reach.union(frontier)
+    }
+    reach.alias("rc").join(first.alias("fs"), col("rc.__at") === col("fs.__cell"))
+      .select(col("rc.__list").as("__list"), col("rc.__idx").as("__idx"),
+        col("fs.__member").as("__member"))
+  }
+
+  /** list:index — join each solution's `listVar` collection head against
+   * [[listIndexTable]], binding 0-based `idxVar` + `memberVar`. */
+  def listIndexJoin(solutions: DataFrame, graph: DataFrame, listVar: String,
+                    idxVar: String, memberVar: String): DataFrame = {
+    val idx = listIndexTable(graph).select(col("__list"),
+      TermCols.intTerm(col("__idx")).as(idxVar), col("__member").as(memberVar))
+    joinOnOrBind(solutions, idx, "__list", listVar)
+  }
+
+  /** list:length over graph-encoded collections; rdf:nil has length 0. */
+  def listLengthJoin(solutions: DataFrame, graph: DataFrame, listVar: String,
+                     lenVar: String): DataFrame = {
+    val nilRow = graph.sparkSession.range(1).select(
+      TermCols.const(graft.model.Term.iri(RDF + "nil")).as("__list"),
+      lit(0L).as("__len"))
+    val lens = listIndexTable(graph)
+      .groupBy(col("__list")).agg((max(col("__idx")) + 1).as("__len"))
+      .unionByName(nilRow)
+      .select(col("__list"), TermCols.intTerm(col("__len")).as(lenVar))
+    joinOnOrBind(solutions, lens, "__list", listVar)
+  }
+
   /** rdfs:member-style container membership (pfunction/library container):
    * bind `memberVar` to the objects of rdf:_1, rdf:_2, … triples whose
    * subject is `containerVar`'s term — a generator join against the
-   * graph, shuffling on the container term like any BGP join. */
+   * graph, shuffling on the container term like any BGP join. Only nodes
+   * TYPED rdf:Bag/Seq/Alt count as containers (reference ContainerMember
+   * semantics — ARQ container-3: an untyped node with rdf:_N arcs is not
+   * a container). */
   def containerMember(solutions: DataFrame, graph: DataFrame,
                       containerVar: String, memberVar: String): DataFrame = {
-    val members = graph
+    val typed = typedContainers(graph, Seq("Bag", "Seq", "Alt"))
+    val byArc = memberPairs(graph, memberVar).alias("m")
+      .join(typed.alias("t"), col("m.__cont") === col("t.__typed"), "left_semi")
+    // explicit rdfs:member STATEMENTS also count, typed or not
+    // (ARQ container-9: untyped :x12 rdfs:member 2 is a solution)
+    val explicit = graph.filter(TermCols.isIri(col("p")) &&
+        lex(col("p")) === "http://www.w3.org/2000/01/rdf-schema#member")
+      .select(col("s").as("__cont"), col("o").as(memberVar))
+    joinOnOrBind(solutions, byArc.union(explicit), "__cont", containerVar)
+  }
+
+  private def typedContainers(graph: DataFrame, typeLocals: Seq[String]): DataFrame =
+    graph.filter(
+      TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "type") &&
+        TermCols.isIri(col("o")) && lex(col("o")).isin(typeLocals.map(RDF + _): _*))
+      .select(col("s").as("__typed"))
+
+  /** Generator join: equi-join when the key var is already a solution
+   * column, else bind it from the generated rows (unbound-subject
+   * property-function enumeration). */
+  private def joinOnOrBind(sol: DataFrame, gen: DataFrame,
+                           genKey: String, keyVar: String): DataFrame =
+    if (sol.columns.contains(keyVar))
+      sol.join(gen, sol(keyVar) === gen(genKey)).drop(genKey)
+    else sol.crossJoin(gen.withColumnRenamed(genKey, keyVar))
+
+  private def memberPairs(graph: DataFrame, memberVar: String): DataFrame =
+    graph
       .filter(TermCols.isIri(col("p")) &&
         lex(col("p")).rlike("^" + java.util.regex.Pattern.quote(RDF) + "_[0-9]+$"))
       .select(col("s").as("__cont"), col("o").as(memberVar))
-    solutions.join(members, col(containerVar) === col("__cont")).drop("__cont")
-  }
 
   /** apf:bag / apf:seq / apf:alt — container membership restricted to
    * containers with the given rdf:type (Bag/Seq/Alt). */
   def containerOfType(solutions: DataFrame, graph: DataFrame, typeLocal: String,
                       containerVar: String, memberVar: String): DataFrame = {
-    val typed = graph.filter(
-      TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "type") &&
-        TermCols.isIri(col("o")) && lex(col("o")) === (RDF + typeLocal))
-      .select(col("s").as("__typed"))
-    val restricted = solutions.join(typed,
-      col(containerVar) === col("__typed"), "left_semi")
-    containerMember(restricted, graph, containerVar, memberVar)
+    val typedMembers = memberPairs(graph, memberVar).alias("m")
+      .join(typedContainers(graph, Seq(typeLocal)).alias("t"),
+        col("m.__cont") === col("t.__typed"), "left_semi")
+    joinOnOrBind(solutions, typedMembers, "__cont", containerVar)
+  }
+
+  /** Keep only solutions whose `listVar` is a PROPER list head: a node
+   * with rdf:first that is not the object of any rdf:rest (the
+   * enumeration set of GraphList.listsInGraph). */
+  def restrictToListHeads(solutions: DataFrame, graph: DataFrame,
+                          listVar: String): DataFrame = {
+    val withFirst = graph
+      .filter(TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "first"))
+      .select(col("s").as("__h"))
+    val restTargets = graph
+      .filter(TermCols.isIri(col("p")) && lex(col("p")) === (RDF + "rest"))
+      .select(col("o").as("__h"))
+    val heads = withFirst.alias("a")
+      .join(restTargets.alias("b"), col("a.__h") === col("b.__h"), "left_anti")
+    solutions.alias("s").join(heads.alias("h"),
+      solutions(listVar) === col("h.__h"), "left_semi")
   }
 
   /** apf:assign — bind a computed column (the property-function face of

@@ -38,6 +38,34 @@ object Registry {
 
   def unregisterFunction(name: String): Unit = fns.remove(name.toLowerCase)
   def unregisterAggregate(name: String): Unit = aggs.remove(name.toLowerCase)
+
+  // --- pre-registered ARQ function-library tail (reference:
+  //     sparql/function/library/ — the `afn:`/`jfn:` Java-semantics string
+  //     helpers the ARQ test suites call by IRI). Java semantics: 0-based
+  //     substring(start[, end]), exclusive end.
+  private val ArqFnNs = Seq(
+    "http://jena.apache.org/ARQ/function#",
+    "http://jena.hpl.hp.com/ARQ/function#")
+  locally {
+    import org.apache.spark.sql.functions._
+    import graft.algebra.TermCols
+    def lexOf(c: Column): Column = TermCols.lex(c)
+    def intOf(c: Column): Column = lexOf(c).cast("long")
+    ArqFnNs.foreach { ns =>
+      registerFunction(ns + "strlen",
+        args => TermCols.intTerm(length(lexOf(args(0)))))
+      registerFunction(ns + "substring", {
+        case Seq(s0, b) =>
+          TermCols.strTerm(lexOf(s0).substr(intOf(b) + 1, length(lexOf(s0))))
+        case Seq(s0, b, e) =>
+          TermCols.strTerm(lexOf(s0).substr(intOf(b) + 1, intOf(e) - intOf(b)))
+        case other => throw new IllegalArgumentException(
+          s"afn:substring takes 2 or 3 arguments, got ${other.size}")
+      })
+      registerFunction(ns + "sha1sum",
+        args => TermCols.strTerm(sha1(lexOf(args(0)).cast("binary"))))
+    }
+  }
 }
 
 /**

@@ -128,9 +128,11 @@ object GoldenRunner {
     Manifest.MF + "QueryEvaluationTest", Manifest.MFX + "TestQuery")
   private val UpdateEvalTypes = Set(Manifest.MF + "UpdateEvaluationTest")
   private val PosSyntaxTypes = Set("PositiveSyntaxTest", "PositiveSyntaxTest11",
-    "PositiveUpdateSyntaxTest", "PositiveUpdateSyntaxTest11").map(Manifest.MF + _)
+    "PositiveUpdateSyntaxTest", "PositiveUpdateSyntaxTest11").map(Manifest.MF + _) ++
+    Set(Manifest.MFX + "PositiveSyntaxTestARQ")
   private val NegSyntaxTypes = Set("NegativeSyntaxTest", "NegativeSyntaxTest11",
-    "NegativeUpdateSyntaxTest", "NegativeUpdateSyntaxTest11").map(Manifest.MF + _)
+    "NegativeUpdateSyntaxTest", "NegativeUpdateSyntaxTest11").map(Manifest.MF + _) ++
+    Set(Manifest.MFX + "NegativeSyntaxTestARQ")
 
   /** Run every entry of a manifest; `skip` maps test names to triage
    * reasons (recorded, not executed). */
@@ -146,6 +148,11 @@ object GoldenRunner {
         else if (e.types.intersect(PosSyntaxTypes).nonEmpty ||
           e.types.intersect(NegSyntaxTypes).nonEmpty)
           runSyntaxEntry(e, negative = e.types.intersect(NegSyntaxTypes).nonEmpty)
+        else if (e.types.isEmpty && e.query.nonEmpty && e.result.nonEmpty)
+          // untyped entries with a query action + expected result default
+          // to query evaluation (the reference's ManifestProcessor does
+          // the same for ARQ's own PropertyFunctions/ValueTesting lists)
+          runEntry(spark, e)
         else if (e.types.intersect(EvalTypes).isEmpty)
           Skipped("not a query-evaluation test: " + e.types.map(shortT).mkString(","))
         else runEntry(spark, e))
@@ -312,7 +319,7 @@ object GoldenRunner {
               collectSolutions(ResultSetIO.fromSparqlJson(spark, readFile(f)))
             case f if f.endsWith(".tsv") =>
               collectSolutions(ResultSetIO.fromTsv(spark, readFile(f)))
-            case f if f.endsWith(".ttl") => rdfResultSet(f)
+            case f if f.endsWith(".ttl") || f.endsWith(".n3") => rdfResultSet(f)
             case f if f.endsWith(".rdf") => rdfXmlResultSet(f)
             case f => return Skipped("result format: " + f.split('.').last)
           }
@@ -539,10 +546,36 @@ object GoldenRunner {
   }
 
   /** Detect a top-level ORDER BY (ordered result-set comparison, like the
-   * reference's QueryEvalTest ordered mode) — a subquery ORDER BY does
-   * not order the outer results, but none of the covered suites nest one. */
-  private def hasTopLevelOrderBy(q: String): Boolean =
-    "(?is).*\\bORDER\\s+BY\\b.*".r.matches(q)
+   * reference's QueryEvalTest ordered mode). Only an ORDER BY at brace
+   * depth 0 orders the outer results — a subquery / LATERAL ORDER BY does
+   * not (ARQ Lateral suite nests them). Strings and comments are skipped
+   * so braces inside literals do not confuse the depth count. */
+  private def hasTopLevelOrderBy(q: String): Boolean = {
+    var depth = 0; var i = 0
+    val n = q.length
+    while (i < n) {
+      q.charAt(i) match {
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case c @ ('"' | '\'') =>
+          i += 1
+          while (i < n && q.charAt(i) != c) {
+            if (q.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case '#' => while (i < n && q.charAt(i) != '\n') i += 1
+        case c if (c == 'O' || c == 'o') && depth == 0 &&
+          q.regionMatches(true, i, "ORDER", 0, 5) =>
+          var j = i + 5
+          while (j < n && q.charAt(j).isWhitespace) j += 1
+          if (q.regionMatches(true, j, "BY", 0, 2)) return true
+          i += 1
+        case _ => i += 1
+      }
+    }
+    false
+  }
 
   /** DAWG result-set-in-RDF format (vocabulary
    * http://www.w3.org/2001/sw/DataAccess/tests/result-set#), used by the
@@ -625,7 +658,7 @@ object GoldenRunner {
       "(?s).*\"boolean\"\\s*:\\s*(true|false).*".r
         .findFirstMatchIn(text).map(_.group(1) == "true")
         .getOrElse(throw new IllegalArgumentException("no boolean in " + resultFile))
-    else if (resultFile.endsWith(".ttl"))
+    else if (resultFile.endsWith(".ttl") || resultFile.endsWith(".n3"))
       // DAWG result-set-in-RDF boolean (rs:boolean)
       readData(resultFile)
         .find(_.p.lex == "http://www.w3.org/2001/sw/DataAccess/tests/result-set#boolean")

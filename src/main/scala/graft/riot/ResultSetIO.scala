@@ -156,7 +156,22 @@ object ResultSetIO {
   def fromSparqlJson(spark: SparkSession, json: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(json)
+    // the reference's JSON result reader is lenient (some of its own test
+    // fixtures use unquoted keys / single quotes — ARQ Lateral *.srj)
+    mapper.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
+    mapper.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
+    val root =
+      try mapper.readTree(json)
+      catch {
+        case _: com.fasterxml.jackson.core.JsonProcessingException =>
+          // last resort for bare identifiers in VALUE position (e.g. an
+          // unquoted var name inside "vars": [ "s", z ]) — quote them
+          mapper.readTree(json.replaceAll(
+            """(?<=[\[,])(\s*)([A-Za-z_][A-Za-z0-9_]*)(\s*)(?=[,\]])""",
+            "$1\"$2\"$3"))
+      }
     val vars = root.path("head").path("vars").elements().asScala.map(_.asText).toSeq
     def jsonTerm(n: com.fasterxml.jackson.databind.JsonNode): Row =
       if (n.path("type").asText == "triple") {

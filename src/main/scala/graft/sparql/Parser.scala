@@ -168,7 +168,40 @@ object Parser {
         case Label(_, in) => opVars(in)
         case Null => Set.empty
         case ExtOp(_, vs, in) => opVars(in) ++ vs
+        case GraphOp(_, vs, in) => opVars(in) ++ vs
       }
+    }
+
+    /** Variables a pattern ASSIGNS (BIND / VALUES / `AS` aliases /
+     * UNFOLD targets) and still exposes — a Project hides the
+     * assignments it drops. Drives the LATERAL restriction below. */
+    private def assignedVars(op: Op): Set[String] = op match {
+      case Extend(v, _, in) => assignedVars(in) + v
+      case Table(vs, _) => vs.toSet
+      case Unfold(_, ov, iv, in) => assignedVars(in) + ov ++ iv
+      case Project(vs, in) => assignedVars(in).intersect(vs.toSet)
+      case Group(keys, aggs, in) =>
+        assignedVars(in).intersect(keys.toSet) ++ aggs.map(_._1)
+      case Filter(_, in) => assignedVars(in)
+      case Order(_, in) => assignedVars(in)
+      case Slice(_, _, in) => assignedVars(in)
+      case Distinct(in) => assignedVars(in)
+      case Reduced(in) => assignedVars(in)
+      case Label(_, in) => assignedVars(in)
+      case DatasetClause(_, _, in) => assignedVars(in)
+      case GraphScope(_, in) => assignedVars(in)
+      case GraphVarEnum(_, in) => assignedVars(in)
+      case DropVars(vs, in) => assignedVars(in) -- vs
+      case ExistsFlag(_, _, in) => assignedVars(in)
+      case Join(l, r) => assignedVars(l) ++ assignedVars(r)
+      case LeftJoin(l, r, _) => assignedVars(l) ++ assignedVars(r)
+      case Union(l, r) => assignedVars(l) ++ assignedVars(r)
+      case Lateral(l, r) => assignedVars(l) ++ assignedVars(r)
+      case Minus(l, _) => assignedVars(l)
+      case SemiJoin(l, _) => assignedVars(l)
+      case AntiJoin(l, _) => assignedVars(l)
+      case GraphOp(_, _, in) => assignedVars(in)
+      case _ => Set.empty // Bgp, PathPattern, QuadBgp, DatasetNames, Null, ExtOp
     }
 
     /** Does a TERM (a possible triple subject) begin at the cursor? Drives
@@ -323,6 +356,21 @@ object Parser {
       case TVar(n) => RowExpr(v => v(n))
       case TConst(t) => RowExpr(_ => TermCols.const(t))
     }
+
+    /** ARQ property functions recognized as magic predicates
+     * (reference: sparql/pfunction/library/, registered in
+     * PropertyFunctionRegistry; SURVEY §2.10). Parsed specially in
+     * [[triplesBlock]]: list-object arguments stay RAW (no rdf:first/rest
+     * collection desugar) and the pattern compiles to generator /
+     * bind-or-filter ops instead of a stored-triple match. */
+    private val ListNs = "http://jena.apache.org/ARQ/list#"
+    private val ApfNs = "http://jena.apache.org/ARQ/property#"
+    private val propFuncIris: Set[String] = Set(
+      ListNs + "member", ListNs + "index", ListNs + "length",
+      "http://www.w3.org/2000/01/rdf-schema#member",
+      ApfNs + "bag", ApfNs + "seq", ApfNs + "alt", ApfNs + "container",
+      ApfNs + "splitIRI", ApfNs + "localname", ApfNs + "namespace",
+      ApfNs + "str", ApfNs + "assign", ApfNs + "concat", ApfNs + "strSplit")
     /** Triple-term component in a template: term, nested `<<( )>>`, or
      * nested reified `<< >>` (its reifier node). Left = ground constant,
      * Right = per-solution expression. */
@@ -1075,6 +1123,23 @@ object Parser {
           current = Some(Minus(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
           newBgpScope(); lastNonTriples = true
         }
+        else if (eatKw("LATERAL")) {
+          // ARQ extension (reference: sparql/algebra/op/OpLateral.java +
+          // the LateralCheck syntax rule): the RHS is re-evaluated per
+          // left row; it must be a group, and it may not ASSIGN (BIND /
+          // VALUES / `AS`) a variable the left side already binds —
+          // assignments hidden behind a sub-SELECT that does not project
+          // them are fine (Syntax-Lateral suite, bad-01..08 vs 01..05).
+          ws()
+          if (!peekIs('{')) fail("LATERAL requires a group pattern")
+          val left = current.getOrElse(Table(Nil, Seq(Map.empty)))
+          val r = groupGraphPattern()
+          assignedVars(r).filterNot(_.startsWith("__"))
+            .intersect(opVars(left)).headOption.foreach(v =>
+              fail(s"LATERAL assigns variable ?$v already bound on its left side"))
+          current = Some(Lateral(left, r))
+          newBgpScope(); lastNonTriples = true
+        }
         else if (eatKw("BIND")) {
           expect('(')
           val e = expression()
@@ -1170,6 +1235,11 @@ object Parser {
       val chunkVars = scala.collection.mutable.Set[String]()
       val pendingExt = ListBuffer[(String, RowExpr)]()
       val pendingFil = ListBuffer[RowExpr]()
+      // property-function rewrites, applied over the WHOLE block's op at
+      // the end (Jena's TransformPropertyFunction likewise splits magic
+      // predicates out of the BGP and plans them after it): each entry
+      // sees (block op so far, its bound vars) and decides bind-vs-filter
+      val blockPf = ListBuffer[(Op, Set[String]) => Op]()
       def flushInto(next: Option[Op]): Unit = {
         // vars the BGP/path pieces bind directly — a pending accessor
         // Extend for one of those must become a unification Filter instead
@@ -1430,6 +1500,200 @@ object Parser {
           v
         }
       }
+      /** Raw argument list of a property function: `( t1 t2 … )` kept as
+       * terms (NOT collection-desugared), or a single term. */
+      def pfTerm(): TermPat = {
+        ws()
+        if (peekIs('[')) {
+          // ANON `[]` — a fresh don't-care variable
+          i += 1; ws()
+          if (!peekIs(']')) fail("only '[]' (no property list) is allowed in property-function args")
+          i += 1
+          pfCounter += 1; val hv = "__pfa" + pfCounter; hiddenVars += hv
+          TVar(hv)
+        } else termPat()
+      }
+      def pfArgs(): Seq[TermPat] = {
+        ws()
+        if (peekIs('(')) {
+          i += 1; ws()
+          val out = ListBuffer[TermPat]()
+          while (!peekIs(')')) {
+            if (i >= s.length) fail("unterminated property-function argument list")
+            out += pfTerm()
+            ws()
+          }
+          i += 1
+          // `()` object = the rdf:nil constant, not an empty arg list
+          if (out.isEmpty) Seq(TConst(Term.iri(RdfNs + "nil"))) else out.toList
+        } else Seq(pfTerm())
+      }
+      /** One property-function application `subj <pf-iri> args`. Emission
+       * is deferred to the end of the block so bind-vs-filter decisions
+       * see every pattern-bound variable (reference:
+       * TransformPropertyFunction splits pfuncs out of the BGP). */
+      def emitPropFunc(iri: String, subj: TermPat): Unit = {
+        val args = pfArgs()
+        def arity(n: Int): Unit =
+          if (args.size != n) fail(s"<$iri> takes $n object argument(s)")
+        // bind-or-filter a slot against a computed per-row value; pure
+        // value exprs must only reference block-bound vars (loud guard)
+        def unifyPure(slot: TermPat, refs: Seq[TermPat], value: RowExpr): Unit =
+          blockPf += { (opIn, bound) =>
+            refs.collect { case TVar(n) if !bound(n) => n }.headOption.foreach(n =>
+              fail(s"<$iri> argument ?$n is not bound in the same triples block"))
+            slot match {
+              case TVar(n) if !bound(n) => Extend(n, value, opIn)
+              case other =>
+                Filter(RowExpr(v => pat2re(other)(v) === value(v)), opIn)
+            }
+          }
+        // graph-reading generator: f(subjCol, outCols) builds the
+        // DataFrame transform; bound/constant out-slots unify via hidden
+        // columns, an unbound subject is enumerated by the generator
+        def graphGen(outs: Seq[TermPat])(
+            f: (String, Seq[String]) => (org.apache.spark.sql.DataFrame,
+              org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit =
+          blockPf += { (opIn, bound) =>
+            var cur = opIn
+            val sv = subj match {
+              case TVar(n) => n
+              case TConst(t) =>
+                pfCounter += 1; val hv = "__pfs" + pfCounter; hiddenVars += hv
+                cur = Extend(hv, RowExpr(_ => TermCols.const(t)), cur); hv
+            }
+            // an out slot may only take its own name if it is a FRESH var
+            // distinct from the subject column and every other out slot
+            // (`?x rdfs:member ?x` unifies via a hidden column + filter)
+            val taken = scala.collection.mutable.Set[String](sv)
+            val outNames = outs.map {
+              case TVar(n) if !bound(n) && !taken(n) => taken += n; n
+              case _ =>
+                pfCounter += 1; val hv = "__pfo" + pfCounter; hiddenVars += hv; hv
+            }
+            cur = GraphOp(f(sv, outNames), outNames, cur)
+            outs.zip(outNames).foreach {
+              case (TVar(n), h) if n == h => ()
+              case (slot, h) =>
+                cur = Filter(RowExpr(v => pat2re(slot)(v) === v(h)), cur)
+            }
+            cur
+          }
+        val localOf: Column => Column =
+          c => regexp_extract(TermCols.lex(c), "([^/#]*)$", 1)
+        val nsOf: Column => Column = { c =>
+          val l = TermCols.lex(c)
+          l.substr(slit(1), length(l) - length(localOf(c)))
+        }
+        iri match {
+          case _ if iri == ListNs + "member" =>
+            // list:member ≡ the path rdf:rest*/rdf:first (ListBaseList
+            // semantics) — rides the existing iterative path machinery.
+            // An UNBOUND subject enumerates proper list HEADS only
+            // (GraphList.listsInGraph), not every interior cell.
+            arity(1)
+            args.head match { case TVar(n) => chunkVars += n; case _ => }
+            blockPf += { (opIn, bound) =>
+              val pp = PathPattern(subj,
+                PSeq(PZeroOrMore(PLink(RdfNs + "rest")), PLink(RdfNs + "first")),
+                args.head)
+              val joined = Join(opIn, pp)
+              subj match {
+                case TVar(n) if !bound(n) =>
+                  GraphOp((df, gdf) =>
+                    PropFuncs.restrictToListHeads(df, gdf, n), Nil, joined)
+                case _ => joined
+              }
+            }
+          case _ if iri == ListNs + "index" =>
+            arity(2)
+            graphGen(args)((sv, outs) =>
+              (df, gdf) => PropFuncs.listIndexJoin(df, gdf, sv, outs(0), outs(1)))
+          case _ if iri == ListNs + "length" =>
+            arity(1)
+            graphGen(args)((sv, outs) =>
+              (df, gdf) => PropFuncs.listLengthJoin(df, gdf, sv, outs(0)))
+          case _ if iri.endsWith("rdf-schema#member") || iri == ApfNs + "container" =>
+            arity(1)
+            graphGen(args)((sv, outs) =>
+              (df, gdf) => PropFuncs.containerMember(df, gdf, sv, outs(0)))
+          case _ if iri == ApfNs + "bag" || iri == ApfNs + "seq" || iri == ApfNs + "alt" =>
+            arity(1)
+            val ty = iri.substring(ApfNs.length).capitalize
+            graphGen(args)((sv, outs) =>
+              (df, gdf) => PropFuncs.containerOfType(df, gdf, ty, sv, outs(0)))
+          case _ if iri == ApfNs + "splitIRI" =>
+            // namespace binds as an IRI term, localname as a string
+            // (reference SplitIRI.java output node kinds)
+            arity(2)
+            val sre = pat2re(subj)
+            blockPf += ((opIn, _) =>
+              Filter(RowExpr(v => TermCols.isIri(sre(v))), opIn))
+            unifyPure(args(0), Seq(subj), RowExpr(v => TermCols.iriTerm(nsOf(sre(v)))))
+            unifyPure(args(1), Seq(subj), RowExpr(v => TermCols.strTerm(localOf(sre(v)))))
+          case _ if iri == ApfNs + "localname" =>
+            arity(1)
+            val sre = pat2re(subj)
+            unifyPure(args(0), Seq(subj), RowExpr(v => TermCols.strTerm(localOf(sre(v)))))
+          case _ if iri == ApfNs + "namespace" =>
+            arity(1)
+            val sre = pat2re(subj)
+            unifyPure(args(0), Seq(subj), RowExpr(v => TermCols.strTerm(nsOf(sre(v)))))
+          case _ if iri == ApfNs + "str" =>
+            // subject := plain-literal STR(object)
+            arity(1)
+            val ore = pat2re(args.head)
+            unifyPure(subj, args, RowExpr(v => SF.str(ore(v))))
+          case _ if iri == ApfNs + "assign" =>
+            // bidirectional unification (reference assign.java): bind
+            // whichever side is unbound; both bound ⇒ sameValue filter
+            arity(1)
+            blockPf += { (opIn, bound) =>
+              def isBound(p: TermPat) = p match {
+                case TVar(n) => bound(n); case _ => true
+              }
+              (subj, args.head) match {
+                case (TVar(n), o) if !bound(n) && isBound(o) =>
+                  Extend(n, pat2re(o), opIn)
+                case (s0, TVar(n)) if !bound(n) && isBound(s0) =>
+                  Extend(n, pat2re(s0), opIn)
+                case (s0, o) if isBound(s0) && isBound(o) =>
+                  Filter(RowExpr(v => pat2re(s0)(v) === pat2re(o)(v)), opIn)
+                case _ => fail("apf:assign needs at least one bound side")
+              }
+            }
+          case _ if iri == ApfNs + "concat" =>
+            unifyPure(subj, args, RowExpr(v =>
+              TermCols.strTerm(concat(args.map(a => TermCols.lex(pat2re(a)(v))): _*))))
+          case _ if iri == ApfNs + "strSplit" =>
+            arity(2)
+            val sep = args(1) match {
+              case TConst(t) => t.lex
+              case TVar(n) => fail(s"apf:strSplit separator must be a constant (got ?$n)")
+            }
+            blockPf += { (opIn, bound) =>
+              val inV = args.head match {
+                case TVar(n) if bound(n) => n
+                case TVar(n) => fail(s"apf:strSplit input ?$n is not bound in the block")
+                case TConst(_) =>
+                  pfCounter += 1; val hv = "__pfs" + pfCounter; hiddenVars += hv; hv
+              }
+              var cur = args.head match {
+                case TConst(t) => Extend(inV, RowExpr(_ => TermCols.const(t)), opIn)
+                case _ => opIn
+              }
+              subj match {
+                case TVar(n) if !bound(n) =>
+                  ExtOp(df => PropFuncs.strSplit(df, inV, sep, n), Seq(n), cur)
+                case other =>
+                  pfCounter += 1; val hv = "__pfo" + pfCounter; hiddenVars += hv
+                  cur = ExtOp(df => PropFuncs.strSplit(df, inV, sep, hv), Seq(hv), cur)
+                  Filter(RowExpr(v => pat2re(other)(v) === v(hv)), cur)
+              }
+            }
+          case other => fail(s"unsupported property function <$other>")
+        }
+      }
       def parsePredObjList(subj: TermPat, subjQt: Boolean): Unit = {
         var moreProps = true
         while (moreProps) {
@@ -1439,18 +1703,23 @@ object Parser {
           val pth = if (predVar.isEmpty) path() else PLink("")
           var moreObjs = true
           while (moreObjs) {
-            val (obj, objQt) = slotPat()
-            var annotated = false
             (predVar, pth) match {
-              case (Some(pv), _) =>
-                bgp += TriplePattern(subj, pv, obj)
-                annotated = patAnnotation(subj, pv, obj)
-              case (None, PLink(iri)) =>
-                bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
-                annotated = patAnnotation(subj, TConst(Term.iri(iri)), obj)
-              case (None, other) => flushInto(Some(PathPattern(subj, other, obj)))
+              case (None, PLink(iri)) if propFuncIris(iri) =>
+                emitPropFunc(iri, subj)
+              case _ =>
+                val (obj, objQt) = slotPat()
+                var annotated = false
+                (predVar, pth) match {
+                  case (Some(pv), _) =>
+                    bgp += TriplePattern(subj, pv, obj)
+                    annotated = patAnnotation(subj, pv, obj)
+                  case (None, PLink(iri)) =>
+                    bgp += TriplePattern(subj, TConst(Term.iri(iri)), obj)
+                    annotated = patAnnotation(subj, TConst(Term.iri(iri)), obj)
+                  case (None, other) => flushInto(Some(PathPattern(subj, other, obj)))
+                }
+                if (subjQt || objQt || annotated) flushInto(None)
             }
-            if (subjQt || objQt || annotated) flushInto(None)
             ws()
             if (peekIs(',')) i += 1 else moreObjs = false
           }
@@ -1501,7 +1770,12 @@ object Parser {
         }
       }
       flushInto(None)
-      op.getOrElse(Bgp(Nil))
+      var res = op.getOrElse(Bgp(Nil))
+      // a block holding ONLY property functions evaluates them over the
+      // unit solution ({} — one empty row), not an empty BGP
+      if (blockPf.nonEmpty && res == Bgp(Nil)) res = Table(Nil, Seq(Map.empty))
+      blockPf.foreach { f => res = f(res, opVars(res)) }
+      res
     }
 
     /** Bare `a` (rdf:type) next, as a whole word (not a pname prefix)? */
@@ -1514,6 +1788,7 @@ object Parser {
     private var rfCounter = 0
     private var collCounter = 0
     private var bplCounter = 0
+    private var pfCounter = 0
     private var gvCounter = 0
     private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 

@@ -151,13 +151,26 @@ class ManifestSpec extends AnyFunSuite {
   suites12.foreach { case (dir, skips) =>
     runSuite(s"W3C sparql12/$dir manifest", s"$SP12/$dir/manifest.ttl", skips) }
 
-  test("ARQ EngineMain manifest") {
-    val skips = Map("Filter placement in BGPs with property function" ->
-      "property function with list-object arguments is not wired through the text parser")
-    val results = GoldenRunner.runManifest(spark,
-      "/root/reference/jena-arq/testing/ARQ/EngineMain/manifest.ttl", skips)
-    assert(!results.exists(_.outcome.isInstanceOf[GoldenRunner.Failed]))
-  }
+  /** ARQ's own extension suites (testing/ARQ/): LATERAL evaluation +
+   * syntax, property functions (list:*, apf:*, rdfs:member), value
+   * testing, and extras. */
+  private val suitesArq: Seq[(String, Map[String, String])] = Seq(
+    "EngineMain" -> Map.empty,
+    "Lateral" -> Map(
+      "LATERAL - LIMIT 2" ->
+        ("LIMIT over equal ORDER BY keys: the kept rows are implementation-arbitrary; " +
+          "the stored expectation captures the reference's hash iteration order")),
+    "Syntax-Lateral" -> Map.empty,
+    "PropertyFunctions" -> Map(
+      "Property Function - splitIRI 9" ->
+        ("property function inside OPTIONAL referencing an outer variable needs " +
+          "per-binding substitution into the optional RHS (correlated OPTIONAL) — unsupported")),
+    "ValueTesting" -> Map.empty,
+    "Extra" -> Map.empty)
+
+  suitesArq.foreach { case (dir, skips) =>
+    runSuite(s"ARQ $dir manifest",
+      s"/root/reference/jena-arq/testing/ARQ/$dir/manifest.ttl", skips) }
 
   test("coverage floor: at least 1200 reference-derived cases pass") {
     assert(totalPassed >= 1200, s"only $totalPassed W3C cases passed")
