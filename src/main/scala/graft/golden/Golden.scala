@@ -219,6 +219,83 @@ object GoldenRunner {
   private def isoTT(a: Seq[Triple], b: Seq[Triple]): Boolean =
     Iso.isomorphic(expandTT(a.map(canonTriple)), expandTT(b.map(canonTriple)))
 
+  // ---------------------------------------------- RIOT parser suites (rdft:)
+
+  private val RDFT = "http://www.w3.org/ns/rdftest#"
+  private val QuadP = Term.iri("urn:graft:quad")
+
+  /** W3C RDF 1.1/1.2 parser-suite runner (rdft: vocabulary — the suites
+   * the reference runs via Scripts_RIOT_rdf_tests_std): Turtle / TriG /
+   * N-Triples / N-Quads positive/negative syntax and eval tests executed
+   * against graft.riot's document parsers. No SparkSession needed — the
+   * parsers are pure; the distributed path wraps the same functions in
+   * mapPartitions. */
+  def runRiotManifest(manifestPath: String,
+                      skip: Map[String, String] = Map.empty): Seq[CaseResult] =
+    Manifest.load(manifestPath).map { e =>
+      CaseResult(e.name,
+        if (skip.contains(e.name)) Skipped(skip(e.name))
+        else if (!e.types.exists(_.startsWith(RDFT)))
+          Skipped("not an rdftest case: " + e.types.map(shortT).mkString(","))
+        else runRiotEntry(e))
+    }
+
+  /** The suites' expected .nt files resolve relative IRIs against the
+   * tests' PUBLISHED URL, not the local path. */
+  private def webBase(path: String): String =
+    path.replace("/root/reference/jena-arq/testing/rdf-tests-cg/",
+      "https://w3c.github.io/rdf-tests/")
+
+  private def parseAnyRdf(path: String): Seq[graft.model.Quad] = {
+    val text = readFile(path)
+    val base = webBase(path)
+    import graft.model.Quad
+    if (path.endsWith(".nt"))
+      NTriples.parseDocument(text).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
+    else if (path.endsWith(".nq")) graft.riot.NQuads.parseDocument(text)
+    else if (path.endsWith(".trig")) graft.riot.TrigLite.parse(text, base)
+    else TurtleLite.parse(text, base).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
+  }
+
+  /** Dataset isomorphism under ONE bnode bijection: each named-graph quad
+   * becomes `(g, urn:graft:quad, <<(s p o)>>)` and [[isoTT]]'s triple-term
+   * expansion carries embedded bnodes into the bijection. `.distinct`:
+   * an RDF graph is a SET — a document asserting the same triple twice
+   * holds it once (Graph.add set semantics, mem/store/TripleStore.java). */
+  private def datasetTriples(qs: Seq[graft.model.Quad]): Seq[Triple] =
+    qs.distinct.map { q =>
+      if (q.g == Term.defaultGraph) Triple(q.s, q.p, q.o)
+      else Triple(q.g, QuadP, Term(Term.KIND_TRIPLE_TERM,
+        "<<( " + q.s.toNTriples + " " + q.p.toNTriples + " " + q.o.toNTriples + " )>>",
+        "", ""))
+    }
+
+  private def runRiotEntry(e: Manifest.Entry): Outcome = {
+    val action = e.query.getOrElse(return Skipped("no action file"))
+    val negative = e.types.exists(t => t.startsWith(RDFT) && t.contains("Negative"))
+    val parsed =
+      try Right(parseAnyRdf(action))
+      catch { case ex: Exception => Left(ex) }
+    (parsed, negative) match {
+      case (Left(_), true) => Passed
+      case (Left(ex), false) =>
+        Failed("parse error: " + String.valueOf(ex.getMessage).take(200))
+      case (Right(_), true) => Failed("negative test parsed successfully")
+      case (Right(qs), false) =>
+        e.result match {
+          case None => Passed // positive-syntax test
+          case Some(rf) =>
+            val exp = parseAnyRdf(rf)
+            if (isoTT(datasetTriples(qs), datasetTriples(exp))) Passed
+            else Failed(s"${qs.size} quads vs expected ${exp.size}\n  actual:   " +
+              qs.take(8).map(q => q.s.toNTriples + " " + q.p.toNTriples + " " +
+                q.o.toNTriples).mkString(" | ") +
+              "\n  expected: " + exp.take(8).map(q => q.s.toNTriples + " " +
+                q.p.toNTriples + " " + q.o.toNTriples).mkString(" | "))
+        }
+    }
+  }
+
   /** Positive/NegativeSyntaxTest: the action IRI is the query/update file
    * itself; a positive test must parse, a negative one must RAISE (the
    * reference's SyntaxTest). `.ru` files go through the Update grammar. */

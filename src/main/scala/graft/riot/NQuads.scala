@@ -22,9 +22,15 @@ object NQuads {
     try {
       val p = new NTriples.LineParser(s)
       val subj = p.term()
+      if (subj.kind != Term.KIND_IRI && subj.kind != Term.KIND_BNODE)
+        throw new IllegalArgumentException("subject must be an IRI or blank node")
       val pred = p.term()
+      if (pred.kind != Term.KIND_IRI)
+        throw new IllegalArgumentException("predicate must be an IRI")
       val obj = p.term()
       val g = if (p.peekDot) Term.defaultGraph else p.term()
+      if (g.kind != Term.KIND_IRI && g.kind != Term.KIND_BNODE)
+        throw new IllegalArgumentException("graph label must be an IRI or blank node")
       p.dot()
       Some(Quad(subj, pred, obj, g))
     } catch {

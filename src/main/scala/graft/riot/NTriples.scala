@@ -28,7 +28,11 @@ object NTriples {
     try {
       val p = new LineParser(s)
       val subj = p.term()
+      if (subj.kind != Term.KIND_IRI && subj.kind != Term.KIND_BNODE)
+        throw new IllegalArgumentException("subject must be an IRI or blank node")
       val pred = p.term()
+      if (pred.kind != Term.KIND_IRI)
+        throw new IllegalArgumentException("predicate must be an IRI")
       val obj = p.term()
       p.dot()
       Some(Triple(subj, pred, obj))
@@ -112,15 +116,22 @@ object NTriples {
       if (end < 0) fail("unterminated IRI")
       val iri = s.substring(i + 1, end)
       i = end + 1
-      Term.iri(NTriplesEscape.unescape(iri))
+      // strict IRIREF: \u/\U escapes only, no control/space/<>"{}|^`\ chars,
+      // and N-Triples IRIs must be absolute (nt-syntax-bad-uri-*)
+      Term.iri(Chars.requireAbsolute(Chars.unescapeIri(iri)))
     }
 
     private def bnode(): Term = {
       if (i + 1 >= s.length || s.charAt(i + 1) != ':') fail("bad bnode")
       i += 2
       val start = i
-      while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
-      Term.bnode(s.substring(start, i))
+      while (i < s.length && (Chars.pnChars(s.codePointAt(i)) || s.charAt(i) == '.'))
+        i += Character.charCount(s.codePointAt(i))
+      var label = s.substring(start, i)
+      // a trailing '.' is the statement terminator, not part of the label
+      while (label.endsWith(".")) { label = label.dropRight(1); i -= 1 }
+      if (!Chars.validBnodeLabel(label)) fail(s"invalid blank node label '_:$label'")
+      Term.bnode(label)
     }
 
     private def literal(): Term = {
@@ -135,15 +146,21 @@ object NTriples {
       }
       if (i >= s.length) fail("unterminated literal")
       i += 1 // closing quote
-      val lex = NTriplesEscape.unescape(sb.toString)
+      val lex = Chars.unescapeString(sb.toString)
+      ws() // tokens may be whitespace-separated: `"x" @en`, `"2" ^^ <dt>`
       if (i < s.length && s.charAt(i) == '@') {
         i += 1
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
-        Term.langLit(lex, s.substring(start, i))
+        val tag = s.substring(start, i)
+        if (!Chars.validLangTag(tag)) fail(s"invalid language tag '@$tag'")
+        Term.langLit(lex, tag)
       } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
         i += 2
+        ws()
         val dt = iriRef()
+        if (dt.lex == Chars.RDF_LANG_STRING || dt.lex == Chars.RDF_DIR_LANG_STRING)
+          fail("rdf:langString/dirLangString literals need a language tag, not ^^")
         Term.lit(lex, dt.lex)
       } else Term.string(lex)
     }
@@ -153,6 +170,9 @@ object NTriples {
     private def tripleTerm(): Term = {
       i += 3
       val ts = term(); val tp = term(); val to = term()
+      if (ts.kind != Term.KIND_IRI && ts.kind != Term.KIND_BNODE)
+        fail("triple-term subject must be an IRI or blank node")
+      if (tp.kind != Term.KIND_IRI) fail("triple-term predicate must be an IRI")
       ws()
       if (!s.startsWith(")>>", i)) fail("unterminated triple term")
       i += 3

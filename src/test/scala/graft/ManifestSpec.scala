@@ -172,7 +172,41 @@ class ManifestSpec extends AnyFunSuite {
     runSuite(s"ARQ $dir manifest",
       s"/root/reference/jena-arq/testing/ARQ/$dir/manifest.ttl", skips) }
 
-  test("coverage floor: at least 1200 reference-derived cases pass") {
-    assert(totalPassed >= 1200, s"only $totalPassed W3C cases passed")
+  /** W3C RDF 1.1 + 1.2 PARSER suites (rdft: vocabulary — the data the
+   * reference runs via its riot test scripts): N-Triples / N-Quads /
+   * Turtle / TriG positive+negative syntax, eval (graph isomorphism) and
+   * c14n cases against graft.riot's document parsers. Pure functions —
+   * no SparkSession; the distributed read path wraps the same parsers in
+   * mapPartitions. */
+  private val RDFT = "/root/reference/jena-arq/testing/rdf-tests-cg/rdf"
+  private val riotSuites: Seq[String] = Seq(
+    s"$RDFT/rdf11/rdf-n-triples/manifest.ttl",
+    s"$RDFT/rdf11/rdf-n-quads/manifest.ttl",
+    s"$RDFT/rdf11/rdf-turtle/manifest.ttl",
+    s"$RDFT/rdf11/rdf-trig/manifest.ttl",
+    s"$RDFT/rdf12/rdf-n-triples/syntax/manifest.ttl",
+    s"$RDFT/rdf12/rdf-n-triples/c14n/manifest.ttl",
+    s"$RDFT/rdf12/rdf-n-quads/syntax/manifest.ttl",
+    s"$RDFT/rdf12/rdf-n-quads/c14n/manifest.ttl",
+    s"$RDFT/rdf12/rdf-turtle/syntax/manifest.ttl",
+    s"$RDFT/rdf12/rdf-turtle/eval/manifest.ttl",
+    s"$RDFT/rdf12/rdf-trig/syntax/manifest.ttl",
+    s"$RDFT/rdf12/rdf-trig/eval/manifest.ttl")
+
+  riotSuites.foreach { m =>
+    val label = m.stripPrefix(RDFT + "/").stripSuffix("/manifest.ttl")
+    test(s"W3C RIOT $label manifest") {
+      val results = GoldenRunner.runRiotManifest(m)
+      val failed = results.collect { case GoldenRunner.CaseResult(n, GoldenRunner.Failed(d)) =>
+        s"$n: ${d.linesIterator.take(2).mkString(" // ")}" }
+      assert(failed.isEmpty, s"${failed.size} failing cases:\n  " + failed.mkString("\n  "))
+      val passed = results.count(_.outcome == GoldenRunner.Passed)
+      totalPassed += passed
+      assert(passed > 0, "suite executed no cases")
+    }
+  }
+
+  test("coverage floor: at least 2200 reference-derived cases pass") {
+    assert(totalPassed >= 2200, s"only $totalPassed W3C cases passed")
   }
 }
