@@ -42,9 +42,11 @@ object SparkEntry {
     "s2_ann_lsh"        -> OpsQueries.s2_ann_lsh _,
     "e1_embed_pairs"    -> OpsQueries.e1_embed_pairs _,
     "t1_text_stats"     -> OpsQueries.t1_text_stats _,
+    "t2_lang_id"        -> OpsQueries.t2_lang_id _,
     "t3_fingerprint"    -> OpsQueries.t3_fingerprint _,
     "t4_rolling_fp"     -> OpsQueries.t4_rolling_fingerprint _,
     "t5_token_count"    -> OpsQueries.t5_token_count _,
+    "t6_decontam"       -> OpsQueries.t6_decontam _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     // SPARQL algebra over a triple encoding (graft.algebra Compiler)
     "r16_bgp"             -> SparqlQueries.r16_bgp _,
@@ -309,6 +311,49 @@ object SparkEntry {
              t -> t IN ('the', 'a', 'of', 'and'))))
              // len(string_split(text, ' ')) AS stopword_permille
          FROM documents""",
+    "t2_lang_id" ->
+      """WITH sc AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS score_de,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','is','to'))) AS BIGINT) AS score_en,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('el','los','las','y','es','que'))) AS BIGINT) AS score_es,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('le','les','et','est','dans','une'))) AS BIGINT) AS score_fr
+           FROM documents)
+         SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+         FROM sc""",
+    "t6_decontam" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 50
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1) FROM documents),
+         g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+               list_transform(range(1, len(string_split(text, ' ')) - 6),
+                 j -> array_to_string(string_split(text, ' ')[j:j+7], '_'))
+               ELSE [] END) AS grams
+           FROM aug),
+         bg AS (
+           SELECT DISTINCT unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+               list_transform(range(1, len(string_split(text, ' ')) - 6),
+                 j -> array_to_string(string_split(text, ' ')[j:j+7], '_'))
+               ELSE [] END)) AS gram
+           FROM documents WHERE doc_id < 50),
+         c AS (SELECT doc_id, len(grams) AS n_total, unnest(grams) AS gram FROM g)
+         SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           (1000 * CAST(count(*) AS BIGINT)) // any_value(c.n_total) AS overlap_permille
+         FROM c JOIN bg ON c.gram = bg.gram
+         GROUP BY c.doc_id""",
     "t3_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))

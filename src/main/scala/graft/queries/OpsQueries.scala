@@ -391,6 +391,67 @@ object OpsQueries {
       expr(s"""(1000 * size(filter($tokensExpr, t -> t in ('the', 'a', 'of', 'and'))))
                div size($tokensExpr)""").as("stopword_permille"))
 
+  /** Language-ID by marker-token profile scoring — the n-gram-heuristic
+   * family (CLD/fastText-style models reduce to scoring per-language
+   * token/char-n-gram profiles; here one marker set per language with
+   * integer counts, so the oracle is exact). Per doc: score_l = count of
+   * tokens in language l's marker set (with multiplicity); lang_pred =
+   * argmax, ties to the alphabetically-first language (the CASE chain
+   * with >= implements exactly that, mirrored in the oracle). Narrow
+   * per-row projection — no shuffle, scales linearly. */
+  def t2_lang_id(s: SparkSession, d: String): DataFrame = {
+    val profiles = Seq( // alphabetical — the tie-break order
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "en" -> Seq("the", "a", "of", "and", "is", "to"),
+      "es" -> Seq("el", "los", "las", "y", "es", "que"),
+      "fr" -> Seq("le", "les", "et", "est", "dans", "une"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+    val scored = profiles.foldLeft(toks) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l",
+        expr(s"size(filter(toks, t -> t in (${ms.map("'" + _ + "'").mkString(",")})))")
+          .cast("long"))
+    }
+    val Seq(de, en, es, fr) =
+      Seq("de", "en", "es", "fr").map(l => col(s"score_$l"))
+    scored.select(col("doc_id"), de, en, es, fr,
+      when(de >= en && de >= es && de >= fr, "de")
+        .when(en >= es && en >= fr, "en")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("lang_pred"))
+  }
+
+  /** Decontamination: flag corpus documents sharing any word-8-gram with
+   * a benchmark set (docs 0..49 stand in for the eval benchmark; the
+   * corpus additionally carries first-token-dropped copies, ids
+   * +100000, so true contamination exists). Scale shape: the benchmark
+   * 8-gram set is tiny relative to the corpus → broadcast to the
+   * corpus-side equi-join; the corpus explodes its distinct 8-grams
+   * ONCE and aggregates per doc — never an n² document comparison. */
+  def t6_decontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """array_distinct(if(size(toks) >= 8,
+             transform(sequence(1, size(toks) - 7),
+               j -> concat_ws('_', slice(toks, j, 8))),
+             array()))""").as("grams"))
+    val bench = grams(docs.where(col("doc_id") < 50))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = grams(docs.where(col("doc_id") >= 50).union(mutated))
+      .select(col("doc_id"), size(col("grams")).as("n_total"),
+        explode(col("grams")).as("gram"))
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("n_total"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_permille", expr("(1000 * n_overlap) div n_total"))
+      .select(col("doc_id"), col("n_overlap"), col("overlap_permille"))
+  }
+
   /** Document fingerprint: md5 of the sorted distinct-token set — equal
    * fingerprints ⇔ equal bags-of-words (order/multiplicity-insensitive). */
   def t3_fingerprint(s: SparkSession, d: String): DataFrame =

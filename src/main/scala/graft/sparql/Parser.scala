@@ -311,7 +311,7 @@ object Parser {
         if (i < s.length) fail("trailing content after DESCRIBE")
         val vs =
           if (star)
-            w.map(opVars(_).filterNot(_.startsWith("__")).toSeq.sorted).getOrElse(Nil)
+            w.map(opVars(_).filterNot(hiddenVars).toSeq.sorted).getOrElse(Nil)
           else dVars.toList
         Parser.DescribeQ(iris.toList, vs, w)
       } else Parser.SelectQ(parseQueryNoPrologue())

@@ -73,4 +73,40 @@ class OpsSpec extends AnyFunSuite {
     info(s"hamming distances planted pairs: min=${dists.min} max=${dists.max}")
     assert(dists.max <= 20) // one-token mutation moves few bits
   }
+
+  test("lang-id: marker scoring predicts a language for every doc, deterministically") {
+    val out = OpsQueries.t2_lang_id(spark, sf).collect()
+    assert(out.nonEmpty)
+    val langs = out.map(_.getAs[String]("lang_pred")).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr")))
+    // the synthetic corpus is English-heavy word salad: the en marker set
+    // ('the','a','of','and','is','to') must dominate on most docs
+    val en = out.count(_.getAs[String]("lang_pred") == "en")
+    assert(en > out.length / 2, s"expected mostly en, got $en/${out.length}")
+    // argmax consistency: the predicted language's score is the max
+    out.foreach { r =>
+      val scores = Map(
+        "de" -> r.getAs[Long]("score_de"), "en" -> r.getAs[Long]("score_en"),
+        "es" -> r.getAs[Long]("score_es"), "fr" -> r.getAs[Long]("score_fr"))
+      assert(scores(r.getAs[String]("lang_pred")) == scores.values.max)
+    }
+  }
+
+  test("decontam: every planted benchmark copy is flagged, originals mostly clean") {
+    val flagged = OpsQueries.t6_decontam(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("overlap_permille")).toMap
+    // docs 0..49 are the benchmark; their first-token-dropped copies
+    // (ids 100000..100049) share nearly all word-8-grams
+    (100000L until 100050L).foreach { id =>
+      assert(flagged.contains(id), s"planted contaminated copy $id not flagged")
+      assert(flagged(id) >= 900, s"copy $id overlap only ${flagged(id)} permille")
+    }
+    // decontamination is selective: most corpus docs are NOT flagged
+    // (the word-salad corpus does contain occasional genuine duplicates
+    // of benchmark docs — flagging those is the operator working)
+    val nOriginalsFlagged = flagged.keys.count(_ < 100000L)
+    val nDocs = OpsQueries.t2_lang_id(spark, sf).count()
+    assert(nOriginalsFlagged < nDocs / 2,
+      s"$nOriginalsFlagged of $nDocs originals flagged — not selective")
+  }
 }
