@@ -254,6 +254,8 @@ object GoldenRunner {
       NTriples.parseDocument(text).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
     else if (path.endsWith(".nq")) graft.riot.NQuads.parseDocument(text)
     else if (path.endsWith(".trig")) graft.riot.TrigLite.parse(text, base)
+    else if (path.endsWith(".rdf"))
+      graft.riot.RdfXmlLite.parse(text, base).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
     else TurtleLite.parse(text, base).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
   }
 

@@ -6,107 +6,319 @@ import graft.model.{Term, Triple}
 import graft.normalize.{Iri, Literals}
 
 /**
- * Constrained RDF/XML reader for the golden gate's reference data files
- * (reference: jena-core RRX/ARP parsers — full RDF/XML stays out of scope,
- * SURVEY §7.4; the W3C test fixtures use only the basic striped syntax).
- * Supported: rdf:RDF roots, rdf:Description + typed node elements,
- * rdf:about/rdf:ID/rdf:nodeID, property elements with rdf:resource /
- * rdf:nodeID / rdf:datatype / inherited xml:lang / nested node elements /
- * rdf:parseType="Resource", and property attributes. Driver-side by
- * design: test fixtures are tiny documents.
+ * RDF/XML reader covering the W3C RDF/XML grammar productions the rdf11
+ * test suite exercises (reference: jena-core RRX/ARP parsers; grammar =
+ * REC-rdf-syntax-grammar §7): rdf:RDF roots (optional), rdf:Description +
+ * typed node elements, rdf:about / rdf:ID / rdf:nodeID, scoped xml:base
+ * and xml:lang, property elements with rdf:resource / rdf:nodeID /
+ * rdf:datatype / property attributes, rdf:li container numbering
+ * (rdf:_1…), parseType Resource / Collection / Literal (XML literal
+ * serialized with in-scope namespaces in declaration order, the suite's
+ * canonical form), property-element rdf:ID reification, and the grammar's
+ * error checks (reserved names, old-RDF terms, NCName IDs, duplicate
+ * rdf:ID, conflicting attributes, unqualified attributes).
+ *
+ * Parsing is SAX into a tiny ordered tree (DOM alphabetizes attributes,
+ * which loses the declaration order XMLLiteral canonicalization needs).
+ * Driver-side by design: documents arrive one-per-row (the corpus
+ * `content` column), so parsing is a pure function wrapped in
+ * mapPartitions on the distributed path, like TurtleLite.
  */
 object RdfXmlLite {
 
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val XMLNS = "http://www.w3.org/XML/1998/namespace"
 
-  def parse(xml: String, base: String): Seq[Triple] = {
-    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    factory.setNamespaceAware(true)
-    val doc = factory.newDocumentBuilder()
-      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+  /** coreSyntaxTerms ∪ {Description} ∪ oldTerms — never property elements. */
+  private val NotProperty = Set("RDF", "ID", "about", "parseType", "resource",
+    "nodeID", "datatype", "Description", "aboutEach", "aboutEachPrefix", "bagID")
+  /** coreSyntaxTerms ∪ {li} ∪ oldTerms — never node elements. */
+  private val NotNode = Set("RDF", "ID", "about", "parseType", "resource",
+    "nodeID", "datatype", "li", "aboutEach", "aboutEachPrefix", "bagID")
+  /** Terms never usable as property ATTRIBUTES. */
+  private val NotAttr = Set("RDF", "ID", "about", "parseType", "resource",
+    "nodeID", "datatype", "Description", "li", "aboutEach", "aboutEachPrefix", "bagID")
+
+  /** One attribute, in DOCUMENT order: (nsUri, localName, qName, value). */
+  private final case class XAttr(ns: String, local: String, qName: String, value: String)
+
+  /** Minimal ordered element tree. Children: XElem | String (text). */
+  private final class XElem(val ns: String, val local: String, val qName: String,
+                            val attrs: Seq[XAttr], val parent: XElem) {
+    val children = ListBuffer[AnyRef]()
+    def childElems: Seq[XElem] = children.collect { case e: XElem => e }.toSeq
+    def text: String = children.collect { case s: String => s }.mkString
+  }
+
+  private def saxParse(xml: String): XElem = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://xml.org/sax/features/namespace-prefixes", true)
+    val reader = f.newSAXParser().getXMLReader
+    var root: XElem = null
+    var cur: XElem = null
+    reader.setContentHandler(new org.xml.sax.helpers.DefaultHandler {
+      override def startElement(uri: String, localName: String, qName: String,
+                                atts: org.xml.sax.Attributes): Unit = {
+        val as = (0 until atts.getLength).map { i =>
+          XAttr(Option(atts.getURI(i)).getOrElse(""), atts.getLocalName(i),
+            atts.getQName(i), atts.getValue(i))
+        }
+        val e = new XElem(Option(uri).getOrElse(""), localName, qName, as, cur)
+        if (cur == null) root = e else cur.children += e
+        cur = e
+      }
+      override def endElement(uri: String, localName: String, qName: String): Unit =
+        cur = cur.parent
+      override def characters(ch: Array[Char], start: Int, length: Int): Unit =
+        if (cur != null) cur.children += new String(ch, start, length)
+    })
+    // entity expansion and DTD fetching stay off: parse is a pure function
+    reader.setEntityResolver(new org.xml.sax.helpers.DefaultHandler)
+    reader.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    if (root == null) throw new IllegalArgumentException("RDF/XML: empty document")
+    root
+  }
+
+  def parse(xml: String, docBase: String): Seq[Triple] = {
     val out = ListBuffer[Triple]()
     var bn = 0
+    val usedIds = scala.collection.mutable.Set[String]()
     def freshBnode(): Term = { bn += 1; Term.bnode(s"rx$bn") }
+    def err(msg: String): Nothing = throw new IllegalArgumentException(s"RDF/XML: $msg")
 
-    def childElems(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
-      val nl = e.getChildNodes
-      (0 until nl.getLength).map(nl.item)
-        .collect { case x: org.w3c.dom.Element => x }
-    }
-    def attr(e: org.w3c.dom.Element, local: String): Option[String] = {
-      val v = e.getAttributeNS(RDFNS, local)
-      if (v == null || v.isEmpty) {
-        if (e.hasAttributeNS(RDFNS, local)) Some("") else None
-      } else Some(v)
-    }
-    def langOf(e: org.w3c.dom.Element, inherited: String): String = {
-      val l = e.getAttribute("xml:lang")
-      if (l != null && l.nonEmpty) l else inherited
+    /** XML NCName (no colon): the rdf:ID / rdf:nodeID value space. */
+    def validNCName(s: String): Boolean =
+      s.nonEmpty && {
+        val c0 = s.charAt(0)
+        (Character.isLetter(c0) || c0 == '_') &&
+          s.forall(c => Character.isLetterOrDigit(c) || c == '.' || c == '-' ||
+            c == '_' || c == 0x00B7 || (c >= 0x0300 && c <= 0x036F))
+      }
+
+    def rdfAttr(e: XElem, local: String): Option[String] =
+      e.attrs.find(a => a.ns == RDFNS && a.local == local).map(_.value)
+    def xmlAttr(e: XElem, local: String): Option[String] =
+      e.attrs.find(a => a.ns == XMLNS && a.local == local).map(_.value)
+
+    def langOf(e: XElem, inherited: String): String =
+      xmlAttr(e, "lang").getOrElse(inherited)
+    def baseOf(e: XElem, inherited: String): String =
+      xmlAttr(e, "base") match {
+        case Some(b) => Iri.resolve(inherited, b)
+        case None => inherited
+      }
+
+    /** Every attribute that is neither rdf-syntax, xmlns, nor xml-reserved;
+     * enforces the attribute-level grammar errors. */
+    def propertyAttrs(e: XElem): Seq[XAttr] =
+      e.attrs.filter { a =>
+        if (a.qName == "xmlns" || a.qName.startsWith("xmlns:")) false
+        else if (a.ns == RDFNS) {
+          if (a.local == "li") err("rdf:li is not allowed as an attribute")
+          if (a.local == "aboutEach" || a.local == "aboutEachPrefix" || a.local == "bagID")
+            err(s"rdf:${a.local} was removed from RDF (old-RDF term)")
+          // unknown rdf:* attributes are allowed property attributes
+          // (spec propertyAttributeURIs); the known syntax terms are not
+          !NotAttr.contains(a.local)
+        } else if (a.ns == XMLNS) false
+        // XML reserves all names beginning with "xml" — ignored, not errors
+        else if (a.ns.isEmpty && a.qName.toLowerCase.startsWith("xml")) false
+        else if (a.ns.isEmpty)
+          err(s"unqualified attribute '${a.qName}' (RDF attributes need a namespace)")
+        else true
+      }
+
+    def resolveId(id: String, base: String): String = {
+      if (!validNCName(id)) err(s"rdf:ID value '$id' is not an XML NCName")
+      val iri = Iri.resolve(base, "#" + id)
+      if (!usedIds.add(iri)) err(s"duplicate rdf:ID '$id' (same document base)")
+      iri
     }
 
-    /** A node element (rdf:Description or typed). Returns its subject. */
-    def nodeElem(e: org.w3c.dom.Element, lang0: String): Term = {
+    /** In-scope namespace declarations in DECLARATION order (outermost
+     * first, redeclarations override in place) — the form the suite's
+     * expected XMLLiteral canonicalization carries. */
+    def nsInScope(e: XElem): Seq[(String, String)] = {
+      val chain = Iterator.iterate(e)(_.parent).takeWhile(_ != null).toSeq.reverse
+      val acc = ListBuffer[(String, String)]()
+      chain.foreach { el =>
+        el.attrs.filter(a => a.qName == "xmlns" || a.qName.startsWith("xmlns:"))
+          .foreach { a =>
+            val p = if (a.qName == "xmlns") "" else a.qName.substring(6)
+            val i = acc.indexWhere(_._1 == p)
+            if (i >= 0) acc(i) = (p, a.value) else acc += ((p, a.value))
+          }
+      }
+      acc.toList
+    }
+
+    def escapeText(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def escapeAttr(s: String): String =
+      escapeText(s).replace("\"", "&quot;")
+
+    /** XMLLiteral lexical form: children serialized with start/end tags,
+     * in-scope namespaces on each top-level element (declaration order),
+     * other attributes in document order. */
+    def xmlLiteral(p: XElem): String = {
+      def ser(n: AnyRef, top: Boolean): String = n match {
+        case t: String => escapeText(t)
+        case el: XElem =>
+          val nsDecls =
+            if (top)
+              nsInScope(el).map { case (pfx, uri) =>
+                val an = if (pfx.isEmpty) "xmlns" else s"xmlns:$pfx"
+                s""" $an="${escapeAttr(uri)}""""
+              }.mkString
+            else el.attrs.filter(a => a.qName == "xmlns" || a.qName.startsWith("xmlns:"))
+              .map(a => s""" ${a.qName}="${escapeAttr(a.value)}"""").mkString
+          val as = el.attrs
+            .filterNot(a => a.qName == "xmlns" || a.qName.startsWith("xmlns:"))
+            .map(a => s""" ${a.qName}="${escapeAttr(a.value)}"""").mkString
+          val inner = el.children.map(ser(_, top = false)).mkString
+          s"<${el.qName}$nsDecls$as>$inner</${el.qName}>"
+        case _ => ""
+      }
+      p.children.map(ser(_, top = true)).mkString
+    }
+
+    /** nodeElement: returns its subject term. */
+    def nodeElem(e: XElem, lang0: String, base0: String): Term = {
       val lang = langOf(e, lang0)
+      val base = baseOf(e, base0)
+      if (e.ns.isEmpty) err(s"unqualified element '${e.qName}'")
+      if (e.ns == RDFNS && NotNode.contains(e.local))
+        err(s"rdf:${e.local} is not allowed as a node element")
+      val about = rdfAttr(e, "about")
+      val id = rdfAttr(e, "ID")
+      val nodeId = rdfAttr(e, "nodeID")
+      if (Seq(about, id, nodeId).count(_.isDefined) > 1)
+        err("at most one of rdf:about / rdf:ID / rdf:nodeID on a node element")
       val subj =
-        attr(e, "about").map(a => Term.iri(Iri.resolve(base, a)))
-          .orElse(attr(e, "ID").map(id => Term.iri(Iri.resolve(base, "#" + id))))
-          .orElse(attr(e, "nodeID").map(Term.bnode))
+        about.map(a => Term.iri(Iri.resolve(base, a)))
+          .orElse(id.map(i => Term.iri(resolveId(i, base))))
+          .orElse(nodeId.map { nid =>
+            if (!validNCName(nid)) err(s"rdf:nodeID value '$nid' is not an XML NCName")
+            Term.bnode(nid)
+          })
           .getOrElse(freshBnode())
-      // typed node element: the element name is an rdf:type triple
-      if (!(e.getNamespaceURI == RDFNS && e.getLocalName == "Description"))
-        out += Triple(subj, Term.iri(RDFNS + "type"),
-          Term.iri(e.getNamespaceURI + e.getLocalName))
-      // property ATTRIBUTES (non-rdf, non-xml) are string-literal triples
-      val attrs = e.getAttributes
-      (0 until attrs.getLength).map(attrs.item)
-        .collect { case a: org.w3c.dom.Attr => a }
-        .filter { a =>
-          val ns = Option(a.getNamespaceURI).getOrElse("")
-          ns != RDFNS && !ns.startsWith("http://www.w3.org/XML/") &&
-            ns.nonEmpty && !a.getName.startsWith("xmlns")
-        }
-        .foreach { a =>
-          out += Triple(subj, Term.iri(a.getNamespaceURI + a.getLocalName),
-            Term.string(a.getValue))
-        }
-      childElems(e).foreach(propertyElem(subj, _, lang))
+      if (!(e.ns == RDFNS && e.local == "Description"))
+        out += Triple(subj, Term.iri(RDFNS + "type"), Term.iri(e.ns + e.local))
+      propertyAttrs(e).foreach { a =>
+        if (a.ns == RDFNS && a.local == "type")
+          out += Triple(subj, Term.iri(RDFNS + "type"),
+            Term.iri(Iri.resolve(base, a.value)))
+        else out += Triple(subj, Term.iri(a.ns + a.local),
+          if (lang.nonEmpty) Term.langLit(a.value, lang) else Term.string(a.value))
+      }
+      // one rdf:li counter per node element, advanced only by li children
+      var liN = 0
+      e.childElems.foreach(propertyElem(subj, _, lang, base, () => liN, n => liN = n))
       subj
     }
 
-    /** A property element under subject `subj`. */
-    def propertyElem(subj: Term, p: org.w3c.dom.Element, lang0: String): Unit = {
+    /** propertyElement of subject `subj`; get/set thread the parent's
+     * rdf:li counter. */
+    def propertyElem(subj: Term, p: XElem, lang0: String, base0: String,
+                     get: () => Int, set: Int => Unit): Unit = {
       val lang = langOf(p, lang0)
-      val pred = Term.iri(p.getNamespaceURI + p.getLocalName)
-      val kids = childElems(p)
-      val parseType = attr(p, "parseType")
-      val obj: Term =
-        attr(p, "resource") match {
-          case Some(r) => Term.iri(Iri.resolve(base, r))
-          case None => attr(p, "nodeID") match {
-            case Some(nid) => Term.bnode(nid)
-            case None if parseType.contains("Resource") =>
+      val base = baseOf(p, base0)
+      if (p.ns.isEmpty) err(s"unqualified element '${p.qName}'")
+      if (p.ns == RDFNS && NotProperty.contains(p.local))
+        err(s"rdf:${p.local} is not allowed as a property element")
+      val pred =
+        if (p.ns == RDFNS && p.local == "li") {
+          val n = get() + 1; set(n); Term.iri(RDFNS + "_" + n)
+        } else Term.iri(p.ns + p.local)
+      val kids = p.childElems
+      val parseType = rdfAttr(p, "parseType")
+      val resource = rdfAttr(p, "resource")
+      val nodeId = rdfAttr(p, "nodeID")
+      val datatype = rdfAttr(p, "datatype")
+      val pAttrs = propertyAttrs(p)
+      if (resource.isDefined && nodeId.isDefined)
+        err("both rdf:resource and rdf:nodeID on a property element")
+      if (parseType.isDefined && (resource.isDefined || nodeId.isDefined || datatype.isDefined))
+        err("rdf:parseType excludes rdf:resource/rdf:nodeID/rdf:datatype")
+      if (datatype.isDefined && kids.nonEmpty)
+        err("rdf:datatype on a property element with element content")
+      if ((resource.isDefined || nodeId.isDefined) && kids.nonEmpty)
+        err("rdf:resource/rdf:nodeID on a property element with element content")
+
+      def attrObjTriples(o: Term): Unit = pAttrs.foreach { a =>
+        if (a.ns == RDFNS && a.local == "type")
+          out += Triple(o, Term.iri(RDFNS + "type"), Term.iri(Iri.resolve(base, a.value)))
+        else out += Triple(o, Term.iri(a.ns + a.local),
+          if (lang.nonEmpty) Term.langLit(a.value, lang) else Term.string(a.value))
+      }
+
+      val obj: Term = parseType match {
+        case Some("Resource") =>
+          if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Resource\"")
+          val b = freshBnode()
+          var li = 0
+          kids.foreach(propertyElem(b, _, lang, base, () => li, n => li = n))
+          b
+        case Some("Collection") =>
+          if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Collection\"")
+          val items = kids.map(nodeElem(_, lang, base))
+          if (items.isEmpty) Term.iri(RDFNS + "nil")
+          else {
+            val cells = items.map(_ => freshBnode())
+            cells.zip(items).zipWithIndex.foreach { case ((c, it), k) =>
+              out += Triple(c, Term.iri(RDFNS + "first"), it)
+              out += Triple(c, Term.iri(RDFNS + "rest"),
+                if (k == items.size - 1) Term.iri(RDFNS + "nil") else cells(k + 1))
+            }
+            cells.head
+          }
+        case Some(_) => // "Literal" and any other parseType value
+          if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Literal\"")
+          Term.lit(xmlLiteral(p), RDFNS + "XMLLiteral")
+        case None =>
+          resource.map(r => Term.iri(Iri.resolve(base, r)))
+            .orElse(nodeId.map { nid =>
+              if (!validNCName(nid)) err(s"rdf:nodeID value '$nid' is not an XML NCName")
+              Term.bnode(nid)
+            }) match {
+            case Some(o) => attrObjTriples(o); o
+            case None if kids.nonEmpty =>
+              if (kids.size > 1) err("a property element may contain only one node element")
+              if (p.text.trim.nonEmpty) err("mixed text and element content needs parseType")
+              if (pAttrs.nonEmpty) err("property attributes with element content")
+              nodeElem(kids.head, lang, base)
+            case None if pAttrs.nonEmpty =>
+              // empty property element with property attributes → bnode
               val b = freshBnode()
-              kids.foreach(propertyElem(b, _, lang))
+              attrObjTriples(b)
               b
-            case None if kids.nonEmpty => nodeElem(kids.head, lang)
             case None =>
-              val text = p.getTextContent
-              attr(p, "datatype") match {
+              val text = p.text
+              datatype match {
                 case Some(dt) => Term.lit(Literals.canonLiteral(text, dt), dt)
                 case None if lang.nonEmpty => Term.langLit(text, lang)
                 case None => Term.string(text)
               }
           }
-        }
+      }
       out += Triple(subj, pred, obj)
+      // rdf:ID on a property element reifies the (asserted) triple
+      rdfAttr(p, "ID").foreach { i =>
+        val r = Term.iri(resolveId(i, base))
+        out += Triple(r, Term.iri(RDFNS + "type"), Term.iri(RDFNS + "Statement"))
+        out += Triple(r, Term.iri(RDFNS + "subject"), subj)
+        out += Triple(r, Term.iri(RDFNS + "predicate"), pred)
+        out += Triple(r, Term.iri(RDFNS + "object"), obj)
+      }
     }
 
-    val root = doc.getDocumentElement
-    val tops =
-      if (root.getNamespaceURI == RDFNS && root.getLocalName == "RDF")
-        childElems(root)
-      else Seq(root)
-    tops.foreach(nodeElem(_, ""))
+    val root = saxParse(xml)
+    val rootBase = baseOf(root, docBase)
+    val rootLang = langOf(root, "")
+    if (root.ns == RDFNS && root.local == "RDF")
+      root.childElems.foreach(nodeElem(_, rootLang, rootBase))
+    else nodeElem(root, "", docBase)
     out.toList
   }
 }

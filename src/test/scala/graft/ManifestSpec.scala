@@ -184,6 +184,7 @@ class ManifestSpec extends AnyFunSuite {
     s"$RDFT/rdf11/rdf-n-quads/manifest.ttl",
     s"$RDFT/rdf11/rdf-turtle/manifest.ttl",
     s"$RDFT/rdf11/rdf-trig/manifest.ttl",
+    s"$RDFT/rdf11/rdf-xml/manifest.ttl",
     s"$RDFT/rdf12/rdf-n-triples/syntax/manifest.ttl",
     s"$RDFT/rdf12/rdf-n-triples/c14n/manifest.ttl",
     s"$RDFT/rdf12/rdf-n-quads/syntax/manifest.ttl",
