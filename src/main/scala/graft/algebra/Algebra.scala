@@ -114,6 +114,13 @@ final case class GraphScope(g: Term, input: Op) extends Op
  * per-graph bodies then evaluate distributed. */
 final case class GraphVarEnum(v: String, body: Op) extends Op
 
+/** SERVICE clause (OpService, jena-arq/.../algebra/op/OpService.java):
+ * parsed for full syntax compatibility (sparql11 syntax-fed), execution
+ * raises — federation over HTTP is documented out of scope (SURVEY
+ * §7.4); a deployment would register an ExtOp performing the remote
+ * call per partition. */
+final case class Service(silent: Boolean, target: TermPat, body: Op) extends Op
+
 // ---- projections / filters / binds (§2.2)
 final case class Project(vars: Seq[String], input: Op) extends Op
 /** EBV filter; expression evaluation errors compile to NULL ⇒ row dropped

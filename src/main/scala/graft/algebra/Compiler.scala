@@ -477,6 +477,11 @@ object Compiler {
 
     case Label(_, in) => comp(in, g)
 
+    case Service(_, _, _) =>
+      throw new UnsupportedOperationException(
+        "SERVICE execution is out of scope (SURVEY §7.4) — the clause " +
+          "parses for syntax compatibility; register an ExtOp for federation")
+
     case Null =>
       Compiled(g.spark.range(0).select(lit(1).as("__unit")),
         Set.empty, Set.empty)

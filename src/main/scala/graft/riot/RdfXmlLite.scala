@@ -28,6 +28,8 @@ object RdfXmlLite {
 
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val XMLNS = "http://www.w3.org/XML/1998/namespace"
+  /** ITS 2.0 namespace — RDF 1.2 XML carries base direction as its:dir. */
+  private val ITSNS = "http://www.w3.org/2005/11/its"
 
   /** coreSyntaxTerms ∪ {Description} ∪ oldTerms — never property elements. */
   private val NotProperty = Set("RDF", "ID", "about", "parseType", "resource",
@@ -35,9 +37,12 @@ object RdfXmlLite {
   /** coreSyntaxTerms ∪ {li} ∪ oldTerms — never node elements. */
   private val NotNode = Set("RDF", "ID", "about", "parseType", "resource",
     "nodeID", "datatype", "li", "aboutEach", "aboutEachPrefix", "bagID")
-  /** Terms never usable as property ATTRIBUTES. */
+  /** Terms never usable as property ATTRIBUTES (syntax terms are dropped,
+   * old-RDF terms raise; rdf:version / rdf:annotation* are RDF 1.2
+   * syntax attributes, not property attributes). */
   private val NotAttr = Set("RDF", "ID", "about", "parseType", "resource",
-    "nodeID", "datatype", "Description", "li", "aboutEach", "aboutEachPrefix", "bagID")
+    "nodeID", "datatype", "Description", "li", "aboutEach", "aboutEachPrefix", "bagID",
+    "version", "annotation", "annotationNodeID")
 
   /** One attribute, in DOCUMENT order: (nsUri, localName, qName, value). */
   private final case class XAttr(ns: String, local: String, qName: String, value: String)
@@ -82,6 +87,7 @@ object RdfXmlLite {
 
   def parse(xml: String, docBase: String): Seq[Triple] = {
     val out = ListBuffer[Triple]()
+
     var bn = 0
     val usedIds = scala.collection.mutable.Set[String]()
     def freshBnode(): Term = { bn += 1; Term.bnode(s"rx$bn") }
@@ -103,6 +109,22 @@ object RdfXmlLite {
 
     def langOf(e: XElem, inherited: String): String =
       xmlAttr(e, "lang").getOrElse(inherited)
+    /** rdf:version scope — RDF 1.2 features (its:dir, parseType="Triple")
+     * activate only where an rdf:version="1.2" declaration is in scope;
+     * settable on any element, inherited like xml:lang (rdf12-xml-dir-02
+     * vs -05). */
+    def verOf(e: XElem, inherited: Boolean): Boolean =
+      rdfAttr(e, "version").map(_.startsWith("1.2")).getOrElse(inherited)
+    /** RDF 1.2 initial text direction (its:dir), inherited like xml:lang;
+     * inert without rdf:version="1.2" in scope. */
+    def dirOf(e: XElem, inherited: String, ver12: Boolean): String =
+      e.attrs.find(a => a.ns == ITSNS && a.local == "dir") match {
+        case Some(a) if ver12 =>
+          if (a.value != "ltr" && a.value != "rtl")
+            err(s"its:dir must be 'ltr' or 'rtl', not '${a.value}'")
+          a.value
+        case _ => inherited
+      }
     def baseOf(e: XElem, inherited: String): String =
       xmlAttr(e, "base") match {
         case Some(b) => Iri.resolve(inherited, b)
@@ -122,6 +144,7 @@ object RdfXmlLite {
           // (spec propertyAttributeURIs); the known syntax terms are not
           !NotAttr.contains(a.local)
         } else if (a.ns == XMLNS) false
+        else if (a.ns == ITSNS) false // its:dir / its:version are syntax
         // XML reserves all names beginning with "xml" — ignored, not errors
         else if (a.ns.isEmpty && a.qName.toLowerCase.startsWith("xml")) false
         else if (a.ns.isEmpty)
@@ -183,9 +206,18 @@ object RdfXmlLite {
       p.children.map(ser(_, top = true)).mkString
     }
 
+    /** its:dir without xml:lang is inert (rdf12-xml-dir-06). */
+    def mkLangLit(text: String, lang: String, dir: String): Term =
+      if (lang.isEmpty) Term.string(text)
+      else if (dir.nonEmpty) Term.langLit(text, s"$lang--$dir")
+      else Term.langLit(text, lang)
+
     /** nodeElement: returns its subject term. */
-    def nodeElem(e: XElem, lang0: String, base0: String): Term = {
+    def nodeElem(e: XElem, lang0: String, dir0: String, ver0: Boolean,
+                 base0: String): Term = {
       val lang = langOf(e, lang0)
+      val ver12 = verOf(e, ver0)
+      val dir = dirOf(e, dir0, ver12)
       val base = baseOf(e, base0)
       if (e.ns.isEmpty) err(s"unqualified element '${e.qName}'")
       if (e.ns == RDFNS && NotNode.contains(e.local))
@@ -209,20 +241,22 @@ object RdfXmlLite {
         if (a.ns == RDFNS && a.local == "type")
           out += Triple(subj, Term.iri(RDFNS + "type"),
             Term.iri(Iri.resolve(base, a.value)))
-        else out += Triple(subj, Term.iri(a.ns + a.local),
-          if (lang.nonEmpty) Term.langLit(a.value, lang) else Term.string(a.value))
+        else out += Triple(subj, Term.iri(a.ns + a.local), mkLangLit(a.value, lang, dir))
       }
       // one rdf:li counter per node element, advanced only by li children
       var liN = 0
-      e.childElems.foreach(propertyElem(subj, _, lang, base, () => liN, n => liN = n))
+      e.childElems.foreach(propertyElem(subj, _, lang, dir, ver12, base, () => liN, n => liN = n))
       subj
     }
 
     /** propertyElement of subject `subj`; get/set thread the parent's
      * rdf:li counter. */
-    def propertyElem(subj: Term, p: XElem, lang0: String, base0: String,
+    def propertyElem(subj: Term, p: XElem, lang0: String, dir0: String,
+                     ver0: Boolean, base0: String,
                      get: () => Int, set: Int => Unit): Unit = {
       val lang = langOf(p, lang0)
+      val ver12 = verOf(p, ver0)
+      val dir = dirOf(p, dir0, ver12)
       val base = baseOf(p, base0)
       if (p.ns.isEmpty) err(s"unqualified element '${p.qName}'")
       if (p.ns == RDFNS && NotProperty.contains(p.local))
@@ -249,8 +283,7 @@ object RdfXmlLite {
       def attrObjTriples(o: Term): Unit = pAttrs.foreach { a =>
         if (a.ns == RDFNS && a.local == "type")
           out += Triple(o, Term.iri(RDFNS + "type"), Term.iri(Iri.resolve(base, a.value)))
-        else out += Triple(o, Term.iri(a.ns + a.local),
-          if (lang.nonEmpty) Term.langLit(a.value, lang) else Term.string(a.value))
+        else out += Triple(o, Term.iri(a.ns + a.local), mkLangLit(a.value, lang, dir))
       }
 
       val obj: Term = parseType match {
@@ -258,11 +291,11 @@ object RdfXmlLite {
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Resource\"")
           val b = freshBnode()
           var li = 0
-          kids.foreach(propertyElem(b, _, lang, base, () => li, n => li = n))
+          kids.foreach(propertyElem(b, _, lang, dir, ver12, base, () => li, n => li = n))
           b
         case Some("Collection") =>
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Collection\"")
-          val items = kids.map(nodeElem(_, lang, base))
+          val items = kids.map(nodeElem(_, lang, dir, ver12, base))
           if (items.isEmpty) Term.iri(RDFNS + "nil")
           else {
             val cells = items.map(_ => freshBnode())
@@ -273,6 +306,25 @@ object RdfXmlLite {
             }
             cells.head
           }
+        case Some("Triple") if !ver12 =>
+          // without rdf:version="1.2" a triple-term property element is
+          // ignored entirely (rdf12-xml-tt-01 "Ignored triple term")
+          return
+        case Some("Triple") =>
+          // RDF 1.2: the single inner node element describes EXACTLY one
+          // triple, which becomes a TRIPLE TERM object (not asserted)
+          if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Triple\"")
+          if (kids.size != 1) err("rdf:parseType=\"Triple\" needs exactly one node element")
+          val mark = out.length
+          nodeElem(kids.head, lang, dir, ver12, base)
+          val inner = out.drop(mark)
+          if (inner.size != 1)
+            err(s"rdf:parseType=\"Triple\" content must yield exactly one triple, got ${inner.size}")
+          out.remove(mark, inner.size)
+          val tr = inner.head
+          Term(Term.KIND_TRIPLE_TERM,
+            "<<( " + tr.s.toNTriples + " " + tr.p.toNTriples + " " + tr.o.toNTriples + " )>>",
+            "", "")
         case Some(_) => // "Literal" and any other parseType value
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Literal\"")
           Term.lit(xmlLiteral(p), RDFNS + "XMLLiteral")
@@ -287,7 +339,7 @@ object RdfXmlLite {
               if (kids.size > 1) err("a property element may contain only one node element")
               if (p.text.trim.nonEmpty) err("mixed text and element content needs parseType")
               if (pAttrs.nonEmpty) err("property attributes with element content")
-              nodeElem(kids.head, lang, base)
+              nodeElem(kids.head, lang, dir, ver12, base)
             case None if pAttrs.nonEmpty =>
               // empty property element with property attributes → bnode
               val b = freshBnode()
@@ -297,12 +349,27 @@ object RdfXmlLite {
               val text = p.text
               datatype match {
                 case Some(dt) => Term.lit(Literals.canonLiteral(text, dt), dt)
-                case None if lang.nonEmpty => Term.langLit(text, lang)
-                case None => Term.string(text)
+                case None => mkLangLit(text, lang, dir)
               }
           }
       }
       out += Triple(subj, pred, obj)
+      // RDF 1.2 rdf:annotation / rdf:annotationNodeID: named reifier of
+      // the asserted triple via rdf:reifies + a triple term
+      val annIri = rdfAttr(p, "annotation")
+      val annNid = rdfAttr(p, "annotationNodeID")
+      if (annIri.isDefined && annNid.isDefined)
+        err("both rdf:annotation and rdf:annotationNodeID on a property element")
+      annIri.map(a => Term.iri(Iri.resolve(base, a)))
+        .orElse(annNid.map { n =>
+          if (!validNCName(n)) err(s"rdf:annotationNodeID value '$n' is not an XML NCName")
+          Term.bnode(n)
+        }).foreach { reifier =>
+          out += Triple(reifier, Term.iri(RDFNS + "reifies"),
+            Term(Term.KIND_TRIPLE_TERM,
+              "<<( " + subj.toNTriples + " " + pred.toNTriples + " " + obj.toNTriples + " )>>",
+              "", ""))
+        }
       // rdf:ID on a property element reifies the (asserted) triple
       rdfAttr(p, "ID").foreach { i =>
         val r = Term.iri(resolveId(i, base))
@@ -316,9 +383,11 @@ object RdfXmlLite {
     val root = saxParse(xml)
     val rootBase = baseOf(root, docBase)
     val rootLang = langOf(root, "")
+    val rootVer = verOf(root, false)
+    val rootDir = dirOf(root, "", rootVer)
     if (root.ns == RDFNS && root.local == "RDF")
-      root.childElems.foreach(nodeElem(_, rootLang, rootBase))
-    else nodeElem(root, "", docBase)
+      root.childElems.foreach(nodeElem(_, rootLang, rootDir, rootVer, rootBase))
+    else nodeElem(root, "", "", false, docBase)
     out.toList
   }
 }

@@ -33,8 +33,10 @@ import graft.model.{NTriplesEscape, Term}
  *
  * ASK / CONSTRUCT / DESCRIBE text forms parse via `parseAny`; SPARQL
  * Update requests via `parseUpdate`; subqueries (`{ SELECT ... }`) nest
- * with per-SELECT aggregate scoping. Out of the subset (raises, never
- * mis-parses): SERVICE. The ARQ path EXTENSIONS `P_Shortest`/`P_Multi`/
+ * with per-SELECT aggregate scoping. SERVICE parses to the algebra's
+ * Service node (full syntax compatibility, sparql11 syntax-fed);
+ * EXECUTION raises in the Compiler — federation is out of scope
+ * (SURVEY §7.4). The ARQ path EXTENSIONS `P_Shortest`/`P_Multi`/
  * `P_Distinct` are deliberately absent: standard SPARQL 1.1 query text
  * has no surface syntax for them (ARQ builds them only through its Java
  * algebra API), so no parsable query can reach them — documented raise
@@ -169,6 +171,7 @@ object Parser {
         case Null => Set.empty
         case ExtOp(_, vs, in) => opVars(in) ++ vs
         case GraphOp(_, vs, in) => opVars(in) ++ vs
+        case Service(_, t, body) => pv(Seq(t)) ++ opVars(body)
       }
     }
 
@@ -1121,6 +1124,17 @@ object Parser {
         else if (eatKw("MINUS")) {
           val r = groupGraphPattern()
           current = Some(Minus(current.getOrElse(Table(Nil, Seq(Map.empty))), r))
+          newBgpScope(); lastNonTriples = true
+        }
+        else if (eatKw("SERVICE")) {
+          // SERVICE (SILENT)? (iri | var) group — parsed to the Service
+          // node (syntax-fed); execution raises in the Compiler
+          val silent = eatKw("SILENT")
+          ws()
+          val target = if (peekVar) TVar(varName()) else TConst(iriTerm())
+          val body = groupGraphPattern()
+          val svc = Service(silent, target, body)
+          current = Some(current.map(Join(_, svc)).getOrElse(svc))
           newBgpScope(); lastNonTriples = true
         }
         else if (eatKw("LATERAL")) {

@@ -111,6 +111,7 @@ class ManifestSpec extends AnyFunSuite {
     // syntax-only suites (PositiveSyntaxTest11 / NegativeSyntaxTest11 and
     // the update-grammar equivalents)
     "syntax-query" -> Map.empty,
+    "syntax-fed" -> Map.empty,
     "syntax-update-1" -> Map.empty,
     "syntax-update-2" -> Map.empty)
 
@@ -192,7 +193,8 @@ class ManifestSpec extends AnyFunSuite {
     s"$RDFT/rdf12/rdf-turtle/syntax/manifest.ttl",
     s"$RDFT/rdf12/rdf-turtle/eval/manifest.ttl",
     s"$RDFT/rdf12/rdf-trig/syntax/manifest.ttl",
-    s"$RDFT/rdf12/rdf-trig/eval/manifest.ttl")
+    s"$RDFT/rdf12/rdf-trig/eval/manifest.ttl",
+    s"$RDFT/rdf12/rdf-xml/eval/manifest.ttl")
 
   riotSuites.foreach { m =>
     val label = m.stripPrefix(RDFT + "/").stripSuffix("/manifest.ttl")
