@@ -2927,11 +2927,14 @@ object Parser {
     private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
 
     /** Prefix label before ':' — PN_PREFIX allows '.'/'-'/digits medially
-     * (`x.y:`); a trailing '.' never belongs to the label. */
+     * (`x.y:`); a trailing '.' never belongs to the label. Full PN_CHARS
+     * classes (riot.Chars) — combining marks included, so NFD text like
+     * `resumé` lexes (i18n normalization-01). */
     private def pnPrefixLabel(): String = {
       val st = i
-      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
-        s.charAt(i) == '-' || s.charAt(i) == '.')) i += 1
+      while (i < s.length &&
+        (graft.riot.Chars.pnChars(s.codePointAt(i)) || s.charAt(i) == '.'))
+        i += Character.charCount(s.codePointAt(i))
       var p = s.substring(st, i)
       while (p.endsWith(".")) { p = p.dropRight(1); i -= 1 }
       p
@@ -2957,11 +2960,17 @@ object Parser {
           } else if (c == '\\' && i + 1 < s.length &&
             pnLocalEsc.indexOf(s.charAt(i + 1)) >= 0) {
             sb.append(s.charAt(i + 1)); i += 2; rawDotRun = 0
-          } else if (c.isLetterOrDigit || c == '_' || c == ':' ||
-            ((c == '-' || c == '.') && sb.nonEmpty)) {
-            sb.append(c); i += 1
-            rawDotRun = if (c == '.') rawDotRun + 1 else 0
-          } else going = false
+          } else {
+            val cp = s.codePointAt(i)
+            val ok =
+              if (sb.isEmpty)
+                graft.riot.Chars.pnCharsU(cp) || cp == ':' || (cp >= '0' && cp <= '9')
+              else graft.riot.Chars.pnChars(cp) || cp == ':' || cp == '.'
+            if (ok) {
+              sb.appendAll(Character.toChars(cp)); i += Character.charCount(cp)
+              rawDotRun = if (cp == '.') rawDotRun + 1 else 0
+            } else going = false
+          }
         }
       }
       var local = sb.toString

@@ -68,12 +68,8 @@ class ManifestSpec extends AnyFunSuite {
     "syntax-sparql3" -> Map.empty,
     "syntax-sparql4" -> Map.empty,
     "syntax-sparql5" -> Map.empty,
-    "construct" -> Map(
-      "dawg-construct-reification-1" ->
-        "bnode property list inside a CONSTRUCT template (patterns support [..]; templates raise)"),
+    "construct" -> Map.empty,
     "i18n" -> Map(
-      "normalization-01" ->
-        "non-ASCII characters in prefixed-name local parts (HR:resumé)",
       "normalization-02" ->
         "RFC 3986 SYNTAX-based IRI normalization (%63→c, case) is not applied to absolute IRIs — SURVEY §3.B: resolve always, normalize only where the reference does; Jena normalizes here"))
 
