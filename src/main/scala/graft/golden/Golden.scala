@@ -309,7 +309,7 @@ object GoldenRunner {
     val parsed: Either[Throwable, Unit] =
       try {
         if (file.endsWith(".ru")) graft.sparql.Parser.parseUpdate(text)
-        else graft.sparql.Parser.parseAny(text, qBase)
+        else graft.sparql.Parser.parseAny(text, qBase, arq = file.endsWith(".arq"))
         Right(())
       } catch { case t: Throwable => Left(t) }
     (parsed, negative) match {
@@ -331,7 +331,7 @@ object GoldenRunner {
       val qBase = "file://" + Paths.get(queryFile).toAbsolutePath.getParent.toString + "/"
 
       val form =
-        try Parser.parseAny(queryText, qBase)
+        try Parser.parseAny(queryText, qBase, arq = queryFile.endsWith(".arq"))
         catch { case ex: Exception => return Skipped("parser: " + ex.getMessage) }
 
       // each document gets its own bnode-label scope (the reference's
@@ -421,7 +421,10 @@ object GoldenRunner {
           if (actual == expected) Passed
           else Failed(s"ASK: got $actual, expected $expected")
 
-        case Parser.ConstructQ(template, op) =>
+        case Parser.ConstructQ(template, op, quads) =>
+          if (quads.nonEmpty)
+            return Skipped("named-graph CONSTRUCT template (quad output; " +
+              "no dataset-level expectation format in the gated suites)")
           val actualG = graft.algebra.Construct.construct(
             template, Compiler.compile(op, g))
           val actual = actualG.collect().map(rowTriple).toSeq

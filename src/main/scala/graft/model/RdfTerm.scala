@@ -140,6 +140,12 @@ object NTriplesEscape {
           case 'n'  => sb.append('\n'); i += 2
           case 'r'  => sb.append('\r'); i += 2
           case 't'  => sb.append('\t'); i += 2
+          case 'u' if i + 2 < s.length && s.charAt(i + 2) == '{' =>
+            // delimited codepoint escape \u{1..6 hex} (ARQ / RDF 1.2 draft)
+            val close = s.indexOf('}', i + 3)
+            require(close > i + 2, s"unterminated \\u{ escape in '$s'")
+            sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 3, close), 16)))
+            i = close + 1
           case 'u'  => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case 'U'  =>
             sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10

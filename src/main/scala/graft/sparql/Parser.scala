@@ -48,7 +48,8 @@ object Parser {
   sealed trait QueryForm
   final case class SelectQ(op: Op) extends QueryForm
   final case class AskQ(op: Op) extends QueryForm
-  final case class ConstructQ(template: Seq[TriplePattern], op: Op) extends QueryForm
+  final case class ConstructQ(template: Seq[TriplePattern], op: Op,
+                              quads: Seq[QuadPat] = Nil) extends QueryForm
   /** DESCRIBE <iri>... | DESCRIBE ?v [WHERE {...}] — resources to slice
    * (concise bounded description) either named directly or bound by the
    * pattern. */
@@ -97,16 +98,22 @@ object Parser {
   /** `base` resolves relative IRIs in the query (the query file's
    * location, like QueryFactory.create(query, baseURI)); a BASE
    * declaration in the text overrides it. */
-  def parse(query: String, base: String = ""): Op = new P(query, base).parseQuery()
+  def parse(query: String, base: String = "", arq: Boolean = false): Op =
+    new P(query, base, arq).parseQuery()
 
-  def parseAny(query: String, base: String = ""): QueryForm =
-    new P(query, base).parseAnyForm()
+  /** `arq = true` enables ARQ's extended syntax (the reference's
+   * Syntax.syntaxARQ, used for `.arq` test files): LET assignment,
+   * bare/AS-less SELECT and GROUP BY expressions, SELECT * with
+   * GROUP BY, and quad CONSTRUCT templates. Standard mode keeps the
+   * strict SPARQL 1.1/1.2 grammar (the W3C negative-syntax suites). */
+  def parseAny(query: String, base: String = "", arq: Boolean = false): QueryForm =
+    new P(query, base, arq).parseAnyForm()
 
   /** Parse a ';'-separated SPARQL Update request. */
   def parseUpdate(text: String): Seq[UpdateAst] = new P(text).parseUpdateOps()
 
   // ---------------------------------------------------------------------
-  private final class P(s: String, baseIri: String = "") {
+  private final class P(s: String, baseIri: String = "", arqMode: Boolean = false) {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var base = baseIri
@@ -255,7 +262,15 @@ object Parser {
         // and the pattern (ConstructQuery second alternative)
         val longForm = peekIs('{')
         var template: Seq[TriplePattern] = Nil
-        if (longForm) template = templateBlock()
+        var quadTmpl: Seq[Parser.QuadPat] = Nil
+        if (longForm) {
+          if (arqMode) {
+            // ARQ quad templates: GRAPH blocks allowed (syntax-quad-construct)
+            val qs = quadBlock()
+            template = qs.collect { case Parser.QuadPat(None, tp) => tp }
+            quadTmpl = qs.filter(_.g.isDefined)
+          } else template = templateBlock()
+        }
         val fromDefaults = ListBuffer[String]()
         val fromNamed = ListBuffer[String]()
         var goingFrom = true
@@ -267,7 +282,17 @@ object Parser {
         expectKw("WHERE")
         var op =
           if (longForm) groupGraphPattern()
-          else {
+          else if (arqMode) {
+            // ARQ short form may hold GRAPH blocks / nested groups: the
+            // quad-aware template parse, then the same text as a pattern
+            ws()
+            val save = i
+            val qs = quadBlock()
+            template = qs.collect { case Parser.QuadPat(None, tp) => tp }
+            quadTmpl = qs.filter(_.g.isDefined)
+            i = save
+            groupGraphPattern()
+          } else {
             ws()
             val save = i
             template = templateBlock() // first pass: the template triples
@@ -287,7 +312,7 @@ object Parser {
           op = Slice(offset, if (limit >= 0) limit else Long.MaxValue, op)
         ws()
         if (i < s.length) fail("trailing content after CONSTRUCT")
-        Parser.ConstructQ(template, applyTmplExts(op))
+        Parser.ConstructQ(template, applyTmplExts(op), quadTmpl)
       } else if (kwAhead("DESCRIBE")) {
         eatKw("DESCRIBE")
         ws()
@@ -575,6 +600,10 @@ object Parser {
             ws()
             val gp: TermPat = if (peekVar) TVar(varName()) else TConst(iriTerm())
             out ++= templateBlock0().map(t => Parser.QuadPat(Some(gp), t))
+          } else if (peekIs('{')) {
+            // ARQ quad template: a bare nested block is default-graph
+            // triples (syntax-quad-construct-09)
+            out ++= templateBlock0().map(t => Parser.QuadPat(None, t))
           } else {
             val tmp = ListBuffer[TriplePattern]()
             tmplStatement(tmp)
@@ -813,6 +842,14 @@ object Parser {
             expect(')')
             op = Extend(v, e, op)
             ks += v
+          } else if (bareCallAhead) {
+            // ARQ: `GROUP BY str(?p)` — bare call keyed by a hidden var
+            val e = expression()
+            hiddenGroupExpr = true
+            val hv = s"__gk${ks.size}"
+            hiddenVars += hv
+            op = Extend(hv, e, op)
+            ks += hv
           } else goingG = false
         }
         ks.toList
@@ -855,8 +892,9 @@ object Parser {
           .foreach(v => fail(s"AS target ?$v is already in scope in the WHERE pattern"))
       }
       if (grouped) {
-        // SELECT * cannot combine with grouping (syntax-query syn-bad-01)
-        if (proj.isEmpty)
+        // SELECT * cannot combine with grouping (syntax-query syn-bad-01);
+        // ARQ's extended syntax permits it — the group keys project
+        if (proj.isEmpty && !arqMode)
           fail("SELECT * cannot be used with GROUP BY or aggregates")
         // `(expr AS ?v)` must not redefine a var the GROUP BY exposes
         // (SPARQL §19.8 "in-scope" rule; group-by-scope syntax tests)
@@ -1001,8 +1039,40 @@ object Parser {
     private case class SelExpr(v: String, e: RowExpr, agg: Boolean,
         refs: List[String] = Nil) extends Sel
 
+    /** ARQ bare expression ahead: `name(...)` / `pn:fn(...)` — a function
+     * or aggregate call standing alone in SELECT / GROUP BY (ARQ
+     * extended syntax; standard SPARQL requires the `(expr AS ?v)`
+     * form). */
+    private def bareCallAhead: Boolean = arqMode && {
+      ws()
+      var j = i
+      while (j < s.length && (graft.riot.Chars.pnChars(s.codePointAt(j)) ||
+        s.charAt(j) == ':' || s.charAt(j) == '.'))
+        j += Character.charCount(s.codePointAt(j))
+      j > i && {
+        val w = s.substring(i, j).toUpperCase
+        var k = j
+        while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+        k < s.length && s.charAt(k) == '(' &&
+          !Set("WHERE", "FROM", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+            "VALUES", "EXISTS", "NOT", "FILTER", "BIND", "OPTIONAL", "MINUS",
+            "SERVICE", "GRAPH", "UNION", "LATERAL", "LET", "SELECT").contains(w)
+      }
+    }
+
+    private var selExprN = 0
+    private def freshSelVar(): String = {
+      selExprN += 1
+      val hv = s"__sel$selExprN"
+      hiddenVars += hv
+      hv
+    }
+
     private def projection(): List[Sel] = {
       val out = ListBuffer[Sel]()
+      // vars MENTIONED in select expressions so far — an AS target may
+      // not be among them (ARQ SyntaxVarScope; Syntax-ARQ scope-bad-1/2)
+      val mentioned = scala.collection.mutable.Set[String]()
       ws()
       if (peekIs('*')) { i += 1; return Nil } // empty = keep all visible vars
       var going = true
@@ -1022,10 +1092,25 @@ object Parser {
           val exprAgg = sawAgg
           sawAgg = sawBefore || sawAgg
           val refs = exprVarRefs.drop(refMark).toList
-          expectKw("AS")
-          val v = varName()
+          // ARQ allows `(expr)` with no AS — a generated name
+          val v =
+            if (arqMode && { ws(); peekIs(')') }) freshSelVar()
+            else { expectKw("AS"); varName() }
           expect(')')
+          mentioned ++= refs
+          if (mentioned.contains(v))
+            fail(s"AS target ?$v is used in a SELECT expression (scope rule)")
           out += SelExpr(v, e, exprAgg, refs)
+        } else if (bareCallAhead) {
+          val sawBefore = sawAgg
+          val refMark = exprVarRefs.length
+          sawAgg = false
+          val e = expression()
+          val exprAgg = sawAgg
+          sawAgg = sawBefore || sawAgg
+          val refs = exprVarRefs.drop(refMark).toList
+          mentioned ++= refs
+          out += SelExpr(freshSelVar(), e, exprAgg, refs)
         } else going = false
       }
       if (out.isEmpty) fail("empty SELECT projection")
@@ -1153,6 +1238,25 @@ object Parser {
               fail(s"LATERAL assigns variable ?$v already bound on its left side"))
           current = Some(Lateral(left, r))
           newBgpScope(); lastNonTriples = true
+        }
+        else if (arqMode && eatKw("LET")) {
+          // ARQ LET(?v := expr): assignment semantics (OpAssign,
+          // QueryIterAssign.java:67–80) — fresh var binds like BIND; a
+          // var the pattern already binds keeps rows only where the
+          // values agree (sameValue on canonical terms = equality)
+          expect('(')
+          val v = varName()
+          ws()
+          if (!s.startsWith(":=", i)) fail("LET needs ':='")
+          i += 2
+          val e = expression()
+          expect(')')
+          val left = current.getOrElse(Table(Nil, Seq(Map.empty)))
+          current = Some(
+            if (opVars(left).contains(v))
+              Filter(RowExpr(r => r(v) === e(r)), left)
+            else Extend(v, e, left))
+          lastNonTriples = true
         }
         else if (eatKw("BIND")) {
           expect('(')
@@ -2890,6 +2994,20 @@ object Parser {
       while (j < raw.length) {
         if (raw.charAt(j) == '\\' && j + 1 < raw.length) {
           raw.charAt(j + 1) match {
+            case 'u' if j + 2 < raw.length && raw.charAt(j + 2) == '{' =>
+              // \u{H+}: 1–6 hex digits, a scalar value ≤ U+10FFFF
+              // (delim-hex-escape-bad-01..04: empty / 7+ digits / zero-pad)
+              val close = raw.indexOf('}', j + 3)
+              if (close < 0) fail("unterminated \\u{ escape")
+              val hex = raw.substring(j + 2 + 1, close)
+              if (hex.isEmpty || hex.length > 6 ||
+                !hex.forall(c => Character.digit(c, 16) >= 0))
+                fail(s"bad delimited codepoint escape \\u{$hex}")
+              val cp = Integer.parseInt(hex, 16)
+              if (cp > 0x10FFFF) fail(f"code point U+$cp%X out of range")
+              if (cp >= 0xD800 && cp <= 0xDFFF)
+                fail(f"surrogate code point escape \\u{$cp%04X} is not legal")
+              j = close + 1
             case 'u' if j + 6 <= raw.length =>
               val cp = try Integer.parseInt(raw.substring(j + 2, j + 6), 16)
                        catch { case _: NumberFormatException => fail("bad \\u escape") }

@@ -25,8 +25,23 @@ object Sparql {
    * QueryExecDataset.java:189–240 → TemplateLib). */
   def construct(query: String, graph: DataFrame): DataFrame =
     Parser.parseAny(query) match {
-      case Parser.ConstructQ(template, op) =>
+      case Parser.ConstructQ(template, op, Seq()) =>
         Construct.construct(template, Compiler.compile(op, graph))
+      case Parser.ConstructQ(_, _, _) =>
+        throw new IllegalArgumentException(
+          "CONSTRUCT with GRAPH templates produces quads — use constructDataset")
+      case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
+    }
+
+  /** Quad CONSTRUCT (ARQ extended syntax: GRAPH blocks in the template)
+   * → (s,p,o,g) DataFrame; bare template triples land in the default
+   * graph. */
+  def constructDataset(query: String, graph: DataFrame): DataFrame =
+    Parser.parseAny(query, arq = true) match {
+      case Parser.ConstructQ(template, op, quads) =>
+        val sols = Compiler.compile(op, graph)
+        val all = template.map(tp => graft.sparql.Parser.QuadPat(None, tp)) ++ quads
+        Construct.constructQuads(all, sols, graft.model.Term.defaultGraph)
       case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
     }
 

@@ -158,6 +158,10 @@ class ManifestSpec extends AnyFunSuite {
         ("LIMIT over equal ORDER BY keys: the kept rows are implementation-arbitrary; " +
           "the stored expectation captures the reference's hash iteration order")),
     "Syntax-Lateral" -> Map.empty,
+    // ARQ extended syntax (.arq files parse with Parser's arq mode):
+    // LET, bare/AS-less SELECT + GROUP BY expressions, quad CONSTRUCT
+    // templates, \u{...} delimited escapes, ARQ scope rules
+    "Syntax-ARQ" -> Map.empty,
     "PropertyFunctions" -> Map(
       "Property Function - splitIRI 9" ->
         ("property function inside OPTIONAL referencing an outer variable needs " +
