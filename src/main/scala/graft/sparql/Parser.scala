@@ -129,6 +129,11 @@ object Parser {
      * ?__qt1 colliding with a generated name is vanishingly unlikely and
      * would be a scope error in any case). */
     private val hiddenVars = scala.collection.mutable.Set[String]()
+    /** Property-function argument vars NOT bound in their own triples
+     * block (→ the IRI that needs them): resolved by an enclosing
+     * OPTIONAL via a correlated lateral, or a parse error at the end. */
+    private val pfDeferredRefs =
+      scala.collection.mutable.LinkedHashMap[String, String]()
     private def usedHiddenVars: Boolean = hiddenVars.nonEmpty
 
     /** Basic-graph-pattern scope for blank-node labels: a label may be
@@ -246,6 +251,12 @@ object Parser {
     private var exCounter = 0
 
     def parseAnyForm(): Parser.QueryForm = {
+      val form = parseAnyForm0()
+      checkDeferredPfRefs()
+      form
+    }
+
+    private def parseAnyForm0(): Parser.QueryForm = {
       prologue()
       if (kwAhead("ASK")) {
         eatKw("ASK")
@@ -623,8 +634,15 @@ object Parser {
       val op = selectBody()
       ws()
       if (i < s.length) fail(s"trailing content: '${s.substring(i).take(30)}'")
+      checkDeferredPfRefs()
       op
     }
+
+    /** Deferred property-function refs nothing bound are errors. */
+    private def checkDeferredPfRefs(): Unit =
+      pfDeferredRefs.headOption.foreach { case (n, iri) =>
+        fail(s"<$iri> argument ?$n is not bound in the same triples block")
+      }
 
     /** SPARQL 1.1 Update grammar (SPARQLParser's Update productions),
      * ';'-separated: INSERT/DELETE DATA (quads), DELETE WHERE,
@@ -1201,9 +1219,20 @@ object Parser {
           }
         }
         else if (eatKw("OPTIONAL")) {
+          val defBefore = pfDeferredRefs.keySet.toSet
           val (r, fils) = groupPatternParts()
+          val defRefs = pfDeferredRefs.keySet.toSet -- defBefore
           val cond = fils.reduceOption((a, b) => RowExpr(v => a(v) && b(v)))
-          current = Some(LeftJoin(current.getOrElse(Table(Nil, Seq(Map.empty))), r, cond))
+          val left = current.getOrElse(Table(Nil, Seq(Map.empty)))
+          current = Some(
+            if (defRefs.nonEmpty && defRefs.subsetOf(opVars(left))) {
+              // RHS property functions read vars the LEFT binds: the
+              // per-binding substitution OPTIONAL — correlated lateral
+              // left join (unmatched left rows survive via lat's
+              // LeftJoin-over-unit path)
+              pfDeferredRefs --= defRefs
+              Lateral(left, LeftJoin(Table(Nil, Seq(Map.empty)), r, cond))
+            } else LeftJoin(left, r, cond))
           newBgpScope(); lastNonTriples = true
         }
         else if (eatKw("MINUS")) {
@@ -1655,11 +1684,15 @@ object Parser {
         def arity(n: Int): Unit =
           if (args.size != n) fail(s"<$iri> takes $n object argument(s)")
         // bind-or-filter a slot against a computed per-row value; pure
-        // value exprs must only reference block-bound vars (loud guard)
+        // value exprs must only reference block-bound vars; a ref bound
+        // OUTSIDE the block is DEFERRED — an enclosing OPTIONAL that
+        // binds it compiles to a correlated lateral left join (the
+        // reference's per-binding substitution, PropertyFunctions
+        // splitIRI-9); refs nothing ever binds fail at end of parse
         def unifyPure(slot: TermPat, refs: Seq[TermPat], value: RowExpr): Unit =
           blockPf += { (opIn, bound) =>
-            refs.collect { case TVar(n) if !bound(n) => n }.headOption.foreach(n =>
-              fail(s"<$iri> argument ?$n is not bound in the same triples block"))
+            refs.collect { case TVar(n) if !bound(n) => n }.foreach(n =>
+              pfDeferredRefs.getOrElseUpdate(n, iri))
             slot match {
               case TVar(n) if !bound(n) => Extend(n, value, opIn)
               case other =>

@@ -162,10 +162,7 @@ class ManifestSpec extends AnyFunSuite {
     // LET, bare/AS-less SELECT + GROUP BY expressions, quad CONSTRUCT
     // templates, \u{...} delimited escapes, ARQ scope rules
     "Syntax-ARQ" -> Map.empty,
-    "PropertyFunctions" -> Map(
-      "Property Function - splitIRI 9" ->
-        ("property function inside OPTIONAL referencing an outer variable needs " +
-          "per-binding substitution into the optional RHS (correlated OPTIONAL) — unsupported")),
+    "PropertyFunctions" -> Map.empty,
     "ValueTesting" -> Map.empty,
     "Extra" -> Map.empty)
 
