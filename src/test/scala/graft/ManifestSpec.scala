@@ -206,7 +206,7 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
-  test("coverage floor: at least 2200 reference-derived cases pass") {
-    assert(totalPassed >= 2200, s"only $totalPassed W3C cases passed")
+  test("coverage floor: at least 2400 reference-derived cases pass") {
+    assert(totalPassed >= 2400, s"only $totalPassed W3C cases passed")
   }
 }

@@ -270,4 +270,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "small dictionary must broadcast (no shuffle of mentions):\n" + p)
   }
+
+  test("decontam joins the benchmark 8-gram set by broadcast (no shuffle, no BNLJ)") {
+    val df = graft.queries.OpsQueries.t6_decontam(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "the (small) benchmark gram set must broadcast to the corpus side:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination must stay an equi-join:\n" + p)
+  }
 }
