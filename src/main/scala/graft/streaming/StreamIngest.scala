@@ -70,6 +70,36 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Cross-micro-batch STREAMING exact dedup — the training-pipeline
+   * dedup operator (batch twin: OpsQueries.d1) at stream time. Rows are
+   * keyed by content hash; the FIRST arrival per hash is emitted
+   * (deterministic representative: min id within its batch) and every
+   * later duplicate — same batch or any later batch, across restarts —
+   * is dropped by keyed state (`flatMapGroupsWithState`, the custom-state
+   * face of Structured Streaming that SURVEY §2.11 maps
+   * mapGroupsWithState onto). State per key is one boolean ⇒ O(distinct
+   * contents), hash-partitioned across executors at scale and persisted
+   * in the checkpoint, so a restarted query still recognizes duplicates
+   * of everything seen before the restart. Emits (doc_id, content_hash). */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((rows.minBy(_._1)._1, h))
+          }
+      }
+  }
+
   /**
    * RDF-Patch-style change stream: rows (op: "A"|"D", s, p, o term
    * structs). Each micro-batch is folded into the CURRENT snapshot with

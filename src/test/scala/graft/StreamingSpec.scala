@@ -90,4 +90,39 @@ class StreamingSpec extends AnyFunSuite {
     StreamIngest.applyPatchBatch(b1, snaps, 1)
     assert(spark.read.parquet(s"$snaps/s1/spo").count() == 8)
   }
+
+  test("streaming exact dedup: keyed state survives restarts (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("st_dedup_in").toString
+    val ckpt = Files.createTempDirectory("st_dedup_ck").toString
+    val out = Files.createTempDirectory("st_dedup_out").toString
+    def docStream = spark.readStream.format("text")
+      .load(in).select(
+        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\\|").getItem(1).as("text"))
+    def drain(): Unit = {
+      val q = StreamIngest.dedupStream(docStream).toDF("doc_id", "h")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: ids 0..9 over five distinct contents → five firsts
+    Files.writeString(java.nio.file.Paths.get(in, "a.txt"),
+      (0 until 10).map(i => s"$i|content ${i % 5}").mkString("\n"))
+    drain()
+    val first = spark.read.parquet(out).collect()
+    assert(first.length == 5)
+    // the representative is the SMALLEST id of each content group
+    assert(first.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // batch 2 AFTER A RESTART: four known contents + one new → one emit
+    Files.writeString(java.nio.file.Paths.get(in, "b.txt"),
+      (10 until 15).map(i => s"$i|content ${i % 5 + 1}").mkString("\n"))
+    drain()
+    val all = spark.read.parquet(out).collect()
+    assert(all.length == 6, s"state must survive the restart: ${all.length} rows")
+    assert(all.map(_.getLong(0)).contains(14L)) // "content 5" is the only new one
+  }
 }
