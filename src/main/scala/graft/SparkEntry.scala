@@ -61,11 +61,13 @@ object SparkEntry {
     "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
     "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
     "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
+    "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
 
-  def oracleSql: Map[String, String] = SparqlQueries.oracle ++ Map(
+  def oracleSql: Map[String, String] = SparqlQueries.oracle ++
+    graft.queries.ShaclQueries.oracle ++ Map(
     // money columns: integer-cents arithmetic (floor(x*100+0.5)) — the only
     // double→fixed-point path that is bit-identical in Spark and DuckDB
     // (see graft.queries.Relational header note)

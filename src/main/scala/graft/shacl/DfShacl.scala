@@ -1,0 +1,319 @@
+package graft.shacl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+import graft.model.{Term, Triple}
+
+/**
+ * DataFrame-compiled SHACL — the single-huge-KG face of the validator
+ * (reference: jena-shacl/.../validation/ValidationProc.java walks a
+ * Graph per focus node; here the "walk" is columnar set-at-a-time).
+ *
+ * Division of labor with [[Validator]]:
+ *  - `Validator` is the COMPLETE core engine, pure per (shapes, data)
+ *    pair — the right tool when the corpus is millions of document-sized
+ *    KGs (run it inside mapPartitions; shapes broadcast).
+ *  - `DfShacl` compiles the FLAT, high-volume constraint subset of a
+ *    shapes graph onto DataFrame operators for one KG too big for any
+ *    driver: each property shape becomes pruned scans of the triple
+ *    table (filter on `p.lex` — a POS-layout range read in the store),
+ *    one equi-join focus⨝values on the subject, per-value violations as
+ *    codegen'd filters, and cardinality as a groupBy on the same key.
+ *    Everything shuffles on the subject column only.
+ *
+ * Supported components (the flat subset): targetClass / targetNode /
+ * targetSubjectsOf / targetObjectsOf; sh:path a predicate IRI or its
+ * inverse; class, datatype, nodeKind, minCount, maxCount, min/max
+ * Exclusive/Inclusive (numeric), minLength, maxLength, pattern(+flags),
+ * in, hasValue. A shapes graph using anything else (logical operators,
+ * shape refs, pair constraints, closed, uniqueLang, path operators)
+ * is rejected loudly at compile — route those through `Validator`.
+ *
+ * Scale notes (100 TB KG): the driver holds only the shapes (schema-sized
+ * by definition) and the rdfs:subClassOf ontology (collected from data
+ * with a loud 100k cap — ontologies are small even when graphs are not).
+ * No other driver-side data. k property shapes → k pruned scans; all
+ * joins/aggregations key on `s`, so one upstream repartition by subject
+ * is reused across every constraint of every shape targeting the same
+ * focus set.
+ */
+object DfShacl {
+
+  import SH._
+
+  /** One flat property (or node) constraint set, compiled driver-side. */
+  private final case class FlatShape(
+      shapeIri: Term,
+      focus: FocusSpec,
+      // None = node shape (values = focus nodes); Some((pred, inverse))
+      path: Option[(Term, Boolean)],
+      clazz: Seq[Term],
+      datatype: Option[Term],
+      nodeKind: Option[String],
+      minCount: Option[Int],
+      maxCount: Option[Int],
+      minInc: Option[BigDecimal], minExc: Option[BigDecimal],
+      maxInc: Option[BigDecimal], maxExc: Option[BigDecimal],
+      minLength: Option[Int], maxLength: Option[Int],
+      pattern: Option[(String, String)],
+      inList: Option[Seq[Term]],
+      hasValue: Seq[Term])
+
+  private sealed trait FocusSpec
+  private final case class FClass(cls: Term) extends FocusSpec
+  private final case class FNodes(nodes: Seq[Term]) extends FocusSpec
+  private final case class FSubjectsOf(p: Term) extends FocusSpec
+  private final case class FObjectsOf(p: Term) extends FocusSpec
+
+  private val flatPreds: Set[Term] = Set("path", "class", "datatype",
+    "nodeKind", "minCount", "maxCount", "minInclusive", "minExclusive",
+    "maxInclusive", "maxExclusive", "minLength", "maxLength", "pattern",
+    "flags", "in", "hasValue", "severity", "deactivated", "targetClass",
+    "targetNode", "targetSubjectsOf", "targetObjectsOf", "property",
+    "name", "description", "message", "order", "group").map(sh) ++
+    Set(rdfType)
+
+  /** Parse + flatten a shapes graph; throws on non-flat constructs. */
+  private def compile(shapes: Seq[Triple]): Seq[FlatShape] = {
+    val sg = new GraphIndex(shapes.toVector)
+
+    def numeric(shape: Term, p: String): Option[BigDecimal] =
+      sg.obj(shape, sh(p)).map(t => BigDecimal(t.lex.trim))
+    def intOf(shape: Term, p: String): Option[Int] =
+      sg.obj(shape, sh(p)).map(_.lex.toInt)
+
+    def flatten(shape: Term, focus: FocusSpec): Seq[FlatShape] = {
+      val unsupported = sg.preds(shape).filterNot(flatPreds)
+      if (unsupported.nonEmpty)
+        throw new IllegalArgumentException(
+          s"DfShacl: non-flat constraint(s) ${unsupported.map(_.lex).mkString(", ")} " +
+            s"on shape ${shape.lex} — use graft.shacl.Validator for the full core")
+      if (sg.obj(shape, sh("deactivated")).exists(_.lex == "true")) return Nil
+
+      val path = sg.obj(shape, sh("path")).map { pn =>
+        SPath.parse(sg, pn) match {
+          case PPred(p) => (p, false)
+          case PInv(PPred(p)) => (p, true)
+          case other => throw new IllegalArgumentException(
+            s"DfShacl: non-predicate sh:path $other — use Validator")
+        }
+      }
+      val self = FlatShape(
+        shapeIri = shape,
+        focus = focus,
+        path = path,
+        clazz = sg.objs(shape, sh("class")),
+        datatype = sg.obj(shape, sh("datatype")),
+        nodeKind = sg.obj(shape, sh("nodeKind")).map(_.lex.stripPrefix(NS)),
+        minCount = intOf(shape, "minCount"),
+        maxCount = intOf(shape, "maxCount"),
+        minInc = numeric(shape, "minInclusive"),
+        minExc = numeric(shape, "minExclusive"),
+        maxInc = numeric(shape, "maxInclusive"),
+        maxExc = numeric(shape, "maxExclusive"),
+        minLength = intOf(shape, "minLength"),
+        maxLength = intOf(shape, "maxLength"),
+        pattern = sg.obj(shape, sh("pattern")).map(p =>
+          (p.lex, sg.obj(shape, sh("flags")).map(_.lex).getOrElse(""))),
+        inList = sg.obj(shape, sh("in")).map(sg.list(_)),
+        hasValue = sg.objs(shape, sh("hasValue")))
+      val children = sg.objs(shape, sh("property")).flatMap(flatten(_, focus))
+      self +: children
+    }
+
+    val targeted = shapes.collect {
+      case Triple(s, p, o) if p == sh("targetClass") => (s, FClass(o): FocusSpec)
+      case Triple(s, p, o) if p == sh("targetSubjectsOf") => (s, FSubjectsOf(o))
+      case Triple(s, p, o) if p == sh("targetObjectsOf") => (s, FObjectsOf(o))
+    } ++ {
+      val tn = shapes.collect { case Triple(s, p, o) if p == sh("targetNode") => (s, o) }
+      tn.groupBy(_._1).map { case (s, xs) => (s, FNodes(xs.map(_._2)): FocusSpec) }
+    }
+    targeted.distinct.flatMap { case (s, f) => flatten(s, f) }
+  }
+
+  private val RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  private val RDF_TYPE = SH.RDF + "type"
+
+  /**
+   * Validate one huge triple DataFrame (term-struct columns s, p, o)
+   * against a driver-side shapes graph. Returns a violations DataFrame
+   * `(focus, path, component, value_lex)` — focus/path/component as
+   * plain strings (IRI text or bnode label), value_lex the offending
+   * value's lexical form where one exists.
+   */
+  def validate(triples: DataFrame, shapes: Seq[Triple]): DataFrame = {
+    val flat = compile(shapes)
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    // rdfs:subClassOf closure: ontology-sized by nature; collected with a
+    // loud cap (same policy as ConnectedComponents.runAdaptive).
+    val subClassEdges: Seq[(String, String)] = {
+      val df = triples
+        .filter($"p.lex" === RDFS_SUBCLASS && $"s.kind" === Term.KIND_IRI &&
+          $"o.kind" === Term.KIND_IRI)
+        .select($"s.lex", $"o.lex").limit(100001).as[(String, String)].collect().toSeq
+      require(df.size <= 100000,
+        "DfShacl: >100k rdfs:subClassOf triples — not an ontology; aborting")
+      df
+    }
+    val superToSubs: Map[String, Seq[String]] =
+      subClassEdges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def subClassesOf(cls: String): Set[String] = {
+      var seen = Set(cls); var frontier = List(cls)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(superToSubs.getOrElse(_, Nil)).filterNot(seen)
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+
+    def predScan(p: Term): DataFrame = triples.filter($"p.lex" === p.lex)
+    def instancesOf(cls: Term): DataFrame = {
+      val classes = subClassesOf(cls.lex)
+      triples.filter($"p.lex" === RDF_TYPE && $"o.kind" === Term.KIND_IRI &&
+        $"o.lex".isin(classes.toSeq: _*)).select($"s")
+    }
+    def focusFrame(f: FocusSpec): DataFrame = (f match {
+      case FClass(c) => instancesOf(c)
+      case FSubjectsOf(p) => predScan(p).select($"s")
+      case FObjectsOf(p) => predScan(p).select($"o".as("s"))
+      case FNodes(ns) =>
+        spark.createDataset(ns.map(n => (n.kind, n.lex, n.dt, n.lang)))
+          .select(struct($"_1".as("kind"), $"_2".as("lex"), $"_3".as("dt"),
+            $"_4".as("lang")).as("s"))
+    }).dropDuplicates("s")
+
+    val termLit: Term => Column = t =>
+      struct(lit(t.kind).cast("tinyint").as("kind"), lit(t.lex).as("lex"),
+        lit(t.dt).as("dt"), lit(t.lang).as("lang"))
+
+    def viol(focusCol: Column, shape: FlatShape, component: String,
+        value: Column): Column =
+      struct(
+        focusCol("lex").as("focus"),
+        lit(shape.path.map(_._1.lex).orNull).as("path"),
+        lit(SH.NS + component + "ConstraintComponent").as("component"),
+        value.as("value_lex"))
+
+    val out = flat.flatMap { fs =>
+      val focus = focusFrame(fs.focus)
+      // value nodes: (focus, value) pairs — inner join on the subject; the
+      // same `s`-keyed shuffle serves every per-value constraint below.
+      val vals: DataFrame = fs.path match {
+        case None => focus.select($"s", $"s".as("v"))
+        case Some((p, false)) =>
+          focus.join(predScan(p).select($"s", $"o".as("v")), Seq("s"))
+        case Some((p, true)) =>
+          focus.join(predScan(p).select($"o".as("s"), $"s".as("v")), Seq("s"))
+      }
+      val v = col("v")
+      val lexLen = length(v("lex"))
+      val frames = Seq.newBuilder[DataFrame]
+
+      def valueViol(cond: Column, component: String,
+          valueLex: Column = v("lex")): Unit =
+        frames += vals.filter(cond).select(viol(col("s"), fs, component, valueLex).as("r"))
+
+      fs.datatype.foreach { dt =>
+        val wf = Xsd.lexRegexFor(dt.lex) match {
+          case Some(rx) =>
+            val lexOk = v("lex").rlike("^(?:" + rx + ")$")
+            Xsd.intRangeFor(dt.lex) match {
+              case Some((lo, hi)) =>
+                val asDec = v("lex").cast(DecimalType(38, 0))
+                lexOk && lo.map(b => asDec >= lit(b.toString).cast(DecimalType(38, 0)))
+                  .getOrElse(lit(true)) &&
+                  hi.map(b => asDec <= lit(b.toString).cast(DecimalType(38, 0)))
+                    .getOrElse(lit(true))
+              case None => lexOk
+            }
+          case None => lit(true)
+        }
+        // coalesce: a cast-to-decimal overflow yields NULL — that is
+        // "not well-formed", not "unknown"
+        valueViol(v("kind") =!= Term.KIND_LIT || v("dt") =!= dt.lex ||
+          !coalesce(wf, lit(false)), "Datatype")
+      }
+      fs.nodeKind.foreach { nk =>
+        val ok: Column = nk match {
+          case "IRI" => v("kind") === Term.KIND_IRI
+          case "BlankNode" => v("kind") === Term.KIND_BNODE
+          case "Literal" => v("kind") === Term.KIND_LIT
+          case "BlankNodeOrIRI" => v("kind").isin(Term.KIND_IRI, Term.KIND_BNODE)
+          case "BlankNodeOrLiteral" => v("kind").isin(Term.KIND_BNODE, Term.KIND_LIT)
+          case "IRIOrLiteral" => v("kind").isin(Term.KIND_IRI, Term.KIND_LIT)
+          case _ => lit(true)
+        }
+        valueViol(!ok, "NodeKind")
+      }
+      fs.clazz.foreach { c =>
+        // value not an instance of c (or a literal) — left anti against the
+        // instance set keeps only the violating values.
+        val inst = instancesOf(c).withColumnRenamed("s", "v").dropDuplicates("v")
+        frames += vals.join(inst, Seq("v"), "left_anti")
+          .select(viol(col("s"), fs, "Class", v("lex")).as("r"))
+      }
+      // numeric range constraints: violation = NOT (numeric AND in range)
+      val numDts = Seq(Term.XSD_INTEGER, Term.XSD_DECIMAL, Term.XSD_DOUBLE,
+        Term.XSD_FLOAT) ++ Seq("byte", "short", "int", "long", "unsignedByte",
+        "unsignedShort", "unsignedInt", "unsignedLong", "nonNegativeInteger",
+        "nonPositiveInteger", "negativeInteger", "positiveInteger")
+        .map(Term.XSD + _)
+      val asNum = when(v("kind") === Term.KIND_LIT && v("dt").isin(numDts: _*),
+        v("lex").cast(DecimalType(38, 10)))
+      def rangeViol(bound: Option[BigDecimal], component: String,
+          ok: Column => Column): Unit =
+        bound.foreach { b =>
+          val bc = lit(b.toString).cast(DecimalType(38, 10))
+          valueViol(asNum.isNull || !ok(bc), component)
+        }
+      rangeViol(fs.minInc, "MinInclusive", asNum >= _)
+      rangeViol(fs.minExc, "MinExclusive", asNum > _)
+      rangeViol(fs.maxInc, "MaxInclusive", asNum <= _)
+      rangeViol(fs.maxExc, "MaxExclusive", asNum < _)
+      fs.minLength.foreach(n =>
+        valueViol(v("kind") === Term.KIND_BNODE || lexLen < n, "MinLength"))
+      fs.maxLength.foreach(n =>
+        valueViol(v("kind") === Term.KIND_BNODE || lexLen > n, "MaxLength"))
+      fs.pattern.foreach { case (p, fl) =>
+        val rx = (if (fl.nonEmpty) s"(?$fl)" else "") + p
+        // SHACL pattern is a find (unanchored) — wrap for rlike's search
+        valueViol(v("kind") === Term.KIND_BNODE || !v("lex").rlike(rx), "Pattern")
+      }
+      fs.inList.foreach { allowed =>
+        val isAllowed = allowed.map(t => v === termLit(t))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        valueViol(!isAllowed, "In")
+      }
+      fs.hasValue.foreach { t =>
+        // focus nodes with NO value equal to t
+        frames += focus.join(vals.filter(v === termLit(t)).select($"s"),
+          Seq("s"), "left_anti")
+          .select(viol(col("s"), fs, "HasValue", lit(null).cast(StringType)).as("r"))
+      }
+      if (fs.path.isDefined && (fs.minCount.isDefined || fs.maxCount.isDefined)) {
+        val counts = vals.groupBy($"s").agg(count(lit(1)).as("__n"))
+        fs.minCount.foreach { n =>
+          // left join: focus nodes with zero values must surface too
+          frames += focus.join(counts, Seq("s"), "left_outer")
+            .filter(coalesce($"__n", lit(0L)) < n)
+            .select(viol(col("s"), fs, "MinCount", lit(null).cast(StringType)).as("r"))
+        }
+        fs.maxCount.foreach { n =>
+          frames += counts.filter($"__n" > n)
+            .select(viol(col("s"), fs, "MaxCount", lit(null).cast(StringType)).as("r"))
+        }
+      }
+      frames.result()
+    }
+
+    val empty = spark.emptyDataset[(String, String, String, String)]
+      .toDF("focus", "path", "component", "value_lex")
+    out.map(_.select($"r.focus", $"r.path", $"r.component", $"r.value_lex"))
+      .reduceOption(_.unionAll(_)).getOrElse(empty)
+  }
+}

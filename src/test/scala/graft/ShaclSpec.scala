@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{Iso, Term, Triple}
 import graft.riot.TurtleLite
-import graft.shacl.{GraphIndex, SH, Validator}
+import graft.shacl.{DfShacl, GraphIndex, SH, Validator}
 
 /** SHACL core gated on the reference's copy of the W3C SHACL test suite
  * (jena-shacl/src/test/files/std/core — 98 sht:Validate cases). The
@@ -107,5 +107,104 @@ class ShaclSpec extends AnyFunSuite {
         s"(details: /tmp/shacl_failures.txt):\n" +
         failures.map(_.linesIterator.next()).mkString("\n"))
     info(s"${cases.size} SHACL core cases green")
+  }
+
+  /** DfShacl (DataFrame compilation) vs Validator (pure engine) on a
+   * seeded random graph covering every flat component — the semantic
+   * cross-check for the columnar face. */
+  test("DfShacl matches Validator on the flat subset") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import SH.sh
+
+    val NS = "urn:t:"
+    def iri(l: String) = Term.iri(NS + l)
+    def xsd(l: String, dt: String) = Term.lit(l, SH.XSD + dt)
+    val rnd = new scala.util.Random(42)
+
+    // data: 200 people with assorted (sometimes missing/dirty) properties
+    val data = mutable.Set[Triple]()
+    (0 until 200).foreach { i =>
+      val p = iri(s"p$i")
+      data += Triple(p, SH.rdfType, iri("Person"))
+      if (i % 7 != 0) data += Triple(p, iri("age"),
+        if (i % 13 == 0) Term.string("old") // wrong datatype
+        else xsd((rnd.nextInt(140) - 10).toString, "integer"))
+      if (i % 5 == 0) data += Triple(p, iri("age"), xsd((i % 90).toString, "integer"))
+      val nick = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      data += Triple(p, iri("nick"), Term.string(nick))
+      if (i % 3 == 0) data += Triple(p, iri("knows"),
+        if (i % 9 == 0) Term.bnode(s"b$i") else iri(s"p${rnd.nextInt(200)}"))
+      if (i % 4 == 0) data += Triple(p, iri("status"),
+        Term.string(Seq("active", "idle", "banned", "ghost")(rnd.nextInt(4))))
+      // a small class hierarchy exercised via rdfs:subClassOf in DATA
+      if (i % 11 == 0) data += Triple(iri(s"p$i"), SH.rdfType, iri("Admin"))
+    }
+    data += Triple(iri("Admin"), SH.subClassOf, iri("Person"))
+
+    val ps = (1 to 6).map(i => iri(s"PS$i"))
+    def list(label: String, items: Seq[Term]): (Term, Seq[Triple]) = {
+      val cells = items.indices.map(i => Term.bnode(s"$label$i"))
+      (cells.head, items.zipWithIndex.flatMap { case (it, i) =>
+        Seq(Triple(cells(i), SH.rdfFirst, it), Triple(cells(i), SH.rdfRest,
+          if (i == items.size - 1) SH.rdfNil else cells(i + 1)))
+      })
+    }
+    val (inHead, inTs) = list("st", Seq("active", "idle", "banned").map(Term.string))
+    val shape = iri("PersonShape")
+    val shapes = Seq(
+      Triple(shape, SH.rdfType, sh("NodeShape")),
+      Triple(shape, sh("targetClass"), iri("Person")),
+      Triple(shape, sh("property"), ps(0)),
+      Triple(ps(0), sh("path"), iri("age")),
+      Triple(ps(0), sh("datatype"), Term.iri(SH.XSD + "integer")),
+      Triple(ps(0), sh("minInclusive"), xsd("0", "integer")),
+      Triple(ps(0), sh("maxExclusive"), xsd("120", "integer")),
+      Triple(ps(0), sh("minCount"), xsd("1", "integer")),
+      Triple(ps(0), sh("maxCount"), xsd("1", "integer")),
+      Triple(shape, sh("property"), ps(1)),
+      Triple(ps(1), sh("path"), iri("nick")),
+      Triple(ps(1), sh("minLength"), xsd("2", "integer")),
+      Triple(ps(1), sh("maxLength"), xsd("8", "integer")),
+      Triple(ps(1), sh("pattern"), Term.string("^[A-Za-z]")),
+      Triple(shape, sh("property"), ps(2)),
+      Triple(ps(2), sh("path"), iri("knows")),
+      Triple(ps(2), sh("nodeKind"), sh("IRI")),
+      Triple(ps(2), sh("class"), iri("Person")),
+      Triple(shape, sh("property"), ps(3)),
+      Triple(ps(3), sh("path"), iri("status")),
+      Triple(ps(3), sh("in"), inHead),
+      // inverse path: everyone must be known by someone
+      Triple(shape, sh("property"), ps(4)),
+      Triple(ps(4), sh("path"), Term.bnode("invp")),
+      Triple(Term.bnode("invp"), sh("inversePath"), iri("knows")),
+      Triple(ps(4), sh("minCount"), xsd("1", "integer")),
+      // hasValue over targetSubjectsOf on a second shape
+      Triple(iri("StatusShape"), sh("targetSubjectsOf"), iri("status")),
+      Triple(iri("StatusShape"), sh("property"), ps(5)),
+      Triple(ps(5), sh("path"), iri("status")),
+      Triple(ps(5), sh("hasValue"), Term.string("active"))) ++ inTs
+
+    val want: Set[(String, String, String, Option[String])] =
+      Validator.validate(shapes, data.toSeq).results.map { r =>
+        val pathIri = r.pathNode.map { pn =>
+          val sg = new GraphIndex(shapes.toVector)
+          sg.obj(pn, sh("inversePath")).getOrElse(pn).lex
+        }
+        (r.focus.lex, pathIri.getOrElse(null), r.component.lex,
+          r.value.map(_.lex))
+      }.toSet
+    assert(want.size > 50, s"weak fixture: only ${want.size} violations")
+    assert(want.map(_._3).size > 3)
+
+    val df = DfShacl.validate(spark.createDataset(data.toSeq).toDF(), shapes)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    // DfShacl reports the path PREDICATE for inverse paths (it has no
+    // structure node); normalize `want` the same way above.
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    info(s"${got.size} violations agree across both faces")
   }
 }
