@@ -115,10 +115,12 @@ final case class GraphScope(g: Term, input: Op) extends Op
 final case class GraphVarEnum(v: String, body: Op) extends Op
 
 /** SERVICE clause (OpService, jena-arq/.../algebra/op/OpService.java):
- * parsed for full syntax compatibility (sparql11 syntax-fed), execution
- * raises — federation over HTTP is documented out of scope (SURVEY
- * §7.4); a deployment would register an ExtOp performing the remote
- * call per partition. */
+ * full syntax (sparql11 syntax-fed) + execution against endpoints wired
+ * through [[ServiceRegistry]] — any GraphSource can serve as an
+ * endpoint (loopback federation over other stores/sessions). HTTP
+ * transport itself stays out of scope in this zero-egress build
+ * (SURVEY §7.4); a deployment registers a source wrapping its client.
+ * SILENT ⇒ unknown/failing endpoint evaluates to the unit table. */
 final case class Service(silent: Boolean, target: TermPat, body: Op) extends Op
 
 // ---- projections / filters / binds (§2.2)

@@ -477,10 +477,51 @@ object Compiler {
 
     case Label(_, in) => comp(in, g)
 
-    case Service(_, _, _) =>
-      throw new UnsupportedOperationException(
-        "SERVICE execution is out of scope (SURVEY §7.4) — the clause " +
-          "parses for syntax compatibility; register an ExtOp for federation")
+    case Service(silent, target, body) =>
+      // Federated evaluation against a REGISTERED endpoint (the zero-
+      // egress stand-in for the reference's HTTP ServiceExec — see
+      // ServiceRegistry): the inner pattern compiles against the
+      // endpoint's GraphSource and the result hash-joins with the outer
+      // bindings set-at-a-time. SILENT ⇒ a failing/unknown endpoint
+      // yields the unit table (SPARQL 1.1 Fed §4: "the SERVICE statement
+      // is considered to have a result of a single solution mapping with
+      // no bindings").
+      def unit = Compiled(
+        g.spark.range(1).select(lit(1).as("__unit")), Set.empty, Set.empty)
+      def evalAgainst(src: GraphSource): Compiled =
+        if (!silent) comp(body, src)
+        else
+          try {
+            val c = comp(body, src)
+            c.df.queryExecution.analyzed // force analysis errors eagerly
+            c
+          } catch { case scala.util.control.NonFatal(_) => unit }
+      target match {
+        case TConst(t) =>
+          ServiceRegistry.lookup(t.lex) match {
+            case Some(src) => evalAgainst(src)
+            case None if silent => unit
+            case None => throw new IllegalArgumentException(
+              s"SERVICE endpoint <${t.lex}> is not registered — wire it " +
+                "via graft.algebra.ServiceRegistry.register")
+          }
+        case TVar(v) =>
+          // variable target: union over the registered endpoints, the
+          // variable bound to each endpoint's IRI per branch (the
+          // set-at-a-time twin of the reference's per-binding dispatch —
+          // the outer join then restricts to whatever the query bound).
+          val eps = ServiceRegistry.all
+          if (eps.isEmpty) {
+            if (silent) unit
+            else throw new IllegalArgumentException(
+              s"SERVICE ?$v: no endpoints registered")
+          } else
+            eps.map { case (iri, src) =>
+              val c = evalAgainst(src)
+              Compiled(c.df.withColumn(v, TermCols.const(Term.iri(iri))),
+                c.certain + v, c.maybe - v)
+            }.reduce(unionPad)
+      }
 
     case Null =>
       Compiled(g.spark.range(0).select(lit(1).as("__unit")),

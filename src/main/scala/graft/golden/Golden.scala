@@ -51,7 +51,9 @@ object Manifest {
       // SPARQL Update tests (ut: vocabulary)
       request: Option[String] = None,
       updPre: DatasetSpec = DatasetSpec(Nil, Nil),
-      updPost: Option[DatasetSpec] = None)
+      updPost: Option[DatasetSpec] = None,
+      // federated tests: qt:serviceData (endpoint IRI, data file) pairs
+      serviceData: Seq[(String, String)] = Nil)
 
   /** Parse one manifest.ttl into its test entries (list order kept). */
   def load(manifestPath: String): Seq[Entry] = {
@@ -109,7 +111,13 @@ object Manifest {
             r.kind == Term.KIND_IRI && byS.get(r).isEmpty).map(path),
           request = action.flatMap(obj(_, UT + "request")).map(path),
           updPre = action.map(datasetSpec).getOrElse(DatasetSpec(Nil, Nil)),
-          updPost = resultNode.map(datasetSpec))
+          updPost = resultNode.map(datasetSpec),
+          serviceData = action.toSeq
+            .flatMap(objs(_, QT + "serviceData"))
+            .flatMap(sd => for {
+              ep <- obj(sd, QT + "endpoint")
+              f <- obj(sd, QT + "data")
+            } yield (ep.lex, path(f))))
       }
     }
   }
@@ -321,6 +329,22 @@ object GoldenRunner {
   }
 
   def runEntry(spark: SparkSession, e: Manifest.Entry): Outcome = {
+    // qt:serviceData: register each endpoint's dataset for loopback
+    // federation (the reference's runner spins up in-process endpoints;
+    // ours wires GraphSources into ServiceRegistry) — unregistered on exit
+    e.serviceData.zipWithIndex.foreach { case ((ep, f), k) =>
+      val ts = readData(f).map(t => Triple(
+        mapBnodes(t.s, s"svc${k}_" + _), t.p, mapBnodes(t.o, s"svc${k}_" + _)))
+      graft.algebra.ServiceRegistry.register(ep, Compiler.DfGraph(
+        spark.createDataset(ts.distinct)(
+          org.apache.spark.sql.Encoders.product[Triple]).toDF()))
+    }
+    try runEntryInner(spark, e)
+    finally e.serviceData.foreach { case (ep, _) =>
+      graft.algebra.ServiceRegistry.unregister(ep) }
+  }
+
+  private def runEntryInner(spark: SparkSession, e: Manifest.Entry): Outcome = {
     try {
       val queryFile = e.query.getOrElse(return Skipped("no qt:query"))
       val resultFile = e.result.getOrElse(return Skipped("no mf:result"))

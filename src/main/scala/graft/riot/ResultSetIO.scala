@@ -238,14 +238,17 @@ object ResultSetIO {
     val rootE = doc.getDocumentElement
     val vars = elems(rootE, "variable").map(_.getAttribute("name"))
     val rows = elems(rootE, "result").map { res =>
-      val bound = elems(res, "binding").map { b =>
+      val bound = elems(res, "binding").flatMap { b =>
         val name = b.getAttribute("name")
-        val child = {
+        // an EMPTY <binding> element (no term child) appears in some W3C
+        // files (e.g. sparql11/service/service07.srx) — read as unbound,
+        // like the reference's reader
+        val childOpt = {
           val nl = b.getChildNodes
           (0 until nl.getLength).map(nl.item)
             .collectFirst { case e: org.w3c.dom.Element => e }
-            .getOrElse(throw new IllegalArgumentException("empty <binding>"))
         }
+        childOpt.map { child =>
         def xmlTerm(e: org.w3c.dom.Element): Row = e.getTagName match {
           case "uri" => termRow("uri", e.getTextContent, "", "")
           case "bnode" => termRow("bnode", e.getTextContent, "", "")
@@ -269,7 +272,8 @@ object ResultSetIO {
             tripleTermRow(slot("subject"), slot("predicate"), slot("object"))
           case other => throw new IllegalArgumentException(s"unknown term element <$other>")
         }
-        name -> xmlTerm(child)
+          name -> xmlTerm(child)
+        }
       }.toMap
       Row(vars.map(v => bound.getOrElse(v, null)): _*)
     }

@@ -1242,7 +1242,7 @@ object Parser {
         }
         else if (eatKw("SERVICE")) {
           // SERVICE (SILENT)? (iri | var) group — parsed to the Service
-          // node (syntax-fed); execution raises in the Compiler
+          // node (syntax-fed); executes against ServiceRegistry endpoints
           val silent = eatKw("SILENT")
           ws()
           val target = if (peekVar) TVar(varName()) else TConst(iriTerm())

@@ -104,6 +104,9 @@ class ManifestSpec extends AnyFunSuite {
     "drop" -> Map.empty,
     "move" -> Map.empty,
     "update-silent" -> Map.empty,
+    // federated evaluation: qt:serviceData endpoints registered for
+    // loopback execution (ServiceRegistry — see ServiceSpec)
+    "service" -> Map.empty,
     // syntax-only suites (PositiveSyntaxTest11 / NegativeSyntaxTest11 and
     // the update-grammar equivalents)
     "syntax-query" -> Map.empty,

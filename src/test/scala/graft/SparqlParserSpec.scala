@@ -409,9 +409,13 @@ class SparqlParserSpec extends AnyFunSuite {
 
   test("unsupported constructs raise") {
     intercept[IllegalArgumentException](Parser.parse("ASK { ?s ?p ?o }"))
-    // SERVICE PARSES (sparql11 syntax-fed) but execution raises in the
-    // Compiler — federation is documented out of scope (SURVEY §7.4)
-    val q = Parser.parse("SELECT ?s WHERE { SERVICE SILENT <http://x> { ?s ?p ?o } }")
-    intercept[UnsupportedOperationException](Compiler.compile(q, g))
+    // SERVICE executes against ServiceRegistry endpoints (ServiceSpec);
+    // an UNREGISTERED endpoint raises without SILENT, and SILENT over an
+    // unregistered endpoint degrades to the unit table
+    val q = Parser.parse("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }")
+    intercept[IllegalArgumentException](Compiler.compile(q, g))
+    val silent = Parser.parse(
+      "SELECT ?s WHERE { SERVICE SILENT <http://x> { ?s ?p ?o } }")
+    assert(Compiler.compile(silent, g).count() == 1) // unit table
   }
 }
