@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Iso, Term, Triple}
+import graft.reason.Rules
+import graft.riot.{NTriples, RdfXmlLite}
+
+/** Generic forward rule engine, gated on the reference's own RDFS
+ * reasoner fixtures (jena-core/testing/reasoners/rdfs/manifest.rdf — the
+ * suite TestRDFSReasoners runs with the FULL config; runner semantics
+ * from ReasonerTester.java: per query pattern with var: wildcards,
+ * collect the matching closure triples and compare isomorphically with
+ * the expected graph). The rule set is the reference's own
+ * etc/rdfs.rules, parsed by our Jena-rule-syntax parser. */
+class RulesSpec extends AnyFunSuite {
+
+  private val ROOT = "/root/reference/jena-core/testing/reasoners"
+  private val RULES =
+    "/root/reference/jena-core/src/main/resources/etc/rdfs.rules"
+  private val QT = "http://www.hpl.hp.com/semweb/2003/query_tester#"
+  private val VAR = "var:"
+
+  private def read(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+
+  private def loadRdf(rel: String): Seq[Triple] =
+    RdfXmlLite.parse(read(s"$ROOT/$rel"), s"file://$ROOT/$rel")
+
+  /** Our curated pure-forward "full" set (axioms match the reference's
+   * full config; backward forms restated forward — see the resource). */
+  private lazy val ruleSet: Rules.RuleSet = Rules.rdfsFullForward
+
+  test("rule parser: the reference's etc/rdfs.rules parses structurally") {
+    val rs = Rules.parse(read(RULES))
+    assert(rs.axioms.size > 30, s"axioms: ${rs.axioms.size}")
+    assert(rs.rules.size == 11, s"rules: ${rs.rules.map(_.name)}")
+    assert(rs.rules.exists(r => r.name == "rdfs9" && r.body.size == 2 &&
+      r.heads.size == 1))
+    assert(rs.rules.exists(r => r.name == "rdf1and4" && r.heads.size == 3))
+    assert(ruleSet.rules.exists(_.guards.nonEmpty)) // notEqual in rdfs6
+  }
+
+  test("rule parser rejects backward rules and unbound head vars") {
+    intercept[IllegalArgumentException](
+      Rules.parse("[r: (?a eg:p ?b) <- (?a eg:q ?b)]"))
+    intercept[IllegalArgumentException](
+      Rules.parse("@prefix eg: <http://eg/>. [r: (?a eg:p ?b) -> (?a eg:q ?c)]"))
+  }
+
+  /** ReasonerTester protocol over manifest.rdf (the FULL-config suite). */
+  test("reference RDFS reasoner manifest (full closure)") {
+    val manifest = loadRdf("rdfs/manifest.rdf")
+    val bySubj = manifest.groupBy(_.s)
+    def prop(s: Term, p: String): Seq[String] =
+      bySubj.getOrElse(s, Nil).filter(_.p.lex == QT + p).map(_.o.lex)
+    val tests = manifest.collect {
+      case Triple(s, p, o)
+        if p.lex.endsWith("#type") && o.lex == QT + "Test" => s
+    }.distinct
+    assert(tests.size >= 20, s"found only ${tests.size} tests")
+
+    val failures = mutable.Buffer[String]()
+    tests.foreach { t =>
+      val desc = prop(t, "description").headOption.getOrElse(t.lex)
+      try {
+        val data = (prop(t, "tbox") ++ prop(t, "data")).flatMap(loadRdf)
+        val withCmp = data ++ Rules.rdfsCmpAxioms(data)
+        val closure = Rules.closureLocal(withCmp, ruleSet)
+        val queries = NTriples.parseDocument(read(
+          s"$ROOT/${prop(t, "query").head}"))
+        val got = queries.flatMap { q =>
+          def ok(pat: Term, v: Term): Boolean =
+            (pat.isIri && pat.lex.startsWith(VAR)) || pat == v
+          closure.filter(c => ok(q.s, c.s) && ok(q.p, c.p) && ok(q.o, c.o))
+        }.distinct
+        // RDF graphs are sets — the RDF/XML may assert a triple twice
+        val want = loadRdf(prop(t, "result").head).distinct
+        if (!Iso.isomorphic(got, want)) {
+          val gotSet = got.map(_.toNTriples).toSet
+          val wantSet = want.map(_.toNTriples).toSet
+          failures += s"$desc:\n  missing: ${(wantSet -- gotSet).take(4)}" +
+            s"\n  extra: ${(gotSet -- wantSet).take(4)}"
+        }
+      } catch {
+        case e: Exception => failures += s"$desc: EXCEPTION ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${tests.size} reasoner cases failing:\n" +
+        failures.mkString("\n"))
+    info(s"${tests.size} RDFS reasoner manifest cases green")
+  }
+
+  test("DataFrame closure matches the local engine") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val data = loadRdf("rdfs/tbox1.rdf") ++ loadRdf("rdfs/data2.rdf")
+    val withCmp = data ++ Rules.rdfsCmpAxioms(data)
+    val want = Rules.closureLocal(withCmp, ruleSet)
+    val got = Rules.closure(
+      spark.createDataset(withCmp).toDF(), ruleSet)
+      .as[Triple].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+    info(s"${got.size} closure triples agree across both faces")
+  }
+}
