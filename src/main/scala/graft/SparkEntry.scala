@@ -62,12 +62,13 @@ object SparkEntry {
     "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
     "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
     "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,
+    "v2_rules"            -> graft.queries.ReasonQueries.v2_rules _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
 
   def oracleSql: Map[String, String] = SparqlQueries.oracle ++
-    graft.queries.ShaclQueries.oracle ++ Map(
+    graft.queries.ShaclQueries.oracle ++ graft.queries.ReasonQueries.oracle ++ Map(
     // money columns: integer-cents arithmetic (floor(x*100+0.5)) — the only
     // double→fixed-point path that is bit-identical in Spark and DuckDB
     // (see graft.queries.Relational header note)

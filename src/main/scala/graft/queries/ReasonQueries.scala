@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.algebra.TermCols
+import graft.model.Term
+import graft.reason.Rules
+
+/**
+ * Oracle-gated forward-rule inference: customer/nation/region encode a
+ * three-level class hierarchy (customer rdf:type nation-class,
+ * nation-class rdfs:subClassOf region-class, region-class
+ * rdfs:subClassOf urn:g:World), the DataFrame rule engine runs the
+ * rdfs8 + rdfs9 subset to fixpoint, and the DuckDB oracle restates the
+ * derived rdf:type closure relationally — so the semi-naive delta
+ * iteration (join chains, anti-join dedup, fixpoint detection) is
+ * checked end-to-end by the driver gate.
+ */
+object ReasonQueries {
+
+  private val NS = "urn:g:"
+  private val RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+  def v2_rules(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val nation = Tables.nation(s, d)
+    def iriCol(prefix: String, c: Column) =
+      TermCols.iriTerm(concat(lit(NS + prefix), c.cast("string")))
+    def t(sC: Column, p: String, oC: Column) =
+      struct(sC.as("s"), TermCols.const(Term.iri(p)).as("p"), oC.as("o")).as("x")
+    val triples = customer
+      .select(t(iriCol("c:", col("c_custkey")), RDF_TYPE,
+        iriCol("n:", col("c_nationkey"))))
+      .union(nation.select(t(iriCol("n:", col("n_nationkey")), SUBCLASS,
+        iriCol("r:", col("n_regionkey")))))
+      .union(nation.select(t(iriCol("r:", col("n_regionkey")), SUBCLASS,
+        TermCols.const(Term.iri(NS + "World")))).distinct())
+      .select(col("x.s").as("s"), col("x.p").as("p"), col("x.o").as("o"))
+
+    val rules = Rules.parse(
+      """[rdfs8: (?a rdfs:subClassOf ?b), (?b rdfs:subClassOf ?c) -> (?a rdfs:subClassOf ?c)]
+         [rdfs9: (?x rdfs:subClassOf ?y), (?a rdf:type ?x) -> (?a rdf:type ?y)]""")
+    Rules.closure(triples, rules)
+      .filter(col("p.lex") === RDF_TYPE)
+      .select(col("s.lex").as("inst"), col("o.lex").as("cls"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "v2_rules" -> s"""
+      SELECT '${NS}c:' || c_custkey AS inst, '${NS}n:' || c_nationkey AS cls
+      FROM customer
+      UNION ALL
+      SELECT '${NS}c:' || c_custkey, '${NS}r:' || n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT '${NS}c:' || c_custkey, '${NS}World' FROM customer
+      """)
+}

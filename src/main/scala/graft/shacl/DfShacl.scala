@@ -27,9 +27,12 @@ import graft.model.{Term, Triple}
  * targetSubjectsOf / targetObjectsOf; sh:path a predicate IRI or its
  * inverse; class, datatype, nodeKind, minCount, maxCount, min/max
  * Exclusive/Inclusive (numeric), minLength, maxLength, pattern(+flags),
- * in, hasValue. A shapes graph using anything else (logical operators,
- * shape refs, pair constraints, closed, uniqueLang, path operators)
- * is rejected loudly at compile — route those through `Validator`.
+ * in, hasValue, languageIn, uniqueLang, and the property-pair
+ * constraints equals / disjoint / lessThan(OrEquals) (numeric, string,
+ * boolean value spaces — a shapes graph ORDERING dateTimes needs the
+ * complete face). A shapes graph using anything else (logical
+ * operators, shape refs, qualified shapes, closed, path operators) is
+ * rejected loudly at compile — route those through `Validator`.
  *
  * Scale notes (100 TB KG): the driver holds only the shapes (schema-sized
  * by definition) and the rdfs:subClassOf ontology (collected from data
@@ -59,7 +62,12 @@ object DfShacl {
       minLength: Option[Int], maxLength: Option[Int],
       pattern: Option[(String, String)],
       inList: Option[Seq[Term]],
-      hasValue: Seq[Term])
+      hasValue: Seq[Term],
+      // property-pair constraints (other predicate on the same focus)
+      equalsP: Seq[Term], disjointP: Seq[Term],
+      lessThan: Seq[Term], lessThanEq: Seq[Term],
+      languageIn: Option[Seq[String]],
+      uniqueLang: Boolean)
 
   private sealed trait FocusSpec
   private final case class FClass(cls: Term) extends FocusSpec
@@ -72,6 +80,8 @@ object DfShacl {
     "maxInclusive", "maxExclusive", "minLength", "maxLength", "pattern",
     "flags", "in", "hasValue", "severity", "deactivated", "targetClass",
     "targetNode", "targetSubjectsOf", "targetObjectsOf", "property",
+    "equals", "disjoint", "lessThan", "lessThanOrEquals", "languageIn",
+    "uniqueLang",
     "name", "description", "message", "order", "group").map(sh) ++
     Set(rdfType)
 
@@ -118,7 +128,13 @@ object DfShacl {
         pattern = sg.obj(shape, sh("pattern")).map(p =>
           (p.lex, sg.obj(shape, sh("flags")).map(_.lex).getOrElse(""))),
         inList = sg.obj(shape, sh("in")).map(sg.list(_)),
-        hasValue = sg.objs(shape, sh("hasValue")))
+        hasValue = sg.objs(shape, sh("hasValue")),
+        equalsP = sg.objs(shape, sh("equals")),
+        disjointP = sg.objs(shape, sh("disjoint")),
+        lessThan = sg.objs(shape, sh("lessThan")),
+        lessThanEq = sg.objs(shape, sh("lessThanOrEquals")),
+        languageIn = sg.obj(shape, sh("languageIn")).map(sg.list(_).map(_.lex)),
+        uniqueLang = sg.obj(shape, sh("uniqueLang")).exists(_.lex == "true"))
       val children = sg.objs(shape, sh("property")).flatMap(flatten(_, focus))
       self +: children
     }
@@ -294,6 +310,65 @@ object DfShacl {
         frames += focus.join(vals.filter(v === termLit(t)).select($"s"),
           Seq("s"), "left_anti")
           .select(viol(col("s"), fs, "HasValue", lit(null).cast(StringType)).as("r"))
+      }
+      // ---- property-pair constraints: the OTHER predicate's values on
+      // the same focus — a second pruned scan, joined on the subject
+      def otherVals(p: Term): DataFrame =
+        focus.join(predScan(p).select($"s", $"o".as("w")), Seq("s"))
+      fs.equalsP.foreach { p =>
+        val ov = otherVals(p)
+        frames += vals.join(ov.withColumnRenamed("w", "v"), Seq("s", "v"), "left_anti")
+          .select(viol(col("s"), fs, "Equals", v("lex")).as("r"))
+        frames += ov.join(vals.select($"s", $"v".as("w")), Seq("s", "w"), "left_anti")
+          .select(viol(col("s"), fs, "Equals", col("w")("lex")).as("r"))
+      }
+      fs.disjointP.foreach { p =>
+        frames += vals.join(otherVals(p).withColumnRenamed("w", "v"), Seq("s", "v"))
+          .select(viol(col("s"), fs, "Disjoint", v("lex")).as("r"))
+      }
+      // lessThan / lessThanOrEquals: per (value, other-value) pair, like
+      // the pure engine; comparable spaces here are numeric / string /
+      // boolean (the Validator additionally orders dateTime — a shapes
+      // graph ordering dateTimes should use the complete face)
+      def pairOrderViol(preds: Seq[Term], component: String,
+          strict: Boolean): Unit = preds.foreach { p =>
+        val pairs = vals.join(otherVals(p), Seq("s"))
+        val w = col("w")
+        def numOf(t: Column): Column =
+          when(t("kind") === Term.KIND_LIT && t("dt").isin(numDts: _*),
+            t("lex").cast(DecimalType(38, 10)))
+        def sameDt(dt: String): Column =
+          v("kind") === Term.KIND_LIT && w("kind") === Term.KIND_LIT &&
+            v("dt") === dt && w("dt") === dt
+        val numOk =
+          if (strict) numOf(v) < numOf(w) else numOf(v) <= numOf(w)
+        val lexOk =
+          if (strict) v("lex") < w("lex") else v("lex") <= w("lex")
+        val ok = coalesce(numOk, lit(false)) ||
+          ((sameDt(Term.XSD_STRING) || sameDt(Term.XSD_BOOLEAN)) && lexOk)
+        frames += pairs.filter(!ok)
+          .select(viol(col("s"), fs, component, v("lex")).as("r"))
+      }
+      pairOrderViol(fs.lessThan, "LessThan", strict = true)
+      pairOrderViol(fs.lessThanEq, "LessThanOrEquals", strict = false)
+      fs.languageIn.foreach { tags =>
+        val lc = lower(v("lang"))
+        val ok = v("kind") === Term.KIND_LIT && v("lang") =!= "" &&
+          tags.map { t =>
+            val tl = t.toLowerCase
+            lc === tl || lc.startsWith(tl + "-")
+          }.reduceOption(_ || _).getOrElse(lit(false))
+        valueViol(!ok, "LanguageIn")
+      }
+      if (fs.uniqueLang) {
+        // one violation per focus with ≥1 duplicated language tag (the
+        // pure engine reports one per duplicated tag, with no sh:value —
+        // identical tuples, so the two faces agree set-wise)
+        frames += vals.filter(v("kind") === Term.KIND_LIT && v("lang") =!= "")
+          .groupBy($"s", lower(v("lang")).as("__l"))
+          .agg(count(lit(1)).as("__n"))
+          .filter($"__n" > 1).select($"s").dropDuplicates("s")
+          .select(viol(col("s"), fs, "UniqueLang", lit(null).cast(StringType)).as("r"))
       }
       if (fs.path.isDefined && (fs.minCount.isDefined || fs.maxCount.isDefined)) {
         val counts = vals.groupBy($"s").agg(count(lit(1)).as("__n"))

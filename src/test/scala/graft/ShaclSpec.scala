@@ -142,7 +142,26 @@ class ShaclSpec extends AnyFunSuite {
     }
     data += Triple(iri("Admin"), SH.subClassOf, iri("Person"))
 
-    val ps = (1 to 6).map(i => iri(s"PS$i"))
+    // pair-constraint fixture: lo/hi/lo2 numerics (sometimes missing,
+    // sometimes non-numeric) + language-tagged labels
+    (0 until 40).foreach { i =>
+      val n = iri(s"x$i")
+      data += Triple(n, iri("lo"), xsd((i % 7).toString, "integer"))
+      if (i % 2 == 0) data += Triple(n, iri("hi"), xsd((i % 5).toString, "integer"))
+      if (i % 4 == 0) data += Triple(n, iri("hi"), Term.string("oops"))
+      data += Triple(n, iri("lo2"),
+        xsd((if (i % 3 == 0) i % 7 else (i + 1) % 7).toString, "integer"))
+    }
+    (0 until 30).foreach { i =>
+      val n = iri(s"l$i")
+      data += Triple(n, iri("label"),
+        Term.langLit(s"name$i", if (i % 3 == 0) "en" else "en-GB"))
+      if (i % 2 == 0) data += Triple(n, iri("label"), Term.langLit(s"other$i", "EN-gb"))
+      if (i % 5 == 0) data += Triple(n, iri("label"), Term.langLit(s"de$i", "de"))
+      if (i % 7 == 0) data += Triple(n, iri("label"), Term.string("plain"))
+    }
+
+    val ps = (1 to 8).map(i => iri(s"PS$i"))
     def list(label: String, items: Seq[Term]): (Term, Seq[Triple]) = {
       val cells = items.indices.map(i => Term.bnode(s"$label$i"))
       (cells.head, items.zipWithIndex.flatMap { case (it, i) =>
@@ -151,6 +170,7 @@ class ShaclSpec extends AnyFunSuite {
       })
     }
     val (inHead, inTs) = list("st", Seq("active", "idle", "banned").map(Term.string))
+    val (inLangHead, inLangTs) = list("lang", Seq(Term.string("en")))
     val shape = iri("PersonShape")
     val shapes = Seq(
       Triple(shape, SH.rdfType, sh("NodeShape")),
@@ -183,7 +203,19 @@ class ShaclSpec extends AnyFunSuite {
       Triple(iri("StatusShape"), sh("targetSubjectsOf"), iri("status")),
       Triple(iri("StatusShape"), sh("property"), ps(5)),
       Triple(ps(5), sh("path"), iri("status")),
-      Triple(ps(5), sh("hasValue"), Term.string("active"))) ++ inTs
+      Triple(ps(5), sh("hasValue"), Term.string("active")),
+      // pair constraints + languageIn/uniqueLang on a third shape
+      Triple(iri("PairShape"), sh("targetSubjectsOf"), iri("lo")),
+      Triple(iri("PairShape"), sh("property"), ps(6)),
+      Triple(ps(6), sh("path"), iri("lo")),
+      Triple(ps(6), sh("lessThan"), iri("hi")),
+      Triple(ps(6), sh("equals"), iri("lo2")),
+      Triple(ps(6), sh("disjoint"), iri("hi")),
+      Triple(iri("LabelShape"), sh("targetSubjectsOf"), iri("label")),
+      Triple(iri("LabelShape"), sh("property"), ps(7)),
+      Triple(ps(7), sh("path"), iri("label")),
+      Triple(ps(7), sh("uniqueLang"), Term.lit("true", SH.XSD + "boolean")),
+      Triple(ps(7), sh("languageIn"), inLangHead)) ++ inTs ++ inLangTs
 
     val want: Set[(String, String, String, Option[String])] =
       Validator.validate(shapes, data.toSeq).results.map { r =>
