@@ -279,4 +279,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "decontamination must stay an equi-join:\n" + p)
   }
+
+  test("DfShacl validation stays on subject equi-joins (no BNLJ)") {
+    val df = graft.queries.ShaclQueries.v1_shacl(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "every SHACL constraint must key on the subject:\n" + p)
+    assert(p.contains("LeftAnti"),
+      "sh:class must plan as an anti-join against the instance set:\n" + p)
+    // NOTE the sh:minCount-on-phone branch plans with NO join at all:
+    // `phone` never occurs in the encoding's union branches, so Catalyst
+    // constant-folds the predicate scan to an empty relation and
+    // PropagateEmptyRelation collapses the zero-preserving left join to a
+    // plain projection of the focus set — exactly what a 100 TB plan
+    // should do when a constraint's predicate is absent from the data.
+    // The LeftOuter shape itself is asserted below on data that HAS the
+    // predicate.
+    import graft.shacl.{DfShacl, SH}
+    val ts = (1 to 30).map(k => Triple(Term.iri(EX + "d" + k),
+      Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+      Term.iri(EX + "Doc"))) ++ (1 to 20).map(k => Triple(
+      Term.iri(EX + "d" + k), Term.iri(EX + "tag"), Term.string("t" + k)))
+    val shapes = Seq(
+      Triple(Term.iri(EX + "S"), SH.sh("targetClass"), Term.iri(EX + "Doc")),
+      Triple(Term.iri(EX + "S"), SH.sh("property"), Term.iri(EX + "S-p1")),
+      Triple(Term.iri(EX + "S-p1"), SH.sh("path"), Term.iri(EX + "tag")),
+      Triple(Term.iri(EX + "S-p1"), SH.sh("minCount"),
+        Term.lit("1", Term.XSD + "integer")))
+    val p2 = plan(DfShacl.validate(spark.createDataset(ts).toDF(), shapes))
+    assert(p2.contains("LeftOuter"),
+      "minCount must keep zero-value focus nodes via a left join:\n" + p2)
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"))
+  }
+
+  test("rule-engine derivation round is equi-join + anti-join (no BNLJ)") {
+    import graft.reason.Rules
+    val ts = (1 to 50).map(k => Triple(
+      Term.iri(EX + "c" + k), Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+      Term.iri(EX + "K" + (k % 5)))) ++ (0 until 5).map(k => Triple(
+      Term.iri(EX + "K" + k),
+      Term.iri("http://www.w3.org/2000/01/rdf-schema#subClassOf"),
+      Term.iri(EX + "Top")))
+    val rules = Rules.parse(
+      "[rdfs9: (?x rdfs:subClassOf ?y), (?a rdf:type ?x) -> (?a rdf:type ?y)]")
+    val base = spark.createDataset(ts).toDF()
+    // audit ONE derivation round (the fixpoint result is a checkpointed
+    // union whose executed plan no longer shows the per-round joins)
+    val p = plan(Rules.deriveOnce(rules, base, base))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rule bodies with shared vars must plan as equi-joins:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "the shared-var join must be a hash/merge equi-join:\n" + p)
+    val df = Rules.closure(base, rules)
+    assert(df.count() == 105) // 55 base + 50 derived (c_k type Top)
+  }
 }
