@@ -72,7 +72,9 @@ object Validator {
 
   // ------------------------------------------------------------- engine
 
-  private final class Engine(sg: GraphIndex, dg: GraphIndex) {
+  /** Package-visible so ShaclSparql can reuse targeting (targetShapes /
+   * focusNodes) for the SPARQL-based constraints. */
+  private[shacl] final class Engine(sg: GraphIndex, dg: GraphIndex) {
 
     /** (shape, node) pairs currently being conformance-checked — the
      * recursion guard (SHACL leaves recursive shapes undefined; like the

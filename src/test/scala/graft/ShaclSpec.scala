@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{Iso, Term, Triple}
 import graft.riot.TurtleLite
-import graft.shacl.{DfShacl, GraphIndex, SH, Validator}
+import graft.shacl.{DfShacl, GraphIndex, SH, ShaclSparql, Validator}
 
 /** SHACL core gated on the reference's copy of the W3C SHACL test suite
  * (jena-shacl/src/test/files/std/core — 98 sht:Validate cases). The
@@ -19,7 +19,7 @@ import graft.shacl.{DfShacl, GraphIndex, SH, Validator}
  * compare bnode-isomorphically. */
 class ShaclSpec extends AnyFunSuite {
 
-  private val ROOT = "/root/reference/jena-shacl/src/test/files/std/core"
+  private val ROOT = "/root/reference/jena-shacl/src/test/files/std"
   private val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
   private val SHT = "http://www.w3.org/ns/shacl-test#"
 
@@ -57,7 +57,8 @@ class ShaclSpec extends AnyFunSuite {
   }
 
   private final case class Case(name: String, dataPath: String,
-      shapesPath: String, expectedFile: String, resultNode: Term)
+      shapesPath: String, expectedFile: String, resultNode: Term,
+      expectFailure: Boolean)
 
   /** Walk mf:include chains from the root manifest, collecting
    * sht:Validate entries. */
@@ -74,27 +75,37 @@ class ShaclSpec extends AnyFunSuite {
       val shapesIri = g.obj(action, Term.iri(SHT + "shapesGraph")).get.lex
       val result = g.obj(entry, Term.iri(MF + "result")).get
       acc += Case(entry.lex.split('/').takeRight(2).mkString("/"),
-        pathOf(dataIri), pathOf(shapesIri), path, result)
+        pathOf(dataIri), pathOf(shapesIri), path, result,
+        expectFailure = result == Term.iri(SHT + "Failure"))
     }
   }
 
-  test("W3C SHACL core suite (std/core, via VR-strip isomorphism)") {
+  test("W3C SHACL suite (std/core + std/sparql, via VR-strip isomorphism)") {
     val cases = mutable.Buffer[Case]()
     collectCases(s"$ROOT/manifest.ttl", cases)
-    assert(cases.size >= 90, s"manifest walk found only ${cases.size} cases")
+    assert(cases.size >= 110, s"manifest walk found only ${cases.size} cases")
     val failures = mutable.Buffer[String]()
     cases.foreach { c =>
       try {
-        val expectedAll = parseFile(c.expectedFile)
         val shapes = parseFile(c.shapesPath)
         val data =
           if (c.dataPath == c.shapesPath) shapes else parseFile(c.dataPath)
-        val report = Validator.validate(shapes, data)
-        val got = strip(Validator.reportTriples(report, shapes),
-          Term.bnode("vr1"))
-        val want = strip(expectedAll, c.resultNode)
-        if (!Iso.isomorphic(got, want))
-          failures += s"${c.name}:\n  got:\n${got.map("    " + _.toNTriples).sorted.mkString("\n")}\n  want:\n${want.map("    " + _.toNTriples).sorted.mkString("\n")}"
+        if (c.expectFailure) {
+          // sht:Failure: validation itself must abort (pre-binding
+          // restriction violations, SHACL spec par.B)
+          val r = try {
+            ShaclSparql.validate(TestSpark.spark, shapes, data); None
+          } catch { case e: Exception => Some(e) }
+          if (r.isEmpty) failures += s"${c.name}: expected sht:Failure"
+        } else {
+          val expectedAll = parseFile(c.expectedFile)
+          val report = ShaclSparql.validate(TestSpark.spark, shapes, data)
+          val got = strip(Validator.reportTriples(report, shapes),
+            Term.bnode("vr1"))
+          val want = strip(expectedAll, c.resultNode)
+          if (!Iso.isomorphic(got, want))
+            failures += s"${c.name}:\n  got:\n${got.map("    " + _.toNTriples).sorted.mkString("\n")}\n  want:\n${want.map("    " + _.toNTriples).sorted.mkString("\n")}"
+        }
       } catch {
         case e: Exception => failures += s"${c.name}: EXCEPTION ${e.getMessage}"
       }
@@ -106,7 +117,7 @@ class ShaclSpec extends AnyFunSuite {
       s"${failures.size}/${cases.size} SHACL cases failing " +
         s"(details: /tmp/shacl_failures.txt):\n" +
         failures.map(_.linesIterator.next()).mkString("\n"))
-    info(s"${cases.size} SHACL core cases green")
+    info(s"${cases.size} SHACL cases green (core + SPARQL constraints)")
   }
 
   /** DfShacl (DataFrame compilation) vs Validator (pure engine) on a
