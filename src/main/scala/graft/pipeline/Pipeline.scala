@@ -150,7 +150,57 @@ object Pipeline {
       TripleStore.materialize(canon, dir, parent = None)
     }
 
+    // ---- validate: SHACL quality gate over the canonical triples
+    // (DfShacl — the DataFrame face — so the gate scales with the KG:
+    // pruned p-scans + subject equi-joins, no driver-side data). A dirty
+    // run persists the violations for triage and then FAILS the stage;
+    // kept out of the fused path so the throughput benchmark measures
+    // construction alone.
+    stage("validate") { dir =>
+      val violations = graft.shacl.DfShacl.validate(
+        canon.select("s", "p", "o"), qualityShapes)
+      violations.write.mode(SaveMode.Overwrite).parquet(s"$dir/violations")
+      val n = spark.read.parquet(s"$dir/violations").count()
+      require(n == 0,
+        s"KG quality gate: $n SHACL violations — triage at $dir/violations")
+      n
+    }
+
     results.result()
+  }
+
+  /** The KG's structural contract as a SHACL shapes graph: every file
+   * node carries exactly one well-formed sha256 (the pipeline's per-row
+   * invariant, asserted here END-TO-END on the materialized output) and
+   * a language tag; repo/defines links must be IRIs. */
+  private[graft] def qualityShapes: Seq[graft.model.Triple] = {
+    import graft.model.{Term, Triple}
+    import graft.shacl.SH
+    import graft.fixtures.CorpusGen._
+    def sh(l: String) = SH.sh(l)
+    def iri(s: String) = Term.iri(s)
+    def int(n: Int) = Term.lit(n.toString, SH.XSD + "integer")
+    val file = iri(KG + "shape/File")
+    val repo = iri(KG + "shape/Repo")
+    def ps(parent: Term, n: Int, path: String)(cs: (Term, Term)*): Seq[Triple] = {
+      val p = iri(parent.lex + s"-p$n")
+      Triple(parent, sh("property"), p) +:
+        (Triple(p, sh("path"), iri(path)) +: cs.map(c => Triple(p, c._1, c._2)))
+    }
+    Seq(
+      Triple(file, SH.rdfType, sh("NodeShape")),
+      Triple(file, sh("targetSubjectsOf"), iri(P_SHA256)),
+      Triple(repo, SH.rdfType, sh("NodeShape")),
+      Triple(repo, sh("targetSubjectsOf"), iri(P_HASFILE))) ++
+      ps(file, 1, P_SHA256)(
+        sh("minCount") -> int(1), sh("maxCount") -> int(1),
+        sh("datatype") -> iri(Term.XSD_STRING),
+        sh("pattern") -> Term.string("^[0-9a-f]{64}$")) ++
+      ps(file, 2, P_INLANG)(
+        sh("minCount") -> int(1), sh("nodeKind") -> sh("Literal")) ++
+      ps(file, 3, P_DEFINES)(sh("nodeKind") -> sh("IRI")) ++
+      ps(repo, 1, P_HASFILE)(
+        sh("minCount") -> int(1), sh("nodeKind") -> sh("IRI"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -40,6 +40,31 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${(golden -- got).take(5)} extra=${(got -- golden).take(5)}")
     // fixtures are fully deterministic — expect exact equality, not just 0.95
     assert(got == golden)
+
+    // the SHACL quality gate ran as a stage and found a clean KG
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/stages/validate/manifest.json")),
+      "validate stage must commit a manifest")
+    assert(spark.read.parquet(s"$out/stages/validate/violations").count() == 0)
+  }
+
+  test("SHACL quality gate fails loudly on a corrupted KG") {
+    import spark.implicits._
+    val clean = spark.createDataset(
+      CorpusGen.generate(42, 5, 3).flatMap(Extractor.extractRow))
+      .filter(col("o").isNotNull)
+      .select(col("s"), col("p"), col("o"))
+    // corrupt the per-row invariant: break every sha256 lexical form, so
+    // the File shape's hex pattern fires on each file node
+    val bad = clean.withColumn("o",
+      when(col("p.lex") === CorpusGen.P_SHA256,
+        struct(col("o.kind").as("kind"), lit("not-a-sha").as("lex"),
+          col("o.dt").as("dt"), col("o.lang").as("lang")))
+        .otherwise(col("o")))
+    val viol = graft.shacl.DfShacl.validate(bad, Pipeline.qualityShapes)
+    assert(viol.count() > 0)
+    assert(viol.select("component").distinct().collect().map(_.getString(0))
+      .forall(_.endsWith("PatternConstraintComponent")))
   }
 
   test("sha256 invariant: Spark sha2 == JVM digest on every row") {
