@@ -16,11 +16,12 @@ object NQuads {
 
   /** Parse one N-Quads line; None for blank lines/comments. Malformed
    * lines raise (strict) or drop. */
-  def parseLine(line: String, strict: Boolean = true): Option[Quad] = {
+  def parseLine(line: String, strict: Boolean = true,
+      cache: NTriples.NodeCache = null): Option[Quad] = {
     val s = line.trim
     if (s.isEmpty || s.startsWith("#")) return None
     try {
-      val p = new NTriples.LineParser(s)
+      val p = new NTriples.LineParser(s, cache)
       val subj = p.term()
       if (subj.kind != Term.KIND_IRI && subj.kind != Term.KIND_BNODE)
         throw new IllegalArgumentException("subject must be an IRI or blank node")
@@ -44,7 +45,10 @@ object NQuads {
   def read(spark: SparkSession, path: String, strict: Boolean = true): Dataset[Quad] = {
     import spark.implicits._
     spark.read.textFile(path)
-      .mapPartitions(_.flatMap(parseLine(_, strict)))
+      .mapPartitions { lines =>
+        val cache = new NTriples.NodeCache() // per-partition node cache
+        lines.flatMap(parseLine(_, strict, cache))
+      }
   }
 
   /** Parse an in-memory document. */

@@ -22,11 +22,12 @@ object NTriples {
   /** Parse one N-Triples line; None for blank lines/comments.
    * Malformed lines raise IllegalArgumentException (checker-style strict
    * mode, riot/system/Checker.java:60) unless `strict = false`. */
-  def parseLine(line: String, strict: Boolean = true): Option[Triple] = {
+  def parseLine(line: String, strict: Boolean = true,
+      cache: NodeCache = null): Option[Triple] = {
     val s = line.trim
     if (s.isEmpty || s.startsWith("#")) return None
     try {
-      val p = new LineParser(s)
+      val p = new LineParser(s, cache)
       val subj = p.term()
       if (subj.kind != Term.KIND_IRI && subj.kind != Term.KIND_BNODE)
         throw new IllegalArgumentException("subject must be an IRI or blank node")
@@ -49,7 +50,10 @@ object NTriples {
   def read(spark: SparkSession, path: String, strict: Boolean = true): Dataset[Triple] = {
     import spark.implicits._
     spark.read.textFile(path)
-      .mapPartitions(_.flatMap(parseLine(_, strict)))
+      .mapPartitions { lines =>
+        val cache = new NodeCache() // per-partition (§2.1 node cache)
+        lines.flatMap(parseLine(_, strict, cache))
+      }
   }
 
   /** Parse an in-memory document (one `content` cell of the corpus table). */
@@ -87,9 +91,32 @@ object NTriples {
   def write(triples: Dataset[Triple], path: String): Unit =
     format(triples).write.mode("overwrite").text(path)
 
+  /** Parse-time node cache — the reference's FactoryRDFCaching analog
+   * (riot/system/FactoryRDFCaching.java:35–47: a 5,000-entry string→Node
+   * cache, because predicates and hot IRIs repeat millions of times in a
+   * real feed). One instance PER PARTITION (created inside mapPartitions,
+   * never shared across tasks); keyed on the raw IRI token so a hit skips
+   * unescaping + validation entirely. LRU via access-ordered
+   * LinkedHashMap; only successful parses are cached, so error semantics
+   * are untouched. */
+  final class NodeCache(capacity: Int = 5000) {
+    private var hitCount = 0L
+    private val m = new java.util.LinkedHashMap[String, Term](
+      capacity * 4 / 3 + 1, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Term]): Boolean = size() > capacity
+    }
+    def get(key: String)(mk: => Term): Term = {
+      val v = m.get(key)
+      if (v != null) { hitCount += 1; v }
+      else { val t = mk; m.put(key, t); t }
+    }
+    def hits: Long = hitCount
+  }
+
   // ---- single-line recursive-descent parser (TokenizerText for one line);
   //      shared with NQuads (LangNQuads is LangNTriples + a graph slot)
-  private[riot] final class LineParser(s: String) {
+  private[riot] final class LineParser(s: String, cache: NodeCache = null) {
     private var i = 0
 
     private def ws(): Unit = while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
@@ -118,7 +145,8 @@ object NTriples {
       i = end + 1
       // strict IRIREF: \u/\U escapes only, no control/space/<>"{}|^`\ chars,
       // and N-Triples IRIs must be absolute (nt-syntax-bad-uri-*)
-      Term.iri(Chars.requireAbsolute(Chars.unescapeIri(iri)))
+      def parse = Term.iri(Chars.requireAbsolute(Chars.unescapeIri(iri)))
+      if (cache != null) cache.get(iri)(parse) else parse
     }
 
     private def bnode(): Term = {

@@ -275,4 +275,27 @@ class RiotSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/gspo")).as[Quad].collect().toSet
     assert(back == quads.toSet)
   }
+
+  test("parse-time node cache: identical results, real hits, errors uncached") {
+    // predicates repeat — the FactoryRDFCaching case (§2.1 node cache)
+    val doc = (0 until 500).map(k =>
+      s"""<http://e/s$k> <http://e/p${k % 3}> "v$k" .""").mkString("\n")
+    val cache = new NTriples.NodeCache()
+    val cached = doc.linesIterator.flatMap(
+      NTriples.parseLine(_, strict = true, cache)).toSeq
+    val plain = NTriples.parseDocument(doc)
+    assert(cached == plain)
+    // 500 predicate IRIs hit after the first 3 misses; subject IRIs never
+    assert(cache.hits == 497, s"hits=${cache.hits}")
+    // a malformed IRI raises on EVERY occurrence (errors are not cached)
+    val bad = "<http://e/s> <rel> \"x\" ."
+    val c2 = new NTriples.NodeCache()
+    intercept[IllegalArgumentException](NTriples.parseLine(bad, true, c2))
+    intercept[IllegalArgumentException](NTriples.parseLine(bad, true, c2))
+    // LRU bound: the cache never exceeds its capacity
+    val c3 = new NTriples.NodeCache(capacity = 8)
+    (0 until 100).foreach(k =>
+      NTriples.parseLine(s"<http://e/u$k> <http://e/q> \"y\" .", true, c3))
+    assert(c3.hits == 99) // the hot predicate survives eviction pressure
+  }
 }
