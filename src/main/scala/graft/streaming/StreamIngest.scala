@@ -101,6 +101,33 @@ object StreamIngest {
   }
 
   /**
+   * Streaming per-document SHACL validation: each row carries one
+   * document-sized KG as N-Triples text; the shapes graph — schema-sized
+   * by definition — ships once per executor via broadcast, and the pure
+   * `shacl.Validator` runs inside mapPartitions. No state, no shuffle:
+   * the many-small-KGs validation shape at any scale (the single-huge-KG
+   * shape is `shacl.DfShacl`). Emits one row per document:
+   * (doc_id, conforms, violations, components).
+   */
+  def validateStream(docs: DataFrame, shapes: Seq[Triple],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(shapes)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val sh = bc.value
+        it.map { case (id, text) =>
+          val report = graft.shacl.Validator.validate(
+            sh, NTriples.parseDocument(text))
+          (id, report.conforms, report.results.size.toLong,
+            report.results.map(_.component.lex).distinct.sorted)
+        }
+      }.toDF("doc_id", "conforms", "violations", "components")
+  }
+
+  /**
    * RDF-Patch-style change stream: rows (op: "A"|"D", s, p, o term
    * structs). Each micro-batch is folded into the CURRENT snapshot with
    * Graphs.applyDelta and committed as the NEXT immutable snapshot dir —

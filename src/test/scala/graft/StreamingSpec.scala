@@ -125,4 +125,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.length == 6, s"state must survive the restart: ${all.length} rows")
     assert(all.map(_.getLong(0)).contains(14L)) // "content 5" is the only new one
   }
+
+  test("streaming per-document SHACL validation (broadcast shapes)") {
+    import org.apache.spark.sql.functions._
+    import graft.shacl.SH
+    val in = Files.createTempDirectory("st_shacl_in").toString
+    val ckpt = Files.createTempDirectory("st_shacl_ck").toString
+    val out = Files.createTempDirectory("st_shacl_out").toString
+    // shapes: every <name> value must be a literal of length >= 3
+    val shape = Term.iri(EX + "S")
+    val ps = Term.iri(EX + "S-p")
+    val shapes = Seq(
+      Triple(shape, SH.rdfType, SH.sh("NodeShape")),
+      Triple(shape, SH.sh("targetSubjectsOf"), Term.iri(EX + "name")),
+      Triple(shape, SH.sh("property"), ps),
+      Triple(ps, SH.sh("path"), Term.iri(EX + "name")),
+      Triple(ps, SH.sh("minLength"), Term.lit("3", Term.XSD + "integer")))
+    // one document per line: triples separated by "~" (reassembled below)
+    def doc(id: Int, names: String*) =
+      s"$id|" + names.zipWithIndex.map { case (n, k) =>
+        s"""<${EX}e$k> <${EX}name> "$n" .""" }.mkString("~")
+    Files.writeString(java.nio.file.Paths.get(in, "a.txt"),
+      Seq(doc(1, "Alice", "Bob"), doc(2, "Al"), doc(3, "Eve", "Jo")).mkString("\n"))
+    val docs = spark.readStream.format("text").load(in).select(
+      split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+      translate(split(col("value"), "\\|").getItem(1), "~", "\n").as("text"))
+    val q = StreamIngest.validateStream(docs, shapes)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(rows(1L) == (true, 0L))
+    assert(rows(2L) == (false, 1L)) // "Al" is too short
+    assert(rows(3L) == (false, 1L)) // "Eve" passes, "Jo" is too short
+  }
 }
