@@ -52,9 +52,11 @@ class RulesSpec extends AnyFunSuite {
       Rules.parse("@prefix eg: <http://eg/>. [r: (?a eg:p ?b) -> (?a eg:q ?c)]"))
   }
 
-  /** ReasonerTester protocol over manifest.rdf (the FULL-config suite). */
-  test("reference RDFS reasoner manifest (full closure)") {
-    val manifest = loadRdf("rdfs/manifest.rdf")
+  /** ReasonerTester protocol (per query pattern with var: wildcards,
+   * collect matching closure triples, compare isomorphically). */
+  private def runReasonerManifest(manifestRel: String, rs: Rules.RuleSet,
+      minTests: Int): Int = {
+    val manifest = loadRdf(manifestRel)
     val bySubj = manifest.groupBy(_.s)
     def prop(s: Term, p: String): Seq[String] =
       bySubj.getOrElse(s, Nil).filter(_.p.lex == QT + p).map(_.o.lex)
@@ -62,7 +64,7 @@ class RulesSpec extends AnyFunSuite {
       case Triple(s, p, o)
         if p.lex.endsWith("#type") && o.lex == QT + "Test" => s
     }.distinct
-    assert(tests.size >= 20, s"found only ${tests.size} tests")
+    assert(tests.size >= minTests, s"found only ${tests.size} tests")
 
     val failures = mutable.Buffer[String]()
     tests.foreach { t =>
@@ -70,7 +72,7 @@ class RulesSpec extends AnyFunSuite {
       try {
         val data = (prop(t, "tbox") ++ prop(t, "data")).flatMap(loadRdf)
         val withCmp = data ++ Rules.rdfsCmpAxioms(data)
-        val closure = Rules.closureLocal(withCmp, ruleSet)
+        val closure = Rules.closureLocal(withCmp, rs)
         val queries = NTriples.parseDocument(read(
           s"$ROOT/${prop(t, "query").head}"))
         val got = queries.flatMap { q =>
@@ -93,7 +95,30 @@ class RulesSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size}/${tests.size} reasoner cases failing:\n" +
         failures.mkString("\n"))
-    info(s"${tests.size} RDFS reasoner manifest cases green")
+    tests.size
+  }
+
+  test("reference RDFS reasoner manifest (full closure)") {
+    val n = runReasonerManifest("rdfs/manifest.rdf", ruleSet, minTests = 20)
+    info(s"$n RDFS reasoner manifest cases green")
+  }
+
+  /** The TransitiveReasoner as a rule set: transitive + participation-
+   * reflexive closure of subClassOf/subPropertyOf, plus the meta level —
+   * predicates declared (possibly transitively) subPropertyOf of the two
+   * lattice predicates fold their statements in (reference:
+   * reasoner/transitiveReasoner/TransitiveEngine.java; the meta handling
+   * is its caveat-documented subPropertyOf folding). */
+  test("reference transitive reasoner manifest") {
+    val rs = Rules.parse("""
+      [sp-t: (?a rdfs:subPropertyOf ?b), (?b rdfs:subPropertyOf ?c) -> (?a rdfs:subPropertyOf ?c)]
+      [sp-r: (?a rdfs:subPropertyOf ?b) -> (?a rdfs:subPropertyOf ?a), (?b rdfs:subPropertyOf ?b)]
+      [sc-t: (?a rdfs:subClassOf ?b), (?b rdfs:subClassOf ?c) -> (?a rdfs:subClassOf ?c)]
+      [sc-r: (?a rdfs:subClassOf ?b) -> (?a rdfs:subClassOf ?a), (?b rdfs:subClassOf ?b)]
+      [meta-sp: (?P rdfs:subPropertyOf rdfs:subPropertyOf), (?a ?P ?b), notEqual(?P, rdfs:subPropertyOf) -> (?a rdfs:subPropertyOf ?b)]
+      [meta-sc: (?P rdfs:subPropertyOf rdfs:subClassOf), (?a ?P ?b), notEqual(?P, rdfs:subClassOf) -> (?a rdfs:subClassOf ?b)]""")
+    val n = runReasonerManifest("transitive/manifest.rdf", rs, minTests = 10)
+    info(s"$n transitive reasoner manifest cases green")
   }
 
   test("DataFrame closure matches the local engine") {
