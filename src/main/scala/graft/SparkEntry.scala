@@ -63,12 +63,14 @@ object SparkEntry {
     "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
     "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,
     "v2_rules"            -> graft.queries.ReasonQueries.v2_rules _,
+    "v3_shex"             -> graft.queries.ShexQueries.v3_shex _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
 
   def oracleSql: Map[String, String] = SparqlQueries.oracle ++
-    graft.queries.ShaclQueries.oracle ++ graft.queries.ReasonQueries.oracle ++ Map(
+    graft.queries.ShaclQueries.oracle ++ graft.queries.ReasonQueries.oracle ++
+    graft.queries.ShexQueries.oracle ++ Map(
     // money columns: integer-cents arithmetic (floor(x*100+0.5)) — the only
     // double→fixed-point path that is bit-identical in Spark and DuckDB
     // (see graft.queries.Relational header note)
