@@ -393,13 +393,27 @@ object Compiler {
     case Unfold(listVar, outVar, idxVar, in) =>
       val c = comp(in, g)
       require(c.vars.contains(listVar), s"Unfold of unknown var $listVar")
-      val exploded = idxVar match {
-        case Some(iv) =>
-          c.df.select(col("*"), posexplode_outer(col(listVar)).as(Seq("__i", outVar)))
-            .withColumn(iv, TermCols.intTerm(col("__i") + 1)).drop("__i")
-        case None =>
-          c.df.select(col("*"), explode_outer(col(listVar)).as(outVar))
-      }
+      val isArray = c.df.schema(listVar).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val exploded =
+        if (isArray) idxVar match {
+          case Some(iv) =>
+            c.df.select(col("*"), posexplode_outer(col(listVar)).as(Seq("__i", outVar)))
+              .withColumn(iv, TermCols.intTerm(col("__i") + 1)).drop("__i")
+          case None =>
+            c.df.select(col("*"), explode_outer(col(listVar)).as(outVar))
+        } else {
+          // cdt:List / cdt:Map LITERAL (SPARQL-CDTs UNFOLD): one row per
+          // element (v, 1-based idx) or map entry (key, value); a non-CDT
+          // or malformed operand contributes no rows (plain explode)
+          val pairs = c.df.select(col("*"),
+            explode(graft.cdt.CdtFunctions.unfoldUdf(col(listVar))).as("__u"))
+          val withV1 = pairs.withColumn(outVar, col("__u._1"))
+          (idxVar match {
+            case Some(iv) => withV1.withColumn(iv, col("__u._2"))
+            case None => withV1
+          }).drop("__u")
+        }
       Compiled(exploded.drop(listVar), c.certain - listVar,
         c.maybe - listVar ++ Set(outVar) ++ idxVar.toSet)
 

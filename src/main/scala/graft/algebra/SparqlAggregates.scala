@@ -102,4 +102,37 @@ object SparqlAggregates {
   /** FOLD into a CDT list (AggFoldList) — materialized as ArrayType per
    * the CDT mapping (SURVEY.md §1.7); sorted for determinism. */
   def foldList(t: Column): Column = sort_array(collect_list(t))
+
+  /** FOLD(expr …) → a cdt:List LITERAL (AggFoldList proper): optional
+   * ORDER BY keys (term sort-key semantics), optional DISTINCT applied
+   * AFTER ordering (first occurrence wins). No keys ⇒ arrival order. */
+  def foldCdtList(t: Column, distinct: Boolean, keys: Seq[Column],
+                  asc: Boolean): Column = {
+    // collect_list skips NULLs — wrap in a struct so an unbound input
+    // becomes a cdt `null` element instead of vanishing
+    val arr0 =
+      if (keys.isEmpty)
+        transform(collect_list(struct(t.as("t"))), x => x.getField("t"))
+      else {
+        val st = struct(keys.zipWithIndex.map { case (k, n) =>
+          sortKey(k).as(s"k$n") } :+ t.as("t"): _*)
+        transform(sort_array(collect_list(st), asc), x => x.getField("t"))
+      }
+    val arr = if (distinct) array_distinct(arr0) else arr0
+    graft.cdt.CdtFunctions.foldListUdf(arr)
+  }
+
+  /** FOLD(k, v …) → a cdt:Map literal (AggFoldMap); with ORDER BY, later
+   * entries overwrite earlier ones on key collisions. */
+  def foldCdtMap(k: Column, v: Column, keys: Seq[Column], asc: Boolean): Column = {
+    val pair =
+      if (keys.isEmpty) struct(k.as("_1"), v.as("_2"))
+      else struct(keys.zipWithIndex.map { case (c, n) =>
+        sortKey(c).as(s"k$n") } ++ Seq(k.as("_1"), v.as("_2")): _*)
+    val arr0 = collect_list(pair)
+    val arr = if (keys.isEmpty) arr0 else sort_array(arr0, asc)
+    val pairs = transform(arr,
+      x => struct(x.getField("_1").as("_1"), x.getField("_2").as("_2")))
+    graft.cdt.CdtFunctions.foldMapPairsUdf(pairs)
+  }
 }

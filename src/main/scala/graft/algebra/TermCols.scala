@@ -304,6 +304,9 @@ object TermCols {
       vsRank.as("vsRank"),
       coalesce(numValue(t), lit(0.0)).as("numKey"),
       coalesce(when(kind(t) === Term.KIND_TRIPLE_TERM, ttOrderKeyUdf(lex(t)))
+        .when(dt(t).isin(graft.cdt.Cdt.LIST, graft.cdt.Cdt.MAP),
+          // composite datatypes order by their recursive value encoding
+          graft.cdt.CdtFunctions.orderKeyUdf(lex(t), dt(t)))
         .otherwise(lex(t)), lit("")).as("lexKey"),
       coalesce(dt(t), lit("")).as("dtKey"),
       coalesce(lang(t), lit("")).as("langKey"))

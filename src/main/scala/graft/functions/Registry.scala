@@ -65,6 +65,8 @@ object Registry {
       registerFunction(ns + "sha1sum",
         args => TermCols.strTerm(sha1(lexOf(args(0)).cast("binary"))))
     }
+    // the cdt: composite-datatype function library (SPARQL-CDTs)
+    graft.cdt.CdtFunctions.register()
   }
 }
 

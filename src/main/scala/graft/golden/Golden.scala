@@ -175,6 +175,10 @@ object GoldenRunner {
    * are real bnodes, so a per-document scope must rename them too. */
   private def mapBnodes(t: Term, f: String => String): Term = t.kind match {
     case Term.KIND_BNODE => Term.bnode(f(t.lex))
+    case Term.KIND_LIT if graft.cdt.Cdt.isCdt(t) =>
+      // bnodes INSIDE composite-datatype literals share the document's
+      // label scope (SPARQL-CDTs bnodes suite)
+      graft.cdt.Cdt.mapBnodeLabels(t, f)
     case Term.KIND_TRIPLE_TERM =>
       NTriples.parseTripleTermComponents(t.lex) match {
         case Some((s, p, o)) =>

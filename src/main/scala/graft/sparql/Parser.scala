@@ -1300,6 +1300,26 @@ object Parser {
           current = Some(Extend(v, e, current.getOrElse(Table(Nil, Seq(Map.empty)))))
           newBgpScope(); lastNonTriples = true
         }
+        else if (eatKw("UNFOLD")) {
+          // SPARQL-CDTs: UNFOLD(expr AS ?v1 (, ?v2)?) — one row per list
+          // element (?v2 = 1-based index) / map entry (?v1 key, ?v2 value)
+          expect('(')
+          val e = expression()
+          expectKw("AS")
+          val v1 = varName()
+          ws()
+          val v2 = if (peekIs(',')) { i += 1; ws(); Some(varName()) } else None
+          ws(); expect(')')
+          Seq(Some(v1), v2).flatten.foreach { v =>
+            if (current.exists(c => opVars(c).contains(v)))
+              fail(s"UNFOLD target ?$v is already in scope in this group")
+          }
+          val hv = s"__unf${hiddenVars.size}"
+          hiddenVars += hv
+          val in = Extend(hv, e, current.getOrElse(Table(Nil, Seq(Map.empty))))
+          current = Some(Unfold(hv, v1, v2, in))
+          newBgpScope(); lastNonTriples = true
+        }
         else if (eatKw("VALUES")) {
           add(valuesClause()); newBgpScope(); lastNonTriples = true
         }
@@ -2449,6 +2469,15 @@ object Parser {
         // VSPACE_DIFFERENT → determinate not-same-value.
         def unknownSpace =
           TermCols.unknownSpaceLit(ta) || TermCols.unknownSpaceLit(tb)
+        def bothCdt(x: Column, y: Column) = {
+          import graft.cdt.Cdt
+          TermCols.dt(x).isin(Cdt.LIST, Cdt.MAP) &&
+            TermCols.dt(y).isin(Cdt.LIST, Cdt.MAP)
+        }
+        // list-less-than / map-less-than (NULL for non-CDT operands, so it
+        // slots into the coalesce chains as the last resort)
+        def cdtCmp = when(bothCdt(ta, tb),
+          graft.cdt.CdtFunctions.cdtCmpUdf(ta, tb))
         def langnessDiffers =
           (TermCols.dt(ta) === T.RDF_LANGSTRING) =!=
             (TermCols.dt(tb) === T.RDF_LANGSTRING)
@@ -2479,6 +2508,8 @@ object Parser {
               .when(ta === tb, true)
               .when(SF.isTripleFn(ta) && SF.isTripleFn(tb), // SPARQL 1.2:
                 SF.tripleValueEq(ta, tb)) // component-wise value equality
+              .when(bothCdt(ta, tb), // composite datatypes: value equality
+                graft.cdt.CdtFunctions.cdtEqUdf(ta, tb))
               .when(bothLit && unknownSpace && langnessDiffers, false)
               .when(bothLit && (unknownSpace || samePrimTemporal), err)
               .otherwise(false))
@@ -2490,19 +2521,21 @@ object Parser {
               .when(ta === tb, false)
               .when(SF.isTripleFn(ta) && SF.isTripleFn(tb),
                 !SF.tripleValueEq(ta, tb))
+              .when(bothCdt(ta, tb),
+                !graft.cdt.CdtFunctions.cdtEqUdf(ta, tb))
               .when(bothLit && unknownSpace && langnessDiffers, true)
               .when(bothLit && (unknownSpace || samePrimTemporal), err)
               .otherwise(true))
-          case "<" => coalesce(na < nb, ba < bb, tLt, dLt, sa < sb2)
-          case ">" => coalesce(na > nb, ba > bb, tGt, dGt, sa > sb2)
+          case "<" => coalesce(na < nb, ba < bb, tLt, dLt, sa < sb2, cdtCmp < 0)
+          case ">" => coalesce(na > nb, ba > bb, tGt, dGt, sa > sb2, cdtCmp > 0)
           case "<=" => coalesce(na <= nb, ba <= bb,
             tza <= tzb, tua <= tub, crossLt(tza, tub, tua, tzb),
             dza <= dzb, dua <= dub, crossLt(dza, dub, dua, dzb),
-            sa <= sb2)
+            sa <= sb2, cdtCmp <= 0)
           case ">=" => coalesce(na >= nb, ba >= bb,
             tza >= tzb, tua >= tub, crossLt(tzb, tua, tub, tza),
             dza >= dzb, dua >= dub, crossLt(dzb, dua, dub, dza),
-            sa >= sb2)
+            sa >= sb2, cdtCmp >= 0)
         }
       }, KBool)
     }
@@ -2768,8 +2801,46 @@ object Parser {
           RowExpr(v => SparqlAggregates.medianAgg(a(v)))
         case "MODE" => sawAgg = true; val a = args(1).head
           RowExpr(v => SparqlAggregates.modeAgg(a(v)))
-        case "FOLD" => sawAgg = true; val a = args(1).head
-          RowExpr(v => SparqlAggregates.foldList(a(v)))
+        case "FOLD" => sawAgg = true
+          // FOLD(DISTINCT? expr (, expr)? (ORDER BY cond+)?) — the
+          // SPARQL-CDTs aggregate (AggFoldList / AggFoldMap): one
+          // expression folds a cdt:List, two fold a cdt:Map
+          expect('('); ws()
+          val distinctF = eatKw("DISTINCT")
+          val a1 = noNestedAgg(expression())
+          ws()
+          val a2 = if (peekIs(',')) { i += 1; Some(noNestedAgg(expression())) }
+                   else None
+          ws()
+          var foldAsc = true
+          val ordKeys = ListBuffer[RowExpr]()
+          if (eatKw2("ORDER", "BY")) {
+            var going = true
+            while (going) {
+              ws()
+              if (eatKw("ASC")) {
+                expect('('); ordKeys += noNestedAgg(expression()); ws(); expect(')')
+              } else if (eatKw("DESC")) {
+                if (ordKeys.nonEmpty) fail("FOLD ORDER BY: DESC only as the single key")
+                foldAsc = false
+                expect('('); ordKeys += noNestedAgg(expression()); ws(); expect(')')
+              } else if (peekVar) {
+                val v = varName()
+                ordKeys += RowExpr(row => row(v))
+              } else going = false
+            }
+            if (ordKeys.isEmpty) fail("FOLD ORDER BY needs at least one condition")
+          }
+          ws(); expect(')')
+          RowExpr { v =>
+            val keys = ordKeys.toList.map(k => k(v))
+            a2 match {
+              case Some(ve) =>
+                SparqlAggregates.foldCdtMap(a1(v), ve(v), keys, foldAsc)
+              case None =>
+                SparqlAggregates.foldCdtList(a1(v), distinctF, keys, foldAsc)
+            }
+          }
         case "STR" => val a = args(1).head; RowExpr(v => SF.str(a(v)))
         case "LANG" => val a = args(1).head; RowExpr(v => SF.langFn(a(v)))
         case "LANGDIR" => val a = args(1).head; RowExpr(v => SF.langDirFn(a(v)))
