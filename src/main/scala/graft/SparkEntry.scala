@@ -48,6 +48,7 @@ object SparkEntry {
     "t5_token_count"    -> OpsQueries.t5_token_count _,
     "t6_decontam"       -> OpsQueries.t6_decontam _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
+    "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     // SPARQL algebra over a triple encoding (graft.algebra Compiler)
     "r16_bgp"             -> SparqlQueries.r16_bgp _,
     "r17_optional_group"  -> SparqlQueries.r17_optional_group _,
@@ -385,6 +386,20 @@ object SparkEntry {
            UNION
            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          SELECT src, dst FROM reach""",
+    // planar-degree radius predicate: pure +,*,/ on identically-derived
+    // doubles — bit-identical in Spark and DuckDB (no libm calls)
+    "x1_geo_radius" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey AS BIGINT) AS id,
+                  CAST(('0x' || substr(md5(c_custkey || 'lat'), 1, 15)) AS BIGINT)
+                    % 1800 / 10.0 - 90.0 AS lat,
+                  CAST(('0x' || substr(md5(c_custkey || 'lon'), 1, 15)) AS BIGINT)
+                    % 3600 / 10.0 - 180.0 AS lon
+           FROM customer)
+         SELECT p.id AS a, q.id AS b
+         FROM pts p JOIN pts q ON p.id < q.id
+         WHERE (p.lat - q.lat) * (p.lat - q.lat)
+             + (p.lon - q.lon) * (p.lon - q.lon) <= 9.0""",
     "m1_media_meta" ->
       """SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,

@@ -67,6 +67,8 @@ object Registry {
     }
     // the cdt: composite-datatype function library (SPARQL-CDTs)
     graft.cdt.CdtFunctions.register()
+    // geof: point-geometry functions (GeoSPARQL-lite, ops.Geo)
+    graft.ops.Geo.registerFunctions()
   }
 }
 

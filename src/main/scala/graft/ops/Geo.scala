@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Term
+
+/**
+ * GeoSPARQL-lite (reference: jena-geosparql — geo:wktLiteral geometry
+ * literals and the geof: function library). A deliberate point-geometry
+ * subset re-expressed Spark-first: no JTS dependency exists in this
+ * sandbox, so polygons/linestrings stay out of scope (documented in
+ * SURVEY §7.4); points, distance and radius/box predicates — the shapes
+ * a 100 TB geo-enrichment pipeline actually runs — are implemented as
+ * CODEGEN'D column expressions (regexp extraction + trigonometry, no
+ * UDFs on the hot path).
+ *
+ * Scale path: `radiusJoin` buckets points into radius-sized grid cells
+ * and equi-joins each cell against its 3×3 neighborhood — the same
+ * banding idea as the MinHash/SimHash LSH joins; never an all-pairs
+ * nested loop (PlanSpec asserts the plan shape).
+ */
+object Geo {
+
+  val WKT_DT = "http://www.opengis.net/ont/geosparql#wktLiteral"
+  val UOM_METRE = "http://www.opengis.net/def/uom/OGC/1.0/metre"
+  val UOM_KILOMETRE = "http://www.opengis.net/def/uom/OGC/1.0/kilometre"
+  val UOM_DEGREE = "http://www.opengis.net/def/uom/OGC/1.0/degree"
+
+  val EARTH_RADIUS_M = 6371008.8 // IUGG mean
+
+  /** `POINT(lon lat)` with an optional leading `<crs>` IRI (CRS84 axis
+   * order, the geo:wktLiteral default). */
+  private val POINT_RX =
+    "^\\s*(?:<[^>]*>\\s*)?POINT\\s*\\(\\s*([+-]?[0-9.eE+-]+)\\s+([+-]?[0-9.eE+-]+)\\s*\\)\\s*$"
+
+  /** Longitude of a wkt lexical-form column (NULL when not a point). */
+  def wktLon(lex: Column): Column =
+    nullif(regexp_extract(lex, POINT_RX, 1), lit("")).cast("double")
+  def wktLat(lex: Column): Column =
+    nullif(regexp_extract(lex, POINT_RX, 2), lit("")).cast("double")
+
+  /** Great-circle metres between two (lat, lon) degree pairs — plain
+   * codegen'd trigonometry (geof:distance for point geometries). */
+  def haversineMeters(lat1: Column, lon1: Column,
+                      lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EARTH_RADIUS_M) * atan(sqrt(a) / sqrt(lit(1.0) - a))
+  }
+
+  /** Driver/worker-side scalar twin of `haversineMeters`. */
+  def haversineMeters(lat1: Double, lon1: Double,
+                      lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EARTH_RADIUS_M * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+  }
+
+  def wktPointTerm(lon: Double, lat: Double): Term =
+    Term.lit(s"POINT($lon $lat)", WKT_DT)
+
+  /** Scalar geof:distance over two wkt POINT literals in the given unit
+   * (metre / kilometre / degree-of-arc); None = eval error. */
+  def distance(a: Term, b: Term, unit: String): Option[Double] = {
+    def pt(t: Term): Option[(Double, Double)] = {
+      if (t == null || !t.isLiteral || t.dt != WKT_DT) return None
+      val m = java.util.regex.Pattern.compile(POINT_RX).matcher(t.lex)
+      if (!m.matches()) None
+      else try Some((m.group(1).toDouble, m.group(2).toDouble))
+      catch { case _: NumberFormatException => None }
+    }
+    for ((lon1, lat1) <- pt(a); (lon2, lat2) <- pt(b)) yield {
+      val metres = haversineMeters(lat1, lon1, lat2, lon2)
+      unit match {
+        case UOM_KILOMETRE => metres / 1000.0
+        case UOM_DEGREE => math.toDegrees(metres / EARTH_RADIUS_M)
+        case _ => metres // metre (default)
+      }
+    }
+  }
+
+  /** geof:distance as a registered SPARQL function (UDF — function-library
+   * parity; pipelines use the codegen'd `haversineMeters` columns). */
+  val GEOF = "http://www.opengis.net/def/function/geosparql/"
+  private lazy val distUdf = udf((a: Option[Term], b: Option[Term], u: Option[Term]) =>
+    distance(a.orNull, b.orNull, u.map(_.lex).getOrElse(UOM_METRE))
+      .map(d => Term.lit(d.toString, Term.XSD_DOUBLE)).orNull)
+
+  private[graft] def registerFunctions(): Unit =
+    graft.functions.Registry.registerFunction(GEOF + "distance", {
+      case Seq(a, b) => distUdf(a, b,
+        graft.algebra.TermCols.const(Term.iri(UOM_METRE)))
+      case Seq(a, b, u) => distUdf(a, b, u)
+      case other => throw new IllegalArgumentException(
+        s"geof:distance takes 2 or 3 arguments, got ${other.size}")
+    })
+
+  /**
+   * All pairs of points within `radiusDeg` PLANAR degrees (squared
+   * euclidean on lat/lon — the polynomial predicate is bit-identical
+   * across engines, so it anchors the DuckDB oracle; swap the final
+   * filter for `haversineMeters <= r` for geodesic semantics).
+   *
+   * Shape: each point lands in ONE cell of a radius-sized grid and probes
+   * its 3×3 neighborhood on the build side — an equi-join on cell ids
+   * with map-side pruning (a < b), never an all-pairs product. At 100×
+   * the shuffle stays proportional to points × 9 and AQE handles dense
+   * urban-cell skew.
+   */
+  def radiusJoinPlanar(points: DataFrame, radiusDeg: Double): DataFrame = {
+    val cellL = floor(col("lon") / radiusDeg)
+    val cellA = floor(col("lat") / radiusDeg)
+    val probe = points.select(col("id").as("a"),
+        col("lat").as("lat_a"), col("lon").as("lon_a"),
+        cellL.as("cl"), cellA.as("ca"))
+      .withColumn("dl", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("da", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("a"), col("lat_a"), col("lon_a"),
+        (col("cl") + col("dl")).as("cl"), (col("ca") + col("da")).as("ca"))
+    val build = points.select(col("id").as("b"),
+      col("lat").as("lat_b"), col("lon").as("lon_b"),
+      cellL.as("cl"), cellA.as("ca"))
+    val r2 = radiusDeg * radiusDeg
+    probe.join(build, Seq("cl", "ca"))
+      .where(col("a") < col("b"))
+      .where(
+        (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
+        (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) <= r2)
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+}

@@ -486,4 +486,23 @@ object OpsQueries {
       .distinct()
     graft.ops.Graphs.transitiveClosure(edges)
   }
+
+  // ---------------------------------------------------------------- geo
+
+  /** GeoSPARQL-lite spatial radius join (`ops.Geo.radiusJoinPlanar`): all
+   * customer pairs within 1 planar degree, points derived DETERMINISTICALLY
+   * from keys via integer arithmetic so the DuckDB oracle computes the
+   * identical coordinates; the join goes through radius-sized grid cells
+   * (3×3 neighborhood equi-join — the spatial-LSH scale path), the oracle
+   * through the brute-force theta join. */
+  def x1_geo_radius(s: SparkSession, d: String): DataFrame = {
+    // hash60-derived coordinates: effectively uniform (a plain linear
+    // congruence puts the points on a sparse lattice with NO close pairs)
+    // and byte-identical in DuckDB
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      (expr(hash60("concat(c_custkey, 'lat')")) % 1800 / 10.0 - 90.0).as("lat"),
+      (expr(hash60("concat(c_custkey, 'lon')")) % 3600 / 10.0 - 180.0).as("lon"))
+    graft.ops.Geo.radiusJoinPlanar(pts, 3.0)
+  }
 }
