@@ -49,6 +49,7 @@ object SparkEntry {
     "t6_decontam"       -> OpsQueries.t6_decontam _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
+    "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
     // SPARQL algebra over a triple encoding (graft.algebra Compiler)
     "r16_bgp"             -> SparqlQueries.r16_bgp _,
     "r17_optional_group"  -> SparqlQueries.r17_optional_group _,
@@ -400,6 +401,11 @@ object SparkEntry {
          FROM pts p JOIN pts q ON p.id < q.id
          WHERE (p.lat - q.lat) * (p.lat - q.lat)
              + (p.lon - q.lon) * (p.lon - q.lon) <= 9.0""",
+    "v4_cdt_fold" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                '[' || string_agg(DISTINCT '"' || c_mktsegment || '"', ', '
+                        ORDER BY '"' || c_mktsegment || '"') || ']' AS segments
+         FROM customer GROUP BY 1""",
     "m1_media_meta" ->
       """SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,

@@ -487,6 +487,21 @@ object OpsQueries {
     graft.ops.Graphs.transitiveClosure(edges)
   }
 
+  // ---------------------------------------------------------------- cdt
+
+  /** FOLD(DISTINCT … ORDER BY …) into a cdt:List literal per group
+   * (SPARQL-CDTs aggregate, graft.cdt): the canonical lexical form is
+   * deterministic, so DuckDB rebuilds the identical string with
+   * string_agg(DISTINCT … ORDER BY …). */
+  def v4_cdt_fold(s: SparkSession, d: String): DataFrame = {
+    import graft.algebra.{SparqlAggregates, TermCols}
+    val seg = TermCols.strTerm(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(TermCols.lex(SparqlAggregates.foldCdtList(
+        seg, distinct = true, keys = Seq(seg), asc = true)).as("segments"))
+  }
+
   // ---------------------------------------------------------------- geo
 
   /** GeoSPARQL-lite spatial radius join (`ops.Geo.radiusJoinPlanar`): all
