@@ -127,12 +127,14 @@ object Geo {
       col("lat").as("lat_b"), col("lon").as("lon_b"),
       cellL.as("cl"), cellA.as("ca"))
     val r2 = radiusDeg * radiusDeg
+    // no final dedup needed: the build side owns exactly ONE cell per
+    // point, so a qualifying (a<b) pair matches in exactly one of the 9
+    // probe cells — the join emits it once
     probe.join(build, Seq("cl", "ca"))
       .where(col("a") < col("b"))
       .where(
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
         (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")) <= r2)
       .select(col("a"), col("b"))
-      .distinct()
   }
 }
