@@ -48,7 +48,55 @@ object ReasonQueries {
       .select(col("s.lex").as("inst"), col("o.lex").as("cls"))
   }
 
+  /**
+   * Oracle-gated GOAL-DIRECTED inference (graft.reason.Lp — the
+   * reference's LPBRuleEngine/FBRuleReasoner analog): each nation
+   * becomes a small document-KG (its customers' rdf:type triples plus
+   * the nation→region→World rdfs:subClassOf spine), the BACKWARD rule
+   * set is broadcast, and every document answers only the goal
+   * `?x rdf:type urn:g:World` inside mapPartitions — the engine walks
+   * the subclass chain goal-first instead of materializing the closure,
+   * the property that matters when the goal is selective over billions
+   * of per-document KGs. The DuckDB oracle restates the reachability
+   * relationally.
+   */
+  def v5_lp_goal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)]
+    // nation→region spine: 25 rows — broadcast into the doc builder
+    val natMap = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val bcNat = s.sparkContext.broadcast(natMap)
+    val docs = cust.groupByKey(_._2).mapGroups { (nk, it) =>
+      val rk = bcNat.value(nk)
+      val spine = Seq(
+        graft.model.Triple(Term.iri(s"${NS}n:$nk"), Term.iri(SUBCLASS),
+          Term.iri(s"${NS}r:$rk")),
+        graft.model.Triple(Term.iri(s"${NS}r:$rk"), Term.iri(SUBCLASS),
+          Term.iri(NS + "World")))
+      val members = it.map { case (ck, _) =>
+        graft.model.Triple(Term.iri(s"${NS}c:$ck"), Term.iri(RDF_TYPE),
+          Term.iri(s"${NS}n:$nk"))
+      }.toSeq
+      (nk, members ++ spine)
+    }
+    val backwardRules =
+      """[rdfs8b: (?a rdfs:subClassOf ?c) <- (?a rdfs:subClassOf ?b), (?b rdfs:subClassOf ?c)]
+         [rdfs9b: (?a rdf:type ?y) <- (?x rdfs:subClassOf ?y), (?a rdf:type ?x)]"""
+    graft.reason.Lp.answerPerDoc(docs, backwardRules,
+      (None, Some(Term.iri(RDF_TYPE)), Some(Term.iri(NS + "World"))))
+      .flatMap { case (nk, ts) => ts.map(t => (nk, t.s.lex)) }
+      .toDF("nation_key", "inst")
+  }
+
   val oracle: Map[String, String] = Map(
+    "v5_lp_goal" -> s"""
+      SELECT c_nationkey AS nation_key, '${NS}c:' || c_custkey AS inst
+      FROM customer
+      """,
     "v2_rules" -> s"""
       SELECT '${NS}c:' || c_custkey AS inst, '${NS}n:' || c_nationkey AS cls
       FROM customer
