@@ -174,11 +174,17 @@ object Lp {
         val head = r.headTriples.head
         unifyHead(head, goal).foreach { b0 =>
           evalBody(r.body, b0, act).foreach { b =>
-            val t = Triple(forceBind(head.s, b, r.name),
-              forceBind(head.p, b, r.name), forceBind(head.o, b, r.name))
-            // literal subject/predicate is not a legal RDF triple —
-            // dropped, matching the reference and Rules.closureLocal
-            if (!t.s.isLiteral && !t.p.isLiteral && tbl.add(t)) grew = true
+            // head vars are bound by body ∪ goal; a derivation with a
+            // still-unbound head var would be a generalized triple in
+            // the reference — dropped here (ground answers only), as is
+            // a literal subject/predicate (not a legal RDF triple)
+            for {
+              ts <- resolve(head.s, b); tp <- resolve(head.p, b)
+              to <- resolve(head.o, b)
+            } {
+              val t = Triple(ts, tp, to)
+              if (!t.s.isLiteral && !t.p.isLiteral && tbl.add(t)) grew = true
+            }
           }
         }
       }
@@ -194,10 +200,6 @@ object Lp {
       step(h.s, g._1, Map.empty).flatMap(step(h.p, g._2, _))
         .flatMap(step(h.o, g._3, _))
     }
-
-    private def forceBind(t: RTerm, b: Map[String, Term], rule: String): Term =
-      resolve(t, b).getOrElse(throw new IllegalStateException(
-        s"rule '$rule': unbound head variable survived parse validation"))
 
     private def evalBody(items: Seq[Either[Atom, Guard]],
         b0: Map[String, Term], act: Set[Goal]): Seq[Map[String, Term]] =

@@ -40,7 +40,12 @@ import graft.model.{NTriplesEscape, Term}
  * `P_Distinct` are deliberately absent: standard SPARQL 1.1 query text
  * has no surface syntax for them (ARQ builds them only through its Java
  * algebra API), so no parsable query can reach them — documented raise
- * per SURVEY §2.8.
+ * per SURVEY §2.8. The reference itself does not evaluate P_Shortest
+ * (jena-arq/.../sparql/path/eval/PathEvaluator.java:158 throws
+ * ARQNotImplemented), and P_Distinct/P_Multi only toggle the result
+ * CARDINALITY engine (PathEvaluator.java:142–154); our PathEval is
+ * set-based throughout, i.e. P_Distinct semantics — the unique-results
+ * mode SPARQL 1.1 itself specifies for `*`/`+`.
  */
 object Parser {
 

@@ -206,6 +206,107 @@ class LpSpec extends AnyFunSuite {
     info(s"${tests.size} LP-RDFS manifest cases green (goal-directed)")
   }
 
+  // ---- TestBasicLP lifts (doTest protocol: rules + data, one goal,
+  // expected answer set) — TestBasicLP.java:137–232, 547–654, 724–851.
+  // The base data for doBasicTest is the single triple (a p b)
+  // (TestBasicLP.java dataElts).
+  private def doTest(rules: String, data: Seq[(Term, Term, Term)],
+      goal: (Option[Term], Option[Term], Option[Term]),
+      want: (Term, Term, Term)*): Unit = {
+    val e = engine(rules, data: _*)
+    assert(e.find(goal._1, goal._2, goal._3) == triples(want: _*))
+  }
+  private val Seq(cC1, cC2, cC3) = Seq("C1", "C2", "C3").map(n)
+
+  test("basic LP operations (testBaseRules1–9)") {
+    val base = Seq((a, p, b))
+    // lookup under a non-matching rule set
+    doTest("[r1: (?x r c) <- (?x p b)]", base, (None, Some(p), Some(b)), (a, p, b))
+    // simple chain
+    doTest("[r1: (?x r c) <- (?x p b)]", base, (None, Some(r), Some(c)), (a, r, c))
+    // head unification (?x r ?x)
+    doTest("[r1: (?x r ?x) <- (?x p b)]", base, (None, Some(r), Some(a)), (a, r, a))
+    doTest("[r1: (?x r ?x) <- (?y p b), (?x p b)]", base,
+      (None, Some(r), Some(a)), (a, r, a))
+    // cascade through two derived predicates
+    doTest("[r1: (?x q ?y) <- (?x r ?y)(?y s ?x)]" +
+      "[r2: (?x r ?y) <- (?x p ?y)]" +
+      "[r3: (?x s ?y) <- (?y p ?x)]", base, (None, Some(q), None), (a, q, b))
+    // failure at head-unification time and in search: empty answers
+    // (testBaseRules7's ?y is goal-bound, not body-bound)
+    assert(engine("[r1: (?x r ?x) <- (?x p b)]", (a, p, b))
+      .find(Some(a), Some(r), Some(b)).isEmpty)
+    assert(engine("[r1: (?x r ?y) <- (?x p c)]", (a, p, b))
+      .find(Some(a), Some(r), Some(b)).isEmpty)
+    // chains, forward and inverted
+    doTest("[r1: (?x q ?y) <- (?x r ?y)][r2: (?x r ?y) <- (?x p ?y)]",
+      base, (None, Some(q), None), (a, q, b))
+    doTest("[r1: (?x q ?y) <- (?x r ?y)][r2: (?x r ?y) <- (?y p ?x)]",
+      base, (None, Some(q), None), (b, q, a))
+  }
+
+  test("wildcard predicates in goals, bodies and heads (testWildPredicate1–4)") {
+    // TestBasicLP.java:547–654
+    doTest("[r1: (b r ?y) <- (a ?y ?v)]",
+      Seq((a, p, cC1), (a, q, cC2), (a, q, cC3)),
+      (Some(b), Some(r), None), (b, r, p), (b, r, q))
+    val rules2 = "[r1: (a r ?y) <- (b ?y ?v)]" +
+      "[r2: (?x q ?y) <- (?x p ?y)]" +
+      "[r3: (?x s C1) <- (?x p C1)]" +
+      "[r4: (?x t C2) <- (?x p C2)]"
+    doTest(rules2,
+      Seq((b, p, cC1), (b, q, cC2), (b, q, cC3), (a, p, cC1), (a, p, cC2),
+        (c, p, cC1)),
+      (Some(a), None, None),
+      (a, r, p), (a, r, q), (a, q, cC1), (a, q, cC2), (a, s, cC1),
+      (a, t, cC2), (a, p, cC1), (a, p, cC2), (a, r, s))
+    val rules3 = "[r1: (a r ?y) <- (b ?y ?v)]" +
+      "[r2: (?x q ?y) <- (?x p ?y)]" +
+      "[r3: (?x s C1) <- (?x p C1)]" +
+      "[r4: (?x t ?y) <- (?x ?y C1)]"
+    val data3 = Seq((b, p, cC1), (b, q, cC2), (b, q, cC3), (a, p, cC1),
+      (a, p, cC2), (c, p, cC1))
+    doTest(rules3, data3, (Some(a), None, Some(cC1)),
+      (a, q, cC1), (a, s, cC1), (a, p, cC1))
+    doTest(rules3, data3, (Some(a), Some(t), None),
+      (a, t, q), (a, t, s), (a, t, p))
+    doTest(rules3, data3, (None, Some(t), Some(q)),
+      (a, t, q), (b, t, q), (c, t, q))
+    doTest("[r1: (a ?p ?x) <- (b ?p ?x)]",
+      Seq((b, p, cC1), (b, q, cC2), (b, q, cC3), (c, q, d)),
+      (Some(a), None, None), (a, p, cC1), (a, q, cC2), (a, q, cC3))
+  }
+
+  test("tabled recursion (testTabled1–6)") {
+    // TestBasicLP.java:724–851 — our engine tables every goal, so the
+    // explicit setTabled()/table-directive variants collapse to one case
+    doTest("[r1: (?a q ?b) <- (?a p ?b)][r2: (?x r ?y) <- (?x q ?y)]",
+      Seq((a, p, b), (b, p, c)), (None, Some(r), None), (a, r, b), (b, r, c))
+    doTest("[r1: (?a p ?c) <- (?a p ?b)(?b p ?c)]",
+      Seq((a, p, b), (b, p, c), (b, p, d)), (None, Some(p), None),
+      (a, p, b), (b, p, c), (a, p, c), (b, p, d), (a, p, d))
+    val e = Term.iri("e")
+    doTest("[r1: (?x p ?z) <- (?x p ?y), (?y p ?z)]" +
+      "[r2: (?x p ?z) <- (?x e ?z), (?z q ?z)]",
+      Seq((a, e, b), (a, e, d), (b, e, c), (a, q, a), (b, q, b), (c, q, c)),
+      (Some(a), Some(p), None), (a, p, b), (a, p, c))
+    doTest("[r1: (?a p ?c) <- (?a p ?b)(?b p ?c)][r2: (?a r ?b) <- (?a q ?b)]",
+      Seq((a, p, b), (b, p, c), (a, q, d), (c, q, d)), (Some(a), None, None),
+      (a, p, b), (a, p, c), (a, q, d), (a, r, d))
+    // table directive inline in the rule text (testTabled6)
+    doTest("[-> table(p)] [r1: (?a p ?c) <- (?a p ?b)(?b p ?c)]",
+      Seq((a, p, b), (b, p, c), (b, p, d)), (None, Some(p), None),
+      (a, p, b), (b, p, c), (a, p, c), (b, p, d), (a, p, d))
+    // testTabled7: ?z is bound by the GOAL, not the body — aliased local
+    // vars in the call plus goal-bound head vars
+    doTest("[r1: (?a q ?b) <- (?a p ?b)]" +
+      "[r2: (?a q ?a) <- (?a s ?a)]" +
+      "[r2: (?a r ?z) <- (?a q ?a)]",
+      Seq((a, p, b), (c, p, c), (a, p, a), (b, s, Term.iri("e")),
+        (d, s, d)),
+      (None, Some(r), Some(cC1)), (a, r, cC1), (c, r, cC1), (d, r, cC1))
+  }
+
   test("cross-face: backward restatement equals the forward closure") {
     // rdfs8+rdfs9 stated backward must answer exactly what the forward
     // engine (Rules.closureLocal) materializes on the same graph
