@@ -66,6 +66,7 @@ object SparkEntry {
     "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,
     "v2_rules"            -> graft.queries.ReasonQueries.v2_rules _,
     "v5_lp_goal"          -> graft.queries.ReasonQueries.v5_lp_goal _,
+    "v6_magic_goal"       -> graft.queries.ReasonQueries.v6_magic_goal _,
     "v3_shex"             -> graft.queries.ShexQueries.v3_shex _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),

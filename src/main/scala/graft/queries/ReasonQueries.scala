@@ -92,7 +92,42 @@ object ReasonQueries {
       .toDF("nation_key", "inst")
   }
 
+  /**
+   * Oracle-gated MAGIC-SETS inference (graft.reason.Magic): the same
+   * goal as v5 (`?x rdf:type urn:g:World`) answered over ONE huge KG —
+   * the backward rule set is magic-compiled into a forward program
+   * whose semi-naive DataFrame closure derives only the goal's
+   * dependency cone, so goal-directed queries run set-at-a-time through
+   * Catalyst instead of tuple-at-a-time per document. Same relational
+   * oracle as v5 modulo the per-document grouping.
+   */
+  def v6_magic_goal(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val nation = Tables.nation(s, d)
+    def iriCol(prefix: String, c: Column) =
+      TermCols.iriTerm(concat(lit(NS + prefix), c.cast("string")))
+    def t(sC: Column, p: String, oC: Column) =
+      struct(sC.as("s"), TermCols.const(Term.iri(p)).as("p"), oC.as("o")).as("x")
+    val triples = customer
+      .select(t(iriCol("c:", col("c_custkey")), RDF_TYPE,
+        iriCol("n:", col("c_nationkey"))))
+      .union(nation.select(t(iriCol("n:", col("n_nationkey")), SUBCLASS,
+        iriCol("r:", col("n_regionkey")))))
+      .union(nation.select(t(iriCol("r:", col("n_regionkey")), SUBCLASS,
+        TermCols.const(Term.iri(NS + "World")))).distinct())
+      .select(col("x.s").as("s"), col("x.p").as("p"), col("x.o").as("o"))
+    val rules = Rules.parseFull(
+      """[rdfs8b: (?a rdfs:subClassOf ?c) <- (?a rdfs:subClassOf ?b), (?b rdfs:subClassOf ?c)]
+         [rdfs9b: (?a rdf:type ?y) <- (?x rdfs:subClassOf ?y), (?a rdf:type ?x)]""")
+    graft.reason.Magic.answer(triples, rules.rules,
+      (None, Term.iri(RDF_TYPE), Some(Term.iri(NS + "World"))))
+      .select(col("s.lex").as("inst"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v6_magic_goal" -> s"""
+      SELECT '${NS}c:' || c_custkey AS inst FROM customer
+      """,
     "v5_lp_goal" -> s"""
       SELECT c_nationkey AS nation_key, '${NS}c:' || c_custkey AS inst
       FROM customer
