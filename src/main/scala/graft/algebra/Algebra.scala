@@ -67,6 +67,22 @@ final case class PFixedLength(p: Path, n: Int) extends Path
  * repetitions; `max = -1` means unbounded ({n,}). Like the other
  * arbitrary-length paths, results are distinct pairs. */
 final case class PMod(p: Path, min: Int, max: Int) extends Path
+/** ARQ extension P_Distinct (`P_Distinct.java`): force set semantics on
+ * the sub-path — one (src, dst) pair regardless of how many derivations
+ * exist. Algebra-level only, like the reference (no query-text syntax in
+ * either system's grammar). */
+final case class PDistinct(p: Path) extends Path
+/** ARQ extension P_Multi (`P_Multi.java`): evaluate the sub-path with
+ * duplicates preserved (the reference swaps in PathEngineN,
+ * `PathEvaluator.java:150`). Non-closure sub-paths here already carry bag
+ * cardinality, so this is a pass-through; closure sub-paths (`+`/`*`)
+ * stay set-valued — a documented divergence from PathEngineN's per-path
+ * enumeration, which the reference itself labels experimental. */
+final case class PMulti(p: Path) extends Path
+/** ARQ extension P_Shortest (`P_Shortest.java`): unimplemented in the
+ * reference too — its evaluator throws ARQNotImplemented
+ * (`PathEvaluator.java:158`); evaluation here throws the same way. */
+final case class PShortest(p: Path) extends Path
 
 /** Column expression over a solution row: given a resolver from variable
  * name to its term-struct Column, produce the Spark Column. Used where an

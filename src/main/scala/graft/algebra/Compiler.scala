@@ -1146,6 +1146,8 @@ object PathEval {
     case PAlt(a, b) => allowsZero(a) || allowsZero(b)
     case PSeq(a, b) => allowsZero(a) && allowsZero(b)
     case PInverse(q) => allowsZero(q)
+    case PDistinct(q) => allowsZero(q)
+    case PMulti(q) => allowsZero(q)
     case _ => false
   }
 
@@ -1224,6 +1226,13 @@ object PathEval {
         val withZero = if (min == 0) fixed.union(allNodes(g)) else fixed
         withZero.distinct()
       }
+    // ARQ algebra-level extensions (PathEvaluator.java:142-160):
+    case PDistinct(p) => pairs(g, p).distinct()
+    case PMulti(p) => pairs(g, p) // bag pass-through; see PMulti scaladoc
+    case PShortest(p) =>
+      // the reference throws ARQNotImplemented here (PathEvaluator.java:158)
+      throw new UnsupportedOperationException(
+        s"P_Shortest is not implemented (matching the reference): $p")
   }
 
   /** Identity pairs over every term occurring as subject or object —

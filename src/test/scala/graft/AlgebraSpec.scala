@@ -207,6 +207,26 @@ class AlgebraSpec extends AnyFunSuite {
     assert(pathOf(PZeroOrOne(PLink(EX + "p")), "a") == Set(EX + "a", EX + "b"))
   }
 
+  test("ARQ path extensions: PDistinct collapses duplicates, PMulti keeps them, PShortest raises") {
+    // (p/p) | (q/^q ... ) — build a path with two derivations of the same
+    // pair: a -p-> b via alt arms that both land on b
+    val dup = PAlt(PLink(EX + "p"), PLink(EX + "p"))
+    val multi = Compiler.compile(
+      PathPattern(c(i("a")), PMulti(dup), v("x")), g)
+    assert(multi.count() == 2) // bag semantics: one row per alt arm
+    val dist = Compiler.compile(
+      PathPattern(c(i("a")), PDistinct(dup), v("x")), g)
+    assert(dist.count() == 1)
+    assert(lexSet(dist, "x") == Set(EX + "b"))
+    // P_Shortest: the reference's evaluator throws ARQNotImplemented
+    // (PathEvaluator.java:158); ours raises the same way
+    intercept[UnsupportedOperationException] {
+      Compiler.compile(
+        PathPattern(c(i("a")), PShortest(PLink(EX + "p")), v("x")), g)
+        .count()
+    }
+  }
+
   test("quads: GRAPH var binds graph names; GRAPH iri filters; BGP = default graph") {
     import org.apache.spark.sql.functions.{col, lit, struct, when}
     // quad table: default graph has alice, g1 has bob, g2 has carol
