@@ -433,13 +433,20 @@ object OpsQueries {
     val mutated = docs
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    // gram keys are 64-bit hashes, not strings: the string form (~50 B per
+    // 8-gram) would be materialized, array_distinct'd, exploded, shuffled
+    // and joined — hashing inside the transform keeps every downstream
+    // operator on 8-byte longs. False-overlap bound: the bench set is
+    // ~10^4 grams, the corpus ~10^6, so E[cross collisions] ≈
+    // 10^10 / 2^64 < 10^-9. The DuckDB oracle keeps exact strings; a
+    // collision would surface there as a count mismatch.
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         """array_distinct(if(size(toks) >= 8,
              transform(sequence(1, size(toks) - 7),
-               j -> concat_ws('_', slice(toks, j, 8))),
-             array()))""").as("grams"))
+               j -> xxhash64(concat_ws('_', slice(toks, j, 8)))),
+             cast(array() as array<bigint>)))""").as("grams"))
     val bench = grams(docs.where(col("doc_id") < 50))
       .select(explode(col("grams")).as("gram")).distinct()
     val corpus = grams(docs.where(col("doc_id") >= 50).union(mutated))
