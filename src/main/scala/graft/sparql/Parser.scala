@@ -3144,7 +3144,14 @@ object Parser {
       i = close + 1
       checkCodepointEscapes(body)
       val full = NTriplesEscape.unescape(body)
-      if (base.nonEmpty && !full.contains(":")) graft.normalize.Iri.resolve(base, full)
+      // RFC 3986 §5.2.2 strict resolution, like the data parsers
+      // (TurtleLite resolves every IRI ref): an absolute ref's path still
+      // gets remove_dot_segments — Jena's IRIx does the same, which is
+      // what makes <eXAMPLE://a/./b/../b/x> in a query match the
+      // identically-written data IRI (DAWG i18n normalization-02).
+      if (base.nonEmpty) graft.normalize.Iri.resolve(base, full)
+      else if (graft.normalize.Iri.parse(full).scheme != null)
+        graft.normalize.Iri.resolve("", full)
       else full
     }
     private def isHexAt(j: Int): Boolean =

@@ -69,9 +69,7 @@ class ManifestSpec extends AnyFunSuite {
     "syntax-sparql4" -> Map.empty,
     "syntax-sparql5" -> Map.empty,
     "construct" -> Map.empty,
-    "i18n" -> Map(
-      "normalization-02" ->
-        "RFC 3986 SYNTAX-based IRI normalization (%63→c, case) is not applied to absolute IRIs — SURVEY §3.B: resolve always, normalize only where the reference does; Jena normalizes here"))
+    "i18n" -> Map.empty) // normalization-02 fixed: query IRIs resolve like data IRIs
 
   /** SPARQL 1.1 evaluation suites — every query-evaluation case green;
    * the only skips are non-evaluation types (NegativeSyntaxTest11,
