@@ -96,6 +96,12 @@ object BinaryRdf {
     }
     /** Open a struct-typed field: caller writes the nested struct then endStruct(). */
     def beginStructField(id: Int): Unit = { fieldHeader(id, TType.STRUCT); beginStruct() }
+    /** List-typed field header: (size<<4|elemType), long form 0xF?+varint. */
+    def listHeader(id: Int, size: Int, elemType: Int): Unit = {
+      fieldHeader(id, TType.LIST)
+      if (size < 15) out.write((size << 4) | elemType)
+      else { out.write(0xf0 | elemType); varint(size.toLong) }
+    }
   }
 
   final class CompactReader(in: InputStream) {
@@ -145,6 +151,12 @@ object BinaryRdf {
     }
     def readI64(): Long = unzig(varint())
     def readI32(): Int = unzig(varint()).toInt
+    /** (elemType, size) of a list value. */
+    def listHeader(): (Int, Int) = {
+      val h = u8(); val et = h & 0x0f
+      val n = if (((h >> 4) & 0x0f) == 0x0f) varint().toInt else (h >> 4) & 0x0f
+      (et, n)
+    }
     def readDouble(): Double = {
       var bits = 0L; var i = 0
       while (i < 8) { bits |= u8().toLong << (8 * i); i += 1 }
@@ -180,9 +192,12 @@ object BinaryRdf {
     case k => (lang.substring(0, k), lang.substring(k + 2))
   }
 
-  private def readThriftTerm(r: CompactReader, prefixes: mutable.Map[String, String]): Term = {
+  /** RDF_Term union; None = RDF_UNDEF (unbound result-set cell). */
+  private def readThriftTermOpt(r: CompactReader,
+      prefixes: mutable.Map[String, String]): Option[Term] = {
     r.beginStruct()
     var term: Term = null
+    var undef = false
     var f = r.fieldHeader()
     while (f._1 != TType.STOP) {
       (f._2, f._1) match {
@@ -192,6 +207,7 @@ object BinaryRdf {
         case (4, TType.STRUCT) =>
           val (p, l) = readPrefixName(r)
           term = Term.iri(resolvePrefix(prefixes, p, l))
+        case (7, TType.STRUCT) => r.skip(TType.STRUCT); undef = true
         case (9, TType.STRUCT) =>
           val (s, pp, o) = readThriftTriple(r, prefixes)
           term = tripleTerm(s, pp, o)
@@ -199,15 +215,20 @@ object BinaryRdf {
         case (11, TType.DOUBLE) =>
           term = Term.lit(java.lang.Double.toString(r.readDouble()), Term.XSD_DOUBLE)
         case (12, TType.STRUCT) => term = readThriftDecimal(r)
-        case (_, tpe) => r.skip(tpe) // variable/any/undef/repeat or unknown
+        case (_, tpe) => r.skip(tpe) // variable/any/repeat or unknown
       }
       f = r.fieldHeader()
     }
     r.endStruct()
-    if (term == null) throw new IllegalArgumentException(
+    if (term != null) Some(term)
+    else if (undef) None
+    else throw new IllegalArgumentException(
       "RDF-Thrift: RDF_Term union with no usable member")
-    term
   }
+
+  private def readThriftTerm(r: CompactReader, prefixes: mutable.Map[String, String]): Term =
+    readThriftTermOpt(r, prefixes).getOrElse(throw new IllegalArgumentException(
+      "RDF-Thrift: UNDEF term outside a result-set row"))
 
   private def readSingleString(r: CompactReader): String = {
     r.beginStruct()
@@ -442,6 +463,66 @@ object BinaryRdf {
     def quadsToBytes(qs: Seq[Quad]): Array[Byte] = {
       val bos = new ByteArrayOutputStream(); writeQuads(qs.iterator, bos); bos.toByteArray
     }
+
+    // ---- SPARQL result sets (Binding2Thrift / Thift2Binding):
+    //      one RDF_VarTuple then RDF_DataTuple rows, unbound = RDF_UNDEF
+
+    def writeResultSet(vars: Seq[String], rows: Iterator[Seq[Option[Term]]],
+        out0: OutputStream): Unit = {
+      val out = new BufferedOutputStream(out0)
+      val w = new CompactWriter(out)
+      w.beginStruct() // RDF_VarTuple
+      w.listHeader(1, vars.size, TType.STRUCT)
+      vars.foreach { v => w.beginStruct(); w.writeString(1, v); w.endStruct() }
+      w.endStruct()
+      rows.foreach { row =>
+        w.beginStruct() // RDF_DataTuple
+        w.listHeader(1, row.size, TType.STRUCT)
+        row.foreach {
+          case Some(t) => w.beginStruct(); writeTermInto(w, t)
+          case None => // RDF_UNDEF member
+            w.beginStruct(); w.beginStructField(7); w.endStruct(); w.endStruct()
+        }
+        w.endStruct() // RDF_DataTuple
+      }
+      out.flush()
+    }
+
+    def readResultSet(in: InputStream): (Seq[String], Seq[Seq[Option[Term]]]) = {
+      val r = new CompactReader(in)
+      val prefixes = mutable.Map[String, String]()
+      // vars row
+      val first = r.peekOrEof()
+      require(first >= 0, "RDF-Thrift result set: empty stream")
+      r.beginStruct()
+      var vars = Seq.empty[String]
+      var f = r.fieldHeader(first)
+      while (f._1 != TType.STOP) {
+        if (f._2 == 1 && f._1 == TType.LIST) {
+          val (_, n) = r.listHeader()
+          vars = (1 to n).map(_ => readSingleString(r))
+        } else r.skip(f._1)
+        f = r.fieldHeader()
+      }
+      r.endStruct()
+      // data rows until EOF
+      val rows = Seq.newBuilder[Seq[Option[Term]]]
+      var head = r.peekOrEof()
+      while (head >= 0) {
+        r.beginStruct()
+        var f2 = r.fieldHeader(head)
+        while (f2._1 != TType.STOP) {
+          if (f2._2 == 1 && f2._1 == TType.LIST) {
+            val (_, n) = r.listHeader()
+            rows += (1 to n).map(_ => readThriftTermOpt(r, prefixes))
+          } else r.skip(f2._1)
+          f2 = r.fieldHeader()
+        }
+        r.endStruct()
+        head = r.peekOrEof()
+      }
+      (vars, rows.result())
+    }
   }
 
   // =====================================================================
@@ -580,9 +661,10 @@ object BinaryRdf {
       out.flush()
     }
 
-    private def readTerm(r: ProtoReader,
-        prefixes: mutable.Map[String, String]): Term = {
+    private def readTermOpt(r: ProtoReader,
+        prefixes: mutable.Map[String, String]): Option[Term] = {
       var term: Term = null
+      var undef = false
       while (r.hasMore) {
         val t = r.varint(); val field = (t >>> 3).toInt; val wire = (t & 7).toInt
         field match {
@@ -591,7 +673,8 @@ object BinaryRdf {
           case 3 => term = readLiteral(r.sub(), prefixes)
           case 4 => val (p, l) = readPrefixName(r.sub())
             term = Term.iri(resolvePrefix(prefixes, p, l))
-          case 5 | 7 | 8 | 9 => r.skip(wire) // variable/any/undef/repeat
+          case 8 => r.skip(wire); undef = true
+          case 5 | 7 | 9 => r.skip(wire) // variable/any/repeat
           case 6 => val (s, p, o) = readTriple(r.sub(), prefixes)
             term = tripleTerm(s, p, o)
           case 20 => term = Term.lit(r.sint().toString, Term.XSD_INTEGER)
@@ -612,10 +695,15 @@ object BinaryRdf {
           case _ => r.skip(wire)
         }
       }
-      if (term == null) throw new IllegalArgumentException(
+      if (term != null) Some(term)
+      else if (undef) None
+      else throw new IllegalArgumentException(
         "RDF-Protobuf: RDF_Term with no usable member")
-      term
     }
+    private def readTerm(r: ProtoReader,
+        prefixes: mutable.Map[String, String]): Term =
+      readTermOpt(r, prefixes).getOrElse(throw new IllegalArgumentException(
+        "RDF-Protobuf: UNDEF term outside a result-set row"))
     private def readSingle(r: ProtoReader): String = {
       var s = ""
       while (r.hasMore) {
@@ -712,6 +800,60 @@ object BinaryRdf {
     }
     def quadsToBytes(qs: Seq[Quad]): Array[Byte] = {
       val bos = new ByteArrayOutputStream(); writeQuads(qs.iterator, bos); bos.toByteArray
+    }
+
+    // ---- SPARQL result sets (Binding2Protobuf / Protobuf2Binding):
+    //      delimited RDF_VarTuple, then delimited RDF_DataTuple rows
+
+    def writeResultSet(vars: Seq[String], rows: Iterator[Seq[Option[Term]]],
+        out0: OutputStream): Unit = {
+      val out = new BufferedOutputStream(out0)
+      val vt = new ByteArrayOutputStream()
+      vars.foreach { v =>
+        val m = new ByteArrayOutputStream()
+        ProtoWire.string(m, 1, v)
+        ProtoWire.message(vt, 1, m.toByteArray)
+      }
+      val vb = vt.toByteArray
+      ProtoWire.varint(out, vb.length.toLong); out.write(vb)
+      rows.foreach { row =>
+        val dt = new ByteArrayOutputStream()
+        row.foreach {
+          case Some(t) => ProtoWire.message(dt, 1, termBytes(t))
+          case None => // RDF_Term{undefined = 8 {}}
+            val u = new ByteArrayOutputStream()
+            ProtoWire.message(u, 8, Array.emptyByteArray)
+            ProtoWire.message(dt, 1, u.toByteArray)
+        }
+        val b = dt.toByteArray
+        ProtoWire.varint(out, b.length.toLong); out.write(b)
+      }
+      out.flush()
+    }
+
+    def readResultSet(bytes: Array[Byte]): (Seq[String], Seq[Seq[Option[Term]]]) = {
+      val top = new ProtoReader(bytes, 0, bytes.length)
+      val prefixes = mutable.Map[String, String]()
+      require(top.hasMore, "RDF-Protobuf result set: empty stream")
+      val vt = top.sub()
+      val vars = Seq.newBuilder[String]
+      while (vt.hasMore) {
+        val t = vt.varint()
+        if ((t >>> 3).toInt == 1 && (t & 7) == 2) vars += readSingle(vt.sub())
+        else vt.skip((t & 7).toInt)
+      }
+      val rows = Seq.newBuilder[Seq[Option[Term]]]
+      while (top.hasMore) {
+        val dt = top.sub()
+        val row = Seq.newBuilder[Option[Term]]
+        while (dt.hasMore) {
+          val t = dt.varint()
+          if ((t >>> 3).toInt == 1 && (t & 7) == 2) row += readTermOpt(dt.sub(), prefixes)
+          else dt.skip((t & 7).toInt)
+        }
+        rows += row.result()
+      }
+      (vars.result(), rows.result())
     }
   }
 

@@ -143,6 +143,21 @@ class BinaryRdfSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("binary result sets: vars + rows with UNDEF cells round-trip (both formats)") {
+    val vars = Seq("x", "y")
+    val rows: Seq[Seq[Option[Term]]] = Seq(
+      Seq(Some(iri("http://example/a")), Some(Term.langLit("hi", "en"))),
+      Seq(None, Some(Term.lit("4", Term.XSD_INTEGER))),
+      Seq(Some(Term.bnode("r2")), None))
+    val tb = new ByteArrayOutputStream()
+    ThriftRdf.writeResultSet(vars, rows.iterator, tb)
+    assert(ThriftRdf.readResultSet(
+      new java.io.ByteArrayInputStream(tb.toByteArray)) == ((vars, rows)))
+    val pb = new ByteArrayOutputStream()
+    ProtobufRdf.writeResultSet(vars, rows.iterator, pb)
+    assert(ProtobufRdf.readResultSet(pb.toByteArray) == ((vars, rows)))
+  }
+
   test("Spark faces: distributed write + read round-trip both formats") {
     val spark = TestSpark.spark
     import spark.implicits._
