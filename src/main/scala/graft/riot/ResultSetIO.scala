@@ -136,8 +136,15 @@ object ResultSetIO {
       case "uri" => Row(Term.KIND_IRI, value, "", "")
       case "bnode" => Row(Term.KIND_BNODE, value, "", "")
       case _ => // "literal" | "typed-literal" (legacy)
-        val dt2 = if (dt.nonEmpty) dt
-          else if (lang.nonEmpty) Term.RDF_LANGSTRING else Term.XSD_STRING
+        // JENA-1563 (TestResultSet.rs_xmllang_datatype_2): a lang-tagged
+        // binding may carry an explicit datatype only if it IS
+        // rdf:langString/dirLangString — anything else is a reader error
+        if (lang.nonEmpty && dt.nonEmpty && dt != Term.RDF_LANGSTRING &&
+            dt != Chars.RDF_DIR_LANG_STRING)
+          throw new IllegalArgumentException(
+            s"lang-tagged result binding with incompatible datatype <$dt>")
+        val dt2 = if (lang.nonEmpty) Term.RDF_LANGSTRING
+          else if (dt.nonEmpty) dt else Term.XSD_STRING
         Row(Term.KIND_LIT, value, dt2, Term.canonLangTag(lang))
     }
 

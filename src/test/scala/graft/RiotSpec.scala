@@ -110,6 +110,37 @@ class RiotSpec extends AnyFunSuite {
       Term.iri("http://base.org/bob"))))
   }
 
+  test("ResultSetIO: reference testing/ResultSet fixtures (TestResultSet)") {
+    val spark = TestSpark.spark
+    import graft.riot.ResultSetIO
+    val dir = "/root/reference/jena-arq/testing/ResultSet"
+    def read(f: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f)), "UTF-8")
+    // output.srj / output.srx: bnodes, empty literal, XMLLiteral datatype
+    val j = ResultSetIO.fromSparqlJson(spark, read("output.srj")).collect()
+    assert(j.length == 2 && j.head.schema.fieldNames.length == 7)
+    val x = ResultSetIO.fromSparqlXml(spark, read("output.srx")).collect()
+    assert(x.length == 2)
+    def names(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(_.getAs[org.apache.spark.sql.Row]("name").getString(1)).toSet
+    assert(names(j) == Set("Alice", "Bob") && names(x) == Set("Alice", "Bob"))
+    val blurbDt = j.map(_.getAs[org.apache.spark.sql.Row]("blurb"))
+      .filter(_ != null).map(_.getString(2)).toSet
+    assert(blurbDt == Set("http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral"))
+    // rs-datatype-string: explicit (unnecessary) xsd:string datatype is fine
+    val ds = ResultSetIO.fromSparqlJson(spark, read("rs-datatype-string.srj")).collect()
+    assert(ds.head.getAs[org.apache.spark.sql.Row]("o") ==
+      org.apache.spark.sql.Row(Term.KIND_LIT, "foo", Term.XSD_STRING, ""))
+    // JENA-1563: xml:lang + rdf:langString datatype OK …
+    val l1 = ResultSetIO.fromSparqlJson(spark, read("rs-xmllang-datatype-1.srj")).collect()
+    assert(l1.head.getAs[org.apache.spark.sql.Row]("o") ==
+      org.apache.spark.sql.Row(Term.KIND_LIT, "foo", Term.RDF_LANGSTRING, "en"))
+    // … but xml:lang + any OTHER datatype is a reader error
+    intercept[IllegalArgumentException] {
+      ResultSetIO.fromSparqlJson(spark, read("rs-xmllang-datatype-2.srj")).collect()
+    }
+  }
+
   test("ResultSetIO: W3C results JSON + CSV shapes") {
     val spark = TestSpark.spark
     import graft.algebra._
