@@ -192,7 +192,9 @@ class ManifestSpec extends AnyFunSuite {
     s"$RDFT/rdf12/rdf-turtle/eval/manifest.ttl",
     s"$RDFT/rdf12/rdf-trig/syntax/manifest.ttl",
     s"$RDFT/rdf12/rdf-trig/eval/manifest.ttl",
-    s"$RDFT/rdf12/rdf-xml/eval/manifest.ttl")
+    s"$RDFT/rdf12/rdf-xml/eval/manifest.ttl",
+    // ARQ's own extra Turtle eval cases (testing/RIOT/Lang/Turtle2)
+    "/root/reference/jena-arq/testing/RIOT/Lang/Turtle2/manifest.ttl")
 
   riotSuites.foreach { m =>
     val label = m.stripPrefix(RDFT + "/").stripSuffix("/manifest.ttl")
