@@ -60,17 +60,25 @@ object BinaryRdf {
     val BINARY = 8; val LIST = 9; val SET = 10; val MAP = 11; val STRUCT = 12
   }
 
-  final class CompactWriter(out: OutputStream) {
-    private var lastId = 0
-    private val stack = mutable.Stack[Int]()
-
-    private def varint(v0: Long): Unit = {
+  /** LEB128 + zigzag, shared by the thrift-compact and protobuf writers
+   * (identical encodings; the readers differ only in their byte source). */
+  private object Leb128 {
+    def write(out: OutputStream, v0: Long): Unit = {
       var v = v0
       while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
       out.write(v.toInt)
     }
-    private def zigzag32(n: Int): Long = ((n << 1) ^ (n >> 31)).toLong & 0xffffffffL
-    private def zigzag64(n: Long): Long = (n << 1) ^ (n >> 63)
+    def zigzag32(n: Int): Long = ((n << 1) ^ (n >> 31)).toLong & 0xffffffffL
+    def zigzag64(n: Long): Long = (n << 1) ^ (n >> 63)
+  }
+
+  final class CompactWriter(out: OutputStream) {
+    private var lastId = 0
+    private val stack = mutable.Stack[Int]()
+
+    private def varint(v: Long): Unit = Leb128.write(out, v)
+    private def zigzag32(n: Int): Long = Leb128.zigzag32(n)
+    private def zigzag64(n: Long): Long = Leb128.zigzag64(n)
 
     def beginStruct(): Unit = { stack.push(lastId); lastId = 0 }
     def endStruct(): Unit = { out.write(TType.STOP); lastId = stack.pop() }
@@ -171,7 +179,11 @@ object BinaryRdf {
       case TType.LIST | TType.SET =>
         val h = u8(); val et = h & 0x0f
         val n = if (((h >> 4) & 0x0f) == 0x0f) varint().toInt else (h >> 4) & 0x0f
-        var i = 0; while (i < n) { skip(et); i += 1 }
+        // bool LIST ELEMENTS occupy one byte each (only bool FIELDS carry
+        // the value in the header) — consume them, or the stream desyncs
+        if (et == TType.BOOL_TRUE || et == TType.BOOL_FALSE) {
+          var i = 0; while (i < n) { u8(); i += 1 }
+        } else { var i = 0; while (i < n) { skip(et); i += 1 } }
       case TType.MAP =>
         val n = varint().toInt
         if (n > 0) { val kv = u8(); var i = 0
@@ -530,11 +542,7 @@ object BinaryRdf {
   // =====================================================================
 
   object ProtoWire {
-    def varint(out: OutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
+    def varint(out: OutputStream, v: Long): Unit = Leb128.write(out, v)
     def tag(out: OutputStream, field: Int, wire: Int): Unit =
       varint(out, ((field.toLong << 3) | wire))
     def string(out: OutputStream, field: Int, s: String): Unit = {
@@ -545,7 +553,7 @@ object BinaryRdf {
       tag(out, field, 2); varint(out, body.length.toLong); out.write(body)
     }
     def sint64(out: OutputStream, field: Int, v: Long): Unit = {
-      tag(out, field, 0); varint(out, (v << 1) ^ (v >> 63))
+      tag(out, field, 0); varint(out, Leb128.zigzag64(v))
     }
     def bool(out: OutputStream, field: Int, v: Boolean): Unit = {
       tag(out, field, 0); varint(out, if (v) 1L else 0L)
@@ -569,12 +577,17 @@ object BinaryRdf {
       v | ((b & 0x7fL) << shift)
     }
     def sint(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    private def bounded(n: Int): Int = {
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"RDF-Protobuf: declared length $n overruns the enclosing message")
+      n
+    }
     def string(): String = {
-      val n = varint().toInt
+      val n = bounded(varint().toInt)
       val s = new String(buf, pos, n, StandardCharsets.UTF_8); pos += n; s
     }
     def sub(): ProtoReader = {
-      val n = varint().toInt
+      val n = bounded(varint().toInt)
       val r = new ProtoReader(buf, pos, pos + n); pos += n; r
     }
     def fixed64(): Long = {
@@ -585,7 +598,10 @@ object BinaryRdf {
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
       case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
+      case 2 =>
+        // NOTE two steps: `pos += bounded(varint())` would read the OLD pos
+        // before varint() advances it (Scala evaluates the LHS read first)
+        val n = bounded(varint().toInt); pos += n
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"RDF-Protobuf: wire type $w")
     }
@@ -781,6 +797,8 @@ object BinaryRdf {
                     case _ => q.skip((qt & 7).toInt)
                   }
                 }
+                require(s != null && p != null && o != null,
+                  "RDF-Protobuf: incomplete quad")
                 nextQ = Quad(s, p, o, g)
               case 4 => row.sub() // base decl: no relative IRIs are emitted
               case _ => row.skip((t & 7).toInt)
@@ -866,9 +884,18 @@ object BinaryRdf {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, pds) =>
-        // files are one-per-writer-partition, so buffering one whole file
-        // per task is bounded by the producer's partition size
-        ThriftRdf.readTriples(new java.io.ByteArrayInputStream(pds.toArray()))
+        // stream the file (the thrift reader is incremental); close the
+        // handle when the row iterator is exhausted
+        val in = new java.io.BufferedInputStream(pds.open())
+        val it = ThriftRdf.readTriples(in)
+        new Iterator[Triple] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): Triple = it.next()
+        }
       }.toDS()
   }
 
@@ -887,13 +914,26 @@ object BinaryRdf {
 
   private def writePartitioned(triples: Dataset[Triple], dir: String,
       ext: String, writeFn: (Iterator[Triple], OutputStream) => Unit): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirPath = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirPath)
+    // overwrite semantics, like the text sinks: stale part files from a
+    // previous (wider) write would otherwise ride along in glob reads
+    val old = java.nio.file.Files.list(dirPath)
+    try old.forEach { p =>
+      if (p.getFileName.toString.endsWith(ext)) java.nio.file.Files.delete(p)
+    } finally old.close()
     triples.foreachPartition { (it: Iterator[Triple]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = java.nio.file.Paths.get(dir, f"part-$pid%05d$ext")
-        val out = java.nio.file.Files.newOutputStream(p)
+        // temp-file + atomic-rename: a task that dies mid-write never
+        // leaves a truncated part file behind for readers
+        val tmp = java.nio.file.Paths.get(dir, f".part-$pid%05d$ext.tmp")
+        val out = java.nio.file.Files.newOutputStream(tmp)
         try writeFn(it, out) finally out.close()
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, f"part-$pid%05d$ext"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     }
   }

@@ -197,7 +197,9 @@ class ManifestSpec extends AnyFunSuite {
     "/root/reference/jena-arq/testing/RIOT/Lang/Turtle2/manifest.ttl")
 
   riotSuites.foreach { m =>
-    val label = m.stripPrefix(RDFT + "/").stripSuffix("/manifest.ttl")
+    val label = m.stripPrefix(RDFT + "/")
+      .stripPrefix("/root/reference/jena-arq/testing/RIOT/Lang/")
+      .stripSuffix("/manifest.ttl")
     test(s"W3C RIOT $label manifest") {
       val results = GoldenRunner.runRiotManifest(m)
       val failed = results.collect { case GoldenRunner.CaseResult(n, GoldenRunner.Failed(d)) =>
