@@ -40,6 +40,7 @@ object SparkEntry {
     "d7_simhash_lsh"    -> OpsQueries.d7_simhash_lsh _,
     "s1_ann_topk"       -> OpsQueries.s1_ann_topk _,
     "s2_ann_lsh"        -> OpsQueries.s2_ann_lsh _,
+    "s3_ann_ivf"        -> OpsQueries.s3_ann_ivf _,
     "e1_embed_pairs"    -> OpsQueries.e1_embed_pairs _,
     "t1_text_stats"     -> OpsQueries.t1_text_stats _,
     "t2_lang_id"        -> OpsQueries.t2_lang_id _,
@@ -290,6 +291,39 @@ object SparkEntry {
                 * sqrt(list_aggregate(list_transform(range(1, 65),
                   i -> c.v[CAST(i AS INT)] * c.v[CAST(i AS INT)]), 'sum'))) AS sim
            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim4
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rk FROM p)
+         WHERE rk <= 5""",
+    "s3_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT CAST(vec_id // 37 AS INT) AS cell, v AS cv
+               FROM e WHERE vec_id % 37 = 0 AND vec_id < 296),
+         sims AS (
+           SELECT e.vec_id, e.v, c.cell,
+             list_aggregate(list_transform(range(1, 65),
+               i -> e.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> c.cv[CAST(i AS INT)] * c.cv[CAST(i AS INT)]), 'sum'))) AS csim
+           FROM e CROSS JOIN c),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS crk FROM sims),
+         corpus AS (SELECT vec_id AS neighbor_id, v AS nv, cell
+                    FROM ranked WHERE crk = 1),
+         queries AS (SELECT vec_id AS query_id, v AS qv, cell
+                     FROM ranked WHERE crk <= 2 AND vec_id < 10),
+         p AS (
+           SELECT q.query_id, s.neighbor_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> q.qv[CAST(i AS INT)] * s.nv[CAST(i AS INT)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> s.nv[CAST(i AS INT)] * s.nv[CAST(i AS INT)]), 'sum'))) AS sim
+           FROM queries q JOIN corpus s USING (cell)
+           WHERE q.query_id != s.neighbor_id)
          SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim4
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id) AS rk FROM p)

@@ -266,6 +266,53 @@ object OpsQueries {
         round(col("sim"), 4).as("sim4"))
   }
 
+  /** IVF-style ANN (the second scale path beside s2's hyperplane LSH):
+   * a coarse quantizer of K=8 deterministic centroids (the embeddings of
+   * vec_id 0, 37, …, 259 — data vectors, so the oracle sees bit-identical
+   * centroids), every vector assigned to its nearest cell (cosine,
+   * rank-1), QUERIES probing their top-2 cells (the standard IVF nprobe
+   * recall lever), exact cosine top-5 inside the probed cells. Scale
+   * shape: 8 codegen'd per-row sims + one narrow rank window, then a cell
+   * equi-join — candidates come from cell co-membership, never n². At
+   * 100 TB the cell is the partitioning key and K grows with the corpus;
+   * the plan shape is unchanged. Oracle: the same ranking in DuckDB. */
+  def s3_ann_ivf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // 8 centroid vectors, collected driver-side (size-bounded by design,
+    // like s2's plane literals) and embedded as literal arrays
+    val cents: Map[Int, Seq[Double]] = e.where(col("vec_id") % 37 === 0 &&
+        col("vec_id") < 8 * 37)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0) / 37).toInt ->
+        r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    def simTo(k: Int): Column = {
+      val cv = cents(k)
+      val norm = math.sqrt(cv.map(x => x * x).sum)
+      expr(s"""aggregate(zip_with(embedding, array(${cv.mkString(",")}),
+                 (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)
+               / (sqrt(aggregate(embedding, 0D,
+                    (acc, x) -> acc + cast(x as double) * cast(x as double))) * $norm)""")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val ranked = e.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until 8).map(simTo): _*)).as(Seq("cell", "csim")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
+    val corpus = ranked.where(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("cell"))
+    val queries = ranked.where(col("crk") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    queries.join(corpus, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("sim"), 4).as("sim4"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ 0.35 among vec_id < 300. */
   def e1_embed_pairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).where(col("vec_id") < 300)

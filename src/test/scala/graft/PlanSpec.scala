@@ -226,6 +226,14 @@ class PlanSpec extends AnyFunSuite {
       "banded simhash candidates must come from an equi-join:\n" + p)
   }
 
+  test("s3 IVF candidates come from the cell equi-join (no BNLJ, no cartesian)") {
+    val df = graft.queries.OpsQueries.s3_ann_ivf(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF candidates must come from the coarse-cell equi-join:\n" + p)
+    assert(df.count() > 0)
+  }
+
   test("encoded snapshot: BGP joins on long ids with pushed id filters") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val dir = Files.createTempDirectory("plan_enc").toString + "/snap"
