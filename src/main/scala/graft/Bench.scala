@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate duplicates the generator input into a
+      // pre-Generate filter (size(e)>0 AND isnotnull(e)); when the input
+      // is an interpreted higher-order transform (bigrams, shingles,
+      // n-grams) the whole lambda pipeline is re-evaluated 2 extra times
+      // per row — measured 3-5x slowdown on the explode-based ops. The
+      // inferred filters are redundant for semantics (pure pruning aid),
+      // so drop the rule on the throughput path.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up off the clock: codec/JIT/parquet-footer init otherwise lands

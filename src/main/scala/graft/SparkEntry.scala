@@ -48,6 +48,9 @@ object SparkEntry {
     "t4_rolling_fp"     -> OpsQueries.t4_rolling_fingerprint _,
     "t5_token_count"    -> OpsQueries.t5_token_count _,
     "t6_decontam"       -> OpsQueries.t6_decontam _,
+    "t7_repetition"     -> OpsQueries.t7_repetition _,
+    "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
+    "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
@@ -72,6 +75,43 @@ object SparkEntry {
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
   )
+
+  /** d4's full DuckDB pipeline SQL — the "d4_dedup_lsh" oracle, and reused
+   * verbatim as d8's pair source so the two gates can never drift. */
+  private lazy val d4Sql: String =
+    s"""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  substr(text, instr(text, ' ') + 1) AS text FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' '))),
+             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
+             AS shingles
+           FROM docs),
+         sig AS (
+           SELECT doc_id, shingles,
+             (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")}) AS mh
+           FROM sh),
+         banded AS (
+           SELECT doc_id, shingles, b AS band,
+                  mh[CAST(2*b+1 AS INT)] || '_' || mh[CAST(2*b+2 AS INT)] AS bucket
+           FROM sig, range(0, 4) t(b)),
+         capped AS (
+           SELECT * FROM banded
+           QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                  l.shingles AS a_sh, r.shingles AS b_sh
+           FROM capped l JOIN capped r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         SELECT DISTINCT a_id, b_id,
+           (1000 * len(list_intersect(a_sh, b_sh)))
+             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jac_permille
+         FROM cand
+         WHERE (1000 * len(list_intersect(a_sh, b_sh)))
+             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 500"""
 
   def oracleSql: Map[String, String] = SparqlQueries.oracle ++
     graft.queries.ShaclQueries.oracle ++ graft.queries.ReasonQueries.oracle ++
@@ -181,40 +221,28 @@ object SparkEntry {
          SELECT doc_id, CAST(i AS INT) AS h_idx,
            (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")})[CAST(i+1 AS INT)] AS minhash
          FROM sh, range(0, 8) t(i)""",
-    "d4_dedup_lsh" ->
-      s"""WITH docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000 AS doc_id,
-                  substr(text, instr(text, ' ') + 1) AS text FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' '))),
-             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
-             AS shingles
-           FROM docs),
-         sig AS (
-           SELECT doc_id, shingles,
-             (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")}) AS mh
-           FROM sh),
-         banded AS (
-           SELECT doc_id, shingles, b AS band,
-                  mh[CAST(2*b+1 AS INT)] || '_' || mh[CAST(2*b+2 AS INT)] AS bucket
-           FROM sig, range(0, 4) t(b)),
-         capped AS (
-           SELECT * FROM banded
-           QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
-                  l.shingles AS a_sh, r.shingles AS b_sh
-           FROM capped l JOIN capped r
-             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
-         SELECT DISTINCT a_id, b_id,
-           (1000 * len(list_intersect(a_sh, b_sh)))
-             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jac_permille
-         FROM cand
-         WHERE (1000 * len(list_intersect(a_sh, b_sh)))
-             // (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 500""",
+    "d4_dedup_lsh" -> d4Sql,
+    // d8: d4's pair list verbatim as the edge set, then min-id reachability
+    // closure (recursive CTE) == connected components; singletons (no edge)
+    // keep themselves via the LEFT JOIN + coalesce
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         pairs AS (SELECT a_id, b_id FROM ($d4Sql)),
+         ids AS (SELECT doc_id FROM documents
+                 UNION ALL SELECT doc_id + 100000 FROM documents),
+         es AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id AS u, a_id AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM es
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN es e ON r.v = e.u)
+         SELECT i.doc_id,
+           least(i.doc_id, coalesce(min(r.v), i.doc_id)) AS canon_id,
+           CAST(CASE WHEN least(i.doc_id, coalesce(min(r.v), i.doc_id))
+                          = i.doc_id
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM ids i LEFT JOIN reach r ON r.u = i.doc_id
+         GROUP BY i.doc_id""",
     "d5_simhash" ->
       """WITH h AS (
            SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
@@ -414,6 +442,47 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
                 AS BIGINT) AS bpe_tokens
          FROM documents""",
+    "t7_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         stats AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+             list_transform(range(1, len(ws)),
+               j -> ws[j] || '_' || ws[j+1]) AS bgs
+           FROM base),
+         bg AS (SELECT doc_id, unnest(bgs) AS b FROM stats),
+         bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx,
+                  CAST(sum(c) AS BIGINT) AS tot
+           FROM bgc GROUP BY 1)
+         SELECT s.doc_id, n_words, n_distinct,
+           ((n_words - n_distinct) * 1000) // n_words AS dup_word_permille,
+           (mx * 1000) // tot AS top_bigram_permille
+         FROM stats s JOIN top USING (doc_id)""",
+    "t8_pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN base || ' escalate to ops-' || CAST(doc_id AS VARCHAR)
+                            || '@internal.example.org asap'
+                  ELSE base END AS t
+           FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com for details'
+                        ELSE text END AS base
+                 FROM documents))
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           md5(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS redacted_md5
+         FROM aug""",
     "g1_path_closure" ->
       """WITH RECURSIVE e AS (
            SELECT DISTINCT user_id % 50 AS src, (user_id * 7 + 3) % 50 AS dst

@@ -240,6 +240,33 @@ object OpsQueries {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Near-dup CLUSTER canonicalization — the decision a dedup pipeline
+   * actually ships: d4's LSH pair list becomes an edge set, connected
+   * components (min-id label) assign every document a canonical id, and
+   * `keep = 1` marks the one representative per cluster (singletons keep
+   * themselves). Scale shape: the edge list is orders of magnitude smaller
+   * than the corpus (near-dup pairs only), CC runs on edges alone
+   * (size-adaptive: driver union-find under 2M edges, O(log n)
+   * star-contraction rounds above — ConnectedComponentsSpec proves the two
+   * agree), and the corpus only sees one left join against the component
+   * map. Oracle: the same d4 pair SQL + a recursive-CTE reachability
+   * closure in DuckDB. */
+  def d8_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d4_dedup_lsh(s, d).select(col("a_id"), col("b_id"))
+    // zero-padded string ids: CC's lexicographic min == numeric min
+    val edges = pairs.select(
+      lpad(col("a_id").cast("string"), 7, "0").as("src"),
+      lpad(col("b_id").cast("string"), 7, "0").as("dst"))
+    val cc = graft.canon.ConnectedComponents.runAdaptive(edges)
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val ids = base.union(base.select((col("doc_id") + 100000).as("doc_id")))
+    ids.join(cc, lpad(col("doc_id").cast("string"), 7, "0") === col("node"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("component").cast("long"), col("doc_id")).as("canon_id"))
+      .withColumn("keep", (col("doc_id") === col("canon_id")).cast("long"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   private def cosineExpr(a: String, b: String): Column = expr(
@@ -527,6 +554,65 @@ object OpsQueries {
     Tables.documents(s, d).select(col("doc_id"),
       expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
         .cast("long").as("bpe_tokens"))
+
+  /** Intra-document repetition signals (the Gopher/C4 quality-filter
+   * family): duplicate-word fraction and most-frequent-bigram fraction,
+   * both in integer per-mille so the oracle is bit-exact. Shape: pure
+   * per-row projection — the top-bigram multiplicity comes from an
+   * O(n log n) sort + run-length fold over the doc's OWN bigram array, so
+   * there is NO explode, NO shuffle and NO join at any corpus scale (the
+   * first formulation, explode → two-level groupBy → join-back, shuffled
+   * every corpus bigram twice; repetition is a per-document property and
+   * never needs cross-row movement). The DuckDB oracle keeps the
+   * relational explode+group form — same values, independent derivation. */
+  def t7_repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("ws"))
+      // <2-word docs have no bigram (and sequence(1, 0) would run
+      // DESCENDING) — dropped, as in the oracle's inner join. Filtering
+      // on size(ws) keeps the expensive transform out of the predicate.
+      .where(size(col("ws")) >= 2)
+      // max run length over the sorted bigram array == max multiplicity
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        expr("""aggregate(
+             array_sort(transform(sequence(1, size(ws) - 1),
+               j -> concat(element_at(ws, j), '_', element_at(ws, j + 1)))),
+             named_struct('prev', '', 'run', 0L, 'mx', 0L),
+             (a, x) -> if(x = a.prev,
+               named_struct('prev', x, 'run', a.run + 1L,
+                            'mx', greatest(a.mx, a.run + 1L)),
+               named_struct('prev', x, 'run', 1L, 'mx', greatest(a.mx, 1L))),
+             a -> a.mx)""").as("mx"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("((n_words - n_distinct) * 1000) div n_words")
+          .as("dup_word_permille"),
+        expr("(mx * 1000) div (n_words - 1)").as("top_bigram_permille"))
+
+  /** PII detection + redaction (email addresses): deterministic synthetic
+   * emails are planted on doc_id % 7 / % 13 rows (the corpus itself is
+   * address-free), then counted and redacted with a regex kept free of
+   * escape sequences so Spark (Java regex) and DuckDB (RE2) read the
+   * identical pattern. Output carries the count and the md5 of the
+   * redacted text, which pins the full replacement behavior, not just the
+   * match count. Narrow per-row projection — no shuffle at any scale. */
+  def t8_pii_scrub(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val docs = Tables.documents(s, d)
+    val aug0 = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com for details"))).otherwise(col("text"))
+    val aug = when(col("doc_id") % 13 === 0,
+      concat(aug0, lit(" escalate to ops-"), col("doc_id").cast("string"),
+        lit("@internal.example.org asap"))).otherwise(aug0)
+    docs.select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        expr(s"size(regexp_extract_all(t, '$emailPat', 0))")
+          .cast("long").as("n_emails"),
+        expr(s"md5(regexp_replace(t, '$emailPat', '<EMAIL>'))")
+          .as("redacted_md5"))
+  }
 
   // ---------------------------------------------------------------- graphs
 

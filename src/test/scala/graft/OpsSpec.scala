@@ -74,6 +74,63 @@ class OpsSpec extends AnyFunSuite {
     assert(dists.max <= 20) // one-token mutation moves few bits
   }
 
+  test("dedup clusters: d8 components are consistent with d4's pairs") {
+    val pairs = OpsQueries.d4_dedup_lsh(spark, sf)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val canon = OpsQueries.d8_dedup_clusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every near-dup pair landed in one cluster
+    assert(pairs.forall { case (a, b) => canon(a)._1 == canon(b)._1 })
+    // canonical id is a member of its own cluster and the cluster minimum
+    val members = canon.keys.groupBy(k => canon(k)._1)
+    members.foreach { case (c, ms) => assert(ms.min == c) }
+    // exactly one keep=1 per cluster, and it is the canonical doc
+    val keeps = canon.collect { case (id, (c, 1L)) => (id, c) }
+    assert(keeps.size == members.size && keeps.forall { case (id, c) => id == c })
+    // singletons keep themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    canon.filterNot(kv => inPairs(kv._1)).foreach { case (id, (c, k)) =>
+      assert(c == id && k == 1L) }
+  }
+
+  test("repetition: t7 signals match a direct recomputation per doc") {
+    val got = OpsQueries.t7_repetition(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val bgs = ws.sliding(2).map(_.mkString("_")).toSeq
+      val expect = (ws.length.toLong, ws.distinct.length.toLong,
+        (ws.length - ws.distinct.length) * 1000L / ws.length,
+        bgs.groupBy(identity).values.map(_.size).max * 1000L / bgs.size)
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+  }
+
+  test("pii scrub: planted emails are counted and fully redacted") {
+    val rows = OpsQueries.t8_pii_scrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.foreach { case (id, n, _) =>
+      val expect = (if (id % 7 == 0) 1 else 0) + (if (id % 13 == 0) 1 else 0)
+      assert(n == expect, s"doc $id: $n emails, expected $expect")
+    }
+    assert(rows.exists(_._2 > 0))
+    // redaction is total: recompute one planted doc's md5 after replacement
+    val d0 = Tables.documents(spark, sf).where(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val aug = d0 + " contact user0@example.com for details" // 0 % 13 == 0 too
+    val full = aug + " escalate to ops-0@internal.example.org asap"
+    val red = full.replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>")
+    assert(!red.contains("@"))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.find(_._1 == 0L).get._3 == md5)
+  }
+
   test("lang-id: marker scoring predicts a language for every doc, deterministically") {
     val out = OpsQueries.t2_lang_id(spark, sf).collect()
     assert(out.nonEmpty)
