@@ -269,11 +269,16 @@ object OpsQueries {
 
   // ------------------------------------------------------------ similarity
 
-  private def cosineExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-                  0D, (acc, v) -> acc + v)
-        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
-           * sqrt(aggregate($b, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))""")
+  /** Cosine similarity via the native codegen'd Catalyst expression
+   * (`graft.functions.CosineSim`): one fused primitive loop inside
+   * whole-stage codegen. Bit-identical to the interpreted HOF formula
+   * `aggregate(zip_with(a,b,*)) / (sqrt(aggregate(a,x²)) *
+   * sqrt(aggregate(b,x²)))` it replaced (VecSpec pins the equivalence),
+   * so every DuckDB oracle is unchanged. */
+  private def cosineExpr(a: String, b: String): Column = {
+    graft.functions.Vec.register(SparkSession.active)
+    expr(s"${graft.functions.Vec.CosineName}($a, $b)")
+  }
 
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 — the
    * exactness baseline for the LSH-bucketed variant. */
