@@ -66,6 +66,34 @@ object MinHash {
           r -> element_at($sigCol, b * $rowsPerBand + r)), '_'))""")
 
   /** Exact Jaccard (permille, integer — deterministic) of two array cols. */
+  /** 60-bit SimHash of a document, computed row-locally in pure Scala —
+   * BIT-IDENTICAL to the SQL formulation in OpsQueries.simhashed (d5's
+   * oracle-gated definition: distinct whitespace tokens, hash60 = first
+   * 15 hex chars of md5 as a 60-bit int, bit j set iff the +1/−1 token
+   * vote sum is > 0). Used by the streaming near-dup operator, where a
+   * per-row pure function beats a shuffle aggregation (no stateful-agg
+   * chaining restrictions, no exchange). OpsSpec pins the equivalence. */
+  def simhash60(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(" ", -1).distinct
+    val votes = new Array[Int](60)
+    toks.foreach { t =>
+      val digest = md.digest(t.getBytes("UTF-8"))
+      md.reset()
+      val hex = digest.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sh |= 1L << j; j += 1 }
+    sh
+  }
+
   def jaccardPermille(a: String, b: String): Column = {
     val inter = s"size(array_intersect($a, $b))"
     expr(s"(cast($inter as bigint) * 1000) div (size($a) + size($b) - $inter)")

@@ -100,6 +100,56 @@ object StreamIngest {
       }
   }
 
+  /** Cross-micro-batch STREAMING near-dup detection — the streaming twin
+   * of d7's banded SimHash LSH. Each document's 60-bit SimHash (computed
+   * row-locally with MinHash.simhash60 — a pure function, so no
+   * shuffle-aggregation precedes the stateful operator) fans out to its
+   * 6 × 10-bit band segments; keyed state per (band, segment) bucket
+   * holds up to `bucketCap` (id, simhash) representatives. A new arrival
+   * is compared against its buckets' members (Hamming over two longs)
+   * and every pair within `maxHamming` is emitted — across batches and
+   * across restarts, since the buckets live in the checkpoint. Banding
+   * is COMPLETE for Hamming ≤ 5 by pigeonhole (6 segments); the cap
+   * bounds both state and per-arrival work exactly like d4/d7's
+   * degenerate-bucket guards. A pair sharing several segments is emitted
+   * once per shared bucket — dedup at the sink (`dropDuplicates` on the
+   * id pair) if exact-once pairs are needed. */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 5,
+      bucketCap: Int = 64): Dataset[(Long, Long, Int)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = graft.ops.MinHash.simhash60(text)
+        (0 until 6).map(b => (b.toLong * 1024 + ((sh >> (b * 10)) & 1023L), id, sh))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+          // deterministic intra-batch order: smaller ids become members
+          // first, so a same-batch pair is found when the larger arrives
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osh) =>
+                val ham = java.lang.Long.bitCount(sh ^ osh)
+                if (ham <= maxHamming)
+                  out += (if (oid < id) (oid, id, ham) else (id, oid, ham))
+              }
+              if (seen.size < bucketCap) seen = (id, sh) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming per-document SHACL validation: each row carries one
    * document-sized KG as N-Triples text; the shapes graph — schema-sized

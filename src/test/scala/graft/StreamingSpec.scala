@@ -126,6 +126,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.map(_.getLong(0)).contains(14L)) // "content 5" is the only new one
   }
 
+  test("simhash60 (row-local Scala) == d5's SQL simhash, doc for doc") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val fromSql = graft.queries.OpsQueries.d5_simhash(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      assert(graft.ops.MinHash.simhash60(t) == fromSql(id), s"doc $id") }
+  }
+
+  test("streaming near-dup: banded SimHash state finds pairs across restarts") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("st_nd_in").toString
+    val ckpt = Files.createTempDirectory("st_nd_ck").toString
+    val out = Files.createTempDirectory("st_nd_out").toString
+    def docStream = spark.readStream.format("text")
+      .load(in).select(
+        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\\|").getItem(1).as("text"))
+    def drain(): Unit = {
+      val q = StreamIngest.nearDupStream(docStream).toDF("a_id", "b_id", "hamming")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch 1: ten distinct base docs
+    Files.writeString(java.nio.file.Paths.get(in, "a.txt"),
+      texts.toSeq.sortBy(_._1).map { case (id, t) => s"$id|$t" }.mkString("\n"))
+    drain()
+    val base = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // batch 2 AFTER A RESTART: near-identical copies (first token dropped,
+    // ids +1000) must pair with their batch-1 originals out of state
+    Files.writeString(java.nio.file.Paths.get(in, "b.txt"),
+      texts.toSeq.sortBy(_._1).map { case (id, t) =>
+        s"${id + 1000}|${t.substring(t.indexOf(' ') + 1)}" }.mkString("\n"))
+    drain()
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val planted = (0L until 10L).map(i => (i, i + 1000L))
+    val found = planted.count(pairs.contains)
+    info(s"cross-restart planted recall: $found/10 (plus ${base.length} base-batch pairs)")
+    assert(found >= 9, s"found only $found of 10 planted cross-batch pairs")
+  }
+
   test("streaming per-document SHACL validation (broadcast shapes)") {
     import org.apache.spark.sql.functions._
     import graft.shacl.SH
