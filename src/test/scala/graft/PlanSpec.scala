@@ -341,4 +341,24 @@ class PlanSpec extends AnyFunSuite {
     val df = Rules.closure(base, rules)
     assert(df.count() == 105) // 55 base + 50 derived (c_k type Top)
   }
+
+  test("whole-suite sweep: nested-loop joins ONLY in the declared brute baselines") {
+    // d2/d6/e1/s1 are deliberately-brute, id-bounded oracle anchors for
+    // their LSH scale siblings (d4/d7/s2/s3) — every OTHER query in the
+    // driver contract must plan without BNLJ/CartesianProduct. Guards
+    // against a scale-path query silently degrading to a product plan.
+    val allowed = Set("d2_dedup_ngram", "d6_simhash_pairs",
+      "e1_embed_pairs", "s1_ann_topk")
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("CartesianProduct")
+        if (bad && !allowed(name)) Some(name)
+        else if (!bad && allowed(name)) Some(s"$name (expected brute plan!)")
+        else None
+    }
+    assert(offenders.isEmpty, s"plan-shape regressions: $offenders")
+  }
 }
