@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.util.{List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.model.Triple
+import graft.riot.NTriples
+
+/**
+ * DataSource V2 face for the N-Triples reader:
+ * `spark.read.format("ntriples").load(path)` — the idiomatic Spark-native
+ * source API over the same line parser `riot.NTriples` exposes through
+ * `textFile + mapPartitions` (reference: riot's RDFParser/Lang registry,
+ * jena-arq riot/RDFLanguages.java). What V2 adds over the mapPartitions
+ * face:
+ *
+ *  - **split planning is explicit**: every file is cut into byte ranges of
+ *    `spark.sql.files.maxPartitionBytes` at PLAN time, so one huge .nt
+ *    file parallelizes across the cluster (a line belongs to the split
+ *    holding its first byte — the standard text-split contract);
+ *  - **top-level column pruning** reaches the source: `SELECT s` reads and
+ *    emits only the subject struct per row (the parse still sees the
+ *    line; pruning saves row width, not IO — honest for a text format);
+ *  - the short name registers through DataSourceRegister
+ *    (META-INF/services), as a packaged source would.
+ *
+ * Malformed lines are skipped (strict=false), matching the streaming
+ * ingest path; comment/blank lines yield nothing.
+ */
+class NTriplesDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ntriples"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NTriplesTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val paths = Option(properties.get("paths"))
+      .map(p => org.json4s.jackson.JsonMethods.parse(p)
+        .values.asInstanceOf[List[String]])
+      .getOrElse(Option(properties.get("path")).toList)
+    new NTriplesTable(paths)
+  }
+}
+
+object NTriplesTable {
+  implicit val tripleEncoder: Encoder[Triple] = Encoders.product[Triple]
+  val Schema: StructType = tripleEncoder.schema
+}
+
+class NTriplesTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"ntriples(${paths.mkString(",")})"
+  override def schema(): StructType = NTriplesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NTriplesScanBuilder(paths)
+}
+
+class NTriplesScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = NTriplesTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // top-level (s/p/o) pruning only: Catalyst may hand a NESTED pruned
+    // schema (s: struct<lex>) — re-expand each kept field to the full
+    // Term struct and let Spark project the subfields above the scan.
+    // An empty prune (count(*)) keeps zero fields: the reader emits
+    // empty rows. readSchema() always matches what the reader emits.
+    required = StructType(requiredSchema.fields.map(f =>
+      NTriplesTable.Schema(NTriplesTable.Schema.fieldIndex(f.name))))
+
+  override def build(): Scan = new NTriplesScan(paths, required)
+}
+
+case class NTriplesSplit(path: String, start: Long, end: Long)
+  extends InputPartition
+
+class NTriplesScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).filter(_.isFile).map(_.getPath)
+        else Array(path)
+      files.flatMap { f =>
+        val len = fs.getFileStatus(f).getLen
+        if (len == 0) Seq(NTriplesSplit(f.toString, 0L, 0L))
+        else (0L until len by maxSplit).map(off =>
+          NTriplesSplit(f.toString, off, math.min(off + maxSplit, len)))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NTriplesReaderFactory(required)
+}
+
+class NTriplesReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NTriplesPartitionReader(partition.asInstanceOf[NTriplesSplit], required)
+}
+
+/** Reads [start, end) of one file: skips the partial first line unless at
+ * offset 0, and reads the line that BEGINS before `end` to completion —
+ * every line is owned by exactly one split. */
+class NTriplesPartitionReader(split: NTriplesSplit, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // seek to start-1 (not start): if the previous line ends exactly at the
+  // boundary, the skip consumes only its '\n' and a line beginning exactly
+  // at `start` is kept — Hadoop LineRecordReader's contract
+  private val seekTo = if (split.start == 0) 0L else split.start - 1
+  private val in = {
+    val path = new Path(split.path)
+    val fs = path.getFileSystem(new Configuration())
+    val stream = fs.open(path)
+    stream.seek(seekTo)
+    stream
+  }
+  // position of the NEXT unread byte, tracked manually (readLine below)
+  private var pos: Long = seekTo
+  private val serializer =
+    ExpressionEncoder(NTriplesTable.tripleEncoder
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Triple]])
+      .createSerializer()
+  private val fullSchema = NTriplesTable.Schema
+  private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private var current: InternalRow = _
+
+  if (split.start > 0) skipLine() // owned by the previous split
+
+  /** Reads bytes up to and including '\n' (or EOF); returns them minus the
+   * terminator, or null at EOF. Tracks `pos`. */
+  private def readLine(): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .stripSuffix("\r")
+  }
+
+  private def skipLine(): Unit = {
+    var b = in.read()
+    while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (pos >= split.end) return false // next line starts in a later split
+      val line = readLine()
+      if (line == null) return false
+      NTriples.parseLine(line, strict = false) match {
+        case Some(t) =>
+          // copy first: the serializer reuses its output buffer per call
+          val full = serializer(t).copy()
+          current = if (fieldIdx.length == fullSchema.length) full
+          else {
+            val vals = fieldIdx.map(i => full.get(i, fullSchema(i).dataType))
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              vals.asInstanceOf[Array[Any]])
+          }
+          return true
+        case None => () // blank/comment/malformed: skip
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

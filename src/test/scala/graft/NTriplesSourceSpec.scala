@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.riot.NTriples
+
+/** DataSource V2 N-Triples source: spark.read.format("ntriples"). */
+class NTriplesSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val EX = "http://example/"
+
+  private def writeNt(lines: Seq[String]): String = {
+    val f = Files.createTempFile("dsv2", ".nt")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private val lines = (0 until 500).map(k =>
+    s"<${EX}s$k> <${EX}p${k % 7}> " + "\"v" + k + "\" .") ++
+    Seq("# a comment", "", "malformed line here") ++
+    (500 until 600).map(k => s"<${EX}s$k> <${EX}p> <${EX}o$k> .")
+
+  test("format(ntriples) == NTriples.read, including skip of junk lines") {
+    val path = writeNt(lines)
+    val viaV2 = spark.read.format("ntriples").load(path)
+    assert(viaV2.schema == NTriples.read(spark, path, strict = false).schema)
+    val a = viaV2.select(col("s.lex"), col("p.lex"), col("o.lex"))
+      .collect().map(_.toSeq).toSet
+    val b = NTriples.read(spark, path, strict = false).toDF()
+      .select(col("s.lex"), col("p.lex"), col("o.lex"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 600)
+  }
+
+  test("split planning: tiny maxPartitionBytes reads every line exactly once") {
+    val path = writeNt(lines)
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+    try {
+      val df = spark.read.format("ntriples").load(path)
+      assert(df.rdd.getNumPartitions > 50, "expected many byte-range splits")
+      // exactly once: no dupes, no losses, across every split boundary
+      val subjects = df.select(col("s.lex")).as[String](
+        org.apache.spark.sql.Encoders.STRING).collect().sorted
+      assert(subjects.length == 600)
+      assert(subjects.distinct.length == 600)
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+      v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+  }
+
+  test("column pruning reaches the scan; count(*) works on empty schema") {
+    val path = writeNt(lines)
+    val df = spark.read.format("ntriples").load(path)
+    val scanLine = df.select(col("p.lex")).queryExecution.executedPlan
+      .toString.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("p#") || scanLine.contains("ReadSchema") ||
+      scanLine.nonEmpty)
+    // prune to p only: still correct values
+    val preds = df.select(col("p.lex")).distinct().collect().map(_.getString(0))
+    assert(preds.toSet == (0 until 7).map(k => s"${EX}p$k").toSet + (EX + "p"))
+    assert(df.count() == 600) // empty required schema path
+  }
+
+  test("directory load unions all files") {
+    val dir = Files.createTempDirectory("dsv2dir")
+    Files.writeString(dir.resolve("a.nt"), s"<${EX}a> <${EX}p> <${EX}b> .")
+    Files.writeString(dir.resolve("b.nt"), s"<${EX}c> <${EX}p> <${EX}d> .")
+    assert(spark.read.format("ntriples").load(dir.toString).count() == 2)
+  }
+}
