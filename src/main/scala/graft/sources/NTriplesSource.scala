@@ -62,13 +62,21 @@ object NTriplesTable {
   val Schema: StructType = tripleEncoder.schema
 }
 
-class NTriplesTable(paths: Seq[String]) extends Table with SupportsRead {
+class NTriplesTable(paths: Seq[String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"ntriples(${paths.mkString(",")})"
   override def schema(): StructType = NTriplesTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NTriplesScanBuilder(paths)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1, "ntriples write needs exactly one target path")
+    new NTriplesWriteBuilder(paths.head, info.schema())
+  }
 }
 
 class NTriplesScanBuilder(paths: Seq[String])
@@ -195,4 +203,101 @@ class NTriplesPartitionReader(split: NTriplesSplit, required: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ----------------------------------------------------------------- write
+
+/** DSv2 write path: `df.write.format("ntriples").save(dir)` — one
+ * canonical .nt file per partition, two-phase commit (tasks write to
+ * `_temporary/<uuid>.nt`, the driver renames into place on job commit and
+ * deletes strays on abort — the FileOutputCommitter shape without the
+ * Hadoop committer machinery). Input must carry the Triple schema
+ * (s/p/o Term structs). */
+class NTriplesWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.sameElements(NTriplesTable.Schema.fieldNames),
+    s"ntriples sink needs (s, p, o) Term structs, got: ${schema.fieldNames.mkString(",")}")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new NTriplesBatchWrite(path, doTruncate)
+    }
+}
+
+case class NTriplesCommitMsg(tempFile: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class NTriplesBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  // job-unique suffix: append mode must never collide with a prior job's
+  // part files
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new NTriplesWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".nt"))
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(dir)
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val tmp = new Path(m.asInstanceOf[NTriplesCommitMsg].tempFile)
+      fs.rename(tmp, new Path(dir, f"part-$i%05d-$jobTag.nt"))
+    }
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(path, "_temporary"), true)
+  }
+}
+
+class NTriplesWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new NTriplesDataWriter(path, partitionId, taskId)
+}
+
+class NTriplesDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = new Path(path,
+    s"_temporary/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.nt")
+  private val fs = tmp.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def term(row: InternalRow, i: Int): graft.model.Term = {
+    val t = row.getStruct(i, 4)
+    graft.model.Term(t.getByte(0), t.getUTF8String(1).toString,
+      t.getUTF8String(2).toString, t.getUTF8String(3).toString)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    out.write(Triple(term(row, 0), term(row, 1), term(row, 2)).toNTriples)
+    out.write('\n')
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    NTriplesCommitMsg(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

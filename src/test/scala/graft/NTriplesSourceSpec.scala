@@ -65,6 +65,29 @@ class NTriplesSourceSpec extends AnyFunSuite {
     assert(df.count() == 600) // empty required schema path
   }
 
+  test("write path: df.write.format(ntriples) round-trips through the reader") {
+    val path = writeNt(lines)
+    val outDir = Files.createTempDirectory("dsv2w").toString
+    val df = spark.read.format("ntriples").load(path).repartition(4)
+    df.write.format("ntriples").mode("overwrite").save(outDir)
+    val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".nt"))
+    assert(files.length == 4, "one .nt file per partition")
+    assert(!new java.io.File(outDir, "_temporary").exists())
+    val back = spark.read.format("ntriples").load(outDir)
+      .select(col("s.lex"), col("p.lex"), col("o.lex"))
+      .collect().map(_.toSeq).toSet
+    val orig = spark.read.format("ntriples").load(path)
+      .select(col("s.lex"), col("p.lex"), col("o.lex"))
+      .collect().map(_.toSeq).toSet
+    assert(back == orig && back.size == 600)
+    // overwrite replaces, never appends
+    df.limit(10).write.format("ntriples").mode("overwrite").save(outDir)
+    assert(spark.read.format("ntriples").load(outDir).count() == 10)
+    // append adds without clobbering (job-unique part names)
+    df.limit(5).write.format("ntriples").mode("append").save(outDir)
+    assert(spark.read.format("ntriples").load(outDir).count() == 15)
+  }
+
   test("directory load unions all files") {
     val dir = Files.createTempDirectory("dsv2dir")
     Files.writeString(dir.resolve("a.nt"), s"<${EX}a> <${EX}p> <${EX}b> .")
