@@ -37,6 +37,35 @@ class VecSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects graft_cosine at session build (spark.sql.extensions path)") {
+    // a separate session with the extension, no programmatic Vec.register.
+    // getOrCreate() reuses the active session and would skip extensions —
+    // clear default/active around the build (the SparkContext is shared).
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      // .withExtensions == what spark.sql.extensions=graft.GraftExtensions
+      // does at spark-submit; the conf form is a STATIC conf read from the
+      // SparkContext conf at context creation, so it cannot be exercised
+      // on this suite's shared context
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        s"SELECT ${Vec.CosineName}(cast(array(1.0, 0.0) as array<float>), " +
+          "cast(array(1.0, 0.0) as array<float>)) AS c").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("CosineSim null/edge semantics match the HOF on both eval paths") {
     Vec.register(spark)
     import spark.implicits._
