@@ -26,9 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(Vec.CosineName),
       new ExpressionInfo(classOf[CosineSim].getName, Vec.CosineName),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, s"${Vec.CosineName} expects 2 arguments")
-        CosineSim(args.head, args(1))
-      }))
+      Vec.cosineBuilder))
   }
 }

@@ -112,16 +112,18 @@ case class CosineSim(left: Expression, right: Expression)
 object Vec {
   val CosineName = "graft_cosine"
 
+  /** One builder shared by the programmatic path (register) and the
+   * SparkSessionExtensions path (graft.GraftExtensions) so the two can
+   * never diverge. */
+  val cosineBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$CosineName expects 2 arguments")
+    CosineSim(args.head, args(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(CosineName))) {
-      reg.createOrReplaceTempFunction(
-        CosineName,
-        (args: Seq[Expression]) => {
-          require(args.length == 2, s"$CosineName expects 2 arguments")
-          CosineSim(args.head, args(1))
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "built-in")
     }
   }
 }

@@ -253,14 +253,15 @@ object OpsQueries {
    * closure in DuckDB. */
   def d8_dedup_clusters(s: SparkSession, d: String): DataFrame = {
     val pairs = d4_dedup_lsh(s, d).select(col("a_id"), col("b_id"))
-    // zero-padded string ids: CC's lexicographic min == numeric min
+    // zero-padded string ids (width 19 = max positive Long digits, so no
+    // id can truncate): CC's lexicographic min == numeric min
     val edges = pairs.select(
-      lpad(col("a_id").cast("string"), 7, "0").as("src"),
-      lpad(col("b_id").cast("string"), 7, "0").as("dst"))
+      lpad(col("a_id").cast("string"), 19, "0").as("src"),
+      lpad(col("b_id").cast("string"), 19, "0").as("dst"))
     val cc = graft.canon.ConnectedComponents.runAdaptive(edges)
     val base = Tables.documents(s, d).select(col("doc_id"))
     val ids = base.union(base.select((col("doc_id") + 100000).as("doc_id")))
-    ids.join(cc, lpad(col("doc_id").cast("string"), 7, "0") === col("node"),
+    ids.join(cc, lpad(col("doc_id").cast("string"), 19, "0") === col("node"),
         "left")
       .select(col("doc_id"),
         coalesce(col("component").cast("long"), col("doc_id")).as("canon_id"))
@@ -275,8 +276,8 @@ object OpsQueries {
    * `aggregate(zip_with(a,b,*)) / (sqrt(aggregate(a,x²)) *
    * sqrt(aggregate(b,x²)))` it replaced (VecSpec pins the equivalence),
    * so every DuckDB oracle is unchanged. */
-  private def cosineExpr(a: String, b: String): Column = {
-    graft.functions.Vec.register(SparkSession.active)
+  private def cosineExpr(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.Vec.register(s)
     expr(s"${graft.functions.Vec.CosineName}($a, $b)")
   }
 
@@ -291,7 +292,7 @@ object OpsQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("sim", cosineExpr(s, "qv", "nv"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -338,7 +339,7 @@ object OpsQueries {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     queries.join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("sim", cosineExpr(s, "qv", "nv"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -351,7 +352,7 @@ object OpsQueries {
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim", cosineExpr("av", "bv"))
+      .withColumn("sim", cosineExpr(s, "av", "bv"))
       .where(col("sim") >= 0.35)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim4"))
   }
@@ -405,7 +406,7 @@ object OpsQueries {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("tbl", "bucket")).where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv")).distinct()
-      .withColumn("sim", cosineExpr("qv", "nv"))
+      .withColumn("sim", cosineExpr(s, "qv", "nv"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"),

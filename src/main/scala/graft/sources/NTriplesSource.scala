@@ -60,6 +60,28 @@ class NTriplesDataSource extends TableProvider with DataSourceRegister {
 object NTriplesTable {
   implicit val tripleEncoder: Encoder[Triple] = Encoders.product[Triple]
   val Schema: StructType = tripleEncoder.schema
+
+  /** The session's Hadoop conf (spark.hadoop.*, fs.* credentials) as a
+   * serializable property list — executors rebuild a Configuration from
+   * it, so s3a/hdfs settings survive the driver -> task hop. */
+  def hadoopProps(): Array[(String, String)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  def confOf(props: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Data files only: skip _SUCCESS/_temporary/.crc and other hidden or
+   * system entries, like Spark's built-in file sources. */
+  def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 }
 
 class NTriplesTable(paths: Seq[String]) extends Table
@@ -104,17 +126,23 @@ class NTriplesScan(paths: Seq[String], required: StructType)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).filter(_.isFile).map(_.getPath)
-        else Array(path)
-      files.flatMap { f =>
-        val len = fs.getFileStatus(f).getLen
+      // globStatus expands wildcards and passes literal paths through
+      val roots = Option(fs.globStatus(path)).getOrElse(Array.empty)
+      require(roots.nonEmpty, s"ntriples: no files match $p")
+      val files = roots.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(f =>
+            f.isFile && NTriplesTable.isDataFile(f.getPath.getName))
+        else Array(st)
+      }
+      files.flatMap { st =>
+        val f = st.getPath
+        val len = st.getLen
         if (len == 0) Seq(NTriplesSplit(f.toString, 0L, 0L))
         else (0L until len by maxSplit).map(off =>
           NTriplesSplit(f.toString, off, math.min(off + maxSplit, len)))
@@ -123,19 +151,21 @@ class NTriplesScan(paths: Seq[String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NTriplesReaderFactory(required)
+    new NTriplesReaderFactory(required, NTriplesTable.hadoopProps())
 }
 
-class NTriplesReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+class NTriplesReaderFactory(required: StructType,
+    hadoopProps: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NTriplesPartitionReader(partition.asInstanceOf[NTriplesSplit], required)
+    new NTriplesPartitionReader(partition.asInstanceOf[NTriplesSplit],
+      required, hadoopProps)
 }
 
 /** Reads [start, end) of one file: skips the partial first line unless at
  * offset 0, and reads the line that BEGINS before `end` to completion —
  * every line is owned by exactly one split. */
-class NTriplesPartitionReader(split: NTriplesSplit, required: StructType)
+class NTriplesPartitionReader(split: NTriplesSplit, required: StructType,
+    hadoopProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   // seek to start-1 (not start): if the previous line ends exactly at the
@@ -144,10 +174,12 @@ class NTriplesPartitionReader(split: NTriplesSplit, required: StructType)
   private val seekTo = if (split.start == 0) 0L else split.start - 1
   private val in = {
     val path = new Path(split.path)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(NTriplesTable.confOf(hadoopProps))
     val stream = fs.open(path)
     stream.seek(seekTo)
-    stream
+    // buffer above the seeked stream: byte-wise read() below would
+    // otherwise pay a synchronized virtual call into the FS stack per byte
+    new java.io.BufferedInputStream(stream, 64 * 1024)
   }
   // position of the NEXT unread byte, tracked manually (readLine below)
   private var pos: Long = seekTo
@@ -236,45 +268,53 @@ class NTriplesBatchWrite(path: String, truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  // job-unique suffix: append mode must never collide with a prior job's
-  // part files
+  // job-unique tag: part files of concurrent/successive append jobs never
+  // collide, and each job owns its own temp dir (a concurrent job's commit
+  // must not sweep this job's uncommitted task files)
   private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+  private val hadoopProps = NTriplesTable.hadoopProps()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new NTriplesWriterFactory(path)
+    new NTriplesWriterFactory(path, jobTag, hadoopProps)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(NTriplesTable.confOf(hadoopProps))
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".nt"))
         .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(dir)
     messages.zipWithIndex.foreach { case (m, i) =>
       val tmp = new Path(m.asInstanceOf[NTriplesCommitMsg].tempFile)
-      fs.rename(tmp, new Path(dir, f"part-$i%05d-$jobTag.nt"))
+      val dest = new Path(dir, f"part-$i%05d-$jobTag.nt")
+      // Hadoop rename reports failure via its return value, not exceptions
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"ntriples commit: rename $tmp -> $dest failed")
     }
-    fs.delete(new Path(dir, "_temporary"), true)
+    fs.delete(new Path(dir, s"_temporary-$jobTag"), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
-    fs.delete(new Path(path, "_temporary"), true)
+    val fs = new Path(path).getFileSystem(NTriplesTable.confOf(hadoopProps))
+    fs.delete(new Path(path, s"_temporary-$jobTag"), true)
   }
 }
 
-class NTriplesWriterFactory(path: String)
+class NTriplesWriterFactory(path: String, jobTag: String,
+    hadoopProps: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new NTriplesDataWriter(path, partitionId, taskId)
+    new NTriplesDataWriter(path, jobTag, hadoopProps, partitionId, taskId)
 }
 
-class NTriplesDataWriter(path: String, partitionId: Int, taskId: Long)
+class NTriplesDataWriter(path: String, jobTag: String,
+    hadoopProps: Array[(String, String)], partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val tmp = new Path(path,
-    s"_temporary/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.nt")
-  private val fs = tmp.getFileSystem(new Configuration())
+    s"_temporary-$jobTag/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.nt")
+  private val fs = tmp.getFileSystem(NTriplesTable.confOf(hadoopProps))
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
 

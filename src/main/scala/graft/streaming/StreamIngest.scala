@@ -121,6 +121,9 @@ object StreamIngest {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      // malformed rows (null id/text) are skipped, like the riot readers'
+      // strict=false path — a poisoned row must not kill the whole query
+      .where(col("id").isNotNull && col("t").isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = graft.ops.MinHash.simhash60(text)

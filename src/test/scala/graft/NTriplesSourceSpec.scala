@@ -72,7 +72,8 @@ class NTriplesSourceSpec extends AnyFunSuite {
     df.write.format("ntriples").mode("overwrite").save(outDir)
     val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".nt"))
     assert(files.length == 4, "one .nt file per partition")
-    assert(!new java.io.File(outDir, "_temporary").exists())
+    assert(!new java.io.File(outDir).listFiles()
+      .exists(_.getName.startsWith("_temporary")), "no temp residue")
     val back = spark.read.format("ntriples").load(outDir)
       .select(col("s.lex"), col("p.lex"), col("o.lex"))
       .collect().map(_.toSeq).toSet
