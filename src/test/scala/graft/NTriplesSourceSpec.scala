@@ -89,6 +89,24 @@ class NTriplesSourceSpec extends AnyFunSuite {
     assert(spark.read.format("ntriples").load(outDir).count() == 15)
   }
 
+  test("nquads format: named + default graphs round-trip read and write") {
+    val f = Files.createTempFile("dsv2", ".nq")
+    Files.writeString(f, Seq(
+      s"<${EX}s1> <${EX}p> <${EX}o1> <${EX}g1> .",
+      s"<${EX}s2> <${EX}p> " + "\"x\"" + " .", // default graph: 3 terms
+      s"<${EX}s3> <${EX}p> <${EX}o3> <${EX}g2> .").mkString("\n"))
+    val df = spark.read.format("nquads").load(f.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("s", "p", "o", "g"))
+    val gs = df.select(col("g.lex")).collect().map(_.getString(0)).sorted
+    assert(gs.count(_.endsWith("g1")) == 1 && gs.count(_.endsWith("g2")) == 1)
+    val outDir = Files.createTempDirectory("dsv2nq").toString
+    df.coalesce(1).write.format("nquads").mode("overwrite").save(outDir)
+    val back = spark.read.format("nquads").load(outDir)
+    assert(back.count() == 3)
+    assert(back.select(col("g.lex")).collect().map(_.getString(0)).sorted
+      .sameElements(gs))
+  }
+
   test("directory load unions all files") {
     val dir = Files.createTempDirectory("dsv2dir")
     Files.writeString(dir.resolve("a.nt"), s"<${EX}a> <${EX}p> <${EX}b> .")
