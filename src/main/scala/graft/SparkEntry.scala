@@ -51,6 +51,7 @@ object SparkEntry {
     "t7_repetition"     -> OpsQueries.t7_repetition _,
     "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
+    "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
@@ -462,6 +463,42 @@ object SparkEntry {
            ((n_words - n_distinct) * 1000) // n_words AS dup_word_permille,
            (mx * 1000) // tot AS top_bigram_permille
          FROM stats s JOIN top USING (doc_id)""",
+    "c1_corpus_filter" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com for details'
+                  ELSE text END AS t
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT)
+               AS n_distinct,
+             (1000 * CAST(len(list_filter(string_split(t, ' '),
+                w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT))
+               // CAST(len(string_split(t, ' ')) AS BIGINT)
+               AS stopword_permille,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails
+           FROM aug),
+         ruled AS (
+           SELECT doc_id, n_tokens,
+             ((n_tokens - n_distinct) * 1000) // n_tokens AS dup_word_permille,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 5000 THEN 'too_long'
+                  WHEN n_emails > 0 THEN 'pii'
+                  WHEN ((n_tokens - n_distinct) * 1000) // n_tokens > 700
+                    THEN 'repetitive'
+                  WHEN stopword_permille < 10 THEN 'low_quality'
+                  ELSE '' END AS reason
+           FROM sig)
+         SELECT doc_id,
+           CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           reason, n_tokens, dup_word_permille
+         FROM ruled""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,

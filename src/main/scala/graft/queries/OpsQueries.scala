@@ -620,6 +620,44 @@ object OpsQueries {
           .as("redacted_md5"))
   }
 
+  /** The capstone corpus-quality FILTER — the end decision a training-data
+   * pipeline ships: one narrow per-row projection combines the signal
+   * families (token counts, stopword ratio, duplicate-word ratio, planted
+   * PII) into keep/drop plus the FIRST failing rule as a reason code.
+   * Deliberately join-free and shuffle-free: every signal is per-row, so
+   * the filter runs at scan speed on any corpus size; the component
+   * signals are oracle-gated individually (t1/t7/t8), this query gates
+   * their composition and the rule precedence. */
+  def c1_corpus_filter(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    // the same planted-email augmentation as t8, so the PII rule has hits
+    val aug0 = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com for details"))).otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug0.as("t"))
+      .select(col("doc_id"),
+        expr("size(split(t, ' '))").cast("long").as("n_tokens"),
+        expr("size(array_distinct(split(t, ' ')))").cast("long").as("n_distinct"),
+        expr("""(1000 * size(filter(split(t, ' '),
+                 w -> w in ('the', 'a', 'of', 'and')))) div size(split(t, ' '))""")
+          .as("stopword_permille"),
+        expr(s"size(regexp_extract_all(t, '$emailPat', 0))").cast("long")
+          .as("n_emails"))
+      .withColumn("dup_word_permille",
+        expr("((n_tokens - n_distinct) * 1000) div n_tokens"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 5000, "too_long")
+          .when(col("n_emails") > 0, "pii")
+          .when(col("dup_word_permille") > 700, "repetitive")
+          .when(col("stopword_permille") < 10, "low_quality")
+          .otherwise(""))
+      .withColumn("keep", (col("reason") === "").cast("long"))
+      .select(col("doc_id"), col("keep"), col("reason"),
+        col("n_tokens"), col("dup_word_permille"))
+  }
+
   // ---------------------------------------------------------------- graphs
 
   /** Transitive closure (SPARQL `p+`, SURVEY §2.8) over a bounded synthetic
