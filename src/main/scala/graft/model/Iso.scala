@@ -37,6 +37,37 @@ object Iso {
     matchAll(restA, restB, bnA.toList.sortBy(sigA), sigA, sigB, Map.empty)
   }
 
+  /**
+   * Entailment-style subgraph check (the reference test-harness's
+   * WGReasonerTester.testConclusions → Matcher.subgraphInferred): every
+   * triple of `sub` must appear in `g` under SOME mapping of `sub`'s
+   * blank nodes to arbitrary `g` terms (existential semantics — two
+   * `sub` bnodes MAY map to the same term; no injectivity). Ground
+   * terms must match exactly.
+   */
+  def subgraphInferred(sub: Iterable[Triple], g: Iterable[Triple]): Boolean = {
+    val gs = g.toSet
+    def bind(pat: Term, actual: Term, m: Map[String, Term]): Option[Map[String, Term]] =
+      if (pat.isBNode) m.get(pat.lex) match {
+        case Some(x) => if (x == actual) Some(m) else None
+        case None => Some(m + (pat.lex -> actual))
+      }
+      else if (pat == actual) Some(m) else None
+    def solve(ts: List[Triple], m: Map[String, Term]): Boolean = ts match {
+      case Nil => true
+      case t :: rest =>
+        gs.exists { cand =>
+          bind(t.s, cand.s, m)
+            .flatMap(bind(t.p, cand.p, _))
+            .flatMap(bind(t.o, cand.o, _))
+            .exists(solve(rest, _))
+        }
+    }
+    // bind most-ground triples first to prune the search
+    val ordered = sub.toList.sortBy(t => Seq(t.s, t.p, t.o).count(_.isBNode))
+    solve(ordered, Map.empty)
+  }
+
   private def bnodes(ts: Seq[Triple]): Set[String] =
     ts.flatMap(t => Seq(t.s, t.o).filter(_.isBNode).map(_.lex)).toSet
 

@@ -124,7 +124,67 @@ object ReasonQueries {
       .select(col("s.lex").as("inst"))
   }
 
+  /**
+   * Oracle-gated OWL-micro closure (graft.reason.Owl — the reference's
+   * OWLMicroReasoner analog): customers link to nations through an
+   * object property, and a small ontology drives FIVE distinct OWL
+   * inference shapes end-to-end through the driver-side schema compile +
+   * distributed semi-naive closure:
+   *   - rdfs:domain            → every customer is a g:Agent
+   *   - rdfs:range             → every referenced nation is a g:Place
+   *   - owl:someValuesFrom     → recognition types customers g:HasPlace
+   *   - rdfs:subClassOf        → …and therefore g:Connected
+   *   - owl:intersectionOf     → the hook-compiled ground rule types
+   *                              (Agent ∧ HasPlace) as g:PlacedAgent
+   * The DuckDB oracle restates each consequence relationally.
+   */
+  def v7_owl_micro(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    def iriCol(prefix: String, c: Column) =
+      TermCols.iriTerm(concat(lit(NS + prefix), c.cast("string")))
+    def t(sC: Column, p: String, oC: Column) =
+      struct(sC.as("s"), TermCols.const(Term.iri(p)).as("p"), oC.as("o")).as("x")
+    val data = customer
+      .select(t(iriCol("c:", col("c_custkey")), NS + "inNation",
+        iriCol("n:", col("c_nationkey"))))
+      .select(col("x.s").as("s"), col("x.p").as("p"), col("x.o").as("o"))
+    // the ontology (TBox): 11 triples, built inline
+    def T(s0: String, p0: String, o0: String) = graft.model.Triple(
+      Term.iri(s0), Term.iri(p0), Term.iri(o0))
+    val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val OWLNS = "http://www.w3.org/2002/07/owl#"
+    val tbox = Seq(
+      T(NS + "inNation", "http://www.w3.org/2000/01/rdf-schema#domain", NS + "Agent"),
+      T(NS + "inNation", "http://www.w3.org/2000/01/rdf-schema#range", NS + "Place"),
+      T(NS + "HasPlace", OWLNS + "onProperty", NS + "inNation"),
+      T(NS + "HasPlace", OWLNS + "someValuesFrom", NS + "Place"),
+      T(NS + "HasPlace", SUBCLASS, NS + "Connected"),
+      T(NS + "PlacedAgent", OWLNS + "intersectionOf", NS + "l1"),
+      T(NS + "l1", RDFNS + "first", NS + "Agent"),
+      T(NS + "l1", RDFNS + "rest", NS + "l2"),
+      T(NS + "l2", RDFNS + "first", NS + "HasPlace"),
+      T(NS + "l2", RDFNS + "rest", RDFNS + "nil"))
+    import s.implicits._
+    val triples = data.unionAll(s.createDataset(tbox).toDF())
+    val interesting = Seq("Agent", "Place", "HasPlace", "Connected",
+      "PlacedAgent").map(NS + _)
+    graft.reason.Owl.closure(triples)
+      .filter(col("p.lex") === RDF_TYPE &&
+        col("o.lex").isin(interesting: _*) &&
+        (col("s.lex").startsWith(NS + "c:") || col("s.lex").startsWith(NS + "n:")))
+      .select(col("s.lex").as("inst"), col("o.lex").as("cls"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v7_owl_micro" -> s"""
+      WITH c AS (SELECT '${NS}c:' || c_custkey AS i,
+                        '${NS}n:' || c_nationkey AS n FROM customer)
+      SELECT i AS inst, '${NS}Agent' AS cls FROM c
+      UNION ALL SELECT i, '${NS}HasPlace' FROM c
+      UNION ALL SELECT i, '${NS}Connected' FROM c
+      UNION ALL SELECT i, '${NS}PlacedAgent' FROM c
+      UNION ALL SELECT DISTINCT n, '${NS}Place' FROM c
+      """,
     "v6_magic_goal" -> s"""
       SELECT '${NS}c:' || c_custkey AS inst FROM customer
       """,

@@ -1,0 +1,686 @@
+package graft.reason
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{Term, Triple}
+import graft.reason.Rules.{Atom, Guard, RConst, RVar, Rule, RuleSet}
+
+/**
+ * OWL "micro" reasoner — the Spark-native analog of the reference's
+ * OWLMicroReasoner (jena-core/.../reasoner/rulesys/OWLMicroReasoner.java
+ * over etc/owl-fb-micro.rules): OWL-Lite-ish inference WITHOUT individual
+ * equality (owl:sameAs) reasoning and without bNode-introducing
+ * someValuesFrom entailments.
+ *
+ * Architecture (deliberately different from the reference's hybrid
+ * forward/backward engine):
+ *
+ *  - the GENERIC rule program (resource graft/owl-micro-forward.rules)
+ *    is pure-forward and runs unchanged on both rule-engine faces
+ *    ([[Rules.closureLocal]] per-document, [[Rules.closure]] DataFrame
+ *    semi-naive for one huge KG);
+ *  - the functor/list machinery the reference encodes as rule terms
+ *    (some(?P,?D), listMapAsSubject, OWLRuleTranslationHook.java) is a
+ *    driver-side SCHEMA COMPILE ([[compileHook]]): a pure function of the
+ *    saturated graph that emits ground axioms (restriction equality,
+ *    cardinality arithmetic, intersection/union subclass links,
+ *    owl:distinctMembers pairs, owl:Nothing detection) and ground
+ *    RECOGNITION rules (intersection membership, min/hasValue/allRec
+ *    recognition), iterated with the closure to a joint fixpoint.
+ *
+ * At 100 TB this is the standard stratification of distributed RDFS/OWL
+ * materialization (WebPIE, Urbani et al., ISWC 2010): the TBox is
+ * schema-sized, compiled once on the driver, and the ABox closure runs
+ * set-at-a-time with the compiled program. The documented assumption is
+ * that schema facts are DECLARED (or derivable from declared schema), not
+ * conjured by instance-level joins through undeclared meta-classes; the
+ * local face has no such restriction (it feeds the whole document to the
+ * hook).
+ *
+ * One deliberate completeness extension above micro, noted in the rules
+ * file: the main allValuesFrom entailment ([all1] of owl-fb-mini.rules).
+ * Positive entailments are a superset of micro's, so every micro
+ * entailment still holds; OwlSpec gates both the MICRO-flagged W3C WG
+ * manifests and the mini-level allValuesFrom case.
+ */
+object Owl {
+
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+  private val OWL = "http://www.w3.org/2002/07/owl#"
+  private val XSD = Term.XSD
+
+  private val tType = Term.iri(RDF + "type")
+  private val tFirst = Term.iri(RDF + "first")
+  private val tRest = Term.iri(RDF + "rest")
+  private val tNil = Term.iri(RDF + "nil")
+  private val tSubClassOf = Term.iri(RDFS + "subClassOf")
+  private val tSubPropertyOf = Term.iri(RDFS + "subPropertyOf")
+  private val tDomain = Term.iri(RDFS + "domain")
+  private val tRange = Term.iri(RDFS + "range")
+  private val tDatatypeClass = Term.iri(RDFS + "Datatype")
+  private val tLiteralClass = Term.iri(RDFS + "Literal")
+  private val tEquivClass = Term.iri(OWL + "equivalentClass")
+  private val tOnProperty = Term.iri(OWL + "onProperty")
+  private val tSomeValues = Term.iri(OWL + "someValuesFrom")
+  private val tAllValues = Term.iri(OWL + "allValuesFrom")
+  private val tHasValue = Term.iri(OWL + "hasValue")
+  private val tMinCard = Term.iri(OWL + "minCardinality")
+  private val tMaxCard = Term.iri(OWL + "maxCardinality")
+  private val tCard = Term.iri(OWL + "cardinality")
+  private val tIntersection = Term.iri(OWL + "intersectionOf")
+  private val tUnion = Term.iri(OWL + "unionOf")
+  private val tDistinctMembers = Term.iri(OWL + "distinctMembers")
+  private val tDifferentFrom = Term.iri(OWL + "differentFrom")
+  private val tDisjointWith = Term.iri(OWL + "disjointWith")
+  private val tSameAs = Term.iri(OWL + "sameAs")
+  private val tFunctional = Term.iri(OWL + "FunctionalProperty")
+  private val tDatatypeProp = Term.iri(OWL + "DatatypeProperty")
+  private val tObjectProp = Term.iri(OWL + "ObjectProperty")
+  private val tThing = Term.iri(OWL + "Thing")
+  private val tNothing = Term.iri(OWL + "Nothing")
+
+  /** The generic forward program (axioms + rules). */
+  lazy val microGeneric: RuleSet = {
+    val in = getClass.getResourceAsStream("/graft/owl-micro-forward.rules")
+    require(in != null, "resource graft/owl-micro-forward.rules missing")
+    try Rules.parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
+  // ---- restriction keys (the reference's functor terms) -----------------
+
+  private sealed trait RKey
+  private final case class SomeK(p: Term, d: Term) extends RKey
+  private final case class AllK(p: Term, d: Term) extends RKey
+  private final case class HasValueK(p: Term, v: Term) extends RKey
+  private final case class MinK(p: Term, n: BigInt) extends RKey
+  private final case class MaxK(p: Term, n: BigInt) extends RKey
+  private final case class CardK(p: Term, n: BigInt) extends RKey
+
+  /** Cardinality literal → value ("2"^^xsd:nonNegativeInteger, xsd:int,
+   * plain "2" …). Negative / non-numeric forms yield None (ignored, like
+   * the reference's Functor arg check). */
+  private def cardValue(t: Term): Option[BigInt] =
+    if (!t.isLiteral) None
+    else {
+      val lx = t.lex.trim
+      if (lx.nonEmpty && lx.forall(_.isDigit)) Some(BigInt(lx)) else None
+    }
+
+  /** rdf:first/rdf:rest chain → members; malformed/cyclic lists yield the
+   * readable prefix (the reference's list builtins behave the same: they
+   * simply stop matching). */
+  private def listMembers(head: Term, first: Map[Term, Seq[Term]],
+      rest: Map[Term, Seq[Term]]): Seq[Term] = {
+    val out = mutable.Buffer[Term]()
+    val seen = mutable.Set[Term]()
+    var cur = head
+    while (cur != tNil && !seen.contains(cur)) {
+      seen += cur
+      first.getOrElse(cur, Nil).headOption match {
+        case Some(m) => out += m
+        case None => return out.toSeq
+      }
+      cur = rest.getOrElse(cur, Nil).headOption.getOrElse(tNil)
+    }
+    out.toSeq
+  }
+
+  /** Stable ground-rule helper. */
+  private def rule(name: String, body: Seq[Atom], heads: Seq[Atom],
+      guards: Seq[Guard] = Nil): Rule = Rule(name, body, guards, heads)
+  private def v(n: String): RVar = RVar(n)
+  private def c(t: Term): RConst = RConst(t)
+
+  /**
+   * The schema translation hook (OWLRuleTranslationHook.java analog, plus
+   * the functor rules of owl-fb-micro.rules restated over explicit keys):
+   * pure function of a saturated graph, returns (extra ground axioms,
+   * extra ground rules). Iterated to fixpoint by [[compileProgram]].
+   */
+  private[reason] def compileHook(closure: Set[Triple]): (Set[Triple], Seq[Rule]) = {
+    val byP = closure.groupBy(_.p)
+    def pairs(p: Term): Seq[(Term, Term)] =
+      byP.getOrElse(p, Set.empty).toSeq.map(t => (t.s, t.o))
+    def mm(p: Term): Map[Term, Seq[Term]] =
+      pairs(p).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+
+    val onProp = mm(tOnProperty)
+    val someV = mm(tSomeValues)
+    val allV = mm(tAllValues)
+    val hasV = mm(tHasValue)
+    val minC = mm(tMinCard)
+    val maxC = mm(tMaxCard)
+    val cardC = mm(tCard)
+    val first = mm(tFirst)
+    val rest = mm(tRest)
+    val subClass = pairs(tSubClassOf).toSet
+    val domains = pairs(tDomain)
+    val ranges = pairs(tRange)
+    val disjoint = pairs(tDisjointWith)
+    val functional = byP.getOrElse(tType, Set.empty)
+      .filter(_.o == tFunctional).map(_.s)
+
+    // syntactic keys per restriction node (restriction1..5, hasValueRec:
+    // one key per (onProperty, constraint) pair)
+    val nodeKeys = mutable.Map[Term, mutable.Set[RKey]]()
+    def addNodeKey(n: Term, k: RKey): Unit =
+      nodeKeys.getOrElseUpdate(n, mutable.Set()) += k
+    onProp.foreach { case (r, ps) =>
+      ps.foreach { p =>
+        someV.getOrElse(r, Nil).foreach(d => addNodeKey(r, SomeK(p, d)))
+        allV.getOrElse(r, Nil).foreach(d => addNodeKey(r, AllK(p, d)))
+        hasV.getOrElse(r, Nil).foreach(x => addNodeKey(r, HasValueK(p, x)))
+        minC.getOrElse(r, Nil).flatMap(cardValue).foreach(n => addNodeKey(r, MinK(p, n)))
+        maxC.getOrElse(r, Nil).flatMap(cardValue).foreach(n => addNodeKey(r, MaxK(p, n)))
+        cardC.getOrElse(r, Nil).flatMap(cardValue).foreach { n =>
+          // [restriction5] card => the card, min and max keys
+          addNodeKey(r, CardK(p, n)); addNodeKey(r, MinK(p, n)); addNodeKey(r, MaxK(p, n))
+        }
+      }
+    }
+
+    // abstract key facts: KEq = class ≡ key, KSub = class ⊑ key.
+    val kEq = mutable.Set[(Term, RKey)]()
+    val kSub = mutable.Set[(Term, RKey)]()
+    nodeKeys.foreach { case (n, ks) => ks.foreach(k => kEq += ((n, k))) }
+    // every class reachable below a keyed node inherits the ⊑ fact
+    def close(): Unit = {
+      var changed = true
+      while (changed) {
+        changed = false
+        def addSub(f: (Term, RKey)): Unit = if (kSub.add(f)) changed = true
+        def addEq(f: (Term, RKey)): Unit =
+          if (kEq.add(f)) { changed = true; addSub(f) }
+        kEq.toSeq.foreach(addSub)
+        // ⊑ propagates down the subclass relation into keyed nodes
+        subClass.foreach { case (cc, dd) =>
+          kEq.toSeq.filter(_._1 == dd).foreach(f => addSub((cc, f._2)))
+          kSub.toSeq.filter(_._1 == dd).foreach(f => addSub((cc, f._2)))
+        }
+        // [restriction-inter-CFP] C ≡ card(P,1) ∧ P functional → C ≡ min(P,1)
+        kEq.toSeq.foreach {
+          case (cc, CardK(p, n)) if n == BigInt(1) && functional(p) =>
+            addEq((cc, MinK(p, n)))
+          case _ => ()
+        }
+        // [restriction6] C ≡ min(P,X) ∧ C ≡ max(P,X) → C ≡ card(P,X)
+        kEq.toSeq.foreach {
+          case (cc, MinK(p, n)) if kEq(cc -> MaxK(p, n)) => addEq((cc, CardK(p, n)))
+          case _ => ()
+        }
+        kSub.toSeq.foreach {
+          case (cc, MinK(p, n)) if kSub(cc -> MaxK(p, n)) => addSub((cc, CardK(p, n)))
+          case _ => ()
+        }
+        // [restriction-inter-MnS] P range D ∧ C ⊑ min(P,1) → C ⊑ some(P,D)
+        kSub.toSeq.foreach {
+          case (cc, MinK(p, n)) if n == BigInt(1) =>
+            ranges.filter(_._1 == p).foreach { case (_, d) => addSub((cc, SomeK(p, d))) }
+          case _ => ()
+        }
+        // [allRec1] C ⊑ max(P,1) ∧ C ⊑ some(P,D) → C ⊑ all(P,D)
+        kSub.toSeq.foreach {
+          case (cc, SomeK(p, d)) if kSub(cc -> MaxK(p, BigInt(1))) =>
+            addSub((cc, AllK(p, d)))
+          case _ => ()
+        }
+        // [allRec2] P functional ∧ C ⊑ some(P,C) → C ⊑ all(P,C)
+        kSub.toSeq.foreach {
+          case (cc, SomeK(p, d)) if d == cc && functional(p) => addSub((cc, AllK(p, d)))
+          case _ => ()
+        }
+      }
+    }
+    close()
+
+    val axioms = mutable.Set[Triple]()
+    val rules = mutable.Buffer[Rule]()
+    def ax(s: Term, p: Term, o: Term): Unit = axioms += Triple(s, p, o)
+
+    // materialize abstract facts onto syntactically-keyed nodes
+    val byKey: Map[RKey, Seq[Term]] =
+      nodeKeys.toSeq.flatMap { case (n, ks) => ks.toSeq.map(_ -> n) }
+        .groupBy(_._1).map { case (k, ns) => k -> ns.map(_._2) }
+    kSub.foreach { case (cc, k) =>
+      byKey.getOrElse(k, Nil).foreach(r => if (r != cc) ax(cc, tSubClassOf, r))
+    }
+    kEq.foreach { case (cc, k) =>
+      byKey.getOrElse(k, Nil).foreach { r =>
+        if (r != cc) { ax(cc, tSubClassOf, r); ax(r, tSubClassOf, cc) }
+      }
+    }
+
+    var gid = 0
+    def nextId(): Int = { gid += 1; gid }
+    // recognition rules from abstract keys (gid is per-hook-run but the
+    // construction order is deterministic: sorted key sets)
+    def sortedEq: Seq[(Term, RKey)] = kEq.toSeq.sortBy(_.toString)
+    def sortedSub: Seq[(Term, RKey)] = kSub.toSeq.sortBy(_.toString)
+
+    sortedEq.foreach {
+      // [minRec] C ≡ min(P,1), P ≠ rdf:type: (?x P ?y) → (?x type C)
+      case (cc, MinK(p, n)) if n == BigInt(1) && p != tType =>
+        rules += rule(s"minRec${nextId()}",
+          Seq(Atom(v("x"), c(p), v("y"))), Seq(Atom(v("x"), c(tType), c(cc))))
+      // [someRec2 over derived equivalence]
+      case (cc, SomeK(p, d)) =>
+        rules += rule(s"someRec${nextId()}",
+          Seq(Atom(v("x"), c(p), v("a")), Atom(v("a"), c(tType), c(d))),
+          Seq(Atom(v("x"), c(tType), c(cc))))
+      // [hasValueIF over derived equivalence]
+      case (cc, HasValueK(p, value)) =>
+        rules += rule(s"hasValueRec${nextId()}",
+          Seq(Atom(v("x"), c(p), c(value))), Seq(Atom(v("x"), c(tType), c(cc))))
+        rules += rule(s"hasValueEnt${nextId()}",
+          Seq(Atom(v("x"), c(tType), c(cc))), Seq(Atom(v("x"), c(p), c(value))))
+      // [allRec4/5] C ≡ all(P,D) ∧ (P functional ∨ C ⊑ max(P,1)):
+      // (?x P ?y),(?y type D) → (?x type C)
+      case (cc, AllK(p, d)) if functional(p) || kSub(cc -> MaxK(p, BigInt(1))) =>
+        rules += rule(s"allRec${nextId()}",
+          Seq(Atom(v("x"), c(p), v("y")), Atom(v("y"), c(tType), c(d))),
+          Seq(Atom(v("x"), c(tType), c(cc))))
+      case _ => ()
+    }
+    sortedSub.foreach {
+      // [all1, mini] C ⊑ all(P,D): (?x type C),(?x P ?y) → (?y type D)
+      case (cc, AllK(p, d)) =>
+        rules += rule(s"allEnt${nextId()}",
+          Seq(Atom(v("x"), c(tType), c(cc)), Atom(v("x"), c(p), v("y"))),
+          Seq(Atom(v("y"), c(tType), c(d))))
+      // [maxRec] C ≡ max(P,1) ∧ P functional → Thing ⊑ C (≡ suffices here:
+      // kEq ⊆ kSub and the reference keys on the equivalence)
+      case (cc, MaxK(p, n)) if n == BigInt(1) && functional(p) && kEq(cc -> MaxK(p, n)) =>
+        ax(tThing, tSubClassOf, cc)
+      case _ => ()
+    }
+    // [nothing1] C ⊑ min(P,n) ∧ C ⊑ max(P,x) ∧ x < n → C ≡ Nothing
+    sortedSub.foreach {
+      case (cc, MinK(p, n)) =>
+        kSub.foreach {
+          case (`cc`, MaxK(`p`, x)) if x < n =>
+            ax(cc, tEquivClass, tNothing); ax(cc, tSubClassOf, tNothing)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    // [restriction-inter-RA-T] P range C ∧ D ≡ all(P,C) → Thing ⊑ D
+    sortedEq.foreach {
+      case (dd, AllK(p, cc)) if ranges.contains((p, cc)) => ax(tThing, tSubClassOf, dd)
+      case _ => ()
+    }
+    // [maxRec2 / cardRec1] C ≡ max(P,0) (or card(P,0)) ∧ P domain D ∧
+    // E disjointWith D → E ≡ C
+    sortedEq.foreach {
+      case (cc, MaxK(p, n)) if n == BigInt(0) =>
+        domains.filter(_._1 == p).foreach { case (_, d) =>
+          disjoint.filter(_._2 == d).foreach { case (e, _) =>
+            ax(e, tSubClassOf, cc); ax(cc, tSubClassOf, e)
+          }
+        }
+      case _ => ()
+    }
+
+    // [intersectionOf1 + translation hook] C ∩ [M1..Mk]
+    mm(tIntersection).foreach { case (cc, heads) =>
+      heads.foreach { l =>
+        val ms = listMembers(l, first, rest)
+        ms.foreach(m => ax(cc, tSubClassOf, m))
+        if (ms.nonEmpty) {
+          val body = ms.zipWithIndex.map { case (m, i) =>
+            Atom(v("x"), c(tType), c(m))
+          }
+          rules += rule(s"intersectRec${nextId()}", body,
+            Seq(Atom(v("x"), c(tType), c(cc))))
+        }
+      }
+    }
+    // [unionOf1] C ∪ [M1..Mk]: each Mi ⊑ C
+    mm(tUnion).foreach { case (cc, heads) =>
+      heads.foreach(l => listMembers(l, first, rest).foreach(m => ax(m, tSubClassOf, cc)))
+    }
+    // [distinct2] owl:distinctMembers → pairwise differentFrom
+    mm(tDistinctMembers).foreach { case (_, heads) =>
+      heads.foreach { l =>
+        val ms = listMembers(l, first, rest)
+        for (i <- ms.indices; j <- ms.indices if i != j)
+          ax(ms(i), tDifferentFrom, ms(j))
+      }
+    }
+
+    (axioms.toSet, rules.toSeq.distinct)
+  }
+
+  /**
+   * Joint fixpoint of closure and schema compile over `seed`:
+   * returns (saturated closure of seed, ground rules). The hook's rule
+   * names embed a per-run counter, so rules are compared structurally
+   * (body+heads) when testing convergence.
+   */
+  private def compileProgram(seed: Seq[Triple], maxHookRounds: Int = 25)
+      : (Set[Triple], Seq[Rule]) = {
+    var extraAx = Set.empty[Triple]
+    var ground = Vector.empty[Rule]
+    def sig(r: Rule): (Seq[Atom], Seq[Atom]) = (r.body, r.heads)
+    var sigs = Set.empty[(Seq[Atom], Seq[Atom])]
+    var round = 0
+    while (round < maxHookRounds) {
+      round += 1
+      val closure = Rules.closureLocal(seed ++ extraAx,
+        RuleSet(microGeneric.axioms, microGeneric.rules ++ ground))
+      val (ax2, rules2) = compileHook(closure)
+      val newAx = ax2 -- closure
+      val newRules = rules2.filterNot(r => sigs.contains(sig(r)))
+      if (newAx.isEmpty && newRules.isEmpty) return (closure, ground)
+      extraAx ++= ax2
+      ground ++= newRules
+      sigs ++= newRules.map(sig)
+    }
+    throw new IllegalStateException(
+      s"OWL schema compile did not converge within $maxHookRounds hook rounds")
+  }
+
+  /** OWL-micro closure of a document-sized graph (pure, driver/executor
+   * local). The whole document feeds the schema hook, so instance-derived
+   * schema is fully supported on this face. */
+  def closureLocal(data: Seq[Triple]): Set[Triple] = compileProgram(data)._1
+
+  /** Vocabulary predicates whose triples constitute the schema slice. */
+  private[reason] val schemaPreds: Set[String] = Set(
+    tSubClassOf, tSubPropertyOf, tDomain, tRange, tEquivClass,
+    Term.iri(OWL + "equivalentProperty"), Term.iri(OWL + "inverseOf"),
+    tSameAs, tDisjointWith, tDifferentFrom, tOnProperty, tSomeValues,
+    tAllValues, tHasValue, tMinCard, tMaxCard, tCard, tIntersection, tUnion,
+    Term.iri(OWL + "oneOf"), Term.iri(OWL + "complementOf"), tDistinctMembers,
+    tFirst, tRest).map(_.lex)
+
+  /** Objects of rdf:type triples that mark a subject as schema-relevant. */
+  private[reason] val schemaTypeObjects: Set[String] = Set(
+    Term.iri(OWL + "Class"), Term.iri(OWL + "Restriction"), tObjectProp,
+    tDatatypeProp, tFunctional, Term.iri(OWL + "InverseFunctionalProperty"),
+    Term.iri(OWL + "SymmetricProperty"), Term.iri(OWL + "TransitiveProperty"),
+    Term.iri(OWL + "AnnotationProperty"), Term.iri(OWL + "AllDifferent"),
+    tDatatypeClass, Term.iri(RDFS + "ContainerMembershipProperty"),
+    Term.iri(RDF + "Property"), Term.iri(RDFS + "Class"),
+    Term.iri(RDF + "List")).map(_.lex)
+
+  /**
+   * OWL-micro closure of one huge KG (term-struct columns s, p, o).
+   *
+   * The schema slice (vocabulary-predicate triples plus rdf:type triples
+   * into the OWL/RDFS meta-classes) is collected to the driver — it is
+   * schema-sized by definition and guarded by `schemaCap` (loud failure,
+   * never silent truncation) — compiled through the same hook fixpoint as
+   * the local face, and the resulting program runs on the semi-naive
+   * DataFrame engine.
+   *
+   * `expandDifferentFrom = false` (default) drops the [distinct1]
+   * disjointness→differentFrom expansion: it is |C|×|D| per disjoint
+   * class pair — the reference keeps that rule backward (on-demand) for
+   * exactly this reason, and on the batch face the validation checks
+   * consume disjointness directly.
+   */
+  def closure(df: DataFrame, expandDifferentFrom: Boolean = false,
+      schemaCap: Int = 2000000): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = df.sparkSession
+    val isSchema =
+      col("p.lex").isin(schemaPreds.toSeq: _*) ||
+        (col("p.lex") === tType.lex && col("o.lex").isin(schemaTypeObjects.toSeq: _*))
+    val schemaRows = df.select("s", "p", "o").where(isSchema)
+      .limit(schemaCap + 1)
+      .as(Encoders.product[Triple]).collect()
+    require(schemaRows.length <= schemaCap,
+      s"schema slice exceeds $schemaCap triples — not a schema-sized TBox; " +
+        "raise schemaCap explicitly if this is intended")
+    val (schemaClosure, ground) = compileProgram(schemaRows.toSeq)
+    val rules0 = microGeneric.rules ++ ground
+    val rules =
+      if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
+    // the saturated schema closure rides as axioms; the generic program
+    // re-derives instance-level meta facts (rdf1and4 …) distributed
+    Rules.closure(df, RuleSet(schemaClosure.toSeq, rules))
+  }
+
+  // ---- validation (ValidityReport analog) --------------------------------
+
+  /** One validity report row (reference: reasoner/ValidityReport.java). */
+  final case class OwlViolation(severity: String, focus: Term,
+      message: String, culprit: Term)
+
+  private val primitiveBase: Map[String, String] = {
+    val dec = XSD + "decimal"
+    Map(
+      XSD + "byte" -> dec, XSD + "short" -> dec, XSD + "int" -> dec,
+      XSD + "long" -> dec, XSD + "integer" -> dec,
+      XSD + "unsignedByte" -> dec, XSD + "unsignedShort" -> dec,
+      XSD + "unsignedInt" -> dec, XSD + "unsignedLong" -> dec,
+      XSD + "nonNegativeInteger" -> dec, XSD + "nonPositiveInteger" -> dec,
+      XSD + "positiveInteger" -> dec, XSD + "negativeInteger" -> dec,
+      dec -> dec)
+  }
+
+  /** Is literal `v` an acceptable member of datatype `d`'s value space
+   * (lenient lexical check — numeric ladder folded to xsd:decimal)? */
+  private def dtypeOk(value: Term, d: Term): Boolean = {
+    if (!value.isLiteral) return false
+    if (d == tLiteralClass) return true
+    val vd = if (value.dt.isEmpty) Term.XSD_STRING else value.dt
+    if (vd == d.lex) return true
+    (primitiveBase.get(vd), primitiveBase.get(d.lex)) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => false
+    }
+  }
+
+  /**
+   * Validity report over a document-sized graph: OWL-micro's validation
+   * rule block (owl-fb-micro.rules [validation*]) restated as direct
+   * checks over the closure, plus the max-cardinality count check the
+   * reference reserves for mini/full — counting only PROVABLY-distinct
+   * values (explicit owl:differentFrom, or literals with different
+   * lexical value), since micro does no equality reasoning.
+   */
+  def validateLocal(data: Seq[Triple]): Seq[OwlViolation] = {
+    val closure = closureLocal(data)
+    val out = mutable.Buffer[OwlViolation]()
+    def err(f: Term, m: String, culprit: Term = null): Unit =
+      out += OwlViolation("error", f, m, Option(culprit).getOrElse(f))
+    def warn(f: Term, m: String, culprit: Term = null): Unit =
+      out += OwlViolation("warn", f, m, Option(culprit).getOrElse(f))
+
+    val byP = closure.groupBy(_.p)
+    def pairs(p: Term): Seq[(Term, Term)] =
+      byP.getOrElse(p, Set.empty).toSeq.map(t => (t.s, t.o))
+    val types = pairs(tType).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val disjoint = pairs(tDisjointWith)
+    val subClass = pairs(tSubClassOf).toSet
+    val different = pairs(tDifferentFrom).toSet
+    val sameAs = pairs(tSameAs).toSet
+    val ranges = pairs(tRange)
+    val equivNothing = pairs(tEquivClass).filter(_._2 == tNothing).map(_._1) ++
+      pairs(tEquivClass).filter(_._1 == tNothing).map(_._2)
+    def instOf(cls: Term): Seq[Term] =
+      types.collect { case (x, ts) if ts(cls) => x }.toSeq
+    def stmts(p: Term): Seq[(Term, Term)] = pairs(p)
+
+    // [validationIndiv2] individual in two disjoint classes
+    disjoint.foreach { case (cx, cy) =>
+      instOf(cx).foreach { i =>
+        if (types.getOrElse(i, Set.empty)(cy) && !i.isLiteral)
+          err(i, s"individual a member of disjoint classes", cy)
+      }
+    }
+    // [validationIndiv3] member of Nothing
+    instOf(tNothing).foreach(i => err(i, "individual a member of owl:Nothing"))
+    // [validationIndiv] differentFrom ∧ sameAs
+    different.foreach { case (x, y) =>
+      if (sameAs((x, y))) err(x, "individuals both sameAs and differentFrom", y)
+    }
+    // [validationDTP] object value for a DatatypeProperty
+    instOf(tDatatypeProp).foreach { p =>
+      stmts(p).foreach { case (x, value) =>
+        if (!value.isLiteral && !value.isBNode)
+          err(x, s"object value for datatype property ${p.lex}", value)
+      }
+    }
+    // [validationOP] literal value for an ObjectProperty
+    instOf(tObjectProp).foreach { p =>
+      stmts(p).foreach { case (x, value) =>
+        if (value.isLiteral) warn(x, s"literal value for object property ${p.lex}", value)
+      }
+    }
+    // [validationDTRange] literal value incompatible with a datatype range
+    ranges.foreach { case (p, r) =>
+      val isDt = types.getOrElse(r, Set.empty)(tDatatypeClass) || r == tLiteralClass
+      if (isDt && !schemaPreds(p.lex) && p != tType)
+        stmts(p).foreach { case (x, value) =>
+          if (!value.isBNode && !dtypeOk(value, r))
+            err(x, s"value incompatible with datatype range of ${p.lex}", value)
+        }
+    }
+    // [validationAllFrom] literal value incompatible with all(P, datatype)
+    pairs(tOnProperty).foreach { case (r, p) =>
+      pairs(tAllValues).filter(_._1 == r).map(_._2).foreach { d =>
+        val isDt = types.getOrElse(d, Set.empty)(tDatatypeClass) || d == tLiteralClass
+        if (isDt) instOf(r).foreach { x =>
+          stmts(p).filter(_._1 == x).foreach { case (_, value) =>
+            if (!value.isBNode && !dtypeOk(value, d))
+              err(x, s"value incompatible with allValuesFrom datatype on ${p.lex}", value)
+          }
+        }
+      }
+      // max-cardinality count check over provably-distinct values
+      val maxes = (pairs(tMaxCard) ++ pairs(tCard)).filter(_._1 == r)
+        .flatMap(x => cardValue(x._2))
+      maxes.foreach { n =>
+        instOf(r).foreach { x =>
+          val vals = stmts(p).filter(_._1 == x).map(_._2).distinct
+          def provablyDiff(a: Term, b: Term): Boolean =
+            different((a, b)) || different((b, a)) ||
+              (a.isLiteral && b.isLiteral && a != b)
+          // largest pairwise-provably-distinct subset (vals are few;
+          // guarded exact search)
+          def maxClique(rem: List[Term], cur: List[Term]): Int = rem match {
+            case Nil => cur.size
+            case h :: t =>
+              val withH = if (cur.forall(provablyDiff(h, _)))
+                maxClique(t, h :: cur) else 0
+              math.max(withH, maxClique(t, cur))
+          }
+          val k =
+            if (vals.size > 24) vals.size // too many to search: all distinct? be conservative, skip
+            else maxClique(vals.toList, Nil)
+          if (vals.size <= 24 && k > n.toInt)
+            err(x, s"too many provably-distinct values for max-$n property ${p.lex}", p)
+        }
+      }
+    }
+    // [validationIndiv via functional]: functional property with provably
+    // distinct values (mini/full completeness, documented)
+    instOf(tFunctional).foreach { p =>
+      stmts(p).groupBy(_._1).foreach { case (x, vs) =>
+        val values = vs.map(_._2).distinct
+        val clash = values.combinations(2).exists { case Seq(a, b) =>
+          different((a, b)) || different((b, a)) ||
+            (a.isLiteral && b.isLiteral && a != b)
+        }
+        if (clash) err(x, s"functional property ${p.lex} with distinct values", p)
+      }
+    }
+    // [validationDisjoint] X disjointWith Y ∧ X ⊑ Y
+    disjoint.foreach { case (x, y) =>
+      if (subClass((x, y)))
+        warn(x, "class related by both subclass and disjointWith", y)
+    }
+    // [validationDisjoint2] C ⊑ X ∧ C ⊑ Y ∧ X disjointWith Y, C ≠ Nothing
+    disjoint.foreach { case (x, y) =>
+      subClass.foreach { case (cc, sup) =>
+        if (sup == x && cc != tNothing && cc != x && subClass((cc, y)))
+          warn(cc, "subclass of two disjoint classes", x)
+      }
+    }
+    // [validationNothing] C ≡ Nothing, C ≠ Nothing
+    equivNothing.distinct.foreach { cc =>
+      if (cc != tNothing)
+        warn(cc, "class cannot be instantiated (equivalent to owl:Nothing)")
+    }
+    // [validationRangeNothing]
+    ranges.foreach { case (p, r) =>
+      if (r == tNothing) warn(p, "property cannot be instantiated (range owl:Nothing)")
+    }
+    out.toSeq.distinct
+  }
+
+  /** Is the graph consistent (no error-severity reports)? */
+  def isValidLocal(data: Seq[Triple]): Boolean =
+    !validateLocal(data).exists(_.severity == "error")
+
+  /**
+   * Instance-level OWL validation over one huge KG: the error checks that
+   * scale with the ABox (disjointness membership, Nothing membership,
+   * datatype-property object values, datatype-range clashes) as
+   * DataFrame joins against the driver-compiled schema. Schema-level
+   * warnings are driver-sized and come from [[validateLocal]] on the
+   * schema slice.
+   */
+  def validate(df: DataFrame, schemaCap: Int = 2000000): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = df.sparkSession
+    import spark.implicits._
+    val isSchema =
+      col("p.lex").isin(schemaPreds.toSeq: _*) ||
+        (col("p.lex") === tType.lex && col("o.lex").isin(schemaTypeObjects.toSeq: _*))
+    val schemaRows = df.select("s", "p", "o").where(isSchema)
+      .limit(schemaCap + 1).as(Encoders.product[Triple]).collect()
+    require(schemaRows.length <= schemaCap,
+      s"schema slice exceeds $schemaCap triples")
+    val schemaClosure = compileProgram(schemaRows.toSeq)._1
+
+    val closed = closure(df).localCheckpoint(true)
+    val types = closed.where(col("p.lex") === tType.lex)
+      .select(col("s").as("inst"), col("o").as("cls"))
+
+    // disjoint pairs / datatype props / datatype ranges are schema-sized:
+    // ship them as broadcast literal frames
+    val disjointPairs = schemaClosure.toSeq
+      .filter(_.p == tDisjointWith).map(t => (t.s, t.o))
+    val dtProps = schemaClosure.toSeq
+      .filter(t => t.p == tType && t.o == tDatatypeProp).map(_.s.lex).distinct
+    val dtRanges = schemaClosure.toSeq.filter(t => t.p == tRange &&
+        (t.o == tLiteralClass ||
+          schemaClosure.contains(Triple(t.o, tType, tDatatypeClass))))
+      .map(t => (t.s.lex, t.o.lex)).distinct
+
+    val nothingV = types.where(col("cls.lex") === tNothing.lex)
+      .select(lit("error").as("severity"), col("inst").as("focus"),
+        lit("individual a member of owl:Nothing").as("message"))
+
+    val disjDf = spark.createDataset(disjointPairs)(
+      Encoders.tuple(Encoders.product[Term], Encoders.product[Term]))
+      .toDF("c1", "c2")
+    val disjV = types.join(broadcast(disjDf), col("cls") === col("c1"))
+      .select(col("inst"), col("c2"))
+      .join(types.select(col("inst").as("i2"), col("cls").as("k2")),
+        col("inst") === col("i2") && col("c2") === col("k2"), "left_semi")
+      .select(lit("error").as("severity"), col("inst").as("focus"),
+        lit("individual a member of disjoint classes").as("message"))
+
+    val dtpV =
+      if (dtProps.isEmpty) spark.emptyDataset[(String, String, String)]
+        .toDF("severity", "focus0", "message")
+        .select(col("severity"), struct(lit(0).cast("tinyint").as("kind"),
+          col("focus0").as("lex"), lit("").as("dt"), lit("").as("lang")).as("focus"),
+          col("message")).limit(0)
+      else df.where(col("p.lex").isin(dtProps: _*) &&
+          col("o.kind") =!= Term.KIND_LIT && col("o.kind") =!= Term.KIND_BNODE)
+        .select(lit("error").as("severity"), col("s").as("focus"),
+          lit("object value for a datatype property").as("message"))
+
+    nothingV.unionByName(disjV).unionByName(dtpV)
+      .dropDuplicates("severity", "focus", "message")
+  }
+}

@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Iso, Term, Triple}
+import graft.reason.Owl
+import graft.riot.RdfXmlLite
+
+/**
+ * OWL-micro reasoner, gated on the reference's OWN test surface:
+ *
+ *  1. the W3C WebOnt WG entailment manifests that OWLUnitTest.java flags
+ *     for the MICRO reasoner (jena-core/src/test/java/.../rulesys/test/
+ *     OWLUnitTest.java testDefs; runner semantics from OWLWGTester.java:
+ *     closure over the premise documents, then
+ *     WGReasonerTester.testConclusions = subgraph-inferred with bnodes
+ *     as existentials; NegativeEntailmentTest inverts);
+ *  2. the OWL consistency fixtures (testing/reasoners/owl,
+ *     OWLConsistencyTest.java: CLEAN / WARNINGS / INCONSISTENT);
+ *  3. a DataFrame-face parity check (Owl.closure == Owl.closureLocal on
+ *     the same premises).
+ */
+class OwlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val WG = "/root/reference/jena-core/testing/wg"
+  private val OWLDIR = "/root/reference/jena-core/testing/reasoners/owl"
+  private val WGBASE = "http://www.w3.org/2002/03owlt/"
+  private val RTEST = "http://www.w3.org/2000/10/rdf-tests/rdfcore/testSchema#"
+  private val OTEST = "http://www.w3.org/2002/03owlt/testOntology#"
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  private def read(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+
+  /** Load a WG document by its test IRI (base = the IRI, file = IRI
+   * relative to the WG dir + ".rdf" — OWLWGTester.loadFile's scheme). */
+  private def loadWg(iri: String): Seq[Triple] = {
+    require(iri.startsWith(WGBASE), s"not a WG doc IRI: $iri")
+    val rel = iri.drop(WGBASE.length)
+    RdfXmlLite.parse(read(s"$WG/$rel.rdf"), iri)
+  }
+
+  private final case class WgTest(name: String, positive: Boolean,
+      premises: Seq[String], conclusions: String)
+
+  /** Parse one WG manifest into its entailment tests (the only kinds
+   * OWLWGTester runs; Inconsistency-typed entries are covered by the
+   * consistency block below). */
+  private def wgTests(manifestRel: String): Seq[WgTest] = {
+    val iri = WGBASE + manifestRel
+    val m = loadWg(iri)
+    val bySubj = m.groupBy(_.s)
+    def objs(s: Term, p: String): Seq[Term] =
+      bySubj.getOrElse(s, Nil).filter(_.p.lex == p).map(_.o)
+    m.filter(t => t.p.lex == RDF + "type" &&
+        (t.o.lex == OTEST + "PositiveEntailmentTest" ||
+          t.o.lex == OTEST + "NegativeEntailmentTest"))
+      .map { t =>
+        WgTest(t.s.lex, t.o.lex == OTEST + "PositiveEntailmentTest",
+          objs(t.s, RTEST + "premiseDocument").map(_.lex),
+          objs(t.s, RTEST + "conclusionDocument").map(_.lex).head)
+      }.distinct
+  }
+
+  /** The OWLUnitTest testDefs rows carrying the MICRO flag, deduplicated
+   * (the suite lists SymmetricProperty/inverseOf/TransitiveProperty
+   * twice). */
+  private val microManifests = Seq(
+    "localtests/ManifestSubclass001",
+    "equivalentClass/Manifest001", "equivalentClass/Manifest002",
+    "equivalentClass/Manifest003", "equivalentClass/Manifest005",
+    "localtests/ManifestRestriction001",
+    "intersectionOf/Manifest001",
+    "localtests/Manifest001", "localtests/Manifest002",
+    "unionOf/Manifest001",
+    "SymmetricProperty/Manifest001", "inverseOf/Manifest001",
+    "TransitiveProperty/Manifest001", "localtests/Manifest005",
+    "FunctionalProperty/Manifest003", "InverseFunctionalProperty/Manifest003",
+    "rdf-charmod-uris/Manifest",
+    "I4.6/Manifest003",
+    "I5.5/Manifest001", "I5.5/Manifest002", "I5.5/Manifest003",
+    "I5.5/Manifest004",
+    "equivalentProperty/Manifest001", "equivalentProperty/Manifest002",
+    "equivalentProperty/Manifest003", "equivalentProperty/Manifest006",
+    "I5.24/Manifest001", "I5.24/Manifest002-mod", "I5.24/Manifest003-mod",
+    "differentFrom/Manifest001",
+    "disjointWith/Manifest001", "disjointWith/Manifest002",
+    "AllDifferent/Manifest001",
+    "allValuesFrom/Manifest002", "someValuesFrom/Manifest002",
+    "FunctionalProperty/Manifest005-mod",
+    "localtests/ManifestHv1", "localtests/ManifestHv2",
+    "localtests/Manifest003", "localtests/Manifest007",
+    "localtests/Manifest008")
+
+  private def runWg(manifestRel: String): Seq[String] = {
+    wgTests(manifestRel).flatMap { t =>
+      try {
+        val premises = t.premises.flatMap(loadWg)
+        val conclusions = loadWg(t.conclusions)
+        val closure = Owl.closureLocal(premises).toSeq
+        val inferred = Iso.subgraphInferred(conclusions, closure)
+        if (inferred == t.positive) None
+        else Some(s"${t.name}: expected " +
+          (if (t.positive) "entailed" else "NOT entailed") +
+          s"; missing=${conclusions.filterNot(closure.toSet).take(4).map(_.toNTriples)}")
+      } catch {
+        case e: Exception => Some(s"${t.name}: EXCEPTION ${e.getMessage}")
+      }
+    }
+  }
+
+  test("W3C WebOnt WG manifests — the reference's MICRO test set") {
+    val failures = mutable.Buffer[String]()
+    var n = 0
+    microManifests.foreach { rel =>
+      val tests = wgTests(rel)
+      n += tests.size
+      failures ++= runWg(rel).map(f => s"$rel :: $f")
+    }
+    info(s"$n WG entailment tests across ${microManifests.size} manifests")
+    assert(n >= 35, s"expected at least 35 runnable entailment tests, found $n")
+    assert(failures.isEmpty,
+      s"${failures.size} WG failures:\n" + failures.mkString("\n"))
+  }
+
+  test("allValuesFrom main entailment (mini-level completeness extension)") {
+    val failures = runWg("allValuesFrom/Manifest001")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // ---- consistency fixtures ------------------------------------------------
+
+  private def loadOwlFixture(name: String): Seq[Triple] =
+    RdfXmlLite.parse(read(s"$OWLDIR/$name"),
+      "http://jena.hpl.hp.com/testing/reasoners/owl")
+
+  private def classify(abox: String): String = {
+    val data = loadOwlFixture("tbox.owl") ++ loadOwlFixture(abox)
+    val report = Owl.validateLocal(data)
+    if (report.exists(_.severity == "error")) "INCONSISTENT"
+    else if (report.nonEmpty) "WARNINGS"
+    else "CLEAN"
+  }
+
+  test("OWL consistency fixtures — the reference's MICRO classifications") {
+    // OWLUnitTest rows with the MICRO flag
+    assert(classify("consistentData.rdf") === "CLEAN")
+    assert(classify("inconsistent1.rdf") === "INCONSISTENT") // disjoint classes
+    assert(classify("inconsistent2.rdf") === "INCONSISTENT") // type violation
+    assert(classify("inconsistent5.rdf") === "INCONSISTENT") // allValuesFrom Literal clash
+    assert(classify("emptyClass1.rdf") === "WARNINGS") // intersection of disjoints
+    assert(classify("emptyClass2.rdf") === "WARNINGS") // equivalent to Nothing
+    assert(classify("emptyClass3.rdf") === "WARNINGS") // disjoint with Thing
+  }
+
+  test("OWL consistency fixtures — mini-level completeness extensions") {
+    // the reference flags these only under mini/full (they need some
+    // distinct-values counting); our validator counts PROVABLY-distinct
+    // values (explicit differentFrom / distinct literals), which covers
+    // them without equality reasoning — documented extension
+    assert(classify("inconsistent3.rdf") === "INCONSISTENT") // count violation
+    assert(classify("inconsistent6.rdf") === "INCONSISTENT") // functional, distinct literals
+  }
+
+  // ---- DataFrame-face parity ------------------------------------------------
+
+  test("DataFrame validate face flags the instance-level errors") {
+    import org.apache.spark.sql.Encoders
+    val data = loadOwlFixture("tbox.owl") ++ loadOwlFixture("inconsistent1.rdf")
+    val df = spark.createDataset(data)(Encoders.product[Triple]).toDF()
+    val reports = Owl.validate(df).collect()
+    assert(reports.exists(r => r.getString(0) == "error" &&
+      r.getString(2).contains("disjoint")),
+      s"expected a disjointness error, got ${reports.mkString("; ")}")
+    // the clean fixture yields no instance-level errors
+    val clean = loadOwlFixture("tbox.owl") ++ loadOwlFixture("consistentData.rdf")
+    val cleanDf = spark.createDataset(clean)(Encoders.product[Triple]).toDF()
+    assert(Owl.validate(cleanDf).isEmpty)
+  }
+
+  test("DataFrame closure face matches the local face on WG premises") {
+    import org.apache.spark.sql.Encoders
+    val rels = Seq("intersectionOf/Manifest001", "TransitiveProperty/Manifest001",
+      "localtests/ManifestHv1")
+    rels.foreach { rel =>
+      val t = wgTests(rel).head
+      val premises = t.premises.flatMap(loadWg)
+      val local = Owl.closureLocal(premises)
+      val df = spark.createDataset(premises)(Encoders.product[Triple]).toDF()
+      val dist = Owl.closure(df, expandDifferentFrom = true)
+        .as(Encoders.product[Triple]).collect().toSet
+      assert(dist === local, s"$rel: DataFrame closure diverges from local " +
+        s"(missing=${(local -- dist).take(3).map(_.toNTriples)}, " +
+        s"extra=${(dist -- local).take(3).map(_.toNTriples)})")
+    }
+  }
+}
