@@ -669,18 +669,51 @@ object Owl {
       .select(lit("error").as("severity"), col("inst").as("focus"),
         lit("individual a member of disjoint classes").as("message"))
 
+    val emptyV = nothingV.limit(0)
     val dtpV =
-      if (dtProps.isEmpty) spark.emptyDataset[(String, String, String)]
-        .toDF("severity", "focus0", "message")
-        .select(col("severity"), struct(lit(0).cast("tinyint").as("kind"),
-          col("focus0").as("lex"), lit("").as("dt"), lit("").as("lang")).as("focus"),
-          col("message")).limit(0)
+      if (dtProps.isEmpty) emptyV
       else df.where(col("p.lex").isin(dtProps: _*) &&
           col("o.kind") =!= Term.KIND_LIT && col("o.kind") =!= Term.KIND_BNODE)
         .select(lit("error").as("severity"), col("s").as("focus"),
           lit("object value for a datatype property").as("message"))
 
-    nothingV.unionByName(disjV).unionByName(dtpV)
+    // [validationDTRange] — literal (or IRI) value incompatible with a
+    // datatype range. Acceptable-datatype sets are computed driver-side
+    // per property (numeric ladder folded to xsd:decimal, exactly
+    // [[dtypeOk]]; rdfs:Literal = any literal → null set) and shipped as
+    // one broadcast lookup; multiple ranges intersect (a value must
+    // satisfy every declared datatype range, as the local face errs per
+    // failing range). Runs over the CLOSURE so values copied through
+    // subPropertyOf chains are checked too, mirroring validateLocal.
+    def acceptSet(d: String): Option[Set[String]] =
+      if (d == tLiteralClass.lex) None
+      else if (primitiveBase.contains(d)) Some(primitiveBase.keySet)
+      else Some(Set(d))
+    val accRows: Seq[(String, Seq[String])] = dtRanges
+      .filterNot { case (p, _) => schemaPreds(p) || p == tType.lex }
+      .groupBy(_._1).toSeq.map { case (p, rs) =>
+        val acc = rs.map(r => acceptSet(r._2)).reduce[Option[Set[String]]] {
+          case (None, b) => b
+          case (a, None) => a
+          case (Some(a), Some(b)) => Some(a intersect b)
+        }
+        (p, acc.map(_.toSeq.sorted).orNull)
+      }
+    val dtrV =
+      if (accRows.isEmpty) emptyV
+      else {
+        val accDf = accRows.toDF("rp", "acc")
+        val effDt = when(col("o.dt") === "", lit(Term.XSD_STRING))
+          .otherwise(col("o.dt"))
+        closed.join(broadcast(accDf), col("p.lex") === col("rp"))
+          .where(col("o.kind") =!= Term.KIND_BNODE &&
+            (col("o.kind") =!= Term.KIND_LIT ||
+              (col("acc").isNotNull && !array_contains(col("acc"), effDt))))
+          .select(lit("error").as("severity"), col("s").as("focus"),
+            lit("value incompatible with a datatype range").as("message"))
+      }
+
+    nothingV.unionByName(disjV).unionByName(dtpV).unionByName(dtrV)
       .dropDuplicates("severity", "focus", "message")
   }
 }

@@ -178,6 +178,15 @@ class OwlSpec extends AnyFunSuite {
     assert(reports.exists(r => r.getString(0) == "error" &&
       r.getString(2).contains("disjoint")),
       s"expected a disjointness error, got ${reports.mkString("; ")}")
+    // inconsistent2: object value for a DatatypeProperty AND a non-int
+    // literal under intp's xsd:int range — both instance-level checks fire
+    val d2 = loadOwlFixture("tbox.owl") ++ loadOwlFixture("inconsistent2.rdf")
+    val df2 = spark.createDataset(d2)(Encoders.product[Triple]).toDF()
+    val r2 = Owl.validate(df2).collect()
+    assert(r2.exists(r => r.getString(2).contains("datatype property")),
+      s"expected an object-value error, got ${r2.mkString("; ")}")
+    assert(r2.exists(r => r.getString(2).contains("datatype range")),
+      s"expected a range-clash error, got ${r2.mkString("; ")}")
     // the clean fixture yields no instance-level errors
     val clean = loadOwlFixture("tbox.owl") ++ loadOwlFixture("consistentData.rdf")
     val cleanDf = spark.createDataset(clean)(Encoders.product[Triple]).toDF()
