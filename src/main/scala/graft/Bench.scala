@@ -33,7 +33,11 @@ object Bench {
     // 1–8 s per query, ~0 s on re-run) — a fixed driver-side cost that
     // amortizes to zero at the 100 TB target scale, so steady-state
     // per-query wall time is the number that predicts cluster throughput.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query names to time (iteration aid); default all
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.model.{Term, Triple}
-import graft.reason.Rules.{Atom, Guard, RConst, RVar, Rule, RuleSet}
+import graft.reason.Rules.{Atom, Guard, RConst, RTerm, RVar, Rule, RuleSet}
 
 /**
  * OWL "micro" reasoner — the Spark-native analog of the reference's
@@ -388,6 +388,117 @@ object Owl {
    * schema is fully supported on this face. */
   def closureLocal(data: Seq[Triple]): Set[Triple] = compileProgram(data)._1
 
+  /** Is `a` a SCHEMA atom — one whose matching triples are complete in the
+   * driver-side saturated schema closure under the documented TBox
+   * assumption (constant predicate in the schema vocabulary, or rdf:type
+   * into a constant OWL/RDFS meta-class)? */
+  private def isSchemaAtom(a: Atom): Boolean = a.p match {
+    case RConst(p) if p.isIri =>
+      schemaPreds(p.lex) || (p == tType && (a.o match {
+        case RConst(o) => schemaTypeObjects(o.lex)
+        case _ => false
+      }))
+    case _ => false
+  }
+
+  /**
+   * WebPIE-style partial evaluation of the rule program against the
+   * SATURATED schema closure (Urbani et al., ISWC 2010 — TBox joins are
+   * resolved once, driver-side; only ABox joins run distributed):
+   *
+   *  - A rule is specialized iff it has ≥1 schema atom AND (a head
+   *    predicate is a variable OR the body has ≥3 atoms). Its schema
+   *    atoms are enumerated against the schema closure, the bindings
+   *    substituted into the residual atoms/guards/heads, and
+   *    fully-ground guards decided driver-side.
+   *  - The 5 variable-head-predicate rules (rdfs6, symmetricProperty1,
+   *    inverseOf2, transitiveProperty1, hasValueEnt) all bind their head
+   *    predicate from a schema atom, so the specialized program has an
+   *    all-constant head-predicate set — which re-enables the engine's
+   *    STATIC delta-predicate dispatch ([[Rules.closure]]) that a single
+   *    variable head predicate disables program-wide.
+   *  - The 3–4-atom restriction joins (someRec, allEnt, hasValueRec,
+   *    eqSome/eqAll/eqHasValue) shrink to 1–2 instance atoms or vanish.
+   *  - A rule whose body is ALL schema atoms derives only facts already
+   *    saturated into the closure — dropped, but ONLY when none of its
+   *    body predicates can be re-derived distributed (i.e. none appears
+   *    among the surviving program's head predicates); otherwise it is
+   *    kept generic for exact cross-face parity (e.g. rules consuming
+   *    rdf:type meta-facts that rdf1and4 keeps deriving distributed).
+   *  - Everything else (constant-head 1–2-atom rules, the hook's already
+   *    ground rules, the rdf1and4/rdfs5b/… meta family) passes through
+   *    unchanged — the meta family MUST keep running distributed so
+   *    instance-derived predicate facts match the local face exactly.
+   */
+  private[reason] def specialize(rules: Seq[Rule], schema: Set[Triple]): Seq[Rule] = {
+    val byP: Map[Term, Seq[Triple]] = schema.toSeq.groupBy(_.p)
+    def cands(a: Atom): Seq[Triple] = a.p match {
+      case RConst(p) => byP.getOrElse(p, Nil)
+      case _ => schema.toSeq
+    }
+    def unify(pat: RTerm, v: Term, b: Map[String, Term]): Option[Map[String, Term]] =
+      pat match {
+        case RConst(c) => if (c == v) Some(b) else None
+        case RVar(n) => b.get(n) match {
+          case Some(x) => if (x == v) Some(b) else None
+          case None => Some(b + (n -> v))
+        }
+      }
+    def matchAtom(a: Atom, t: Triple, b: Map[String, Term]): Option[Map[String, Term]] =
+      unify(a.s, t.s, b).flatMap(unify(a.p, t.p, _)).flatMap(unify(a.o, t.o, _))
+    def bindings(atoms: Seq[Atom]): Seq[Map[String, Term]] =
+      atoms.foldLeft(Seq(Map.empty[String, Term])) { (bs, a) =>
+        bs.flatMap(b => cands(a).flatMap(t => matchAtom(a, t, b)))
+      }
+    def sub(b: Map[String, Term])(t: RTerm): RTerm = t match {
+      case RVar(n) => b.get(n).map(RConst(_): RTerm).getOrElse(t)
+      case c => c
+    }
+
+    val (toSpec, keep) = rules.partition { r =>
+      r.body.exists(isSchemaAtom) &&
+        (r.heads.exists(_.p.isInstanceOf[RVar]) || r.body.size >= 3)
+    }
+    val out = mutable.Buffer[Rule]() ++= keep
+    val allSchema = mutable.Buffer[Rule]() // empty-residual candidates
+    toSpec.foreach { r =>
+      val (schemaAtoms, instAtoms) = r.body.partition(isSchemaAtom)
+      if (instAtoms.isEmpty) allSchema += r
+      else {
+        var gid = 0
+        bindings(schemaAtoms).foreach { b =>
+          val s = sub(b) _
+          val gs = r.guards.map(g => Guard(g.fn, g.args.map(s)))
+          val (groundG, openG) = gs.partition(_.args.forall(_.isInstanceOf[RConst]))
+          val ok = groundG.forall { g =>
+            val eq = g.args(0) == g.args(1)
+            if (g.fn == "notEqual") !eq else eq
+          }
+          if (ok) {
+            gid += 1
+            out += Rule(s"${r.name}#g$gid",
+              instAtoms.map(a => Atom(s(a.s), s(a.p), s(a.o))), openG,
+              r.heads.map(h => Atom(s(h.s), s(h.p), s(h.o))))
+          }
+        }
+      }
+    }
+    // an all-schema-body rule may be dropped only if nothing distributed
+    // can re-derive one of its body facts
+    val survivorHeadPreds: Set[String] = out.flatMap(_.heads).collect {
+      case Atom(_, RConst(p), _) => p.lex
+    }.toSet
+    val anyVarHead = out.exists(_.heads.exists(_.p.isInstanceOf[RVar]))
+    allSchema.foreach { r =>
+      val reDerivable = anyVarHead || r.body.exists(a => a.p match {
+        case RConst(p) => survivorHeadPreds(p.lex)
+        case _ => true
+      })
+      if (reDerivable) out += r // keep generic — parity over speed
+    }
+    out.toSeq.distinctBy(r => (r.body, r.guards, r.heads))
+  }
+
   /** Vocabulary predicates whose triples constitute the schema slice. */
   private[reason] val schemaPreds: Set[String] = Set(
     tSubClassOf, tSubPropertyOf, tDomain, tRange, tEquivClass,
@@ -436,13 +547,32 @@ object Owl {
     require(schemaRows.length <= schemaCap,
       s"schema slice exceeds $schemaCap triples — not a schema-sized TBox; " +
         "raise schemaCap explicitly if this is intended")
-    val (schemaClosure, ground) = compileProgram(schemaRows.toSeq)
+    // distinct data predicates (one narrow column-pruned scan, bounded by
+    // the vocabulary): rdf1and4 would derive (p type rdf:Property) for
+    // every one of them distributed, and the meta-echo family (rdfs5b →
+    // equivalentProperty2 → …) would then spend 2–3 extra fixpoint rounds
+    // on reflexive noise. Seeding the facts into the driver compile
+    // pre-saturates that whole family into the riding axioms.
+    val dataPreds: Set[String] = df
+      .select(col("p.lex")).where(col("p.kind") === Term.KIND_IRI)
+      .distinct().collect().map(_.getString(0)).toSet
+    val predFacts = (dataPreds -- schemaPreds).toSeq.sorted
+      .map(p => Triple(Term.iri(p), tType, Term.iri(RDF + "Property")))
+    val (schemaClosure, ground) = compileProgram(schemaRows.toSeq ++ predFacts)
     val rules0 = microGeneric.rules ++ ground
-    val rules =
+    val rules1 =
       if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
-    // the saturated schema closure rides as axioms; the generic program
-    // re-derives instance-level meta facts (rdf1and4 …) distributed
-    Rules.closure(df, RuleSet(schemaClosure.toSeq, rules))
+    // partial-evaluate TBox joins away (WebPIE-style; see [[specialize]]):
+    // constant head predicates restore the engine's delta dispatch, and
+    // the restriction joins run with 1–2 instance atoms instead of 3–4
+    val rules = specialize(rules1, schemaClosure)
+    // the saturated schema closure rides as axioms; the surviving generic
+    // rules re-derive instance-level meta facts (rdf1and4 …) distributed.
+    // Round 1's dispatch gets the EXACT base predicate set — known for
+    // free from dataPreds + the riding axioms.
+    val basePreds = dataPreds ++ schemaClosure.iterator.map(_.p.lex)
+    Rules.closure(df, RuleSet(schemaClosure.toSeq, rules),
+      basePreds = Some(basePreds))
   }
 
   // ---- validation (ValidityReport analog) --------------------------------

@@ -195,8 +195,13 @@ class OwlSpec extends AnyFunSuite {
 
   test("DataFrame closure face matches the local face on WG premises") {
     import org.apache.spark.sql.Encoders
+    // one manifest per specialized rule family (Owl.specialize): inverse,
+    // symmetric, transitive, subPropertyOf (I5.24), hasValue both
+    // directions (Hv1/Hv2), someValuesFrom recognition, intersection
     val rels = Seq("intersectionOf/Manifest001", "TransitiveProperty/Manifest001",
-      "localtests/ManifestHv1")
+      "localtests/ManifestHv1", "localtests/ManifestHv2",
+      "inverseOf/Manifest001", "SymmetricProperty/Manifest001",
+      "I5.24/Manifest001", "someValuesFrom/Manifest002")
     rels.foreach { rel =>
       val t = wgTests(rel).head
       val premises = t.premises.flatMap(loadWg)
