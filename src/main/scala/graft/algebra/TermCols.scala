@@ -178,7 +178,7 @@ object TermCols {
    * (tags are construction-canonicalized, so plain concat works). */
   def langStrValue(t: Column): Column =
     when(isLiteral(t) && dt(t) === Term.RDF_LANGSTRING,
-      concat(lang(t), lit(" "), lex(t)))
+      concat(lang(t), lit("\u0000"), lex(t)))
 
   /** Datatype IRI term for a numeric promotion rank — the DATATYPE(KNum)
    * fast path: skips formatting the whole numeric term just to read its
