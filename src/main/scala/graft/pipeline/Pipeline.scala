@@ -71,7 +71,13 @@ object Pipeline {
       val edges = linked
         .where(col("p.lex") === CorpusGen.OWL_SAMEAS)
         .select(col("s.lex").as("src"), col("o.lex").as("dst"))
-      val mapping = ConnectedComponents.runAdaptive(edges)
+      // the driver union-find is a SERIAL Amdahl term (collect + single
+      // thread) — fine for truly small edge sets, but it flattens the
+      // N→4N scaling curve once edges reach the hundreds of thousands;
+      // the knob lets the scaling benchmark pin the distributed path
+      val ccLocalMax = sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX",
+        "2000000").toLong
+      val mapping = ConnectedComponents.runAdaptive(edges, ccLocalMax)
       lap("link+cc") // forces gen→extract→link materialization via persist
       val rewritten = ConnectedComponents.rewrite(linked.toDF(), mapping)
       // plain term-struct store: measured faster than materializeEncoded
