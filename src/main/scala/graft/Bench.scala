@@ -34,6 +34,8 @@ object Bench {
     // amortizes to zero at the 100 TB target scale, so steady-state
     // per-query wall time is the number that predicts cluster throughput.
     // optional args = query names to time (iteration aid); default all
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -534,10 +534,14 @@ object Owl {
    * exactly this reason, and on the batch face the validation checks
    * consume disjointness directly.
    */
-  def closure(df: DataFrame, expandDifferentFrom: Boolean = false,
-      schemaCap: Int = 2000000): DataFrame = {
+  /** The driver-side compile shared by [[closure]] and [[validate]]:
+   * saturated schema closure, hook-compiled ground rules, and the
+   * distinct data-predicate set. */
+  private final case class CompiledSchema(schemaClosure: Set[Triple],
+      ground: Seq[Rule], dataPreds: Set[String])
+
+  private def compileSchema(df: DataFrame, schemaCap: Int): CompiledSchema = {
     import org.apache.spark.sql.Encoders
-    val spark = df.sparkSession
     val isSchema =
       col("p.lex").isin(schemaPreds.toSeq: _*) ||
         (col("p.lex") === tType.lex && col("o.lex").isin(schemaTypeObjects.toSeq: _*))
@@ -559,21 +563,30 @@ object Owl {
     val predFacts = (dataPreds -- schemaPreds).toSeq.sorted
       .map(p => Triple(Term.iri(p), tType, Term.iri(RDF + "Property")))
     val (schemaClosure, ground) = compileProgram(schemaRows.toSeq ++ predFacts)
-    val rules0 = microGeneric.rules ++ ground
+    CompiledSchema(schemaClosure, ground, dataPreds)
+  }
+
+  private def closureWith(df: DataFrame, cs: CompiledSchema,
+      expandDifferentFrom: Boolean): DataFrame = {
+    val rules0 = microGeneric.rules ++ cs.ground
     val rules1 =
       if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
     // partial-evaluate TBox joins away (WebPIE-style; see [[specialize]]):
     // constant head predicates restore the engine's delta dispatch, and
     // the restriction joins run with 1–2 instance atoms instead of 3–4
-    val rules = specialize(rules1, schemaClosure)
+    val rules = specialize(rules1, cs.schemaClosure)
     // the saturated schema closure rides as axioms; the surviving generic
     // rules re-derive instance-level meta facts (rdf1and4 …) distributed.
     // Round 1's dispatch gets the EXACT base predicate set — known for
     // free from dataPreds + the riding axioms.
-    val basePreds = dataPreds ++ schemaClosure.iterator.map(_.p.lex)
-    Rules.closure(df, RuleSet(schemaClosure.toSeq, rules),
+    val basePreds = cs.dataPreds ++ cs.schemaClosure.iterator.map(_.p.lex)
+    Rules.closure(df, RuleSet(cs.schemaClosure.toSeq, rules),
       basePreds = Some(basePreds))
   }
+
+  def closure(df: DataFrame, expandDifferentFrom: Boolean = false,
+      schemaCap: Int = 2000000): DataFrame =
+    closureWith(df, compileSchema(df, schemaCap), expandDifferentFrom)
 
   // ---- validation (ValidityReport analog) --------------------------------
 
@@ -701,10 +714,14 @@ object Owl {
                 maxClique(t, h :: cur) else 0
               math.max(withH, maxClique(t, cur))
           }
+          // above the exact-search bound, the count of distinct literal
+          // terms is still a sound lower bound on the provably-distinct
+          // clique (distinct literals are pairwise provably different) —
+          // no silent validation cliff at 25 values
           val k =
-            if (vals.size > 24) vals.size // too many to search: all distinct? be conservative, skip
+            if (vals.size > 24) vals.count(_.isLiteral)
             else maxClique(vals.toList, Nil)
-          if (vals.size <= 24 && k > n.toInt)
+          if (k > n.toInt)
             err(x, s"too many provably-distinct values for max-$n property ${p.lex}", p)
         }
       }
@@ -761,16 +778,13 @@ object Owl {
     import org.apache.spark.sql.Encoders
     val spark = df.sparkSession
     import spark.implicits._
-    val isSchema =
-      col("p.lex").isin(schemaPreds.toSeq: _*) ||
-        (col("p.lex") === tType.lex && col("o.lex").isin(schemaTypeObjects.toSeq: _*))
-    val schemaRows = df.select("s", "p", "o").where(isSchema)
-      .limit(schemaCap + 1).as(Encoders.product[Triple]).collect()
-    require(schemaRows.length <= schemaCap,
-      s"schema slice exceeds $schemaCap triples")
-    val schemaClosure = compileProgram(schemaRows.toSeq)._1
-
-    val closed = closure(df).localCheckpoint(true)
+    // ONE schema compile (predicate-seeded, cap-respecting) drives both
+    // the closure run and the driver-sized check tables — recompiling
+    // separately here once produced a weaker schema than the closure's
+    val cs = compileSchema(df, schemaCap)
+    val schemaClosure = cs.schemaClosure
+    val closed = closureWith(df, cs, expandDifferentFrom = false)
+      .localCheckpoint(true)
     val types = closed.where(col("p.lex") === tType.lex)
       .select(col("s").as("inst"), col("o").as("cls"))
 
@@ -800,9 +814,12 @@ object Owl {
         lit("individual a member of disjoint classes").as("message"))
 
     val emptyV = nothingV.limit(0)
+    // over the CLOSURE, not the raw input: a value copied onto a datatype
+    // property through a subPropertyOf chain must be flagged too (parity
+    // with validateLocal)
     val dtpV =
       if (dtProps.isEmpty) emptyV
-      else df.where(col("p.lex").isin(dtProps: _*) &&
+      else closed.where(col("p.lex").isin(dtProps: _*) &&
           col("o.kind") =!= Term.KIND_LIT && col("o.kind") =!= Term.KIND_BNODE)
         .select(lit("error").as("severity"), col("s").as("focus"),
           lit("object value for a datatype property").as("message"))

@@ -193,6 +193,32 @@ class OwlSpec extends AnyFunSuite {
     assert(Owl.validate(cleanDf).isEmpty)
   }
 
+  test("DataFrame validate flags violations on INFERRED triples") {
+    import org.apache.spark.sql.Encoders
+    // q ⊑ p, p a DatatypeProperty with range xsd:int; the data uses only
+    // q — the violations exist solely on the rdfs6-derived p-triples
+    val EX = "http://example.org/"
+    val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    val OWLNS = "http://www.w3.org/2002/07/owl#"
+    val XSD = Term.XSD
+    def T(s: String, p: String, o: Term) = Triple(Term.iri(s), Term.iri(p), o)
+    val data = Seq(
+      T(EX + "q", RDFS + "subPropertyOf", Term.iri(EX + "p")),
+      T(EX + "p", RDF + "type", Term.iri(OWLNS + "DatatypeProperty")),
+      T(EX + "p", RDFS + "range", Term.iri(XSD + "int")),
+      T(EX + "x", EX + "q", Term.iri(EX + "notALiteral")),
+      T(EX + "y", EX + "q", Term.lit("fool", XSD + "string")))
+    // local face agrees these are errors
+    val local = Owl.validateLocal(data)
+    assert(local.count(_.severity == "error") >= 2, local.mkString("; "))
+    val df = spark.createDataset(data)(Encoders.product[Triple]).toDF()
+    val r = Owl.validate(df).collect()
+    assert(r.exists(v => v.getString(2).contains("datatype property")),
+      s"inferred object-value error missing: ${r.mkString("; ")}")
+    assert(r.exists(v => v.getString(2).contains("datatype range")),
+      s"inferred range-clash error missing: ${r.mkString("; ")}")
+  }
+
   test("DataFrame closure face matches the local face on WG premises") {
     import org.apache.spark.sql.Encoders
     // one manifest per specialized rule family (Owl.specialize): inverse,
