@@ -573,7 +573,10 @@ object Owl {
       if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
     // partial-evaluate TBox joins away (WebPIE-style; see [[specialize]]):
     // constant head predicates restore the engine's delta dispatch, and
-    // the restriction joins run with 1–2 instance atoms instead of 3–4
+    // the restriction joins run with 1–2 instance atoms instead of 3–4.
+    // (Measured and rejected: folding the subclass closure into rdf:type
+    // heads — it widens every chain's union without cutting rounds when a
+    // recognition rule still gates the last derivation level.)
     val rules = specialize(rules1, cs.schemaClosure)
     // the saturated schema closure rides as axioms; the surviving generic
     // rules re-derive instance-level meta facts (rdf1and4 …) distributed.
