@@ -26,6 +26,45 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q < 10 && n != q })
   }
 
+  test("skew guard: a boilerplate cluster cannot explode d4 into O(n²) pairs") {
+    // 100 byte-identical docs (every band bucket gets 200 members — the
+    // pathological boilerplate shape) + 10 distinct long docs whose
+    // planted near-dup copies d4 must still find. The >64-member bucket
+    // cap must drop the boilerplate WITHOUT touching the honest pairs;
+    // exact duplicates are d1's job (division of labor, SCALE.md).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val boiler = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest before nightfall tonight"
+    val rows =
+      (1L to 100L).map(i => (i, boiler, "en", "boiler", boiler.length.toLong)) ++
+        (1001L to 1010L).map { i =>
+          val text = (1 to 25).map(j => s"tok${i}w$j").mkString(" ")
+          (i, text, "en", "unique", text.length.toLong)
+        }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = OpsQueries.d4_dedup_lsh(spark, dir)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def inBoiler(id: Long) = (id >= 1 && id <= 100) ||
+      (id >= 100001 && id <= 100100)
+    // the 200-member cluster would contribute 200·199/2 = 19,900 pairs
+    // without the cap — with it, zero
+    assert(!pairs.exists(p => inBoiler(p._1) && inBoiler(p._2)),
+      s"boilerplate pairs leaked through the bucket cap: ${pairs.count(p => inBoiler(p._1) && inBoiler(p._2))}")
+    // every planted near-dup among the distinct docs is still found
+    val expected = (1001L to 1010L).map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"planted pairs lost: ${(expected -- pairs).toSeq.sorted}")
+    // the identical cluster is exact-dedup's catch: d1 collapses all 200
+    // copies onto one canonical id
+    val d1 = OpsQueries.d1_dedup_exact(spark, dir)
+      .where(col("is_dup") === 1).count()
+    assert(d1 >= 199, s"exact dedup missed the identical cluster: $d1")
+  }
+
   test("dedup LSH recovers the planted near-duplicates") {
     // d4 plants, for every doc d, a copy d+100000 with the first token
     // dropped (bigram-Jaccard ≈ (n-2)/n) — LSH must find nearly all of them
