@@ -63,6 +63,17 @@ class OpsSpec extends AnyFunSuite {
     val d1 = OpsQueries.d1_dedup_exact(spark, dir)
       .where(col("is_dup") === 1).count()
     assert(d1 >= 199, s"exact dedup missed the identical cluster: $d1")
+    // d7's guard for the same shape is the exact-simhash collapse: the
+    // 100 identical docs reduce to ONE representative (min id), so no
+    // non-representative boilerplate id can appear in any pair and the
+    // output stays linear in distinct content, not in copies
+    val d7 = OpsQueries.d7_simhash_lsh(spark, dir)
+      .select("a_id", "b_id")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val nonReps = d7.filter(id => (id >= 2 && id <= 100) ||
+      (id >= 100002 && id <= 100100))
+    assert(nonReps.isEmpty,
+      s"d7 paired non-representative boilerplate copies: ${nonReps.toSeq.sorted.take(5)}")
   }
 
   test("dedup LSH recovers the planted near-duplicates") {
