@@ -195,7 +195,15 @@ object TermCols {
    * lexical forms ("true"/"1"/"false"/"0") by value, numerics by
    * != 0 ∧ ¬NaN, xsd:string by non-empty; everything else — including
    * ill-formed booleans/numerics and language-tagged strings — is an eval
-   * error → NULL (⇒ filter drops, QueryIterFilterExpr.java:52–63). */
+   * error → NULL (⇒ filter drops, QueryIterFilterExpr.java:52–63).
+   *
+   * langString note: the reference's CODE takes the string rule for
+   * rdf:langString too (XSDFuncOp.effectiveBooleanValue:302,
+   * `isString() || isLangString()`), but its own vendored W3C sparql12
+   * suite expects an eval ERROR for `!!"a"@en` (rdf-tests-cg/sparql/
+   * sparql12/expression/not-not.srx leaves ?ebv unbound) — the code and
+   * the test suite contradict each other. We follow the W3C suite (our
+   * manifest gate's ground truth); AlgebraSpec pins the choice. */
   def ebv(t: Column): Column = {
     val d = lex(t).cast(DoubleType)
     when(isLiteral(t) && dt(t) === Term.XSD_BOOLEAN,

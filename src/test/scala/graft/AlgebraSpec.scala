@@ -170,6 +170,24 @@ class AlgebraSpec extends AnyFunSuite {
     assert(Compiler.compile(bad, g).count() == 0)
   }
 
+  test("EBV: langString is an eval error (W3C sparql12 suite, not XSDFuncOp)") {
+    // The reference contradicts itself here: XSDFuncOp
+    // .effectiveBooleanValue:302 applies the non-empty-string rule to
+    // rdf:langString, but its vendored W3C sparql12 expression suite
+    // (not-not.srx) expects `!!"a"@en` to ERROR, leaving ?ebv unbound.
+    // We pin the W3C-suite behavior — it is the manifest gate's oracle.
+    def ebvOf(t: Term): Option[Boolean] = {
+      val r = spark.range(1).select(TermCols.ebv(TermCols.const(t)).as("b"))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+    }
+    assert(ebvOf(Term.langLit("chat", "fr")) == None) // error, per not-not.srx
+    assert(ebvOf(Term.string("")) == Some(false))
+    assert(ebvOf(Term.string("x")) == Some(true))
+    assert(ebvOf(Term.lit("x", EX + "unknownDt")) == None) // eval error
+    assert(ebvOf(Term.lit("junk", Term.XSD_BOOLEAN)) == None) // ill-formed
+  }
+
   test("extend + project + distinct + slice") {
     val op = Slice(1, 2,
       Order(Seq(SortKey("d")),
