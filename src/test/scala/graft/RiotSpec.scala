@@ -329,4 +329,52 @@ class RiotSpec extends AnyFunSuite {
       NTriples.parseLine(s"<http://e/u$k> <http://e/q> \"y\" .", true, c3))
     assert(c3.hits == 99) // the hot predicate survives eviction pressure
   }
+
+  test("RdfXmlWriter: document round-trip through the full-grammar reader") {
+    import graft.riot.{RdfXmlLite, RdfXmlWriter}
+    val tterm = Term(Term.KIND_TRIPLE_TERM,
+      s"""<<( <${EX}a> <${EX}knows> "v"@en )>>""", "", "")
+    val ts = Seq(
+      Triple(Term.iri(EX + "alice"), Term.iri(EX + "name"), Term.string("Al<ice> & \"co\"")),
+      Triple(Term.iri(EX + "alice"), Term.iri(EX + "age"), Term.lit("30", Term.XSD_INTEGER)),
+      Triple(Term.iri(EX + "alice"),
+        Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Term.iri(EX + "Person")),
+      Triple(Term.iri(EX + "bob"), Term.iri(EX + "name"), Term.langLit("Bob", "en")),
+      Triple(Term.iri(EX + "bob"), Term.iri(EX + "greet"),
+        Term(Term.KIND_LIT, "shalom", Term.RDF_LANGSTRING, "he--rtl")),
+      Triple(Term.iri(EX + "bob"), Term.iri(EX + "xml"),
+        Term.lit("<b>bold</b>", "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral")),
+      Triple(Term.bnode("b1"), Term.iri(EX + "knows"), Term.bnode("b2")),
+      Triple(Term.iri(EX + "r"), Term.iri(EX + "claims"), tterm))
+    val xml = RdfXmlWriter.write(ts)
+    val back = RdfXmlLite.parse(xml, EX)
+    assert(graft.model.Iso.isomorphic(ts, back),
+      s"round-trip not isomorphic:\n$xml\nparsed: ${back.map(_.toNTriples).mkString("\n")}")
+    // non-NCName bnode labels are relabeled, still isomorphic
+    val odd = Seq(Triple(Term.bnode("1:x"), Term.iri(EX + "p"), Term.string("v")))
+    assert(graft.model.Iso.isomorphic(odd, RdfXmlLite.parse(RdfXmlWriter.write(odd), EX)))
+  }
+
+  test("RdfXmlWriter: predicate IRI split is maximal-NCName; bad IRIs throw") {
+    import graft.riot.RdfXmlWriter
+    assert(RdfXmlWriter.splitIri("http://example/x#y1") == ("http://example/x#", "y1"))
+    assert(RdfXmlWriter.splitIri("http://example/p1") == ("http://example/", "p1"))
+    intercept[IllegalArgumentException](RdfXmlWriter.splitIri("http://example/p/"))
+    // entirely-NCName IRIs have an empty namespace → unserializable
+    intercept[IllegalArgumentException](RdfXmlWriter.splitIri("abc"))
+  }
+
+  test("RdfXmlWriter: distributed format — each partition a standalone document") {
+    import graft.riot.{RdfXmlLite, RdfXmlWriter}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ts = (1 to 40).map(k => Triple(
+      Term.iri(EX + "s" + (k % 10)), Term.iri(EX + "p" + (k % 4)),
+      Term.lit(k.toString, Term.XSD_INTEGER)))
+    val docs = RdfXmlWriter.format(
+      spark.createDataset(ts).toDF().repartition(3)).collect()
+    assert(docs.nonEmpty && docs.length <= 3)
+    val back = docs.flatMap(RdfXmlLite.parse(_, EX)).toSeq
+    assert(back.toSet == ts.toSet) // no bnodes → set equality, not just iso
+  }
 }
