@@ -364,6 +364,34 @@ class RiotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RdfXmlWriter.splitIri("abc"))
   }
 
+  test("RdfXmlWriter: W3C rdf-xml eval graphs round-trip (writer gate)") {
+    // The W3C suites gate the READER against reference documents; this
+    // gates the WRITER against the same ground-truth graphs: every eval
+    // case's expected .nt graph is written with RdfXmlWriter and re-read
+    // with the full-grammar reader — isomorphism required.
+    import graft.golden.Manifest
+    import graft.riot.{RdfXmlLite, RdfXmlWriter}
+    val manifests = Seq(
+      "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf11/rdf-xml/manifest.ttl",
+      "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf12/rdf-xml/eval/manifest.ttl")
+    val evalCases = manifests.flatMap(Manifest.load)
+      .filter(e => e.types.exists(_.endsWith("TestXMLEval")) && e.result.isDefined)
+    assert(evalCases.size >= 50, s"only ${evalCases.size} eval cases found")
+    val failures = evalCases.flatMap { e =>
+      val expected = NTriples.parseDocument(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(e.result.get)), "UTF-8"))
+      try {
+        val back = RdfXmlLite.parse(RdfXmlWriter.write(expected), EX)
+        if (graft.model.Iso.isomorphic(expected, back)) None
+        else Some(s"${e.name}: not isomorphic after round-trip")
+      } catch { case ex: IllegalArgumentException =>
+        Some(s"${e.name}: ${ex.getMessage}") }
+    }
+    assert(failures.isEmpty, s"${failures.size} writer failures:\n  " +
+      failures.mkString("\n  "))
+  }
+
   test("RdfXmlWriter: distributed format — each partition a standalone document") {
     import graft.riot.{RdfXmlLite, RdfXmlWriter}
     val spark = TestSpark.spark
