@@ -52,6 +52,7 @@ object SparkEntry {
     "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
+    "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
@@ -500,6 +501,22 @@ object SparkEntry {
            CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
            reason, n_tokens, dup_word_permille
          FROM ruled""",
+    "c2_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t WHERE n_tokens > 0)
+         SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_first,
+           CAST((cum - 1) // 2048 AS BIGINT) AS pack_last,
+           CAST(((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1
+                AS BIGINT) AS pack_n
+         FROM c""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -658,6 +658,35 @@ object OpsQueries {
         col("n_tokens"), col("dup_word_permille"))
   }
 
+  /** Sequence packing — the concat-and-chunk layout step a pretraining
+   * pipeline runs after filtering/dedup: documents are laid end-to-end in
+   * token space within each language shard (deterministic doc_id order)
+   * and cut into fixed 2048-token packs; each doc reports the pack range
+   * it lands in (docs straddle pack boundaries, exactly like production
+   * concat-and-chunk). Scale shape: ONE window per shard key — no join,
+   * no explode; the running sum is a single sort within each (lang)
+   * partition. At 100 TB the shard key is (lang, date_shard) so no
+   * single window partition exceeds a task, and packs are globally
+   * addressable as (shard, pack_no) — the global-cumsum antipattern
+   * never appears. Oracle: identical window algebra in DuckDB over the
+   * same BPE-ish token counter as t5. */
+  def c2_pack_sequences(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 2048L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
+          .cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("pack_first"),
+        expr(s"(cum - 1) div $seqLen").as("pack_last"))
+      .withColumn("pack_n", col("pack_last") - col("pack_first") + 1)
+  }
+
   // ---------------------------------------------------------------- graphs
 
   /** Transitive closure (SPARQL `p+`, SURVEY §2.8) over a bounded synthetic
