@@ -45,11 +45,16 @@ object RdfXmlWriter {
   private val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val ITSNS = "http://www.w3.org/2005/11/its"
 
-  // ---- XML escaping (BaseXMLWriter's Util.substituteEntitiesInElementContent)
+  // ---- XML escaping (BaseXMLWriter's Util.substituteEntitiesInElementContent).
+  // \r MUST be a char ref even in element content: XML parsers normalize
+  // raw \r / \r\n to \n (XML 1.0 §2.11), which would corrupt the lexical
+  // form on round-trip. In attributes, \n and \t are additionally
+  // normalized to spaces (§3.3.3) — char refs survive both.
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\r", "&#13;")
   private def escAttr(s: String): String =
-    esc(s).replace("\"", "&quot;").replace("\n", "&#10;")
+    esc(s).replace("\"", "&quot;").replace("\n", "&#10;").replace("\t", "&#9;")
 
   // ---- NCName (XML-Names §3, the ASCII+letter pragmatic subset the
   // reader's validNCName accepts)

@@ -353,6 +353,12 @@ class RiotSpec extends AnyFunSuite {
     // non-NCName bnode labels are relabeled, still isomorphic
     val odd = Seq(Triple(Term.bnode("1:x"), Term.iri(EX + "p"), Term.string("v")))
     assert(graft.model.Iso.isomorphic(odd, RdfXmlLite.parse(RdfXmlWriter.write(odd), EX)))
+    // \r survives round-trip (XML parsers normalize raw \r to \n — the
+    // writer must emit &#13;); \n and \t in content survive raw
+    val ws = Seq(Triple(Term.iri(EX + "s"), Term.iri(EX + "p"),
+      Term.string("a\rb\r\nc\nd\te")))
+    val wsBack = RdfXmlLite.parse(RdfXmlWriter.write(ws), EX)
+    assert(wsBack == ws, s"whitespace mangled: ${wsBack.map(_.toNTriples)}")
   }
 
   test("RdfXmlWriter: predicate IRI split is maximal-NCName; bad IRIs throw") {
