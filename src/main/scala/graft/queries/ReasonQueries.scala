@@ -139,6 +139,17 @@ object ReasonQueries {
    * The DuckDB oracle restates each consequence relationally.
    */
   def v7_owl_micro(s: SparkSession, d: String): DataFrame = {
+    val interesting = Seq("Agent", "Place", "HasPlace", "Connected",
+      "PlacedAgent").map(NS + _)
+    graft.reason.Owl.closure(v7TriplesForDebug(s, d))
+      .filter(col("p.lex") === RDF_TYPE &&
+        col("o.lex").isin(interesting: _*) &&
+        (col("s.lex").startsWith(NS + "c:") || col("s.lex").startsWith(NS + "n:")))
+      .select(col("s.lex").as("inst"), col("o.lex").as("cls"))
+  }
+
+  /** v7's ABox+TBox input frame — shared with the ReasonProbe debug tool. */
+  private[graft] def v7TriplesForDebug(s: SparkSession, d: String): DataFrame = {
     val customer = Tables.customer(s, d)
     def iriCol(prefix: String, c: Column) =
       TermCols.iriTerm(concat(lit(NS + prefix), c.cast("string")))
@@ -165,14 +176,7 @@ object ReasonQueries {
       T(NS + "l2", RDFNS + "first", NS + "HasPlace"),
       T(NS + "l2", RDFNS + "rest", RDFNS + "nil"))
     import s.implicits._
-    val triples = data.unionAll(s.createDataset(tbox).toDF())
-    val interesting = Seq("Agent", "Place", "HasPlace", "Connected",
-      "PlacedAgent").map(NS + _)
-    graft.reason.Owl.closure(triples)
-      .filter(col("p.lex") === RDF_TYPE &&
-        col("o.lex").isin(interesting: _*) &&
-        (col("s.lex").startsWith(NS + "c:") || col("s.lex").startsWith(NS + "n:")))
-      .select(col("s.lex").as("inst"), col("o.lex").as("cls"))
+    data.unionAll(s.createDataset(tbox).toDF())
   }
 
   val oracle: Map[String, String] = Map(

@@ -538,7 +538,8 @@ object Owl {
    * saturated schema closure, hook-compiled ground rules, and the
    * distinct data-predicate set. */
   private final case class CompiledSchema(schemaClosure: Set[Triple],
-      ground: Seq[Rule], dataPreds: Set[String])
+      ground: Seq[Rule], dataPreds: Set[String],
+      dataTypeObjs: Option[Set[String]])
 
   private def compileSchema(df: DataFrame, schemaCap: Int): CompiledSchema = {
     import org.apache.spark.sql.Encoders
@@ -562,8 +563,17 @@ object Owl {
       .distinct().collect().map(_.getString(0)).toSet
     val predFacts = (dataPreds -- schemaPreds).toSeq.sorted
       .map(p => Triple(Term.iri(p), tType, Term.iri(RDF + "Property")))
+    // the data's rdf:type-object vocabulary (one more narrow scan,
+    // class-vocabulary-bounded) seeds round 1's (rdf:type, class)
+    // dispatch; wider than the cap → predicate-only dispatch, still exact
+    val dataTypeObjs: Option[Set[String]] = {
+      val objs = df.select(col("o.lex")).where(col("p.lex") === tType.lex)
+        .distinct().limit(Rules.dispatchTypeObjCap + 1)
+        .collect().map(_.getString(0))
+      if (objs.length > Rules.dispatchTypeObjCap) None else Some(objs.toSet)
+    }
     val (schemaClosure, ground) = compileProgram(schemaRows.toSeq ++ predFacts)
-    CompiledSchema(schemaClosure, ground, dataPreds)
+    CompiledSchema(schemaClosure, ground, dataPreds, dataTypeObjs)
   }
 
   private def closureWith(df: DataFrame, cs: CompiledSchema,
@@ -583,13 +593,26 @@ object Owl {
     // Round 1's dispatch gets the EXACT base predicate set — known for
     // free from dataPreds + the riding axioms.
     val basePreds = cs.dataPreds ++ cs.schemaClosure.iterator.map(_.p.lex)
+    val baseTypeObjs = cs.dataTypeObjs.map(_ ++ cs.schemaClosure.iterator
+      .filter(_.p.lex == tType.lex).map(_.o.lex))
     Rules.closure(df, RuleSet(cs.schemaClosure.toSeq, rules),
-      basePreds = Some(basePreds))
+      basePreds = Some(basePreds), baseTypeObjs = baseTypeObjs)
   }
 
   def closure(df: DataFrame, expandDifferentFrom: Boolean = false,
       schemaCap: Int = 2000000): DataFrame =
     closureWith(df, compileSchema(df, schemaCap), expandDifferentFrom)
+
+  /** Debug/audit: the specialized distributed rule program `closure`
+   * would run for this dataset (after schema compile + partial eval). */
+  private[graft] def programFor(df: DataFrame,
+      expandDifferentFrom: Boolean = false): Seq[Rule] = {
+    val cs = compileSchema(df, 2000000)
+    val rules0 = microGeneric.rules ++ cs.ground
+    val rules1 =
+      if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
+    specialize(rules1, cs.schemaClosure)
+  }
 
   // ---- validation (ValidityReport analog) --------------------------------
 

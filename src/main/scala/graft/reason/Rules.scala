@@ -486,9 +486,12 @@ object Rules {
    *  `triples` + `rs.axioms` (e.g. Owl.closure computes it anyway for
    *  its meta-fact seeding), round 1's delta dispatch uses it instead of
    *  running unbounded — chains whose delta-side atom names an absent
-   *  predicate are never planned. */
+   *  predicate are never planned.
+   *  @param baseTypeObjs likewise the exact rdf:type-object lexical set
+   *  of the base, for round 1's (rdf:type, class) dispatch. */
   def closure(triples: DataFrame, rs: RuleSet, maxIter: Int = 1000,
-      basePreds: Option[Set[String]] = None): DataFrame = {
+      basePreds: Option[Set[String]] = None,
+      baseTypeObjs: Option[Set[String]] = None): DataFrame = {
     // same checkpointed-union hazard + fix as Graphs.transitiveClosure:
     // constraint propagation trips over LogicalRDD unions ("key not
     // found: attr"); the loop plans are tiny, so switch it off for the
@@ -497,11 +500,114 @@ object Rules {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark0.conf.getOption(cpKey)
     spark0.conf.set(cpKey, "false")
-    try closure0(triples, rs, maxIter, basePreds)
+    try closure0(triples, rs, maxIter,
+      basePreds.map(ps => Dispatch(ps, baseTypeObjs)))
     finally cpPrev match {
       case Some(v) => spark0.conf.set(cpKey, v)
       case None => spark0.conf.unset(cpKey)
     }
+  }
+
+  // ---- per-round dispatch -------------------------------------------------
+
+  /** One round's delta summary for chain dispatch: the distinct
+   * predicates, and — when the class vocabulary is small enough to
+   * collect ([[dispatchTypeObjCap]]) — the distinct lexical objects of
+   * its rdf:type facts. The latter is the set-at-a-time analog of a RETE
+   * alpha memory keyed on (rdf:type, class): a chain whose delta-side
+   * atom is `(?x rdf:type <C>)` for a class absent from the delta
+   * derives nothing and is never planned. Over-approximate by design
+   * (keys are lexical forms; None = match everything). */
+  private[graft] final case class Dispatch(preds: Set[String],
+      typeObjs: Option[Set[String]])
+
+  private val rdfTypeLex = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Above this many distinct (predicate, type-object) rows the per-round
+   * collect falls back to predicate-only dispatch — the pruning is an
+   * optimization, never a correctness gate. */
+  private[reason] val dispatchTypeObjCap = 20000
+
+  // ---- ground-constant rule families ------------------------------------
+
+  /** One batched family: guard-free rules sharing a TEMPLATE (identical
+   * atoms/heads/variables modulo subject/object constants) plus the
+   * constant tuples distinguishing the members. Constant slots appear in
+   * the template as variables named `gk#<j>` — '#' cannot occur in a
+   * rule-file variable, so slots never collide with user variables. */
+  private[reason] final case class Family(template: Rule,
+      tuples: Seq[Seq[Term]])
+
+  /** Row carrier for a family's constant table ([[Family.tuples]]). */
+  private[reason] final case class KTuple(ks: Seq[Term])
+
+  /** Replace every subject/object constant with an ordered slot var AND
+   * canonicalize variable names by first occurrence — so rules identical
+   * modulo renaming (the schema compile emits such duplicates, e.g. a
+   * hook-ground rule next to its specialize()d twin) share one template.
+   * PREDICATE constants stay literal: they drive the delta dispatch and
+   * keep the scan-side predicate filters pushed. */
+  private def slotted(r: Rule): (Rule, Seq[Term]) = {
+    val consts = mutable.Buffer[Term]()
+    val vmap = mutable.LinkedHashMap[String, String]()
+    def ren(v: String): String = vmap.getOrElseUpdate(v, s"v#${vmap.size}")
+    def slot(t: RTerm): RTerm = t match {
+      case RConst(k) => consts += k; RVar(s"gk#${consts.size - 1}")
+      case RVar(v) => RVar(ren(v))
+    }
+    def pvar(t: RTerm): RTerm = t match {
+      case RVar(v) => RVar(ren(v))
+      case c => c
+    }
+    def slotAtom(a: Atom): Atom = Atom(slot(a.s), pvar(a.p), slot(a.o))
+    val body = r.body.map(slotAtom)
+    val heads = r.heads.map(slotAtom)
+    (Rule("family", body, Nil, heads), consts.toSeq)
+  }
+
+  /**
+   * WebPIE-style rules-as-relations batching (Urbani et al., ISWC 2010 —
+   * there the RDFS/OWL schema triples ARE the join relation; here any
+   * ground-constant rule family becomes one): guard-free rules that
+   * differ only in subject/object constants — the shape the OWL schema
+   * compile emits by the dozen (subclass links, recognition rules,
+   * intersection membership) — are evaluated as ONE join chain against a
+   * literal table of their constant tuples instead of one chain each.
+   * A fixpoint round's chain count then scales with the number of rule
+   * SHAPES, not rules: 20 hook-ground chains collapse to ~3, and the
+   * constant tables are TBox-sized by construction (broadcast). Exact
+   * by distributivity of join over the union of constant tuples.
+   */
+  private[reason] def familize(rules: Seq[Rule]): (Seq[Family], Seq[Rule]) = {
+    val singles = mutable.Buffer[Rule]()
+    val grouped = mutable.LinkedHashMap[Rule, mutable.Buffer[Seq[Term]]]()
+    rules.foreach { r =>
+      val groupable = r.guards.isEmpty && (r.body ++ r.heads).exists(a =>
+        a.s.isInstanceOf[RConst] || a.o.isInstanceOf[RConst])
+      if (!groupable) singles += r
+      else {
+        val (tpl, ks) = slotted(r)
+        grouped.getOrElseUpdate(tpl, mutable.Buffer()) += ks
+      }
+    }
+    val fams = mutable.Buffer[Family]()
+    grouped.foreach { case (tpl, tuples0) =>
+      val tuples = tuples0.distinct
+      if (tuples.size >= 2) fams += Family(tpl, tuples.toSeq)
+      else {
+        // singleton family — restore the original constant-filtered rule
+        // (renaming-duplicates collapse here: n copies → 1 tuple → 1 rule)
+        val ks = tuples.head
+        def unslot(t: RTerm): RTerm = t match {
+          case RVar(v) if v.startsWith("gk#") => RConst(ks(v.drop(3).toInt))
+          case x => x
+        }
+        def unslotAtom(a: Atom): Atom = Atom(unslot(a.s), a.p, unslot(a.o))
+        singles += Rule(tpl.name, tpl.body.map(unslotAtom), Nil,
+          tpl.heads.map(unslotAtom))
+      }
+    }
+    (fams.toSeq, singles.toSeq)
   }
 
   /** One full derivation round over (full, delta) — every rule × every
@@ -509,7 +615,7 @@ object Rules {
    * PlanSpec can audit the join shapes (the fixpoint result itself is a
    * checkpointed union whose executed plan no longer shows them). */
   private[graft] def deriveOnce(rs: RuleSet, full: DataFrame,
-      delta: DataFrame, deltaPreds: Option[Set[String]] = None): DataFrame = {
+      delta: DataFrame, dispatch: Option[Dispatch] = None): DataFrame = {
     def constCol(t: Term): Column = struct(
       lit(t.kind).cast("tinyint").as("kind"), lit(t.lex).as("lex"),
       lit(t.dt).as("dt"), lit(t.lang).as("lang"))
@@ -565,19 +671,65 @@ object Rules {
       }.reduce(_ unionAll _)
     }
 
-    // Predicate-indexed delta dispatch (the set-at-a-time analog of the
-    // reference's clause index, LPBRuleEngine/RETEEngine keyed on
-    // predicate): a rule×position chain whose delta-side atom names a
-    // constant predicate absent from THIS round's delta derives nothing —
-    // skip it before Spark ever plans it. With p rules of b atoms, a round
-    // plans only the chains the delta can feed instead of all p·b.
-    def deltaCanMatch(a: Atom): Boolean = (deltaPreds, a.p) match {
-      case (Some(ps), RConst(k)) if k.isIri => ps.contains(k.lex)
-      case _ => true
+    /** Join chain for one FAMILY with the delta in position i: the body
+     * frames in source order with the (broadcast) constant-tuple table
+     * inserted right after the first slotted atom — so the slot join
+     * filters early — or appended when only the heads carry slots. */
+    def familyDerivations(f: Family, i: Int): DataFrame = {
+      val spark = full.sparkSession
+      import spark.implicits._
+      val n = f.tuples.head.size
+      val kt = broadcast(spark.createDataset(f.tuples.map(KTuple))
+        .select((0 until n).map(j => col("ks")(j).as(s"gk#$j")): _*))
+      def hasSlot(a: Atom): Boolean = Seq(a.s, a.o).exists {
+        case RVar(v) => v.startsWith("gk#")
+        case _ => false
+      }
+      val bodyFrames = f.template.body.zipWithIndex.map { case (a, j) =>
+        atomFrame(if (j == i) delta else full, a, j)
+      }
+      val at = f.template.body.indexWhere(hasSlot)
+      val frames =
+        if (at < 0) bodyFrames :+ kt
+        else bodyFrames.patch(at + 1, Seq(kt), 0)
+      val joined = frames.reduceLeft { (l, rF) =>
+        val shared = l.columns.toSet.intersect(rF.columns.toSet)
+          .filterNot(_.startsWith("__")).toSeq
+        if (shared.isEmpty) l.crossJoin(rF) else l.join(rF, shared)
+      }
+      f.template.heads.map { h =>
+        def proj(t: RTerm): Column = t match {
+          case RConst(k) => constCol(k)
+          case RVar(v) => col(v)
+        }
+        joined.select(proj(h.s).as("s"), proj(h.p).as("p"), proj(h.o).as("o"))
+      }.reduce(_ unionAll _)
     }
-    val chains = rs.rules.flatMap(r =>
+
+    // Delta dispatch (the set-at-a-time analog of the reference's clause
+    // index, LPBRuleEngine/RETEEngine keyed on predicate): a rule×position
+    // chain whose delta-side atom names a constant predicate — or a
+    // constant rdf:type OBJECT — absent from THIS round's delta derives
+    // nothing; skip it before Spark ever plans it. With p rules of b
+    // atoms, a round plans only the chains the delta can feed.
+    def deltaCanMatch(a: Atom): Boolean = dispatch match {
+      case Some(d) => a.p match {
+        case RConst(k) if k.isIri =>
+          d.preds.contains(k.lex) && ((k.lex, a.o, d.typeObjs) match {
+            case (`rdfTypeLex`, RConst(o), Some(objs)) => objs.contains(o.lex)
+            case _ => true
+          })
+        case _ => true
+      }
+      case None => true
+    }
+    val (families, singles) = familize(rs.rules)
+    val chains = singles.flatMap(r =>
       r.body.indices.filter(i => deltaCanMatch(r.body(i)))
-        .map(i => ruleDerivations(r, full, delta, i)))
+        .map(i => ruleDerivations(r, full, delta, i))) ++
+      families.flatMap(f =>
+        f.template.body.indices.filter(i => deltaCanMatch(f.template.body(i)))
+          .map(i => familyDerivations(f, i)))
     if (chains.isEmpty) full.select("s", "p", "o").limit(0)
     else chains.reduce(_ unionAll _)
       // illegal RDF triples (literal subject/predicate) are dropped,
@@ -588,7 +740,7 @@ object Rules {
   }
 
   private def closure0(triples: DataFrame, rs: RuleSet, maxIter: Int,
-      basePreds: Option[Set[String]] = None): DataFrame = {
+      baseDispatch: Option[Dispatch] = None): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 
@@ -613,37 +765,77 @@ object Rules {
     // distinct predicates cost one cheap map-side-combined job bounded by
     // the vocabulary — and a round whose delta is only rdf:type facts
     // then plans only the type-consuming chains. For small programs the
-    // extra per-round job costs more than the pruning saves (measured on
+    // pruning saves less than the dispatch bookkeeping risks (measured on
     // the magic-sets goal query), so the static bound stays.
     val exactDispatch = rs.rules.size >= 24
+    // per-round timing trace (env GRAFT_RULES_TRACE=1) — planning vs
+    // execution vs dispatch-collect; for sizing fixpoint-latency work
+    val trace = sys.env.get("GRAFT_RULES_TRACE").contains("1")
     var all = base
     var flat = true // whether `all` is currently a single checkpointed plan
     var delta = base
-    var deltaPreds: Option[Set[String]] = basePreds
+    var dispatch: Option[Dispatch] = baseDispatch
     var deltaEmpty = delta.isEmpty
     var iter = 0
     while (!deltaEmpty) {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"rule closure did not reach a fixpoint within $maxIter rounds")
-      val derived = deriveOnce(rs, all, delta, deltaPreds)
+      val t0 = System.nanoTime()
+      // (An explicit broadcast hint on small deltas was measured a wash
+      // here — AQE already converts the tiny-delta joins at runtime; the
+      // structural lever is ground-rule family batching in deriveOnce.)
+      val derived = deriveOnce(rs, all, delta, dispatch)
       val allR = all.select(col("s").as("__as"), col("p").as("__ap"),
         col("o").as("__ao"))
-      val fresh = derived.join(allR,
+      val freshPlan = derived.join(allR,
         col("s") === col("__as") && col("p") === col("__ap") &&
           col("o") === col("__ao"), "left_anti")
-        .localCheckpoint(true)
-      if (exactDispatch) {
-        // the predicate collect doubles as the emptiness check — one job
-        // instead of two per round
-        val preds = fresh.select(col("p.lex")).distinct()
-          .collect().map(_.getString(0)).toSet
-        deltaEmpty = preds.isEmpty
-        deltaPreds = Some(preds)
-      } else {
-        deltaEmpty = fresh.isEmpty
-        deltaPreds = headPreds
+      val tPlan = if (trace) {
+        freshPlan.queryExecution.executedPlan // force analysis+optimization
+        System.nanoTime()
+      } else 0L
+      val fresh = freshPlan.localCheckpoint(true)
+      val tExec = if (trace) System.nanoTime() else 0L
+      if (trace) {
+        def canMatch(a: Atom) = dispatch match {
+          case Some(d) => a.p match {
+            case RConst(k) if k.isIri =>
+              d.preds.contains(k.lex) && ((k.lex, a.o, d.typeObjs) match {
+                case (`rdfTypeLex`, RConst(o), Some(objs)) =>
+                  objs.contains(o.lex)
+                case _ => true
+              })
+            case _ => true
+          }
+          case None => true
+        }
+        val (fams, sings) = familize(rs.rules)
+        val nChains = sings.map(_.body.count(canMatch)).sum +
+          fams.map(_.template.body.count(canMatch)).sum
+        println(f"[rules] round $iter chains=$nChains " +
+          f"(fam=${fams.size} single=${sings.size}) " +
+          f"plan=${(tPlan - t0) / 1e9}%.2fs exec=${(tExec - tPlan) / 1e9}%.2fs " +
+          s"parts=${fresh.rdd.getNumPartitions}")
       }
+      // one vocabulary-bounded job per round: the distinct (predicate,
+      // rdf:type-object) collect doubles as the emptiness check and (for
+      // large programs) the exact-dispatch key set
+      val pairs = fresh.select(col("p.lex").as("p"),
+          when(col("p.lex") === rdfTypeLex, col("o.lex")).as("tobj"))
+        .distinct().limit(dispatchTypeObjCap + 1)
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      if (trace) println(f"[rules] round $iter collect=" +
+        f"${(System.nanoTime() - tExec) / 1e9}%.2fs keys=${pairs.length}")
+      deltaEmpty = pairs.isEmpty
+      dispatch =
+        if (!exactDispatch) headPreds.map(Dispatch(_, None))
+        else if (pairs.length > dispatchTypeObjCap)
+          // class vocabulary too wide to collect — predicate-only dispatch
+          Some(Dispatch(fresh.select(col("p.lex")).distinct()
+            .collect().map(_.getString(0)).toSet, None))
+        else Some(Dispatch(pairs.map(_._1).toSet,
+          Some(pairs.flatMap(_._2).toSet)))
       if (!deltaEmpty) {
         // `fresh` is already checkpointed — appending it lazily costs one
         // extra scan per consumer, while re-checkpointing `all` would copy
