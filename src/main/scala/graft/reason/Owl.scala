@@ -592,11 +592,11 @@ object Owl {
     // rules re-derive instance-level meta facts (rdf1and4 …) distributed.
     // Round 1's dispatch gets the EXACT base predicate set — known for
     // free from dataPreds + the riding axioms.
-    val basePreds = cs.dataPreds ++ cs.schemaClosure.iterator.map(_.p.lex)
-    val baseTypeObjs = cs.dataTypeObjs.map(_ ++ cs.schemaClosure.iterator
-      .filter(_.p.lex == tType.lex).map(_.o.lex))
+    // the riding schema closure is a hook fixpoint → round 1's delta is
+    // the data slice only, with ITS exact dispatch keys (not the base's)
     Rules.closure(df, RuleSet(cs.schemaClosure.toSeq, rules),
-      basePreds = Some(basePreds), baseTypeObjs = baseTypeObjs)
+      basePreds = Some(cs.dataPreds), baseTypeObjs = cs.dataTypeObjs,
+      axiomsSaturated = true)
   }
 
   def closure(df: DataFrame, expandDifferentFrom: Boolean = false,

@@ -483,15 +483,23 @@ object Rules {
    * derivations against the accumulated closure — the same discipline
    * (and the same lineage-checkpoint cadence) as Graphs.transitiveClosure. */
   /** @param basePreds when the caller knows the exact predicate set of
-   *  `triples` + `rs.axioms` (e.g. Owl.closure computes it anyway for
-   *  its meta-fact seeding), round 1's delta dispatch uses it instead of
-   *  running unbounded — chains whose delta-side atom names an absent
-   *  predicate are never planned.
+   *  ROUND 1's delta — `triples` + `rs.axioms`, or `triples` alone under
+   *  `axiomsSaturated` (Owl computes it anyway for its meta-fact
+   *  seeding) — round 1's dispatch uses it instead of running unbounded:
+   *  chains whose delta-side atom names an absent predicate are never
+   *  planned.
    *  @param baseTypeObjs likewise the exact rdf:type-object lexical set
-   *  of the base, for round 1's (rdf:type, class) dispatch. */
+   *  of the base, for round 1's (rdf:type, class) dispatch.
+   *  @param axiomsSaturated when the caller GUARANTEES `rs.axioms` is
+   *  already closed under `rs.rules` (Owl rides its hook-saturated schema
+   *  closure as axioms), round 1's delta is the data slice only: a
+   *  derivation from axiom facts alone is already an axiom, and every
+   *  mixed derivation has a data fact in some position the delta rotation
+   *  covers. Chains only the axioms could feed are then never planned. */
   def closure(triples: DataFrame, rs: RuleSet, maxIter: Int = 1000,
       basePreds: Option[Set[String]] = None,
-      baseTypeObjs: Option[Set[String]] = None): DataFrame = {
+      baseTypeObjs: Option[Set[String]] = None,
+      axiomsSaturated: Boolean = false): DataFrame = {
     // same checkpointed-union hazard + fix as Graphs.transitiveClosure:
     // constraint propagation trips over LogicalRDD unions ("key not
     // found: attr"); the loop plans are tiny, so switch it off for the
@@ -501,7 +509,7 @@ object Rules {
     val cpPrev = spark0.conf.getOption(cpKey)
     spark0.conf.set(cpKey, "false")
     try closure0(triples, rs, maxIter,
-      basePreds.map(ps => Dispatch(ps, baseTypeObjs)))
+      basePreds.map(ps => Dispatch(ps, baseTypeObjs)), axiomsSaturated)
     finally cpPrev match {
       case Some(v) => spark0.conf.set(cpKey, v)
       case None => spark0.conf.unset(cpKey)
@@ -740,7 +748,8 @@ object Rules {
   }
 
   private def closure0(triples: DataFrame, rs: RuleSet, maxIter: Int,
-      baseDispatch: Option[Dispatch] = None): DataFrame = {
+      baseDispatch: Option[Dispatch] = None,
+      axiomsSaturated: Boolean = false): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 
@@ -751,29 +760,23 @@ object Rules {
       .getOrElse(triples.select("s", "p", "o"))
       .dropDuplicates("s", "p", "o").localCheckpoint(true)
 
-    // constant head predicates of the whole program, or None if any head
-    // predicate is a variable (then nothing can be bounded statically)
-    val headPreds: Option[Set[String]] = {
-      val hs = rs.rules.flatMap(_.heads).map(_.p)
-      if (hs.forall { case RConst(t) => t.isIri; case _ => false })
-        Some(hs.collect { case RConst(t) => t.lex }.toSet)
-      else None
-    }
-    // For LARGE programs (OWL-scale), refine the static bound to the
-    // EXACT predicate set of each round's delta: the delta is the
-    // freshly-derived (already-checkpointed, delta-sized) frame, so its
-    // distinct predicates cost one cheap map-side-combined job bounded by
-    // the vocabulary — and a round whose delta is only rdf:type facts
-    // then plans only the type-consuming chains. For small programs the
-    // pruning saves less than the dispatch bookkeeping risks (measured on
-    // the magic-sets goal query), so the static bound stays.
-    val exactDispatch = rs.rules.size >= 24
     // per-round timing trace (env GRAFT_RULES_TRACE=1) — planning vs
     // execution vs dispatch-collect; for sizing fixpoint-latency work
     val trace = sys.env.get("GRAFT_RULES_TRACE").contains("1")
     var all = base
     var flat = true // whether `all` is currently a single checkpointed plan
-    var delta = base
+    // round 1's delta: the whole base, or — when the axioms are already
+    // a fixpoint — the data slice only (a cheap broadcast anti-join over
+    // the cached base; see the `axiomsSaturated` contract)
+    var delta = axiomDf match {
+      case Some(ax) if axiomsSaturated =>
+        val axR = ax.select(col("s").as("__as"), col("p").as("__ap"),
+          col("o").as("__ao"))
+        base.join(broadcast(axR),
+          col("s") === col("__as") && col("p") === col("__ap") &&
+            col("o") === col("__ao"), "left_anti")
+      case _ => base
+    }
     var dispatch: Option[Dispatch] = baseDispatch
     var deltaEmpty = delta.isEmpty
     var iter = 0
@@ -819,8 +822,8 @@ object Rules {
           s"parts=${fresh.rdd.getNumPartitions}")
       }
       // one vocabulary-bounded job per round: the distinct (predicate,
-      // rdf:type-object) collect doubles as the emptiness check and (for
-      // large programs) the exact-dispatch key set
+      // rdf:type-object) collect doubles as the emptiness check and the
+      // exact-dispatch key set
       val pairs = fresh.select(col("p.lex").as("p"),
           when(col("p.lex") === rdfTypeLex, col("o.lex")).as("tobj"))
         .distinct().limit(dispatchTypeObjCap + 1)
@@ -829,8 +832,7 @@ object Rules {
         f"${(System.nanoTime() - tExec) / 1e9}%.2fs keys=${pairs.length}")
       deltaEmpty = pairs.isEmpty
       dispatch =
-        if (!exactDispatch) headPreds.map(Dispatch(_, None))
-        else if (pairs.length > dispatchTypeObjCap)
+        if (pairs.length > dispatchTypeObjCap)
           // class vocabulary too wide to collect — predicate-only dispatch
           Some(Dispatch(fresh.select(col("p.lex")).distinct()
             .collect().map(_.getString(0)).toSet, None))
