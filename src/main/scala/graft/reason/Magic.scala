@@ -160,11 +160,12 @@ object Magic {
    * semi-naive DataFrame closure, keep the triples matching the goal.
    * The term-struct schema (s, p, o) matches [[Rules.closure]]. */
   def answer(triples: DataFrame, rules: Seq[LpRule],
-      goal: (Option[Term], Term, Option[Term])): DataFrame = {
+      goal: (Option[Term], Term, Option[Term]),
+      localMaxBase: Option[Long] = None): DataFrame = {
     val rs = compile(rules, goal)
     val closed =
       if (rs.rules.isEmpty) triples.select("s", "p", "o")
-      else Rules.closure(triples, rs)
+      else Rules.closure(triples, rs, localMaxBase = localMaxBase)
     def eq(c: String, t: Term) =
       col(s"$c.kind") === t.kind && col(s"$c.lex") === t.lex &&
         col(s"$c.dt") === t.dt && col(s"$c.lang") === t.lang

@@ -577,7 +577,8 @@ object Owl {
   }
 
   private def closureWith(df: DataFrame, cs: CompiledSchema,
-      expandDifferentFrom: Boolean): DataFrame = {
+      expandDifferentFrom: Boolean,
+      localMaxBase: Option[Long] = None): DataFrame = {
     val rules0 = microGeneric.rules ++ cs.ground
     val rules1 =
       if (expandDifferentFrom) rules0 else rules0.filterNot(_.name == "distinct1")
@@ -596,12 +597,14 @@ object Owl {
     // the data slice only, with ITS exact dispatch keys (not the base's)
     Rules.closure(df, RuleSet(cs.schemaClosure.toSeq, rules),
       basePreds = Some(cs.dataPreds), baseTypeObjs = cs.dataTypeObjs,
-      axiomsSaturated = true)
+      axiomsSaturated = true, localMaxBase = localMaxBase)
   }
 
   def closure(df: DataFrame, expandDifferentFrom: Boolean = false,
-      schemaCap: Int = 2000000): DataFrame =
-    closureWith(df, compileSchema(df, schemaCap), expandDifferentFrom)
+      schemaCap: Int = 2000000,
+      localMaxBase: Option[Long] = None): DataFrame =
+    closureWith(df, compileSchema(df, schemaCap), expandDifferentFrom,
+      localMaxBase)
 
   /** Debug/audit: the specialized distributed rule program `closure`
    * would run for this dataset (after schema compile + partial eval). */

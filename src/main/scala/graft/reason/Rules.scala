@@ -364,27 +364,60 @@ object Rules {
 
   // ---- local engine (document-sized graphs) ---------------------------
 
+  /** Thrown by [[closureLocal]] when `maxFacts` is exceeded — the
+   * adaptive path in [[closure]] catches it and falls back to the
+   * distributed loop (a small BASE does not bound the CLOSURE: a 50k-edge
+   * chain closes transitively to ~10⁹ pairs). */
+  final class LocalFixpointOverflow(val facts: Long)
+    extends RuntimeException(s"local fixpoint exceeded $facts facts")
+
   /** Forward closure of a small graph, pure — semi-naive over hash
    * indexes. Deterministic; safe inside mapPartitions. */
-  def closureLocal(data: Seq[Triple], rs: RuleSet, maxIter: Int = 10000): Set[Triple] = {
-    val all = mutable.Set[Triple]() ++= data ++= rs.axioms
-    // predicate → triples index, rebuilt per round over the delta only
-    var delta: Set[Triple] = all.toSet
-    def idx(ts: Iterable[Triple]): Map[Term, Seq[Triple]] =
-      ts.toSeq.groupBy(_.p)
-    val fullByP = mutable.Map[Term, mutable.Buffer[Triple]]()
-    def addFull(t: Triple): Unit =
-      fullByP.getOrElseUpdate(t.p, mutable.Buffer()) += t
-    all.foreach(addFull)
+  /** Join index for the local engine: hash lookups on every bound-slot
+   * combination, so an n-atom body evaluates like a chain of hash joins
+   * instead of |slice|×|slice| scans (the difference between ms and
+   * minutes once a base reaches 10⁴ facts — the adaptive path in
+   * [[closure]] hands such bases to this engine). */
+  private final class TripleIndex(init: Iterable[Triple]) {
+    val byP = mutable.Map[Term, mutable.Buffer[Triple]]()
+    val byS = mutable.Map[Term, mutable.Buffer[Triple]]()
+    val byPS = mutable.Map[(Term, Term), mutable.Buffer[Triple]]()
+    val byPO = mutable.Map[(Term, Term), mutable.Buffer[Triple]]()
+    val allTs = mutable.Buffer[Triple]()
+    init.foreach(add)
+    def add(t: Triple): Unit = {
+      allTs += t
+      byP.getOrElseUpdate(t.p, mutable.Buffer()) += t
+      byS.getOrElseUpdate(t.s, mutable.Buffer()) += t
+      byPS.getOrElseUpdate((t.p, t.s), mutable.Buffer()) += t
+      byPO.getOrElseUpdate((t.p, t.o), mutable.Buffer()) += t
+    }
+    /** Narrowest slice for the given bound slots — a superset of the
+     * matches; the caller still unifies each candidate. */
+    def lookup(s: Option[Term], p: Option[Term], o: Option[Term]): Seq[Triple] =
+      ((s, p, o) match {
+        case (Some(sv), Some(pv), _) => byPS.get((pv, sv))
+        case (_, Some(pv), Some(ov)) => byPO.get((pv, ov))
+        case (_, Some(pv), _) => byP.get(pv)
+        case (Some(sv), _, _) => byS.get(sv)
+        case _ => Some(allTs)
+      }).map(_.toSeq).getOrElse(Nil)
+  }
 
-    def candidates(a: Atom, source: String, deltaByP: Map[Term, Seq[Triple]]): Seq[Triple] =
-      a.p match {
-        case RConst(p) =>
-          if (source == "delta") deltaByP.getOrElse(p, Nil)
-          else fullByP.get(p).map(_.toSeq).getOrElse(Nil)
-        case _ => if (source == "delta") deltaByP.values.flatten.toSeq
-                  else fullByP.values.flatten.toSeq
-      }
+  def closureLocal(data: Seq[Triple], rs: RuleSet, maxIter: Int = 10000,
+      maxFacts: Long = Long.MaxValue): Set[Triple] = {
+    val all = mutable.Set[Triple]() ++= data ++= rs.axioms
+    var delta: Set[Triple] = all.toSet
+    val fullIdx = new TripleIndex(all)
+
+    def boundTerm(t: RTerm, b: Map[String, Term]): Option[Term] = t match {
+      case RConst(c) => Some(c)
+      case RVar(n) => b.get(n)
+    }
+    def candidates(a: Atom, source: String, deltaIdx: TripleIndex,
+        b: Map[String, Term]): Seq[Triple] =
+      (if (source == "delta") deltaIdx else fullIdx)
+        .lookup(boundTerm(a.s, b), boundTerm(a.p, b), boundTerm(a.o, b))
 
     def unify(pat: RTerm, v: Term, b: Map[String, Term]): Option[Map[String, Term]] =
       pat match {
@@ -418,7 +451,7 @@ object Rules {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"rule closure did not reach a fixpoint within $maxIter rounds")
-      val deltaByP = idx(delta)
+      val deltaIdx = new TripleIndex(delta)
       val derived = mutable.Set[Triple]()
       rs.rules.foreach { r =>
         // semi-naive: at least one body atom must match the delta —
@@ -435,7 +468,7 @@ object Rules {
                 }
             } else {
               val src = if (j == i) "delta" else "full"
-              candidates(r.body(j), src, deltaByP).foreach { t =>
+              candidates(r.body(j), src, deltaIdx, b).foreach { t =>
                 matchAtom(r.body(j), t, b).foreach(expand(j + 1, _))
               }
             }
@@ -443,7 +476,8 @@ object Rules {
         }
       }
       val fresh = derived.toSet -- all
-      fresh.foreach { t => all += t; addFull(t) }
+      fresh.foreach { t => all += t; fullIdx.add(t) }
+      if (all.size > maxFacts) throw new LocalFixpointOverflow(maxFacts)
       delta = fresh
     }
     all.toSet
@@ -495,11 +529,15 @@ object Rules {
    *  closure as axioms), round 1's delta is the data slice only: a
    *  derivation from axiom facts alone is already an axiom, and every
    *  mixed derivation has a data fact in some position the delta rotation
-   *  covers. Chains only the axioms could feed are then never planned. */
+   *  covers. Chains only the axioms could feed are then never planned.
+   *  @param localMaxBase overrides `graft.reason.localFixpointMaxBase`
+   *  (the adaptive driver-local threshold; Some(0) forces the
+   *  distributed loop — cross-face specs use it). */
   def closure(triples: DataFrame, rs: RuleSet, maxIter: Int = 1000,
       basePreds: Option[Set[String]] = None,
       baseTypeObjs: Option[Set[String]] = None,
-      axiomsSaturated: Boolean = false): DataFrame = {
+      axiomsSaturated: Boolean = false,
+      localMaxBase: Option[Long] = None): DataFrame = {
     // same checkpointed-union hazard + fix as Graphs.transitiveClosure:
     // constraint propagation trips over LogicalRDD unions ("key not
     // found: attr"); the loop plans are tiny, so switch it off for the
@@ -509,7 +547,8 @@ object Rules {
     val cpPrev = spark0.conf.getOption(cpKey)
     spark0.conf.set(cpKey, "false")
     try closure0(triples, rs, maxIter,
-      basePreds.map(ps => Dispatch(ps, baseTypeObjs)), axiomsSaturated)
+      basePreds.map(ps => Dispatch(ps, baseTypeObjs)), axiomsSaturated,
+      localMaxBase)
     finally cpPrev match {
       case Some(v) => spark0.conf.set(cpKey, v)
       case None => spark0.conf.unset(cpKey)
@@ -749,7 +788,8 @@ object Rules {
 
   private def closure0(triples: DataFrame, rs: RuleSet, maxIter: Int,
       baseDispatch: Option[Dispatch] = None,
-      axiomsSaturated: Boolean = false): DataFrame = {
+      axiomsSaturated: Boolean = false,
+      localMaxBase: Option[Long] = None): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 
@@ -759,6 +799,34 @@ object Rules {
     val base = axiomDf.map(triples.select("s", "p", "o").unionAll(_))
       .getOrElse(triples.select("s", "p", "o"))
       .dropDuplicates("s", "p", "o").localCheckpoint(true)
+
+    // ---- adaptive local fixpoint ------------------------------------
+    // Each distributed round costs a fixed ~0.5–1 s of latency (plan +
+    // checkpoint + dispatch-collect) regardless of data size, so for
+    // KB-scale bases (TBoxes, per-document graphs, goal cones) the whole
+    // closure is cheaper tuple-at-a-time on the driver — the same
+    // economics as a broadcast-join threshold, and the in-memory mode is
+    // exactly how the reference's rule engines run (rulesys/FBRuleInfGraph).
+    // The base is already checkpointed so the count is one cheap job; the
+    // derived-fact cap guards the driver against closures that blow up
+    // past the base's scale (transitive n²) — on overflow the work falls
+    // back to the distributed loop below. `graft.reason.localFixpointMaxBase`
+    // (session conf): 0 disables, default 100k facts.
+    val localMax = localMaxBase.getOrElse(
+      spark.conf.getOption("graft.reason.localFixpointMaxBase")
+        .map(_.toLong).getOrElse(100000L))
+    if (localMax > 0 && base.count() <= localMax) {
+      val data = base.as[Triple].collect().toSeq
+      try {
+        val closed = closureLocal(data, RuleSet(Nil, rs.rules), maxIter,
+          maxFacts = math.max(localMax, data.size.toLong) * 8)
+        return spark.createDataset(closed.toSeq).toDF()
+      } catch { case o: LocalFixpointOverflow =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"local fixpoint overflowed ${o.facts} facts on a " +
+          s"${data.size}-fact base — falling back to the distributed loop")
+      }
+    }
 
     // per-round timing trace (env GRAFT_RULES_TRACE=1) — planning vs
     // execution vs dispatch-collect; for sizing fixpoint-latency work

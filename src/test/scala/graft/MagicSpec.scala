@@ -101,7 +101,10 @@ class MagicSpec extends AnyFunSuite {
     val data = graph(10, 40)
     val df = spark.createDataset(data).toDF()
     val goal = (None, T, Some(n("c0")))
-    val got = Magic.answer(df, rdfsBackward.rules, goal)
+    // Some(0) forces the distributed loop so the cross-face comparison
+    // stays meaningful under the adaptive local-fixpoint threshold
+    val got = Magic.answer(df, rdfsBackward.rules, goal,
+        localMaxBase = Some(0L))
       .as[Triple].collect().toSet
     val want = Magic.answerLocal(data, rdfsBackward.rules, goal)
     assert(got == want && got.nonEmpty)

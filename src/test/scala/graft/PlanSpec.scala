@@ -338,7 +338,7 @@ class PlanSpec extends AnyFunSuite {
       "rule bodies with shared vars must plan as equi-joins:\n" + p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       "the shared-var join must be a hash/merge equi-join:\n" + p)
-    val df = Rules.closure(base, rules)
+    val df = Rules.closure(base, rules, localMaxBase = Some(0L))
     assert(df.count() == 105) // 55 base + 50 derived (c_k type Top)
   }
 

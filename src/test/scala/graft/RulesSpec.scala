@@ -127,11 +127,40 @@ class RulesSpec extends AnyFunSuite {
     val data = loadRdf("rdfs/tbox1.rdf") ++ loadRdf("rdfs/data2.rdf")
     val withCmp = data ++ Rules.rdfsCmpAxioms(data)
     val want = Rules.closureLocal(withCmp, ruleSet)
+    // localMaxBase = Some(0) forces the DISTRIBUTED loop — the default
+    // adaptive threshold would route this document-sized base to the
+    // local engine and the cross-face comparison would be trivial
     val got = Rules.closure(
-      spark.createDataset(withCmp).toDF(), ruleSet)
+      spark.createDataset(withCmp).toDF(), ruleSet,
+      localMaxBase = Some(0L))
       .as[Triple].collect().toSet
     assert(got == want,
       s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
     info(s"${got.size} closure triples agree across both faces")
+  }
+
+  test("adaptive local fixpoint: driver path matches, overflow falls back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rules = Rules.parse(
+      "@prefix eg: <http://eg/>. " +
+        "[tr: (?a eg:next ?b), (?b eg:next ?c) -> (?a eg:next ?c)]")
+    // a 60-edge chain closes transitively to 1,830 pairs
+    val chain = (0 until 60).map(i => Triple(Term.iri(s"http://eg/n$i"),
+      Term.iri("http://eg/next"), Term.iri(s"http://eg/n${i + 1}")))
+    val base = spark.createDataset(chain).toDF()
+    val want = Rules.closureLocal(chain, rules)
+    assert(want.size == 61 * 60 / 2)
+    // default threshold (100k): the 60-fact base takes the DRIVER path
+    val local = Rules.closure(base, rules).as[Triple].collect().toSet
+    assert(local == want)
+    // localMaxBase = 100 admits the base but caps derived facts at 800 —
+    // the overflow must fall back to the distributed loop, same answer
+    val fellBack = Rules.closure(base, rules, localMaxBase = Some(100L))
+      .as[Triple].collect().toSet
+    assert(fellBack == want)
+    // and the local engine alone respects an explicit cap loudly
+    intercept[Rules.LocalFixpointOverflow](
+      Rules.closureLocal(chain, rules, maxFacts = 800))
   }
 }
