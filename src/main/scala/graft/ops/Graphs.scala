@@ -21,8 +21,9 @@ object Graphs {
    * conf (below), and two concurrent closures on one session would race
    * on it — the finally of one could restore the stale mid-run value of
    * the other. One lock per JVM is enough: closures on different
-   * SparkSessions are rare and still correct, just serialized. */
-  private val closureLock = new Object
+   * SparkSessions are rare and still correct, just serialized. SHARED
+   * with Rules.closure, which toggles the same conf key. */
+  private[graft] val closureLock = new Object
 
   def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame =
     closureLock.synchronized {

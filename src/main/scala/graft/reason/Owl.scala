@@ -746,9 +746,12 @@ object Owl {
           // above the exact-search bound, the count of distinct literal
           // terms is still a sound lower bound on the provably-distinct
           // clique (distinct literals are pairwise provably different) —
-          // no silent validation cliff at 25 values
+          // no silent validation cliff past the bound. 18 caps the exact
+          // branch-2 search at ~2^18 ≈ 262k calls per (instance,
+          // restriction); 24 would allow 2^24 ≈ 17M — a driver stall
+          // multiplied across instances
           val k =
-            if (vals.size > 24) vals.count(_.isLiteral)
+            if (vals.size > 18) vals.count(_.isLiteral)
             else maxClique(vals.toList, Nil)
           if (k > n.toInt)
             err(x, s"too many provably-distinct values for max-$n property ${p.lex}", p)

@@ -541,17 +541,21 @@ object Rules {
     // same checkpointed-union hazard + fix as Graphs.transitiveClosure:
     // constraint propagation trips over LogicalRDD unions ("key not
     // found: attr"); the loop plans are tiny, so switch it off for the
-    // run (session-global, performance-only effect — see Graphs).
-    val spark0 = triples.sparkSession
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark0.conf.getOption(cpKey)
-    spark0.conf.set(cpKey, "false")
-    try closure0(triples, rs, maxIter,
-      basePreds.map(ps => Dispatch(ps, baseTypeObjs)), axiomsSaturated,
-      localMaxBase)
-    finally cpPrev match {
-      case Some(v) => spark0.conf.set(cpKey, v)
-      case None => spark0.conf.unset(cpKey)
+    // run (session-global, performance-only effect — see Graphs). The
+    // save/toggle/restore races against concurrent closures on the same
+    // conf key, so it shares Graphs' JVM-wide lock.
+    graft.ops.Graphs.closureLock.synchronized {
+      val spark0 = triples.sparkSession
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = spark0.conf.getOption(cpKey)
+      spark0.conf.set(cpKey, "false")
+      try closure0(triples, rs, maxIter,
+        basePreds.map(ps => Dispatch(ps, baseTypeObjs)), axiomsSaturated,
+        localMaxBase)
+      finally cpPrev match {
+        case Some(v) => spark0.conf.set(cpKey, v)
+        case None => spark0.conf.unset(cpKey)
+      }
     }
   }
 

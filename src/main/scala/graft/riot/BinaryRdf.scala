@@ -569,7 +569,11 @@ object BinaryRdf {
    * against an explicit end offset). */
   final class ProtoReader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
-    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    def u8(): Int = {
+      if (pos >= end) throw new IllegalArgumentException(
+        "RDF-Protobuf: truncated message (read past the slice end)")
+      val b = buf(pos) & 0xff; pos += 1; b
+    }
     def varint(): Long = {
       var shift = 0; var v = 0L
       var b = u8()
@@ -591,18 +595,19 @@ object BinaryRdf {
       val r = new ProtoReader(buf, pos, pos + n); pos += n; r
     }
     def fixed64(): Long = {
+      bounded(8) // fixed-width reads must not cross the slice boundary
       var bits = 0L; var i = 0
       while (i < 8) { bits |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; bits
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => pos += bounded(8)
       case 2 =>
         // NOTE two steps: `pos += bounded(varint())` would read the OLD pos
         // before varint() advances it (Scala evaluates the LHS read first)
         val n = bounded(varint().toInt); pos += n
-      case 5 => pos += 4
+      case 5 => pos += bounded(4)
       case w => throw new IllegalArgumentException(s"RDF-Protobuf: wire type $w")
     }
   }
@@ -885,8 +890,13 @@ object BinaryRdf {
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, pds) =>
         // stream the file (the thrift reader is incremental); close the
-        // handle when the row iterator is exhausted
+        // handle when the row iterator is exhausted — AND on task
+        // completion, because a short-circuited action (limit/take, or a
+        // downstream failure) abandons the iterator mid-stream and the
+        // exhaustion branch never runs
         val in = new java.io.BufferedInputStream(pds.open())
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         val it = ThriftRdf.readTriples(in)
         new Iterator[Triple] {
           override def hasNext: Boolean = {

@@ -297,9 +297,7 @@ object JsonLd {
                 if (pIri.startsWith("@")) ()
                 else {
                   val p = Term.iri(pIri)
-                  val vs = if (e.getValue.isArray)
-                    e.getValue.elements().asScala.toSeq else Seq(e.getValue)
-                  vs.foreach { v =>
+                  setMembers(e.getValue).foreach { v =>
                     val o = valueTerm(v, TermDef(pIri), ctx, graph)
                     o.foreach(t => emit(t, p, subj, graph))
                   }
@@ -321,15 +319,33 @@ object JsonLd {
                   else emit(subj, p, o, graph)
                 if (td.container == "@list" && value.isArray) {
                   place(listTerm(value.elements().asScala.toSeq, td, ctxP, graph))
+                } else if (td.container == "@list" && !value.isNull &&
+                    !(value.isObject && (value.has("@list") || value.has("@set")))) {
+                  // a single (non-array) value under a @list container is
+                  // wrapped as a one-element list (JSON-LD 1.1 expansion);
+                  // explicit @list/@set value objects keep their own shape
+                  place(listTerm(Seq(value), td, ctxP, graph))
                 } else {
-                  val vs = if (value.isArray)
-                    value.elements().asScala.toSeq else Seq(value)
-                  vs.foreach(v => valueTerm(v, td, ctxP, graph).foreach(place))
+                  setMembers(value).foreach(
+                    v => valueTerm(v, td, ctxP, graph).foreach(place))
                 }
             }
         }
       }
       subj
+    }
+
+    /** Multi-value expansion of a value position: arrays AND transparent
+     * {"@set": [...]} wrappers flatten to their members (one level each —
+     * spec: @set disappears during expansion), so every member emits. */
+    private def setMembers(value: JsonNode): Seq[JsonNode] = {
+      val vs = if (value.isArray) value.elements().asScala.toSeq else Seq(value)
+      vs.flatMap { v =>
+        if (v != null && v.isObject && v.has("@set")) {
+          val items = v.get("@set")
+          if (items.isArray) items.elements().asScala.toSeq else Seq(items)
+        } else Seq(v)
+      }
     }
 
     /** One value position → an RDF term (None = null / dropped). */
@@ -366,11 +382,13 @@ object JsonLd {
         val seq = if (items.isArray) items.elements().asScala.toSeq else Seq(items)
         Some(listTerm(seq, td.copy(container = ""), ctx, graph))
       case n if n.isObject && n.has("@set") =>
-        // @set is transparent; multiple members are emitted by the caller —
-        // here a @set value object in a single-value position takes the
-        // FIRST member shape; callers pass arrays through vs directly.
+        // @set is transparent — multi-member sets are flattened by
+        // setMembers at every value position before this is reached; a
+        // term-valued return can only carry the single-member case
         val items = n.get("@set")
         val seq = if (items.isArray) items.elements().asScala.toSeq else Seq(items)
+        require(seq.size <= 1,
+          "multi-member @set must be flattened by the caller (setMembers)")
         seq.headOption.flatMap(valueTerm(_, td.copy(container = ""), ctx, graph))
       case n if n.isObject && n.has("@value") =>
         val value = n.get("@value")
@@ -404,7 +422,8 @@ object JsonLd {
 
     private def listTerm(items: Seq[JsonNode], td: TermDef, ctx: Ctx,
         graph: Term): Term = {
-      val terms = items.flatMap(valueTerm(_, td, ctx, graph))
+      // @set wrappers inside list items flatten into the list (expansion)
+      val terms = items.flatMap(setMembers).flatMap(valueTerm(_, td, ctx, graph))
       if (terms.isEmpty) Term.iri(RDF + "nil")
       else {
         val cells = terms.map(_ => freshBnode())
@@ -421,7 +440,10 @@ object JsonLd {
   /** Canonical xsd:double lexical form per JSON-LD toRDF (XSD canonical:
    * mantissa E exponent — 4.5 → "4.5E0"). */
   private def canonicalDouble(d: Double): String = {
-    val bd = new java.math.BigDecimal(d)
+    // valueOf goes through Double.toString's SHORTEST decimal form;
+    // `new BigDecimal(d)` would expand the binary fraction and emit
+    // non-canonical forms like 1.1000000000000001E0 for 1.1
+    val bd = java.math.BigDecimal.valueOf(d)
     val s = new java.text.DecimalFormat("0.0##############E0",
       java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
     s.format(bd)

@@ -112,14 +112,18 @@ object RdfPatch {
     sb.toString
   }
 
-  /** A/D ops → the (op, s, p, o) change rows `applyPatchStream` folds into
-   * snapshots (graph components carried when present). */
+  /** A/D ops → the (seq, op, s, p, o) change rows `applyPatchStream` folds
+   * into snapshots (graph components carried when present). `seq` is the
+   * op's position in the patch — RDFPatchOps.applyChanges semantics are
+   * SEQUENTIAL, so the last op on a triple decides its membership, and
+   * the fold needs the order to honor an A-then-D (or D-then-A) of the
+   * same triple inside one batch. */
   def toChangeRows(spark: SparkSession, text: String): DataFrame = {
     import spark.implicits._
     val rows = read(text).collect {
       case Add(s, p, o, g) => ("A", s, p, o, g.getOrElse(Term.iri(Term.DEFAULT_GRAPH)))
       case Delete(s, p, o, g) => ("D", s, p, o, g.getOrElse(Term.iri(Term.DEFAULT_GRAPH)))
-    }
-    rows.toDF("op", "s", "p", "o", "g")
+    }.zipWithIndex.map { case ((op, s, p, o, g), i) => (i.toLong, op, s, p, o, g) }
+    rows.toDF("seq", "op", "s", "p", "o", "g")
   }
 }

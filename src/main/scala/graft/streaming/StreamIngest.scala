@@ -205,8 +205,20 @@ object StreamIngest {
     val target = s"$snapshotsDir/s$batchId"
     if (TripleStore.isCommitted(target)) return
     val current = latestSnapshot(spark, snapshotsDir, batchId)
-    val adds = batch.where(col("op") === "A").select("s", "p", "o")
-    val dels = batch.where(col("op") === "D").select("s", "p", "o")
+    // RDFPatchOps.applyChanges is SEQUENTIAL: an A-then-D of one triple
+    // within a batch ends absent, D-then-A present. With a `seq` column
+    // (RdfPatch.toChangeRows emits one) the LAST op per triple decides —
+    // a window over the patch's own order, not arrival order. Without
+    // seq the fold is the set form (base − dels) ∪ adds, where adds win.
+    val resolved =
+      if (batch.columns.contains("seq")) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("s", "p", "o").orderBy(col("seq").desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      } else batch
+    val adds = resolved.where(col("op") === "A").select("s", "p", "o")
+    val dels = resolved.where(col("op") === "D").select("s", "p", "o")
     val next = Graphs.applyDelta(current, Graphs.Delta(adds, dels))
     next.write.mode("overwrite").parquet(s"$target/spo")
     TripleStore.writeManifest(java.nio.file.Paths.get(target, "manifest.json"),

@@ -151,4 +151,35 @@ class JsonLdSpec extends AnyFunSuite {
     // the two anonymous objects must stay DISTINCT bnodes across files
     assert(got.filter(_.p.lex == "http://ex/p").map(_.o.lex).distinct.size == 2)
   }
+
+  test("@set is transparent: every member emits, in every value position") {
+    val doc =
+      """{ "@id": "http://ex/s",
+        |  "http://ex/p": { "@set": [ "a", "b", "c" ] },
+        |  "@reverse": { "http://ex/q": { "@set": [
+        |    { "@id": "http://ex/x" }, { "@id": "http://ex/y" } ] } } }""".stripMargin
+    val got = JsonLd.parseTriples(doc)
+    assert(got.filter(_.p.lex == "http://ex/p").map(_.o.lex).sorted ==
+      Seq("a", "b", "c"))
+    assert(got.filter(_.p.lex == "http://ex/q").map(_.s.lex).sorted ==
+      Seq("http://ex/x", "http://ex/y"))
+  }
+
+  test("a single value under a @list container wraps as a one-element list") {
+    val doc =
+      """{ "@context": { "xs": { "@id": "http://ex/xs", "@container": "@list" } },
+        |  "@id": "http://ex/s", "xs": "solo" }""".stripMargin
+    val got = JsonLd.parseTriples(doc)
+    assert(got.exists(t => t.p.lex == RDF + "first" && t.o.lex == "solo"))
+    assert(got.exists(t => t.p.lex == RDF + "rest" && t.o == Term.iri(RDF + "nil")))
+    assert(got.exists(t => t.p.lex == "http://ex/xs" && t.o.isBNode))
+  }
+
+  test("non-dyadic JSON doubles canonicalize to the shortest lexical form") {
+    val got = JsonLd.parseTriples(
+      """{ "@id": "http://ex/s", "http://ex/d": 1.1, "http://ex/e": 4.5 }""")
+    assert(got.exists(t => t.p.lex == "http://ex/d" &&
+      t.o.lex == "1.1E0" && t.o.dt == XSD + "double"))
+    assert(got.exists(t => t.p.lex == "http://ex/e" && t.o.lex == "4.5E0"))
+  }
 }

@@ -81,5 +81,8 @@ class RdfPatchSpec extends AnyFunSuite {
     val rows = RdfPatch.toChangeRows(spark, text)
     assert(rows.count() == 3)
     assert(rows.where(org.apache.spark.sql.functions.col("op") === "A").count() == 2)
+    // seq carries the patch's own op order (the fold's tie-breaker)
+    val ops = rows.orderBy("seq").collect().map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("A", "A", "D"))
   }
 }

@@ -91,6 +91,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$snaps/s1/spo").count() == 8)
   }
 
+  test("RDF-Patch fold honors in-batch op order when rows carry seq") {
+    import spark.implicits._
+    val snaps = Files.createTempDirectory("st_snaps_seq").toString
+    def row(seq: Long, op: String, k: Int) =
+      (seq, op, Term.iri(s"${EX}q$k"), Term.iri(EX + "p"), Term.string(k.toString))
+    // q1: A then D (must end ABSENT — RDFPatchOps.applyChanges is
+    // sequential); q2: D then A (must end PRESENT); q3: plain add
+    val b = Seq(row(0, "A", 1), row(1, "D", 1),
+      row(2, "D", 2), row(3, "A", 2), row(4, "A", 3))
+      .toDF("seq", "op", "s", "p", "o")
+    StreamIngest.applyPatchBatch(b, snaps, 0)
+    val lexes = spark.read.parquet(s"$snaps/s0/spo")
+      .collect().map(_.getAs[Row]("s").getString(1)).toSet
+    assert(lexes == Set(s"${EX}q2", s"${EX}q3"), lexes)
+  }
+
   test("streaming exact dedup: keyed state survives restarts (flatMapGroupsWithState)") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("st_dedup_in").toString
