@@ -143,6 +143,19 @@ class BinaryRdfSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("RDF-Protobuf: truncated messages fail loudly, never desync") {
+    val whole = ProtobufRdf.toBytes(
+      Seq(Triple(iri("a"), iri("b"), Term.string("x"))))
+    // every strict prefix must raise the codec's own error — not an
+    // ArrayIndexOutOfBounds, and never silently decode garbage
+    (1 until whole.length).foreach { n =>
+      val cut = whole.take(n)
+      intercept[IllegalArgumentException] {
+        ProtobufRdf.readTriples(cut).toList
+      }
+    }
+  }
+
   test("binary result sets: vars + rows with UNDEF cells round-trip (both formats)") {
     val vars = Seq("x", "y")
     val rows: Seq[Seq[Option[Term]]] = Seq(
