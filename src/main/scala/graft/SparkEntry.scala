@@ -53,6 +53,8 @@ object SparkEntry {
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
     "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
+    "c3_sample_mix"     -> OpsQueries.c3_sample_mix _,
+    "c4_split_groups"   -> OpsQueries.c4_split_groups _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
@@ -517,6 +519,26 @@ object SparkEntry {
            CAST(((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1
                 AS BIGINT) AS pack_n
          FROM c""",
+    "c3_sample_mix" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'),
+                   1, 15)) AS BIGINT) % 1000000 AS draw,
+             CASE WHEN lang = 'en' THEN 500000
+                  WHEN lang = 'zh' THEN 800000
+                  ELSE 250000 END AS rate_ppm
+           FROM documents)
+         SELECT doc_id, lang, CAST(draw AS BIGINT) AS draw
+         FROM t WHERE draw < rate_ppm""",
+    "c4_split_groups" ->
+      """SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(source || '|split1'), 1, 15))
+                   AS BIGINT) % 10000 AS b
+               FROM documents)""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,

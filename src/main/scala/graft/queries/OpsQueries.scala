@@ -687,6 +687,50 @@ object OpsQueries {
       .withColumn("pack_n", col("pack_last") - col("pack_first") + 1)
   }
 
+  /** Deterministic stratified sampling — the mixture-weighting step that
+   * turns a filtered corpus into a training MIX (e.g. upsample code,
+   * downsample boilerplate languages): each document draws a uniform
+   * value from a salted 60-bit md5 of its id and is kept iff the draw
+   * falls under its language's parts-per-million rate. Hash draws, not
+   * rand(): rand() is re-evaluated on task retry / AQE re-plan with a
+   * different seed per attempt — the classic nondeterministic-sample
+   * correctness hazard at scale — while the salted hash gives the same
+   * sample on every retry, every run, every engine. Scale shape: pure
+   * per-row projection + filter at scan speed, rates fold into a literal
+   * CASE (no join); changing the salt re-draws the whole mix. */
+  def c3_sample_mix(s: SparkSession, d: String): DataFrame = {
+    val draw = s"${hash60("concat(cast(doc_id as string), '|mix1')")} % 1000000"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(draw).as("draw"))
+      .withColumn("rate_ppm",
+        when(col("lang") === "en", 500000L)
+          .when(col("lang") === "zh", 800000L)
+          .otherwise(250000L))
+      .where(col("draw") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("draw"))
+  }
+
+  /** Leakage-free train/valid/test split — assignment by GROUP (source),
+   * not by row: every document of one source hashes to the same bucket,
+   * so near-duplicate documents within a source can never straddle the
+   * train/eval boundary (the contamination mode row-level splits are
+   * blind to; t6_decontam is the n-gram cross-check for what grouping
+   * cannot catch). 80/10/10 via salted md5 buckets — deterministic
+   * across retries and engines, no shuffle, no state: the split of a
+   * source is a pure function of its name, so new data appended months
+   * later lands in the SAME split without consulting any assignment
+   * table. */
+  def c4_split_groups(s: SparkSession, d: String): DataFrame = {
+    val bucket = s"${hash60("concat(source, '|split1')")} % 10000"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr(bucket).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8000, "train")
+          .when(col("bucket") < 9000, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
   // ---------------------------------------------------------------- graphs
 
   /** Transitive closure (SPARQL `p+`, SURVEY §2.8) over a bounded synthetic

@@ -216,4 +216,42 @@ class OpsSpec extends AnyFunSuite {
     assert(nOriginalsFlagged < nDocs / 2,
       s"$nOriginalsFlagged of $nDocs originals flagged — not selective")
   }
+
+  test("sample-mix: per-language empirical rates track the ppm targets, deterministically") {
+    val docs = graft.Tables.documents(spark, sf)
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = OpsQueries.c3_sample_mix(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("en" -> 0.50, "zh" -> 0.80).withDefaultValue(0.25)
+    totals.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      // md5 draws are uniform; at n≥60 per lang a |rate-target| ≥ 0.17
+      // would be a >3σ event — this bound catches wrong rates (25↔50↔80
+      // are ≥ 0.25 apart), not sampling noise
+      assert(math.abs(rate - target(lang)) < 0.17,
+        f"$lang: rate $rate%.2f vs target ${target(lang)}%.2f (n=$n)")
+    }
+    // hash draws, not rand(): a second evaluation is bit-identical
+    val again = OpsQueries.c3_sample_mix(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("split-groups: group-level disjointness — no source straddles train/eval") {
+    val out = OpsQueries.c4_split_groups(spark, sf)
+    // every source lands in exactly ONE split (the leakage-free property)
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .where(col("nsplits") > 1).count()
+    assert(perSource == 0L, s"$perSource sources straddle splits")
+    // the 80/10/10 bucketing populates all three splits on this corpus
+    // (deterministic: fixed salt, fixed source names)
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"), bySplit.toString)
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+    // total preserved: the split ASSIGNS, it never drops or duplicates
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+  }
 }
