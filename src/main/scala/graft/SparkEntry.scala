@@ -55,6 +55,7 @@ object SparkEntry {
     "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
     "c3_sample_mix"     -> OpsQueries.c3_sample_mix _,
     "c4_split_groups"   -> OpsQueries.c4_split_groups _,
+    "c5_shuffle_shards" -> OpsQueries.c5_shuffle_shards _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
@@ -539,6 +540,16 @@ object SparkEntry {
                  CAST(('0x' || substr(md5(source || '|split1'), 1, 15))
                    AS BIGINT) % 10000 AS b
                FROM documents)""",
+    "c5_shuffle_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuf1'),
+                   1, 15)) AS BIGINT) AS draw
+           FROM documents)
+         SELECT doc_id, draw % 64 AS shard,
+           CAST(row_number() OVER (PARTITION BY draw % 64
+                                   ORDER BY draw, doc_id) AS BIGINT) AS pos
+         FROM t""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,

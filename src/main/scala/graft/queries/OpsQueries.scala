@@ -731,6 +731,29 @@ object OpsQueries {
       .select(col("doc_id"), col("source"), col("split"))
   }
 
+  /** Deterministic global corpus shuffle — the training-order step after
+   * mixing and packing: every document gets a (shard, pos) address where
+   * shard = salted-hash % 64 and pos = its rank within the shard ordered
+   * by the same draw. Readers stream shard 0 pos 1.., shard 1, … and see
+   * a uniform random permutation of the corpus that is identical on every
+   * run, every retry, every engine — reshuffling for a new epoch is a
+   * salt change, not a stateful pass. Scale shape: the window partitions
+   * BY SHARD, so ranking parallelizes across shards and no global
+   * single-partition sort exists anywhere in the plan (the trap a naive
+   * row_number() OVER (ORDER BY hash) global shuffle falls into); shard
+   * count scales with the cluster, per-shard rank stays a local sort. */
+  def c5_shuffle_shards(s: SparkSession, d: String): DataFrame = {
+    val nShards = 64L
+    val draw = hash60("concat(cast(doc_id as string), '|shuf1')")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(draw).as("draw"))
+      .withColumn("shard", col("draw") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   // ---------------------------------------------------------------- graphs
 
   /** Transitive closure (SPARQL `p+`, SURVEY §2.8) over a bounded synthetic

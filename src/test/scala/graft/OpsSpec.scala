@@ -238,6 +238,27 @@ class OpsSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("shuffle-shards: a deterministic permutation, ranked per shard, never globally sorted") {
+    val out = OpsQueries.c5_shuffle_shards(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    // a permutation: every doc exactly once, addresses unique
+    assert(out.count() == n)
+    assert(out.select("shard", "pos").distinct().count() == n)
+    // per-shard positions are exactly 1..count(shard) (dense rank space)
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .where(col("mx") =!= col("c") || col("mn") =!= 1L).count()
+    assert(bad == 0L, s"$bad shards have non-dense position ranges")
+    // it actually shuffles: reading in (shard, pos) order is not doc_id order
+    val firstTen = out.orderBy(col("shard"), col("pos"))
+      .limit(10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(firstTen != firstTen.sorted, s"shuffle left a sorted prefix: $firstTen")
+    // deterministic: a second evaluation is bit-identical
+    val again = OpsQueries.c5_shuffle_shards(spark, sf)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
   test("split-groups: group-level disjointness — no source straddles train/eval") {
     val out = OpsQueries.c4_split_groups(spark, sf)
     // every source lands in exactly ONE split (the leakage-free property)
