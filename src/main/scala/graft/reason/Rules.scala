@@ -371,8 +371,6 @@ object Rules {
   final class LocalFixpointOverflow(val facts: Long)
     extends RuntimeException(s"local fixpoint exceeded $facts facts")
 
-  /** Forward closure of a small graph, pure — semi-naive over hash
-   * indexes. Deterministic; safe inside mapPartitions. */
   /** Join index for the local engine: hash lookups on every bound-slot
    * combination, so an n-atom body evaluates like a chain of hash joins
    * instead of |slice|×|slice| scans (the difference between ms and
@@ -381,6 +379,7 @@ object Rules {
   private final class TripleIndex(init: Iterable[Triple]) {
     val byP = mutable.Map[Term, mutable.Buffer[Triple]]()
     val byS = mutable.Map[Term, mutable.Buffer[Triple]]()
+    val byO = mutable.Map[Term, mutable.Buffer[Triple]]()
     val byPS = mutable.Map[(Term, Term), mutable.Buffer[Triple]]()
     val byPO = mutable.Map[(Term, Term), mutable.Buffer[Triple]]()
     val allTs = mutable.Buffer[Triple]()
@@ -389,20 +388,33 @@ object Rules {
       allTs += t
       byP.getOrElseUpdate(t.p, mutable.Buffer()) += t
       byS.getOrElseUpdate(t.s, mutable.Buffer()) += t
+      byO.getOrElseUpdate(t.o, mutable.Buffer()) += t
       byPS.getOrElseUpdate((t.p, t.s), mutable.Buffer()) += t
       byPO.getOrElseUpdate((t.p, t.o), mutable.Buffer()) += t
     }
     /** Narrowest slice for the given bound slots — a superset of the
-     * matches; the caller still unifies each candidate. */
-    def lookup(s: Option[Term], p: Option[Term], o: Option[Term]): Seq[Triple] =
+     * matches; the caller still unifies each candidate. Returns the LIVE
+     * bucket (no copy — lookup is the inner loop of [[closureLocal]]'s
+     * expand recursion); buckets are only mutated between rounds, never
+     * while a round iterates them. */
+    def lookup(s: Option[Term], p: Option[Term], o: Option[Term])
+        : collection.Seq[Triple] =
       ((s, p, o) match {
         case (Some(sv), Some(pv), _) => byPS.get((pv, sv))
         case (_, Some(pv), Some(ov)) => byPO.get((pv, ov))
         case (_, Some(pv), _) => byP.get(pv)
         case (Some(sv), _, _) => byS.get(sv)
+        case (_, _, Some(ov)) => byO.get(ov)
         case _ => Some(allTs)
-      }).map(_.toSeq).getOrElse(Nil)
+      }).getOrElse(Nil)
   }
+
+  /** Forward closure of a small graph, pure — semi-naive over the hash
+   * indexes above. Deterministic; safe inside mapPartitions. The
+   * `maxFacts` cap is enforced INSIDE the derivation loop (at head-emit
+   * time), not just at round boundaries — a single fan-out round over a
+   * ~100k base can otherwise materialize billions of driver-side facts
+   * before any boundary check runs. */
 
   def closureLocal(data: Seq[Triple], rs: RuleSet, maxIter: Int = 10000,
       maxFacts: Long = Long.MaxValue): Set[Triple] = {
@@ -415,7 +427,7 @@ object Rules {
       case RVar(n) => b.get(n)
     }
     def candidates(a: Atom, source: String, deltaIdx: TripleIndex,
-        b: Map[String, Term]): Seq[Triple] =
+        b: Map[String, Term]): collection.Seq[Triple] =
       (if (source == "delta") deltaIdx else fullIdx)
         .lookup(boundTerm(a.s, b), boundTerm(a.p, b), boundTerm(a.o, b))
 
@@ -464,7 +476,13 @@ object Rules {
                   val t = Triple(subst(h.s, b), subst(h.p, b), subst(h.o, b))
                   // a derivation with a literal subject/predicate is not a
                   // legal RDF triple — dropped, matching the reference
-                  if (!t.s.isLiteral && !t.p.isLiteral) derived += t
+                  if (!t.s.isLiteral && !t.p.isLiteral) {
+                    derived += t
+                    // in-round cap: one fan-out rule can blow past any
+                    // round-boundary check before the round ends
+                    if (all.size.toLong + derived.size > maxFacts)
+                      throw new LocalFixpointOverflow(maxFacts)
+                  }
                 }
             } else {
               val src = if (j == i) "delta" else "full"
@@ -812,18 +830,33 @@ object Rules {
     // economics as a broadcast-join threshold, and the in-memory mode is
     // exactly how the reference's rule engines run (rulesys/FBRuleInfGraph).
     // The base is already checkpointed so the count is one cheap job; the
-    // derived-fact cap guards the driver against closures that blow up
-    // past the base's scale (transitive n²) — on overflow the work falls
+    // derived-fact cap (8 × max(threshold, base), checked per-derivation)
+    // guards the driver against closures that blow up far past the
+    // configured scale (transitive n²) — on overflow the work falls
     // back to the distributed loop below. `graft.reason.localFixpointMaxBase`
     // (session conf): 0 disables, default 100k facts.
     val localMax = localMaxBase.getOrElse(
       spark.conf.getOption("graft.reason.localFixpointMaxBase")
-        .map(_.toLong).getOrElse(100000L))
+        .map { v =>
+          try v.trim.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft.reason.localFixpointMaxBase must be a long fact " +
+                s"count (0 disables the local path), got '$v'")
+          }
+        }.getOrElse(100000L))
     if (localMax > 0 && base.count() <= localMax) {
       val data = base.as[Triple].collect().toSeq
       try {
+        // cap = 8 × max(threshold, base): the base never bounds the
+        // closure, so the cap rides the CONFIGURED scale (a closure
+        // legitimately 30× a tiny base — e.g. a chain's transitive
+        // pairs — should not bounce to the distributed loop). Saturating
+        // multiply: a huge threshold means "never give up locally".
+        val capBase = math.max(localMax, data.size.toLong)
+        val cap = if (capBase > Long.MaxValue / 8) Long.MaxValue else capBase * 8
         val closed = closureLocal(data, RuleSet(Nil, rs.rules), maxIter,
-          maxFacts = math.max(localMax, data.size.toLong) * 8)
+          maxFacts = cap)
         return spark.createDataset(closed.toSeq).toDF()
       } catch { case o: LocalFixpointOverflow =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

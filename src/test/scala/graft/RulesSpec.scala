@@ -163,4 +163,26 @@ class RulesSpec extends AnyFunSuite {
     intercept[Rules.LocalFixpointOverflow](
       Rules.closureLocal(chain, rules, maxFacts = 800))
   }
+
+  test("local fixpoint cap trips INSIDE a fan-out round, not just at its end") {
+    // one rule, one round, quadratic fan-out: every (in, out) hub pair
+    // derives a fact — 50×50 = 2,500 candidate facts from a 100-fact
+    // base. A round-boundary-only cap would materialize all 2,500 on the
+    // driver before noticing; the in-round check must abort the round
+    // part-way (this is the driver-OOM guard for ~100k-fact bases whose
+    // single round fans out to billions).
+    val rules = Rules.parse(
+      "@prefix eg: <http://eg/>. " +
+        "[fan: (?a eg:in eg:hub), (eg:hub eg:out ?b) -> (?a eg:pair ?b)]")
+    val star = (0 until 50).flatMap { i =>
+      Seq(Triple(Term.iri(s"http://eg/s$i"), Term.iri("http://eg/in"),
+            Term.iri("http://eg/hub")),
+          Triple(Term.iri("http://eg/hub"), Term.iri("http://eg/out"),
+            Term.iri(s"http://eg/d$i")))
+    }
+    intercept[Rules.LocalFixpointOverflow](
+      Rules.closureLocal(star, rules, maxFacts = 300))
+    // sanity: uncapped, the same input closes to base + 2,500 pairs
+    assert(Rules.closureLocal(star, rules).size == star.size + 2500)
+  }
 }
