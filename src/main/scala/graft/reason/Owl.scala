@@ -129,6 +129,29 @@ object Owl {
     out.toSeq
   }
 
+  /** [[listMembers]] but LOUD on malformed/cyclic structure — used for
+   * owl:intersectionOf, where a silent prefix would compile an UNSOUND
+   * recognition rule (C = M1 ∧ M2 read as C = M1). The reference's
+   * translation hook throws ReasonerException on illegal list structure
+   * (OWLRuleTranslationHook.translateIntersectionList). */
+  private def listMembersStrict(head: Term, first: Map[Term, Seq[Term]],
+      rest: Map[Term, Seq[Term]], ctx: String): Seq[Term] = {
+    val out = mutable.Buffer[Term]()
+    val seen = mutable.Set[Term]()
+    var cur = head
+    while (cur != tNil) {
+      if (!seen.add(cur)) throw new IllegalArgumentException(
+        s"Illegal list structure in $ctx: cycle at ${cur.lex}")
+      out += first.getOrElse(cur, Nil).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"Illegal list structure in $ctx: missing rdf:first at ${cur.lex}"))
+      cur = rest.getOrElse(cur, Nil).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"Illegal list structure in $ctx: missing rdf:rest at ${cur.lex}"))
+    }
+    out.toSeq
+  }
+
   /** Stable ground-rule helper. */
   private def rule(name: String, body: Seq[Atom], heads: Seq[Atom],
       guards: Seq[Guard] = Nil): Rule = Rule(name, body, guards, heads)
@@ -163,6 +186,11 @@ object Owl {
     val disjoint = pairs(tDisjointWith)
     val functional = byP.getOrElse(tType, Set.empty)
       .filter(_.o == tFunctional).map(_.s)
+    // datatype classes: drive the someRec2b datatype variant (a literal
+    // can never carry an (x rdf:type D) triple — recognition must test
+    // the literal's datatype instead)
+    val datatypeCls = byP.getOrElse(tType, Set.empty)
+      .filter(_.o == tDatatypeClass).map(_.s) + tLiteralClass
 
     // syntactic keys per restriction node (restriction1..5, hasValueRec:
     // one key per (onProperty, constraint) pair)
@@ -184,22 +212,44 @@ object Owl {
     }
 
     // abstract key facts: KEq = class ≡ key, KSub = class ⊑ key.
+    // Per-class indexes mirror the sets so close() propagates keys down
+    // the subclass relation via O(1) lookups instead of rescanning the
+    // whole fact set per subclass pair — a saturated TBox can hold 10⁵+
+    // subclass pairs, and the scan form is O(rounds × |subClass| ×
+    // (|kEq|+|kSub|)) driver time.
     val kEq = mutable.Set[(Term, RKey)]()
     val kSub = mutable.Set[(Term, RKey)]()
-    nodeKeys.foreach { case (n, ks) => ks.foreach(k => kEq += ((n, k))) }
+    val eqByCls = mutable.Map[Term, mutable.Set[RKey]]()
+    val subByCls = mutable.Map[Term, mutable.Set[RKey]]()
+    val rangesByP: Map[Term, Seq[Term]] =
+      ranges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    nodeKeys.foreach { case (n, ks) =>
+      ks.foreach { k =>
+        kEq += ((n, k)); eqByCls.getOrElseUpdate(n, mutable.Set()) += k
+      }
+    }
     // every class reachable below a keyed node inherits the ⊑ fact
     def close(): Unit = {
       var changed = true
+      def addSub(f: (Term, RKey)): Unit =
+        if (kSub.add(f)) {
+          subByCls.getOrElseUpdate(f._1, mutable.Set()) += f._2
+          changed = true
+        }
+      def addEq(f: (Term, RKey)): Unit = {
+        if (kEq.add(f)) {
+          eqByCls.getOrElseUpdate(f._1, mutable.Set()) += f._2
+          changed = true
+        }
+        addSub(f)
+      }
       while (changed) {
         changed = false
-        def addSub(f: (Term, RKey)): Unit = if (kSub.add(f)) changed = true
-        def addEq(f: (Term, RKey)): Unit =
-          if (kEq.add(f)) { changed = true; addSub(f) }
         kEq.toSeq.foreach(addSub)
         // ⊑ propagates down the subclass relation into keyed nodes
         subClass.foreach { case (cc, dd) =>
-          kEq.toSeq.filter(_._1 == dd).foreach(f => addSub((cc, f._2)))
-          kSub.toSeq.filter(_._1 == dd).foreach(f => addSub((cc, f._2)))
+          eqByCls.get(dd).foreach(_.toSeq.foreach(k => addSub((cc, k))))
+          subByCls.get(dd).foreach(_.toSeq.foreach(k => addSub((cc, k))))
         }
         // [restriction-inter-CFP] C ≡ card(P,1) ∧ P functional → C ≡ min(P,1)
         kEq.toSeq.foreach {
@@ -219,7 +269,7 @@ object Owl {
         // [restriction-inter-MnS] P range D ∧ C ⊑ min(P,1) → C ⊑ some(P,D)
         kSub.toSeq.foreach {
           case (cc, MinK(p, n)) if n == BigInt(1) =>
-            ranges.filter(_._1 == p).foreach { case (_, d) => addSub((cc, SomeK(p, d))) }
+            rangesByP.getOrElse(p, Nil).foreach(d => addSub((cc, SomeK(p, d))))
           case _ => ()
         }
         // [allRec1] C ⊑ max(P,1) ∧ C ⊑ some(P,D) → C ⊑ all(P,D)
@@ -266,7 +316,15 @@ object Owl {
       case (cc, MinK(p, n)) if n == BigInt(1) && p != tType =>
         rules += rule(s"minRec${nextId()}",
           Seq(Atom(v("x"), c(p), v("y"))), Seq(Atom(v("x"), c(tType), c(cc))))
-      // [someRec2 over derived equivalence]
+      // [someRec2 / someRec2b over derived equivalence]: class targets
+      // join through (a rdf:type D); DATATYPE targets test the literal's
+      // datatype via the isDType guard (the engine drops literal-subject
+      // triples, so the type-join variant could never fire for them)
+      case (cc, SomeK(p, d)) if datatypeCls(d) =>
+        rules += rule(s"someRecD${nextId()}",
+          Seq(Atom(v("x"), c(p), v("a"))),
+          Seq(Atom(v("x"), c(tType), c(cc))),
+          guards = Seq(Guard("isDType", Seq(v("a"), c(d)))))
       case (cc, SomeK(p, d)) =>
         rules += rule(s"someRec${nextId()}",
           Seq(Atom(v("x"), c(p), v("a")), Atom(v("a"), c(tType), c(d))),
@@ -324,15 +382,14 @@ object Owl {
       case _ => ()
     }
 
-    // [intersectionOf1 + translation hook] C ∩ [M1..Mk]
+    // [intersectionOf1 + translation hook] C ∩ [M1..Mk] — STRICT list
+    // read: a silent prefix would compile the unsound rule C = M1
     mm(tIntersection).foreach { case (cc, heads) =>
       heads.foreach { l =>
-        val ms = listMembers(l, first, rest)
+        val ms = listMembersStrict(l, first, rest, "owl:intersectionOf")
         ms.foreach(m => ax(cc, tSubClassOf, m))
         if (ms.nonEmpty) {
-          val body = ms.zipWithIndex.map { case (m, i) =>
-            Atom(v("x"), c(tType), c(m))
-          }
+          val body = ms.distinct.map(m => Atom(v("x"), c(tType), c(m)))
           rules += rule(s"intersectRec${nextId()}", body,
             Seq(Atom(v("x"), c(tType), c(cc))))
         }
@@ -342,11 +399,14 @@ object Owl {
     mm(tUnion).foreach { case (cc, heads) =>
       heads.foreach(l => listMembers(l, first, rest).foreach(m => ax(m, tSubClassOf, cc)))
     }
-    // [distinct2] owl:distinctMembers → pairwise differentFrom
+    // [distinct2] owl:distinctMembers → pairwise differentFrom; guard on
+    // MEMBER inequality, not index inequality — a list repeating a member
+    // must not assert x differentFrom x (the reference guards with
+    // !sameValueAs, AssertDisjointPairs.java)
     mm(tDistinctMembers).foreach { case (_, heads) =>
       heads.foreach { l =>
         val ms = listMembers(l, first, rest)
-        for (i <- ms.indices; j <- ms.indices if i != j)
+        for (i <- ms.indices; j <- ms.indices if i != j && ms(i) != ms(j))
           ax(ms(i), tDifferentFrom, ms(j))
       }
     }
@@ -469,7 +529,11 @@ object Owl {
         bindings(schemaAtoms).foreach { b =>
           val s = sub(b) _
           val gs = r.guards.map(g => Guard(g.fn, g.args.map(s)))
-          val (groundG, openG) = gs.partition(_.args.forall(_.isInstanceOf[RConst]))
+          // only notEqual/equal are decidable here; other builtins
+          // (isDType) stay open for the engines even when ground
+          val (groundG, openG) = gs.partition(g =>
+            (g.fn == "notEqual" || g.fn == "equal") &&
+              g.args.forall(_.isInstanceOf[RConst]))
           val ok = groundG.forall { g =>
             val eq = g.args(0) == g.args(1)
             if (g.fn == "notEqual") !eq else eq
@@ -538,8 +602,15 @@ object Owl {
    * saturated schema closure, hook-compiled ground rules, and the
    * distinct data-predicate set. */
   private final case class CompiledSchema(schemaClosure: Set[Triple],
-      ground: Seq[Rule], dataPreds: Set[String],
+      ground: Seq[Rule], dataPreds: Option[Set[String]],
       dataTypeObjs: Option[Set[String]])
+
+  /** Cap on the distinct data-predicate collect: the predicate seeding
+   * and exact round-1 dispatch are OPTIMIZATIONS, so past the cap they
+   * are skipped (generic dispatch, rdf1and4 derives the Property facts
+   * distributed) instead of pulling an unbounded vocabulary — e.g.
+   * rdf:_1…rdf:_n container predicates scale with DATA, not schema. */
+  private val predVocabCap = 1000000
 
   private def compileSchema(df: DataFrame, schemaCap: Int): CompiledSchema = {
     import org.apache.spark.sql.Encoders
@@ -558,11 +629,15 @@ object Owl {
     // equivalentProperty2 → …) would then spend 2–3 extra fixpoint rounds
     // on reflexive noise. Seeding the facts into the driver compile
     // pre-saturates that whole family into the riding axioms.
-    val dataPreds: Set[String] = df
+    val predRows = df
       .select(col("p.lex")).where(col("p.kind") === Term.KIND_IRI)
-      .distinct().collect().map(_.getString(0)).toSet
-    val predFacts = (dataPreds -- schemaPreds).toSeq.sorted
-      .map(p => Triple(Term.iri(p), tType, Term.iri(RDF + "Property")))
+      .distinct().limit(predVocabCap + 1)
+      .collect().map(_.getString(0))
+    val dataPreds: Option[Set[String]] =
+      if (predRows.length > predVocabCap) None else Some(predRows.toSet)
+    val predFacts = dataPreds.map(dp => (dp -- schemaPreds).toSeq.sorted
+      .map(p => Triple(Term.iri(p), tType, Term.iri(RDF + "Property"))))
+      .getOrElse(Nil)
     // the data's rdf:type-object vocabulary (one more narrow scan,
     // class-vocabulary-bounded) seeds round 1's (rdf:type, class)
     // dispatch; wider than the cap → predicate-only dispatch, still exact
@@ -596,7 +671,7 @@ object Owl {
     // the riding schema closure is a hook fixpoint → round 1's delta is
     // the data slice only, with ITS exact dispatch keys (not the base's)
     Rules.closure(df, RuleSet(cs.schemaClosure.toSeq, rules),
-      basePreds = Some(cs.dataPreds), baseTypeObjs = cs.dataTypeObjs,
+      basePreds = cs.dataPreds, baseTypeObjs = cs.dataTypeObjs,
       axiomsSaturated = true, localMaxBase = localMaxBase)
   }
 
@@ -648,13 +723,34 @@ object Owl {
     }
   }
 
+  /** Canonical VALUE key for a literal — numeric-ladder literals compare
+   * numerically ("1"^^xsd:int ≡ "01"^^xsd:integer ≡ 1), everything else
+   * by (effective datatype, lang, lexical form): the sameValueAs
+   * discipline the reference's countLiteralValues applies, so validation
+   * never calls value-equal literals "provably distinct". */
+  private def litValueKey(t: Term): AnyRef = {
+    val eff = if (t.dt.isEmpty) Term.XSD_STRING else t.dt
+    if (Rules.xsdDecimalLadder(eff))
+      scala.util.Try(BigDecimal(t.lex.trim)).toOption
+        .map(_.underlying.stripTrailingZeros.toPlainString)
+        .getOrElse((eff, t.lang, t.lex))
+    else (eff, t.lang, t.lex)
+  }
+
+  /** Are two terms PROVABLY distinct under micro semantics (explicit
+   * owl:differentFrom, or literals with different values)? */
+  private def provablyDiff(different: Set[(Term, Term)])(a: Term, b: Term): Boolean =
+    different((a, b)) || different((b, a)) ||
+      (a.isLiteral && b.isLiteral && litValueKey(a) != litValueKey(b))
+
   /**
    * Validity report over a document-sized graph: OWL-micro's validation
    * rule block (owl-fb-micro.rules [validation*]) restated as direct
    * checks over the closure, plus the max-cardinality count check the
    * reference reserves for mini/full — counting only PROVABLY-distinct
    * values (explicit owl:differentFrom, or literals with different
-   * lexical value), since micro does no equality reasoning.
+   * VALUES — "1" vs "01"^^xsd:int is one value), since micro does no
+   * equality reasoning.
    */
   def validateLocal(data: Seq[Triple]): Seq[OwlViolation] = {
     val closure = closureLocal(data)
@@ -673,6 +769,8 @@ object Owl {
     val different = pairs(tDifferentFrom).toSet
     val sameAs = pairs(tSameAs).toSet
     val ranges = pairs(tRange)
+    val domains = pairs(tDomain)
+    val diff = provablyDiff(different) _
     val equivNothing = pairs(tEquivClass).filter(_._2 == tNothing).map(_._1) ++
       pairs(tEquivClass).filter(_._1 == tNothing).map(_._2)
     def instOf(cls: Term): Seq[Term] =
@@ -731,31 +829,51 @@ object Owl {
       maxes.foreach { n =>
         instOf(r).foreach { x =>
           val vals = stmts(p).filter(_._1 == x).map(_._2).distinct
-          def provablyDiff(a: Term, b: Term): Boolean =
-            different((a, b)) || different((b, a)) ||
-              (a.isLiteral && b.isLiteral && a != b)
           // largest pairwise-provably-distinct subset (vals are few;
           // guarded exact search)
           def maxClique(rem: List[Term], cur: List[Term]): Int = rem match {
             case Nil => cur.size
             case h :: t =>
-              val withH = if (cur.forall(provablyDiff(h, _)))
+              val withH = if (cur.forall(diff(h, _)))
                 maxClique(t, h :: cur) else 0
               math.max(withH, maxClique(t, cur))
           }
           // above the exact-search bound, the count of distinct literal
-          // terms is still a sound lower bound on the provably-distinct
-          // clique (distinct literals are pairwise provably different) —
-          // no silent validation cliff past the bound. 18 caps the exact
-          // branch-2 search at ~2^18 ≈ 262k calls per (instance,
-          // restriction); 24 would allow 2^24 ≈ 17M — a driver stall
-          // multiplied across instances
+          // VALUES is still a sound lower bound on the provably-distinct
+          // clique (distinct-value literals are pairwise provably
+          // different) — no silent validation cliff past the bound. 18
+          // caps the exact branch-2 search at ~2^18 ≈ 262k calls per
+          // (instance, restriction); 24 would allow 2^24 ≈ 17M — a
+          // driver stall multiplied across instances
           val k =
-            if (vals.size > 18) vals.count(_.isLiteral)
+            if (vals.size > 18)
+              vals.filter(_.isLiteral).map(litValueKey).distinct.size
             else maxClique(vals.toList, Nil)
-          if (k > n.toInt)
+          if (BigInt(k) > n)
             err(x, s"too many provably-distinct values for max-$n property ${p.lex}", p)
         }
+      }
+      // [validationDomainMax0] C ⊑ max(P,0) ∧ P domain C → schema-level
+      // inconsistency: no individual can ever carry P
+      if (maxes.contains(BigInt(0))) {
+        val below = subClass.collect { case (cc2, rr) if rr == r => cc2 } + r
+        domains.foreach { case (p2, cdom) =>
+          if (p2 == p && below(cdom))
+            err(p, "inconsistent property definition: domain has a " +
+              "max-0 restriction for the property", cdom)
+        }
+      }
+    }
+    // [validationOneOf] x ∈ C, C owl:oneOf [..], x not an enumerated
+    // individual → possible violation (warn — aliasing may explain it)
+    val firstM = pairs(tFirst).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val restM = pairs(tRest).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    pairs(Term.iri(OWL + "oneOf")).foreach { case (cc, l) =>
+      val ms = listMembers(l, firstM, restM).toSet
+      instOf(cc).foreach { x =>
+        if (!x.isBNode && !ms(x))
+          warn(x, "possible oneOf violation: deduced member of an " +
+            "enumerated class but not one of the enumerations", cc)
       }
     }
     // [validationIndiv via functional]: functional property with provably
@@ -763,10 +881,7 @@ object Owl {
     instOf(tFunctional).foreach { p =>
       stmts(p).groupBy(_._1).foreach { case (x, vs) =>
         val values = vs.map(_._2).distinct
-        val clash = values.combinations(2).exists { case Seq(a, b) =>
-          different((a, b)) || different((b, a)) ||
-            (a.isLiteral && b.isLiteral && a != b)
-        }
+        val clash = values.combinations(2).exists { case Seq(a, b) => diff(a, b) }
         if (clash) err(x, s"functional property ${p.lex} with distinct values", p)
       }
     }
@@ -838,7 +953,10 @@ object Owl {
     val disjDf = spark.createDataset(disjointPairs)(
       Encoders.tuple(Encoders.product[Term], Encoders.product[Term]))
       .toDF("c1", "c2")
-    val disjV = types.join(broadcast(disjDf), col("cls") === col("c1"))
+    // literal-subject type rows are skipped, mirroring validateLocal's
+    // !i.isLiteral guard in the disjointness check (face parity)
+    val disjV = types.where(col("inst.kind") =!= Term.KIND_LIT)
+      .join(broadcast(disjDf), col("cls") === col("c1"))
       .select(col("inst"), col("c2"))
       .join(types.select(col("inst").as("i2"), col("cls").as("k2")),
         col("inst") === col("i2") && col("c2") === col("k2"), "left_semi")

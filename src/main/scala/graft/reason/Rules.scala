@@ -41,8 +41,28 @@ object Rules {
   final case class RConst(t: Term) extends RTerm
 
   final case class Atom(s: RTerm, p: RTerm, o: RTerm)
-  /** Guard builtin over body bindings: notEqual/equal. */
+  /** Guard builtin over body bindings: notEqual/equal (the text-rule
+   * subset) plus isDType(value, datatype) — emitted only by the OWL
+   * schema compile for datatype someValuesFrom recognition (the
+   * reference's someRec2b, rulesys/builtins/IsDType.java). */
   final case class Guard(fn: String, args: Seq[RTerm])
+
+  /** The XSD numeric ladder folded to one value space by [[Guard]]
+   * isDType and the OWL validator's datatype checks (a "5"^^xsd:int IS
+   * an xsd:integer — lenient lexical membership, like the reference's
+   * isValidLiteral value-space test). */
+  private[reason] val xsdDecimalLadder: Set[String] = Set(
+    "byte", "short", "int", "long", "integer", "unsignedByte",
+    "unsignedShort", "unsignedInt", "unsignedLong", "nonNegativeInteger",
+    "nonPositiveInteger", "positiveInteger", "negativeInteger", "decimal")
+    .map(Term.XSD + _)
+
+  /** Datatypes whose literals satisfy isDType(_, d); None = any literal
+   * (rdfs:Literal). */
+  private[reason] def dtypeAccepted(dLex: String): Option[Set[String]] =
+    if (dLex == "http://www.w3.org/2000/01/rdf-schema#Literal") None
+    else if (xsdDecimalLadder(dLex)) Some(xsdDecimalLadder)
+    else Some(Set(dLex))
   final case class Rule(name: String, body: Seq[Atom], guards: Seq[Guard],
       heads: Seq[Atom])
 
@@ -450,6 +470,13 @@ object Rules {
       g.fn match {
         case "notEqual" => resolve(g.args(0)) != resolve(g.args(1))
         case "equal" => resolve(g.args(0)) == resolve(g.args(1))
+        case "isDType" =>
+          val value = resolve(g.args(0))
+          val d = resolve(g.args(1))
+          value.isLiteral && {
+            val eff = if (value.dt.isEmpty) Term.XSD_STRING else value.dt
+            dtypeAccepted(d.lex).forall(_.contains(eff))
+          }
         case other => throw new IllegalArgumentException(s"builtin $other")
       }
     }
@@ -716,6 +743,21 @@ object Rules {
       g.fn match {
         case "notEqual" => !(c(g.args(0)) === c(g.args(1)))
         case "equal" => c(g.args(0)) === c(g.args(1))
+        case "isDType" =>
+          val d = g.args(1) match {
+            case RConst(k) => k
+            case _ => throw new IllegalArgumentException(
+              "isDType needs a constant datatype argument")
+          }
+          val vc = c(g.args(0))
+          val isLit = vc.getField("kind") === Term.KIND_LIT
+          dtypeAccepted(d.lex) match {
+            case None => isLit
+            case Some(acc) =>
+              val eff = when(vc.getField("dt") === "", lit(Term.XSD_STRING))
+                .otherwise(vc.getField("dt"))
+              isLit && eff.isin(acc.toSeq.sorted: _*)
+          }
         case other => throw new IllegalArgumentException(s"builtin $other")
       }
     }

@@ -241,4 +241,94 @@ class OwlSpec extends AnyFunSuite {
         s"extra=${(dist -- local).take(3).map(_.toNTriples)})")
     }
   }
+
+  // ---- review-fix pins (round 3) -------------------------------------------
+
+  private val OWLNS = "http://www.w3.org/2002/07/owl#"
+  private def eg(n: String) = Term.iri("http://eg/" + n)
+  private def tpe = Term.iri(RDF + "type")
+
+  test("someValuesFrom over a DATATYPE recognizes literal members (someRec2b)") {
+    val data = Seq(
+      Triple(eg("R"), Term.iri(OWLNS + "onProperty"), eg("p")),
+      Triple(eg("R"), Term.iri(OWLNS + "someValuesFrom"),
+        Term.iri(Term.XSD + "integer")),
+      // xsd:int is inside xsd:integer's folded value space (lenient
+      // ladder, like the reference's isValidLiteral)
+      Triple(eg("x"), eg("p"), Term.lit("5", Term.XSD + "int")),
+      Triple(eg("y"), eg("p"), Term.lit("hello", Term.XSD_STRING)))
+    val closed = Owl.closureLocal(data)
+    assert(closed.contains(Triple(eg("x"), tpe, eg("R"))))
+    assert(!closed.contains(Triple(eg("y"), tpe, eg("R"))))
+    // distributed-face parity (the isDType guard compiles to a column)
+    import org.apache.spark.sql.Encoders
+    val df = spark.createDataset(data)(Encoders.product[Triple]).toDF()
+    val dist = Owl.closure(df).as(Encoders.product[Triple]).collect().toSet
+    assert(dist == closed)
+  }
+
+  test("max-cardinality validation counts literal VALUES, not lexical forms") {
+    val base = Seq(
+      Triple(eg("R"), Term.iri(OWLNS + "onProperty"), eg("p")),
+      Triple(eg("R"), Term.iri(OWLNS + "maxCardinality"),
+        Term.lit("1", Term.XSD + "nonNegativeInteger")),
+      Triple(eg("x"), tpe, eg("R")),
+      // "1"^^int and "01"^^integer denote ONE value — no violation
+      Triple(eg("x"), eg("p"), Term.lit("1", Term.XSD + "int")),
+      Triple(eg("x"), eg("p"), Term.lit("01", Term.XSD_INTEGER)))
+    assert(Owl.isValidLocal(base), Owl.validateLocal(base).toString)
+    // a genuinely different value trips the max-1 check
+    val bad = base :+ Triple(eg("x"), eg("p"), Term.lit("2", Term.XSD + "int"))
+    assert(!Owl.isValidLocal(bad))
+  }
+
+  test("distinctMembers with a repeated member never asserts self-difference") {
+    def li(n: String) = eg("l" + n)
+    val data = Seq(
+      Triple(eg("d"), Term.iri(OWLNS + "distinctMembers"), li("1")),
+      Triple(li("1"), Term.iri(RDF + "first"), eg("a")),
+      Triple(li("1"), Term.iri(RDF + "rest"), li("2")),
+      Triple(li("2"), Term.iri(RDF + "first"), eg("b")),
+      Triple(li("2"), Term.iri(RDF + "rest"), li("3")),
+      Triple(li("3"), Term.iri(RDF + "first"), eg("a")), // duplicate member
+      Triple(li("3"), Term.iri(RDF + "rest"), Term.iri(RDF + "nil")))
+    val closed = Owl.closureLocal(data)
+    val diffP = Term.iri(OWLNS + "differentFrom")
+    assert(closed.contains(Triple(eg("a"), diffP, eg("b"))))
+    assert(!closed.contains(Triple(eg("a"), diffP, eg("a"))),
+      "repeated list member asserted x differentFrom x")
+    // a differentFrom a would also make ANY sameAs-free graph invalid
+    assert(Owl.isValidLocal(data))
+  }
+
+  test("malformed owl:intersectionOf fails loudly instead of compiling a prefix") {
+    val data = Seq(
+      Triple(eg("C"), Term.iri(OWLNS + "intersectionOf"), eg("L1")),
+      Triple(eg("L1"), Term.iri(RDF + "first"), eg("M1")),
+      Triple(eg("L1"), Term.iri(RDF + "rest"), eg("L2")))
+      // L2 has neither rdf:first nor rdf:rest — the silent-prefix read
+      // would compile the UNSOUND rule C = M1
+    val e = intercept[IllegalArgumentException](Owl.closureLocal(data))
+    assert(e.getMessage.contains("intersectionOf"), e.getMessage)
+  }
+
+  test("validationDomainMax0 errs and oneOf non-membership warns") {
+    val dm0 = Seq(
+      Triple(eg("R"), Term.iri(OWLNS + "onProperty"), eg("p")),
+      Triple(eg("R"), Term.iri(OWLNS + "maxCardinality"),
+        Term.lit("0", Term.XSD + "nonNegativeInteger")),
+      Triple(eg("p"), Term.iri(RDFS_ + "domain"), eg("R")))
+    assert(Owl.validateLocal(dm0).exists(v =>
+      v.severity == "error" && v.message.contains("inconsistent property")))
+    val oneOf = Seq(
+      Triple(eg("C"), Term.iri(OWLNS + "oneOf"), eg("L1")),
+      Triple(eg("L1"), Term.iri(RDF + "first"), eg("a")),
+      Triple(eg("L1"), Term.iri(RDF + "rest"), Term.iri(RDF + "nil")),
+      Triple(eg("z"), tpe, eg("C"))) // z is not in the enumeration
+    val rep = Owl.validateLocal(oneOf)
+    assert(rep.exists(v => v.severity == "warn" && v.message.contains("oneOf")),
+      rep.toString)
+  }
+
+  private val RDFS_ = "http://www.w3.org/2000/01/rdf-schema#"
 }
