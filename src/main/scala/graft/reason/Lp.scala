@@ -124,19 +124,27 @@ object Lp {
     private val complete = mutable.Set[Goal]()
     private val passDone = mutable.Set[Goal]()
     private var grew = false
+    // an aborted fixpoint leaves partially-grown tables that a LATER
+    // successful find would wrongly mark complete — poison the engine
+    private var poisoned = false
 
     /** All derivable triples matching the pattern (None = wildcard),
      * asserted facts included — the InfGraph.find analog. */
     def find(s: Option[Term], p: Option[Term], o: Option[Term]): Set[Triple] = {
       val goal = (s, p, o)
+      if (poisoned) throw new IllegalStateException(
+        "LP engine poisoned by an aborted fixpoint — rebuild the Engine")
       if (!complete(goal)) {
         var passes = 0
         do {
           grew = false
           passDone.clear()
           passes += 1
-          if (passes > maxPasses) throw new IllegalStateException(
-            s"LP evaluation did not reach a fixpoint within $maxPasses passes")
+          if (passes > maxPasses) {
+            poisoned = true
+            throw new IllegalStateException(
+              s"LP evaluation did not reach a fixpoint within $maxPasses passes")
+          }
           solve(goal, Set.empty)
         } while (grew)
         // joint fixpoint over the goal's dependency cone reached: every

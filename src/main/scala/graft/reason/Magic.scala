@@ -87,6 +87,12 @@ object Magic {
         Set("notEqual", "equal", "notLiteral", "isLiteral").contains(g.fn),
         s"rule '${r.name}': guard ${g.fn} is goal-state-dependent and " +
           "has no forward reading"))
+      // guard vars must be body-bound: the LP engine silently fails such
+      // a guard, but the forward engines would crash resolving the var —
+      // reject loudly instead of diverging between the faces
+      r.bodyGuards.flatMap(_.args.flatMap(varsIn)).find(!bodyVars.contains(_))
+        .foreach(v => throw new IllegalArgumentException(
+          s"rule '${r.name}': guard var ?$v is not bound by any body atom"))
       (r.headTriples ++ r.bodyAtoms).foreach(predIri(_, r.name))
     }
     val byHead: Map[String, Seq[LpRule]] =
@@ -140,8 +146,30 @@ object Magic {
                   newBody.flatMap(x => varsIn(x.s) ++ varsIn(x.o))
                 val gds = r.bodyGuards.filter(_.args.forall(
                   t => varsIn(t).forall(prefixVars)))
-                out += Rule(s"magic_${r.name}_$magicCount",
-                  newBody.toSeq, gds, Seq(magicAtom(q, aSb, aOb, a.s, a.o)))
+                val mHead = magicAtom(q, aSb, aOb, a.s, a.o)
+                if (newBody.isEmpty) {
+                  // empty prefix ⇒ the magic fact is GROUND (a bound slot
+                  // with no bound vars must be a constant). The engines
+                  // fire rules per body atom, so an empty-body rule would
+                  // never fire — seed the fact as an axiom instead. Any
+                  // surviving guards are var-free: decide them here.
+                  def g(t: RTerm): Term = t match {
+                    case RConst(k) => k
+                    case RVar(v) => throw new IllegalStateException(
+                      s"internal: var ?$v in a ground magic head")
+                  }
+                  val ok = gds.forall { gd =>
+                    val eq = gd.args(0) == gd.args(1)
+                    gd.fn match {
+                      case "notEqual" => !eq
+                      case "equal" => eq
+                      case "isLiteral" => g(gd.args(0)).isLiteral
+                      case "notLiteral" => !g(gd.args(0)).isLiteral
+                    }
+                  }
+                  if (ok) axioms += Triple(g(mHead.s), g(mHead.p), g(mHead.o))
+                } else out += Rule(s"magic_${r.name}_$magicCount",
+                  newBody.toSeq, gds, Seq(mHead))
                 queue += ((q, aSb, aOb))
               } else queue += ((q, false, false))
             }
@@ -158,13 +186,16 @@ object Magic {
 
   /** Goal-directed answers over one huge KG: magic-compile, run the
    * semi-naive DataFrame closure, keep the triples matching the goal.
-   * The term-struct schema (s, p, o) matches [[Rules.closure]]. */
+   * The term-struct schema (s, p, o) matches [[Rules.closure]].
+   * NOTE: takes bare rules — a rule FILE's ground axioms are data, not
+   * rules; use the [[Rules.LpRuleSet]] overload (or union `rs.axioms`
+   * into `triples` yourself) or they are silently absent. */
   def answer(triples: DataFrame, rules: Seq[LpRule],
       goal: (Option[Term], Term, Option[Term]),
       localMaxBase: Option[Long] = None): DataFrame = {
     val rs = compile(rules, goal)
     val closed =
-      if (rs.rules.isEmpty) triples.select("s", "p", "o")
+      if (rs.rules.isEmpty) triples.select("s", "p", "o").dropDuplicates()
       else Rules.closure(triples, rs, localMaxBase = localMaxBase)
     def eq(c: String, t: Term) =
       col(s"$c.kind") === t.kind && col(s"$c.lex") === t.lex &&
@@ -175,7 +206,8 @@ object Magic {
     res
   }
 
-  /** Pure sibling for document-scale graphs and specs. */
+  /** Pure sibling for document-scale graphs and specs. Bare rules — see
+   * the axiom note on [[answer]]. */
   def answerLocal(data: Seq[Triple], rules: Seq[LpRule],
       goal: (Option[Term], Term, Option[Term])): Set[Triple] = {
     val rs = compile(rules, goal)
@@ -183,4 +215,25 @@ object Magic {
     closed.filter(t => t.p == goal._2 &&
       goal._1.forall(_ == t.s) && goal._3.forall(_ == t.o))
   }
+
+  /** [[answer]] over a full parsed rule SET: the set's ground axioms are
+   * seeded into the data (the same facts [[Lp.hybrid]] sees), so the two
+   * faces agree on rule files that carry `-> (…)` axioms. */
+  def answer(triples: DataFrame, rs: Rules.LpRuleSet,
+      goal: (Option[Term], Term, Option[Term])): DataFrame = {
+    val withAx =
+      if (rs.axioms.isEmpty) triples
+      else {
+        import org.apache.spark.sql.Encoders
+        val spark = triples.sparkSession
+        triples.select("s", "p", "o").unionAll(
+          spark.createDataset(rs.axioms)(Encoders.product[Triple]).toDF())
+      }
+    answer(withAx, rs.rules, goal)
+  }
+
+  /** [[answerLocal]] over a full parsed rule SET (axioms seeded). */
+  def answerLocal(data: Seq[Triple], rs: Rules.LpRuleSet,
+      goal: (Option[Term], Term, Option[Term])): Set[Triple] =
+    answerLocal(data ++ rs.axioms, rs.rules, goal)
 }

@@ -228,6 +228,13 @@ object Rules {
           while (peek != ')') { args += term(); ws() }
         }
         eat(')')
+        // arity check at PARSE time: a mis-arity guard would otherwise
+        // surface as an IndexOutOfBounds deep inside evaluation, with no
+        // rule context (bound/unbound/table take any count)
+        val arity: Map[String, Int] = Map("notEqual" -> 2, "equal" -> 2,
+          "lessThan" -> 2, "notLiteral" -> 1, "isLiteral" -> 1)
+        arity.get(fn).foreach(n => if (args.size != n)
+          fail(s"builtin '$fn' takes $n argument(s), got ${args.size}"))
         Right(Guard(fn, args.toSeq))
       }
     }
@@ -477,6 +484,8 @@ object Rules {
             val eff = if (value.dt.isEmpty) Term.XSD_STRING else value.dt
             dtypeAccepted(d.lex).forall(_.contains(eff))
           }
+        case "isLiteral" => resolve(g.args(0)).isLiteral
+        case "notLiteral" => !resolve(g.args(0)).isLiteral
         case other => throw new IllegalArgumentException(s"builtin $other")
       }
     }
@@ -758,6 +767,8 @@ object Rules {
                 .otherwise(vc.getField("dt"))
               isLit && eff.isin(acc.toSeq.sorted: _*)
           }
+        case "isLiteral" => c(g.args(0)).getField("kind") === Term.KIND_LIT
+        case "notLiteral" => c(g.args(0)).getField("kind") =!= Term.KIND_LIT
         case other => throw new IllegalArgumentException(s"builtin $other")
       }
     }

@@ -95,6 +95,61 @@ class MagicSpec extends AnyFunSuite {
     assert(Magic.answerLocal(data, rdfsBackward.rules, goal).isEmpty)
   }
 
+  test("ff goal with a constant-argument IDB subgoal: ground magic fact seeds as an axiom") {
+    // r1's ff adornment pushes no magic atom; its first body atom is an
+    // IDB subgoal with a CONSTANT subject, so the magic rule's body is
+    // EMPTY — the fact must be seeded as an axiom (an empty-body rule
+    // never fires in the forward engines), or answers silently vanish
+    val rules = Rules.parseFull(
+      """[r1: (?x <urn:p> ?y) <- (<urn:a> <urn:q> ?x), (?x <urn:e> ?y)]
+         [r2: (?s <urn:q> ?o) <- (?s <urn:base> ?o)]""")
+    val data = Seq(
+      Triple(n("urn:a"), n("urn:base"), n("urn:m")),
+      Triple(n("urn:m"), n("urn:e"), n("urn:z")))
+    val goal = (None, n("urn:p"), None)
+    val got = Magic.answerLocal(data, rules.rules, goal)
+    val want = Lp.hybrid(data, rules).find(None, Some(n("urn:p")), None)
+    assert(want == Set(Triple(n("urn:m"), n("urn:p"), n("urn:z"))))
+    assert(got == want, s"magic face lost the empty-body magic seed: $got")
+  }
+
+  test("isLiteral/notLiteral guards run on both forward faces (doc-promised subset)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rules = Rules.parseFull(
+      """[r: (?s <urn:named> ?o) <- (?s <urn:v> ?o), notLiteral(?o)]""")
+    val data = Seq(
+      Triple(n("urn:x"), n("urn:v"), n("urn:iri-obj")),
+      Triple(n("urn:x"), n("urn:v"), Term.lit("5", Term.XSD_INTEGER)))
+    val goal = (None, n("urn:named"), None)
+    val want = Set(Triple(n("urn:x"), n("urn:named"), n("urn:iri-obj")))
+    assert(Magic.answerLocal(data, rules.rules, goal) == want)
+    val df = spark.createDataset(data).toDF()
+    val got = Magic.answer(df, rules.rules, goal, localMaxBase = Some(0L))
+      .as[Triple].collect().toSet
+    assert(got == want)
+  }
+
+  test("rule-set overloads seed the file's ground axioms into the data") {
+    val rules = Rules.parseFull(
+      """-> (<urn:a> <urn:base> <urn:b>).
+         [r: (?s <urn:q> ?o) <- (?s <urn:base> ?o)]""")
+    val goal = (None, n("urn:q"), None)
+    // bare-rules call misses the axiom-derived answer; the set overload
+    // must match Lp.hybrid (which always seeds rs.axioms)
+    val want = Lp.hybrid(Nil, rules).find(None, Some(n("urn:q")), None)
+    assert(want.nonEmpty)
+    assert(Magic.answerLocal(Nil, rules, goal) == want)
+  }
+
+  test("unbound guard vars are rejected at compile, not crashed at run") {
+    val rules = Rules.parseFull(
+      """[r: (?x <urn:p> ?y) <- (?x <urn:q> ?y), notEqual(?x, ?z)]""")
+    val e = intercept[IllegalArgumentException](
+      Magic.answerLocal(Nil, rules.rules, (None, n("urn:p"), None)))
+    assert(e.getMessage.contains("guard var"), e.getMessage)
+  }
+
   test("DataFrame face: magic answer over one big KG matches the local face") {
     val spark = TestSpark.spark
     import spark.implicits._
