@@ -47,22 +47,48 @@ object Rules {
    * reference's someRec2b, rulesys/builtins/IsDType.java). */
   final case class Guard(fn: String, args: Seq[RTerm])
 
-  /** The XSD numeric ladder folded to one value space by [[Guard]]
-   * isDType and the OWL validator's datatype checks (a "5"^^xsd:int IS
-   * an xsd:integer — lenient lexical membership, like the reference's
-   * isValidLiteral value-space test). */
-  private[reason] val xsdDecimalLadder: Set[String] = Set(
-    "byte", "short", "int", "long", "integer", "unsignedByte",
-    "unsignedShort", "unsignedInt", "unsignedLong", "nonNegativeInteger",
-    "nonPositiveInteger", "positiveInteger", "negativeInteger", "decimal")
-    .map(Term.XSD + _)
+  /** XSD numeric subtype hierarchy (child → parent), the decimal branch
+   * (XML Schema Part 2 §3.3). Drives [[dtypeAccepted]]; the flat key set
+   * [[xsdDecimalLadder]] also marks which datatypes share the decimal
+   * VALUE space (used by the OWL validator's value-equality folding). */
+  private val xsdParent: Map[String, String] = {
+    def x(n: String) = Term.XSD + n
+    Map(
+      x("integer") -> x("decimal"),
+      x("long") -> x("integer"), x("int") -> x("long"),
+      x("short") -> x("int"), x("byte") -> x("short"),
+      x("nonPositiveInteger") -> x("integer"),
+      x("negativeInteger") -> x("nonPositiveInteger"),
+      x("nonNegativeInteger") -> x("integer"),
+      x("positiveInteger") -> x("nonNegativeInteger"),
+      x("unsignedLong") -> x("nonNegativeInteger"),
+      x("unsignedInt") -> x("unsignedLong"),
+      x("unsignedShort") -> x("unsignedInt"),
+      x("unsignedByte") -> x("unsignedShort"))
+  }
+
+  /** The numeric datatypes sharing the xsd:decimal value space. */
+  private[reason] val xsdDecimalLadder: Set[String] =
+    xsdParent.keySet + (Term.XSD + "decimal")
+
+  private lazy val xsdDescendants: Map[String, Set[String]] = {
+    def anc(t: String): Set[String] =
+      xsdParent.get(t).map(p => anc(p) + p).getOrElse(Set.empty)
+    xsdDecimalLadder.iterator
+      .map(d => d -> xsdDecimalLadder.filter(t => t == d || anc(t)(d)))
+      .toMap
+  }
 
   /** Datatypes whose literals satisfy isDType(_, d); None = any literal
-   * (rdfs:Literal). */
+   * (rdfs:Literal). Membership is by DECLARED SUBTYPE only — "5"^^xsd:int
+   * IS an xsd:integer, but "5.5"^^xsd:decimal is NOT (decimal ⊄ integer;
+   * the symmetric fold would be unsound). Cross-branch value promotion
+   * (a decimal-typed whole number as xsd:integer) is not recognized —
+   * documented divergence from the reference's per-value isValidLiteral,
+   * incomplete but never unsound for classification. */
   private[reason] def dtypeAccepted(dLex: String): Option[Set[String]] =
     if (dLex == "http://www.w3.org/2000/01/rdf-schema#Literal") None
-    else if (xsdDecimalLadder(dLex)) Some(xsdDecimalLadder)
-    else Some(Set(dLex))
+    else Some(xsdDescendants.getOrElse(dLex, Set(dLex)))
   final case class Rule(name: String, body: Seq[Atom], guards: Seq[Guard],
       heads: Seq[Atom])
 
@@ -159,7 +185,16 @@ object Rules {
     def term(): RTerm = {
       ws()
       peek match {
-        case '?' => pos += 1; RVar(ident())
+        case '?' =>
+          pos += 1
+          val n = ident()
+          // '__' prefixes the engines' marker columns (__m/__as/…): a
+          // user var named __x would be dropped from DataFrame join keys
+          // and silently cross-join instead of unifying
+          if (n.startsWith("__")) fail(
+            s"variable name ?$n is reserved (names starting with __ " +
+              "collide with engine marker columns)")
+          RVar(n)
         case '<' =>
           pos += 1
           val end = clean.indexOf('>', pos)
@@ -170,7 +205,28 @@ object Rules {
           val q = peek; pos += 1
           val sb = new StringBuilder
           while (peek != q && pos < clean.length) {
-            if (peek == '\\') { pos += 1; sb.append(peek); pos += 1 }
+            if (peek == '\\') {
+              // decode escapes like the reference's rule tokenizer (and
+              // the N-Triples data the rules match against) — appending
+              // the raw char would read 'a\nb' as "anb"
+              pos += 1
+              if (pos >= clean.length) fail("dangling \\ in literal")
+              clean(pos) match {
+                case 'n' => sb.append('\n'); pos += 1
+                case 't' => sb.append('\t'); pos += 1
+                case 'r' => sb.append('\r'); pos += 1
+                case 'b' => sb.append('\b'); pos += 1
+                case 'f' => sb.append('\f'); pos += 1
+                case 'u' =>
+                  if (pos + 4 >= clean.length) fail("truncated \\u escape")
+                  val hex = clean.substring(pos + 1, pos + 5)
+                  val cp = try Integer.parseInt(hex, 16)
+                    catch { case _: NumberFormatException =>
+                      fail(s"bad \\u escape '\\u$hex'") }
+                  sb.append(cp.toChar); pos += 5
+                case c => sb.append(c); pos += 1 // \\, \', \" and friends
+              }
+            }
             else { sb.append(peek); pos += 1 }
           }
           eat(q)
@@ -261,9 +317,18 @@ object Rules {
       val bound = varsOf(r.body) ++ outer
       val headVars = r.headTriples.flatMap(a => Seq(a.s, a.p, a.o)).collect {
         case RVar(v) => v }
-      if (!r.backward)
+      if (!r.backward) {
         headVars.find(!bound.contains(_)).foreach(v => fail(
           s"rule '${r.name}': head variable ?$v is not bound by the body"))
+        // value-guard args must be body-bound in FORWARD rules — the
+        // engines would crash resolving the var mid-derivation. Backward
+        // rules are exempt: bound/unbound guards exist to TEST boundness
+        // and value guards fail silently on unbound args (Lp semantics).
+        r.body.collect { case Right(g) => g }
+          .flatMap(_.args).collect { case RVar(v) => v }
+          .find(!bound.contains(_)).foreach(v => fail(
+            s"rule '${r.name}': guard variable ?$v is not bound by the body"))
+      }
       r.headRules.foreach(checkHeadVars(_, bound))
     }
 
@@ -355,6 +420,7 @@ object Rules {
         val pre = ident(); eat(':')
         ws(); eat('<')
         val end = clean.indexOf('>', pos)
+        if (end < 0) fail("unterminated IRI in @prefix")
         prefixes(pre) = clean.substring(pos, end); pos = end + 1
         tryEat(".")
       } else if (tryEat("@include")) {
@@ -554,9 +620,13 @@ object Rules {
   def rdfsCmpAxioms(data: Iterable[Triple]): Seq[Triple] = {
     val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
-    data.iterator.map(_.p).filter(p =>
+    data.iterator.map(_.p).filter { p =>
+        val suffix = p.lex.drop(RDF.length + 1)
+        // rdf:_1, rdf:_2, … — bare rdf:_ (empty suffix) is NOT a
+        // container-membership property (forall is vacuously true)
         p.isIri && p.lex.startsWith(RDF + "_") &&
-          p.lex.drop(RDF.length + 1).forall(_.isDigit))
+          suffix.nonEmpty && suffix.forall(_.isDigit)
+      }
       .toSeq.distinct
       .map(p => Triple(p, Term.iri(RDF + "type"),
         Term.iri(RDFS + "ContainerMembershipProperty")))
@@ -632,6 +702,11 @@ object Rules {
    * collect falls back to predicate-only dispatch — the pruning is an
    * optimization, never a correctness gate. */
   private[reason] val dispatchTypeObjCap = 20000
+
+  /** Cap on the predicate-only dispatch fallback collect — past it the
+   * round runs with Dispatch = None (plan every chain) rather than pull
+   * a data-sized predicate vocabulary to the driver. */
+  private[reason] val dispatchPredCap = 1000000
 
   // ---- ground-constant rule families ------------------------------------
 
@@ -719,8 +794,27 @@ object Rules {
    * delta position, deduped and RDF-validity filtered. Package-visible so
    * PlanSpec can audit the join shapes (the fixpoint result itself is a
    * checkpointed union whose executed plan no longer shows them). */
+  /** Chain-level delta dispatch predicate (the set-at-a-time analog of
+   * the reference's clause index): can a rule×position chain whose
+   * delta-side atom is `a` match a delta described by `dispatch`?
+   * Shared by [[deriveOnce]] and the trace so the planned chain count
+   * and the reported one can never desynchronize. */
+  private def chainCanMatch(a: Atom, dispatch: Option[Dispatch]): Boolean =
+    dispatch match {
+      case Some(d) => a.p match {
+        case RConst(k) if k.isIri =>
+          d.preds.contains(k.lex) && ((k.lex, a.o, d.typeObjs) match {
+            case (`rdfTypeLex`, RConst(o), Some(objs)) => objs.contains(o.lex)
+            case _ => true
+          })
+        case _ => true
+      }
+      case None => true
+    }
+
   private[graft] def deriveOnce(rs: RuleSet, full: DataFrame,
-      delta: DataFrame, dispatch: Option[Dispatch] = None): DataFrame = {
+      delta: DataFrame, dispatch: Option[Dispatch] = None,
+      compiled: Option[(Seq[Family], Seq[Rule])] = None): DataFrame = {
     def constCol(t: Term): Column = struct(
       lit(t.kind).cast("tinyint").as("kind"), lit(t.lex).as("lex"),
       lit(t.dt).as("dt"), lit(t.lang).as("lang"))
@@ -834,18 +928,10 @@ object Rules {
     // constant rdf:type OBJECT — absent from THIS round's delta derives
     // nothing; skip it before Spark ever plans it. With p rules of b
     // atoms, a round plans only the chains the delta can feed.
-    def deltaCanMatch(a: Atom): Boolean = dispatch match {
-      case Some(d) => a.p match {
-        case RConst(k) if k.isIri =>
-          d.preds.contains(k.lex) && ((k.lex, a.o, d.typeObjs) match {
-            case (`rdfTypeLex`, RConst(o), Some(objs)) => objs.contains(o.lex)
-            case _ => true
-          })
-        case _ => true
-      }
-      case None => true
-    }
-    val (families, singles) = familize(rs.rules)
+    def deltaCanMatch(a: Atom): Boolean = chainCanMatch(a, dispatch)
+    // the family split is rule-set-determined: the fixpoint loop passes
+    // it in precomputed instead of re-canonicalizing every round
+    val (families, singles) = compiled.getOrElse(familize(rs.rules))
     val chains = singles.flatMap(r =>
       r.body.indices.filter(i => deltaCanMatch(r.body(i)))
         .map(i => ruleDerivations(r, full, delta, i))) ++
@@ -921,6 +1007,9 @@ object Rules {
     // per-round timing trace (env GRAFT_RULES_TRACE=1) — planning vs
     // execution vs dispatch-collect; for sizing fixpoint-latency work
     val trace = sys.env.get("GRAFT_RULES_TRACE").contains("1")
+    // family canonicalization is per-rule-set work: do it once, not once
+    // per round (it re-walks every rule AST)
+    val compiledFams = familize(rs.rules)
     var all = base
     var flat = true // whether `all` is currently a single checkpointed plan
     // round 1's delta: the whole base, or — when the axioms are already
@@ -946,7 +1035,7 @@ object Rules {
       // (An explicit broadcast hint on small deltas was measured a wash
       // here — AQE already converts the tiny-delta joins at runtime; the
       // structural lever is ground-rule family batching in deriveOnce.)
-      val derived = deriveOnce(rs, all, delta, dispatch)
+      val derived = deriveOnce(rs, all, delta, dispatch, Some(compiledFams))
       val allR = all.select(col("s").as("__as"), col("p").as("__ap"),
         col("o").as("__ao"))
       val freshPlan = derived.join(allR,
@@ -959,19 +1048,8 @@ object Rules {
       val fresh = freshPlan.localCheckpoint(true)
       val tExec = if (trace) System.nanoTime() else 0L
       if (trace) {
-        def canMatch(a: Atom) = dispatch match {
-          case Some(d) => a.p match {
-            case RConst(k) if k.isIri =>
-              d.preds.contains(k.lex) && ((k.lex, a.o, d.typeObjs) match {
-                case (`rdfTypeLex`, RConst(o), Some(objs)) =>
-                  objs.contains(o.lex)
-                case _ => true
-              })
-            case _ => true
-          }
-          case None => true
-        }
-        val (fams, sings) = familize(rs.rules)
+        val (fams, sings) = compiledFams
+        def canMatch(a: Atom) = chainCanMatch(a, dispatch)
         val nChains = sings.map(_.body.count(canMatch)).sum +
           fams.map(_.template.body.count(canMatch)).sum
         println(f"[rules] round $iter chains=$nChains " +
@@ -990,11 +1068,17 @@ object Rules {
         f"${(System.nanoTime() - tExec) / 1e9}%.2fs keys=${pairs.length}")
       deltaEmpty = pairs.isEmpty
       dispatch =
-        if (pairs.length > dispatchTypeObjCap)
-          // class vocabulary too wide to collect — predicate-only dispatch
-          Some(Dispatch(fresh.select(col("p.lex")).distinct()
-            .collect().map(_.getString(0)).toSet, None))
-        else Some(Dispatch(pairs.map(_._1).toSet,
+        if (pairs.length > dispatchTypeObjCap) {
+          // class vocabulary too wide to collect — predicate-only
+          // dispatch, itself capped: a delta can also have a DATA-sized
+          // predicate vocabulary (rdf:_nnn …), and dispatch is an
+          // optimization, never a correctness gate — past the cap, match
+          // everything instead of collecting unbounded driver state
+          val preds = fresh.select(col("p.lex")).distinct()
+            .limit(dispatchPredCap + 1).collect().map(_.getString(0))
+          if (preds.length > dispatchPredCap) None
+          else Some(Dispatch(preds.toSet, None))
+        } else Some(Dispatch(pairs.map(_._1).toSet,
           Some(pairs.flatMap(_._2).toSet)))
       if (!deltaEmpty) {
         // `fresh` is already checkpointed — appending it lazily costs one

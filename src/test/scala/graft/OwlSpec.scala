@@ -253,13 +253,17 @@ class OwlSpec extends AnyFunSuite {
       Triple(eg("R"), Term.iri(OWLNS + "onProperty"), eg("p")),
       Triple(eg("R"), Term.iri(OWLNS + "someValuesFrom"),
         Term.iri(Term.XSD + "integer")),
-      // xsd:int is inside xsd:integer's folded value space (lenient
-      // ladder, like the reference's isValidLiteral)
+      // xsd:int ⊑ xsd:integer (declared subtype) — recognized
       Triple(eg("x"), eg("p"), Term.lit("5", Term.XSD + "int")),
-      Triple(eg("y"), eg("p"), Term.lit("hello", Term.XSD_STRING)))
+      Triple(eg("y"), eg("p"), Term.lit("hello", Term.XSD_STRING)),
+      // xsd:decimal ⊄ xsd:integer — a decimal-typed value must NOT be
+      // classified (the symmetric ladder fold would wrongly accept 5.5)
+      Triple(eg("z"), eg("p"), Term.lit("5.5", Term.XSD_DECIMAL)))
     val closed = Owl.closureLocal(data)
     assert(closed.contains(Triple(eg("x"), tpe, eg("R"))))
     assert(!closed.contains(Triple(eg("y"), tpe, eg("R"))))
+    assert(!closed.contains(Triple(eg("z"), tpe, eg("R"))),
+      "decimal-typed literal classified into an integer restriction")
     // distributed-face parity (the isDType guard compiles to a column)
     import org.apache.spark.sql.Encoders
     val df = spark.createDataset(data)(Encoders.product[Triple]).toDF()

@@ -164,6 +164,38 @@ class RulesSpec extends AnyFunSuite {
       Rules.closureLocal(chain, rules, maxFacts = 800))
   }
 
+  test("rule-text literal escapes decode; reserved/unbound vars rejected at parse") {
+    // \n in a quoted literal is a NEWLINE, not the letter n — the rule
+    // must match data carrying a real newline
+    val rs = Rules.parse(
+      "[m: (?x <urn:p> 'a\\nb') -> (?x <urn:type> <urn:Matched>)]")
+    val data = Seq(Triple(Term.iri("urn:s"), Term.iri("urn:p"),
+      Term.lit("a\nb", Term.XSD_STRING)))
+    val closed = Rules.closureLocal(data, rs)
+    assert(closed.contains(
+      Triple(Term.iri("urn:s"), Term.iri("urn:type"), Term.iri("urn:Matched"))))
+    // ?__x collides with engine marker columns → reserved at parse (the
+    // DataFrame face would silently cross-join instead of unifying)
+    val e1 = intercept[IllegalArgumentException](Rules.parse(
+      "[r: (?__a <urn:p> ?b) -> (?b <urn:q> ?__a)]"))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    // a forward guard var unbound by the body crashes mid-derivation —
+    // rejected at parse with the rule named
+    val e2 = intercept[IllegalArgumentException](Rules.parse(
+      "[r: (?a <urn:p> ?b), notEqual(?a, ?c) -> (?a <urn:q> ?b)]"))
+    assert(e2.getMessage.contains("guard variable"), e2.getMessage)
+    // mis-arity guards are a parse error, not an IndexOutOfBounds later
+    val e3 = intercept[IllegalArgumentException](Rules.parse(
+      "[r: (?a <urn:p> ?b), notEqual(?a) -> (?a <urn:q> ?b)]"))
+    assert(e3.getMessage.contains("argument"), e3.getMessage)
+    // bare rdf:_ (no ordinal) is not a container-membership property
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val cmp = Rules.rdfsCmpAxioms(Seq(
+      Triple(Term.iri("urn:s"), Term.iri(rdf + "_"), Term.iri("urn:o")),
+      Triple(Term.iri("urn:s"), Term.iri(rdf + "_3"), Term.iri("urn:o"))))
+    assert(cmp.map(_.s.lex) == Seq(rdf + "_3"), cmp.toString)
+  }
+
   test("local fixpoint cap trips INSIDE a fan-out round, not just at its end") {
     // one rule, one round, quadratic fan-out: every (in, out) hub pair
     // derives a fact — 50×50 = 2,500 candidate facts from a 100-fact
