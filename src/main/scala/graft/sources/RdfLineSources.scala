@@ -47,8 +47,10 @@ import graft.riot.{NQuads, NTriples}
 sealed trait RdfLineFormat extends Serializable {
   def name: String
   def schema: StructType
-  /** Parse one line to an InternalRow of `schema`, or None to skip. */
-  def parseToRow(line: String): Option[InternalRow]
+  /** Parse one line to an InternalRow of `schema`, or None to skip.
+   * `cache` is the per-partition node cache (§2.1) — hot IRIs repeat
+   * millions of times per file; the reader allocates one per split. */
+  def parseToRow(line: String, cache: NTriples.NodeCache = null): Option[InternalRow]
   /** Canonical line for one InternalRow of `schema`. */
   def rowToLine(row: InternalRow): String
 
@@ -70,8 +72,9 @@ case object TripleLineFormat extends RdfLineFormat {
       ExpressionEncoder(Encoders.product[Triple]
         .asInstanceOf[AgnosticEncoder[Triple]]).createSerializer()(_))
   override val schema: StructType = Encoders.product[Triple].schema
-  override def parseToRow(line: String): Option[InternalRow] =
-    NTriples.parseLine(line, strict = false).map(serializer.get()(_).copy())
+  override def parseToRow(line: String,
+      cache: NTriples.NodeCache): Option[InternalRow] =
+    NTriples.parseLine(line, strict = false, cache).map(serializer.get()(_).copy())
   override def rowToLine(row: InternalRow): String =
     Triple(term(row, 0), term(row, 1), term(row, 2)).toNTriples
 }
@@ -84,8 +87,9 @@ case object QuadLineFormat extends RdfLineFormat {
       ExpressionEncoder(Encoders.product[Quad]
         .asInstanceOf[AgnosticEncoder[Quad]]).createSerializer()(_))
   override val schema: StructType = Encoders.product[Quad].schema
-  override def parseToRow(line: String): Option[InternalRow] =
-    NQuads.parseLine(line, strict = false).map(serializer.get()(_).copy())
+  override def parseToRow(line: String,
+      cache: NTriples.NodeCache): Option[InternalRow] =
+    NQuads.parseLine(line, strict = false, cache).map(serializer.get()(_).copy())
   override def rowToLine(row: InternalRow): String =
     Quad(term(row, 0), term(row, 1), term(row, 2), term(row, 3)).toNQuads
 }
@@ -140,6 +144,9 @@ object RdfLineTable {
 
 class RdfLineTable(paths: Seq[String], fmt: RdfLineFormat)
     extends Table with SupportsRead with SupportsWrite {
+  require(paths.nonEmpty,
+    s"${fmt.name}: no path specified — use .load(path), .save(path) or " +
+      """option("paths", "[...]")""")
   override def name(): String = s"${fmt.name}(${paths.mkString(",")})"
   override def schema(): StructType = fmt.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -194,6 +201,16 @@ class RdfLineScan(paths: Seq[String], required: StructType, fmt: RdfLineFormat)
       }
       files.flatMap { st =>
         val f = st.getPath
+        // the reader byte-splits and parses RAW bytes: a compressed file
+        // would silently parse to zero rows — reject loudly (the
+        // text-source + riot-parser path decompresses if needed)
+        val lower = f.getName.toLowerCase
+        val codec = Seq(".gz", ".bz2", ".zst", ".snappy", ".deflate",
+          ".lz4", ".xz").find(lower.endsWith)
+        require(codec.isEmpty,
+          s"${fmt.name}: compressed file $f (${codec.get}) is not " +
+            "supported by the byte-splitting reader — decompress, or use " +
+            "spark.read.text + riot parseLine (which decompresses)")
         val len = st.getLen
         if (len == 0) Seq(RdfLineSplit(f.toString, 0L, 0L))
         else (0L until len by maxSplit).map(off =>
@@ -203,15 +220,20 @@ class RdfLineScan(paths: Seq[String], required: StructType, fmt: RdfLineFormat)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RdfLineReaderFactory(required, RdfLineTable.hadoopProps(), fmt)
+    // broadcast the Hadoop conf once per scan instead of serializing the
+    // full property list into every task (Spark's own sources do the
+    // same via SerializableConfiguration)
+    new RdfLineReaderFactory(required, SparkSession.active.sparkContext
+      .broadcast(RdfLineTable.hadoopProps()), fmt)
 }
 
 class RdfLineReaderFactory(required: StructType,
-    hadoopProps: Array[(String, String)], fmt: RdfLineFormat)
+    hadoopProps: org.apache.spark.broadcast.Broadcast[Array[(String, String)]],
+    fmt: RdfLineFormat)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RdfLinePartitionReader(partition.asInstanceOf[RdfLineSplit],
-      required, hadoopProps, fmt)
+      required, hadoopProps.value, fmt)
 }
 
 /** Reads [start, end) of one file: skips the partial first line unless at
@@ -236,6 +258,8 @@ class RdfLinePartitionReader(split: RdfLineSplit, required: StructType,
   }
   // position of the NEXT unread byte, tracked manually (readLine below)
   private var pos: Long = seekTo
+  // per-split node cache: hot IRIs repeat millions of times per file
+  private val cache = new NTriples.NodeCache()
   private val fullSchema = fmt.schema
   private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
   private var current: InternalRow = _
@@ -265,7 +289,7 @@ class RdfLinePartitionReader(split: RdfLineSplit, required: StructType,
       if (pos >= split.end) return false // next line starts in a later split
       val line = readLine()
       if (line == null) return false
-      fmt.parseToRow(line) match {
+      fmt.parseToRow(line, cache) match {
         case Some(full) =>
           current = if (fieldIdx.length == fullSchema.length) full
           else {
@@ -316,24 +340,32 @@ class RdfLineBatchWrite(path: String, truncate: Boolean, fmt: RdfLineFormat)
   private val ext = if (fmt.name == "nquads") "nq" else "nt"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new RdfLineWriterFactory(path, jobTag, ext, hadoopProps, fmt)
+    // conf broadcast once per job, not serialized into every task
+    new RdfLineWriterFactory(path, jobTag, ext,
+      SparkSession.active.sparkContext.broadcast(hadoopProps), fmt)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(RdfLineTable.confOf(hadoopProps))
-    if (truncate && fs.exists(dir))
-      fs.listStatus(dir).filter(s => s.isFile &&
-          (s.getPath.getName.endsWith(".nt") || s.getPath.getName.endsWith(".nq")))
-        .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(dir)
-    messages.zipWithIndex.foreach { case (m, i) =>
+    // rename the NEW files in first, THEN delete the old ones (truncate):
+    // a rename failure mid-commit must leave the old data intact — the
+    // reverse order could lose both generations. Job-tagged names cannot
+    // collide with prior jobs' files.
+    val renamed = messages.zipWithIndex.map { case (m, i) =>
       val tmp = new Path(m.asInstanceOf[RdfLineCommitMsg].tempFile)
       val dest = new Path(dir, f"part-$i%05d-$jobTag.$ext")
       // Hadoop rename reports failure via its return value, not exceptions
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(
           s"${fmt.name} commit: rename $tmp -> $dest failed")
-    }
+      dest.getName
+    }.toSet
+    if (truncate)
+      fs.listStatus(dir).filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".nt") || s.getPath.getName.endsWith(".nq")) &&
+          !renamed.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
     fs.delete(new Path(dir, s"_temporary-$jobTag"), true)
   }
 
@@ -344,10 +376,12 @@ class RdfLineBatchWrite(path: String, truncate: Boolean, fmt: RdfLineFormat)
 }
 
 class RdfLineWriterFactory(path: String, jobTag: String, ext: String,
-    hadoopProps: Array[(String, String)], fmt: RdfLineFormat)
+    hadoopProps: org.apache.spark.broadcast.Broadcast[Array[(String, String)]],
+    fmt: RdfLineFormat)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RdfLineDataWriter(path, jobTag, ext, hadoopProps, fmt, partitionId, taskId)
+    new RdfLineDataWriter(path, jobTag, ext, hadoopProps.value, fmt,
+      partitionId, taskId)
 }
 
 class RdfLineDataWriter(path: String, jobTag: String, ext: String,

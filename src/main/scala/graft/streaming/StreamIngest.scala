@@ -36,7 +36,12 @@ object StreamIngest {
       .format("text")
       .load(path)
       .as[String]
-      .mapPartitions(_.flatMap(NTriples.parseLine(_, strict = false)))
+      .mapPartitions { it =>
+        // per-partition node cache (§2.1): hot IRIs repeat millions of
+        // times per feed — same discipline as the batch NTriples.read
+        val cache = new NTriples.NodeCache()
+        it.flatMap(NTriples.parseLine(_, strict = false, cache))
+      }
   }
 
   /** Watermarked tumbling-window aggregation over a timestamped triple
@@ -56,18 +61,23 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"))
 
   /** Continuous dedup-append sink: each micro-batch is deduplicated
-   * against nothing but itself and appended as parquet — downstream
-   * snapshot compaction applies graph set semantics. Returns the running
-   * query (caller stops it or lets AvailableNow drain). */
+   * against nothing but itself (a per-batch foreachBatch dedup — a
+   * streaming `dropDuplicates` would be CROSS-batch keyed state, i.e.
+   * O(all distinct triples) of unbounded memory+checkpoint) and appended
+   * as parquet; downstream snapshot compaction applies graph set
+   * semantics, which also absorbs the at-least-once replay a failed
+   * foreachBatch commit can produce. Returns the running query (caller
+   * stops it or lets AvailableNow drain). */
   def appendToTable(triples: Dataset[Triple], outDir: String,
                     checkpointDir: String): StreamingQuery =
     triples.toDF()
-      .dropDuplicates("s", "p", "o")
       .writeStream
-      .format("parquet")
-      .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates("s", "p", "o")
+          .write.mode("append").parquet(outDir)
+      }
       .start()
 
   /** Cross-micro-batch STREAMING exact dedup — the training-pipeline
@@ -86,7 +96,11 @@ object StreamIngest {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
-      .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+      .select(expr(s"try_cast(`$idCol` as long)").as("id"), md5(col(textCol)).as("h"))
+      // malformed rows (null/non-numeric id, null text) are skipped like
+      // nearDupStream — the primitive-Long tuple encoder would otherwise
+      // NPE and kill the whole query on one poisoned row
+      .where(col("id").isNotNull && col("h").isNotNull)
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Boolean, (Long, String)](
@@ -120,7 +134,7 @@ object StreamIngest {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .select(expr(s"try_cast(`$idCol` as long)").as("id"), col(textCol).as("t"))
       // malformed rows (null id/text) are skipped, like the riot readers'
       // strict=false path — a poisoned row must not kill the whole query
       .where(col("id").isNotNull && col("t").isNotNull)
@@ -167,7 +181,10 @@ object StreamIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(shapes)
-    docs.select(col(idCol).cast("long"), col(textCol))
+    docs.select(expr(s"try_cast(`$idCol` as long)").as("id"), col(textCol).as("t"))
+      // skip malformed rows (null id/text) — same poisoned-row guard as
+      // the dedup/near-dup streams
+      .where(col("id").isNotNull && col("t").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val sh = bc.value
@@ -202,9 +219,16 @@ object StreamIngest {
    * replayed batch after checkpoint recovery is a no-op). */
   def applyPatchBatch(batch: DataFrame, snapshotsDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    requireLocalDir(snapshotsDir)
     val target = s"$snapshotsDir/s$batchId"
     if (TripleStore.isCommitted(target)) return
-    val current = latestSnapshot(spark, snapshotsDir, batchId)
+    val prior = latestCommitted(snapshotsDir, batchId)
+    val current = prior match {
+      case Some((_, p)) => spark.read.parquet(s"$p/spo")
+      case None =>
+        import spark.implicits._
+        spark.emptyDataset[Triple].toDF()
+    }
     // RDFPatchOps.applyChanges is SEQUENTIAL: an A-then-D of one triple
     // within a batch ends absent, D-then-A present. With a `seq` column
     // (RdfPatch.toChangeRows emits one) the LAST op per triple decides —
@@ -221,22 +245,42 @@ object StreamIngest {
     val dels = resolved.where(col("op") === "D").select("s", "p", "o")
     val next = Graphs.applyDelta(current, Graphs.Delta(adds, dels))
     next.write.mode("overwrite").parquet(s"$target/spo")
+    // lineage records the snapshot ACTUALLY read as the base — batch ids
+    // can be gapped (a superseded failed write), and batch 0 has no
+    // parent; s(batchId-1) would fabricate both
     TripleStore.writeManifest(java.nio.file.Paths.get(target, "manifest.json"),
-      Map("snapshot" -> s"s$batchId", "parent" -> s"s${batchId - 1}"))
+      Map("snapshot" -> s"s$batchId",
+        "parent" -> prior.map(p => s"s${p._1}").getOrElse("none")))
   }
 
-  /** The latest committed snapshot strictly before `beforeId` (empty graph
-   * when none exists). */
-  def latestSnapshot(spark: SparkSession, snapshotsDir: String, beforeId: Long): DataFrame = {
+  /** Snapshot listing and manifests run through driver-side java.io/nio —
+   * a cluster-FS URI (hdfs://, s3a://) would silently list nothing and
+   * fold every batch into an empty base. Loud guard; at cluster scale
+   * the snapshot chain belongs in a table format's own metadata (the
+   * Iceberg analog TripleStore documents). */
+  private def requireLocalDir(dir: String): Unit =
+    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") || dir.startsWith("file:"),
+      s"snapshot chain requires a local filesystem path, got '$dir'")
+
+  /** The latest committed snapshot id+path strictly before `beforeId`. */
+  private def latestCommitted(snapshotsDir: String,
+      beforeId: Long): Option[(Long, String)] = {
     val dir = new java.io.File(snapshotsDir)
-    val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+    Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("s"))
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
       .filter { case (id, f) => id < beforeId && TripleStore.isCommitted(f.getPath) }
       .sortBy(_._1)
       .lastOption
-    prior match {
-      case Some((_, f)) => spark.read.parquet(s"${f.getPath}/spo")
+      .map { case (id, f) => (id, f.getPath) }
+  }
+
+  /** The latest committed snapshot strictly before `beforeId` (empty graph
+   * when none exists). */
+  def latestSnapshot(spark: SparkSession, snapshotsDir: String, beforeId: Long): DataFrame = {
+    requireLocalDir(snapshotsDir)
+    latestCommitted(snapshotsDir, beforeId) match {
+      case Some((_, p)) => spark.read.parquet(s"$p/spo")
       case None =>
         import spark.implicits._
         spark.emptyDataset[Triple].toDF()

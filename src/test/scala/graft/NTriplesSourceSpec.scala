@@ -113,4 +113,18 @@ class NTriplesSourceSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("b.nt"), s"<${EX}c> <${EX}p> <${EX}d> .")
     assert(spark.read.format("ntriples").load(dir.toString).count() == 2)
   }
+
+  test("loud rejections: missing path, compressed file") {
+    // no path at all → error, not a silent empty scan
+    val e1 = intercept[Exception](
+      spark.read.format("ntriples").load().count())
+    assert(e1.getMessage.contains("no path"), e1.getMessage)
+    // a .gz file would byte-split raw gzip bytes and parse to zero rows —
+    // must be rejected with a pointer at the decompressing alternative
+    val dir = Files.createTempDirectory("dsv2gz")
+    Files.write(dir.resolve("data.nt.gz"), Array[Byte](0x1f, 0x8b.toByte, 8))
+    val e2 = intercept[Exception](
+      spark.read.format("ntriples").load(dir.toString).count())
+    assert(e2.getMessage.contains("compressed"), e2.getMessage)
+  }
 }

@@ -114,7 +114,9 @@ class StreamingSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("st_dedup_out").toString
     def docStream = spark.readStream.format("text")
       .load(in).select(
-        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        // try_cast: ANSI cast would throw on a junk id before the
+        // operator's own poisoned-row guard can skip the row
+        expr("try_cast(split(value, '\\\\|')[0] as long)").as("doc_id"),
         split(col("value"), "\\|").getItem(1).as("text"))
     def drain(): Unit = {
       val q = StreamIngest.dedupStream(docStream).toDF("doc_id", "h")
@@ -140,6 +142,14 @@ class StreamingSpec extends AnyFunSuite {
     val all = spark.read.parquet(out).collect()
     assert(all.length == 6, s"state must survive the restart: ${all.length} rows")
     assert(all.map(_.getLong(0)).contains(14L)) // "content 5" is the only new one
+    // batch 3: poisoned rows — a non-numeric id (casts to null) and a
+    // line with no '|' (null text) must be SKIPPED, not kill the query
+    Files.writeString(java.nio.file.Paths.get(in, "c.txt"),
+      "abc|content 1\nno-separator-here\n20|content 9")
+    drain()
+    val after = spark.read.parquet(out).collect()
+    assert(after.length == 7, s"poisoned rows must be skipped: ${after.length}")
+    assert(after.map(_.getLong(0)).contains(20L))
   }
 
   test("simhash60 (row-local Scala) == d5's SQL simhash, doc for doc") {
@@ -161,7 +171,9 @@ class StreamingSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("st_nd_out").toString
     def docStream = spark.readStream.format("text")
       .load(in).select(
-        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        // try_cast: ANSI cast would throw on a junk id before the
+        // operator's own poisoned-row guard can skip the row
+        expr("try_cast(split(value, '\\\\|')[0] as long)").as("doc_id"),
         split(col("value"), "\\|").getItem(1).as("text"))
     def drain(): Unit = {
       val q = StreamIngest.nearDupStream(docStream).toDF("a_id", "b_id", "hamming")
