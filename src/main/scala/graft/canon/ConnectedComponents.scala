@@ -29,35 +29,63 @@ object ConnectedComponents {
    * than the corpus, and a dozen distributed star-contraction rounds on a
    * few-MB edge set is pure scheduler latency); above it, the O(log n)
    * distributed loop. Both produce the identical deterministic map
-   * (component = min member), verified against each other in
-   * ConnectedComponentsSpec.
+   * (component = min member under Spark's UTF-8 byte string order),
+   * verified against each other in ConnectedComponentsSpec.
+   *
+   * Sizing: the local path collects ~threshold (src, dst) string pairs —
+   * at 2M edges of ~40-char IRIs budget roughly 0.5–1 GB of driver heap;
+   * lower the threshold for small-driver deployments.
    */
   def runAdaptive(edges: DataFrame, localThreshold: Long = 2000000): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.toDF("src", "dst")
+    import spark.implicits._
+    val raw = edges.toDF("src", "dst")
+    val selfLoops = raw.where(col("src") === col("dst"))
+      .select(col("src").as("node"), col("src").as("component")).distinct()
+    val e = raw
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (e.count() <= localThreshold) {
-        val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
-        val mapping = graft.fixtures.CorpusGen.connectedComponentsLocal(pairs.toSeq)
-        import spark.implicits._
-        spark.createDataset(mapping.toSeq).toDF("node", "component")
-      } else run(e)
+      val base =
+        if (e.count() <= localThreshold) {
+          val pairs = e.as[(String, String)].collect()
+          val mapping = graft.fixtures.CorpusGen.connectedComponentsLocal(pairs.toSeq)
+          spark.createDataset(mapping.toSeq).toDF("node", "component")
+        } else loop(e.localCheckpoint(true))
+      padSelfLoops(base, selfLoops)
     } finally e.unpersist()
   }
 
+  /** Self-loop-ONLY nodes still belong in the map (mapping to themselves);
+   * a node with a self-loop AND real edges keeps its component root. */
+  private def padSelfLoops(base: DataFrame, selfLoops: DataFrame): DataFrame =
+    base.union(selfLoops.join(base, Seq("node"), "left_anti"))
+
   /** edges: two string columns (src, dst). Returns (node, component) where
-   * component = min node id (lexicographic) of the node's component; every
-   * node appearing in edges is present. */
+   * component = min node id (UTF-8 byte order) of the node's component;
+   * every node appearing in edges is present (self-loop-only nodes map to
+   * themselves). */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    var e = edges.toDF("src", "dst")
+    val raw = edges.toDF("src", "dst")
+    val selfLoops = raw.where(col("src") === col("dst"))
+      .select(col("src").as("node"), col("src").as("component")).distinct()
+    val prepared = raw
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    padSelfLoops(loop(prepared, maxIter), selfLoops)
+  }
 
+  /** The star-contraction fixpoint over an already DEDUPED, self-loop-free,
+   * checkpointed edge list (runAdaptive calls this directly — its input is
+   * already prepared; re-running the distinct would be a wasted full
+   * shuffle). Per-round localCheckpoints rely on the ContextCleaner to
+   * unpersist dropped rounds as references die; rounds are capped at
+   * `maxIter` and the edge set SHRINKS every contraction, which bounds the
+   * transient cached footprint. */
+  private def loop(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges
     var converged = false
     var iter = 0
     var prevSig: Option[(Long, String)] = None
@@ -123,7 +151,8 @@ object ConnectedComponents {
   def rewrite(triples: DataFrame, mapping: DataFrame): DataFrame = {
     val m = mapping.toDF("node", "component")
     def swapped(field: String) = when(
-      col("component").isNotNull && col(s"$field.kind") === 0,
+      col("component").isNotNull &&
+        col(s"$field.kind") === graft.model.Term.KIND_IRI,
       struct(col(s"$field.kind").as("kind"), col("component").as("lex"),
         col(s"$field.dt").as("dt"), col(s"$field.lang").as("lang")))
       .otherwise(col(field))

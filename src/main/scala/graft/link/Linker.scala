@@ -57,10 +57,16 @@ object Linker {
   private def exactImpl(cands: Dataset[Candidate], dict: Dataset[DictRow],
                         salted: Boolean, saltFactor: Int,
                         uniqueSurfaces: Boolean): Dataset[Candidate] = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val spark = cands.sparkSession
     import spark.implicits._
     val mentions = cands.where(col("surface") =!= "")
-    val passthru = cands.where(col("surface") === "")
+    // a NULL surface (externally-produced parquet) is not a mention — it
+    // must pass through (normalized to ""), not vanish by failing both
+    // filters
+    val passthru = cands.toDF()
+      .where(col("surface") === "" || col("surface").isNull)
+      .withColumn("surface", lit(""))
 
     val dictDf = dict.toDF("iri", "dict_surface", "weight")
     val joined0 =
@@ -90,7 +96,7 @@ object Linker {
         col("iri").as("lex"), lit("").as("dt"), lit("").as("lang")))
       .select("s", "p", "o", "surface", "repo", "lang", "sha256")
       .withColumn("surface", lit(""))
-    passthru.toDF().unionByName(linked).as[Candidate]
+    passthru.unionByName(linked).as[Candidate]
   }
 
   /**
@@ -111,16 +117,28 @@ object Linker {
             bands: Int = 4, rowsPerBand: Int = 2,
             minJaccardPermille: Int = 500): Dataset[Candidate] = {
     import graft.ops.MinHash
+    // out-of-range bands read past the K-element signature: element_at
+    // yields NULLs, array_join drops them, and every row lands in ONE
+    // shared "" bucket — the n² cross join this blocking exists to avoid
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= MinHash.K,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must fit the " +
+        s"${MinHash.K}-element MinHash signature")
     val spark = cands.sparkSession
     import spark.implicits._
 
     val mentions = cands.where(col("surface") =!= "")
-    val passthru = cands.where(col("surface") === "")
+    // NULL surfaces pass through normalized, as in exactImpl
+    val passthru = cands.toDF()
+      .where(col("surface") === "" || col("surface").isNull)
+      .withColumn("surface", lit(""))
     val dictDf = dict.toDF("iri", "dict_surface", "weight")
 
-    // exact hits first — cheap and precise
-    val exactHit = mentions.join(broadcast(dictDf),
-      col("surface") === col("dict_surface"))
+    // exact hits first — cheap and precise; an ambiguous dictionary gets
+    // the deterministic (weight DESC, iri ASC) best candidate, same safe
+    // default as exact() — a plain join would silently duplicate mentions
+    val exactHit = bestPerMention(
+      mentions.join(broadcast(dictDf), col("surface") === col("dict_surface")),
+      Seq("s", "p", "surface", "sha256"))
     val missed = mentions.join(broadcast(dictDf),
       col("surface") === col("dict_surface"), "left_anti")
 
@@ -154,7 +172,7 @@ object Linker {
       .select("s", "p", "o", "surface", "repo", "lang", "sha256")
       .withColumn("surface", lit(""))
 
-    passthru.toDF()
+    passthru
       .unionByName(resolve(exactHit))
       .unionByName(resolve(best))
       .as[Candidate]

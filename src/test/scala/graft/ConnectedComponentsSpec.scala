@@ -33,6 +33,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     check(giant ++ groups)
   }
 
+  test("self-loop-only nodes map to themselves on both faces") {
+    import spark.implicits._
+    // "a" exists only as a self-loop; "s" has a self-loop AND a real edge
+    val edges = Seq(("a", "a"), ("s", "s"), ("s", "t"), ("b", "c"))
+    check(edges) // distributed run() vs the union-find oracle
+    val adaptive = ConnectedComponents.runAdaptive(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(adaptive == CorpusGen.connectedComponentsLocal(edges))
+    assert(adaptive("a") == "a" && adaptive("t") == "s" && adaptive("s") == "s")
+  }
+
   test("deterministic across partitionings") {
     import spark.implicits._
     val edges = (0 until 30).map(i => (f"x${i % 11}%02d", f"x${(i * 5) % 13}%02d"))
