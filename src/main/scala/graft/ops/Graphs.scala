@@ -69,8 +69,12 @@ object Graphs {
       // `next`, and a same-name using-columns self-join trips attribute
       // resolution ("key not found: src#N").
       val accR = acc.select(col("src").as("__asrc"), col("dst").as("__adst"))
+      // null-SAFE equality: distinct() upstream dedups null endpoints
+      // null-safely, so a plain === here would never anti-match a pair
+      // with a null slot — it would re-enter the delta every round and
+      // the loop would spin to maxIter instead of converging
       val delta = next.join(accR,
-        col("src") === col("__asrc") && col("dst") === col("__adst"), "left_anti")
+        col("src") <=> col("__asrc") && col("dst") <=> col("__adst"), "left_anti")
         .localCheckpoint(true)
       if (delta.isEmpty) done = true
       else {

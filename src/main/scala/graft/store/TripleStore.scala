@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
  */
 object TripleStore {
 
+  /** Await a batch of concurrent layout writes such that (a) a failure is
+   * raised only after EVERY sibling finished — Future.sequence fails
+   * fast while stragglers keep writing into the snapshot dir, racing any
+   * retry of the same uncommitted snapshot — and (b) sibling failures
+   * surface as suppressed exceptions instead of vanishing. */
+  private def awaitAll(writes: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val settled = Future.sequence(
+      writes.map(_.map(scala.util.Success(_): scala.util.Try[Any])
+        .recover { case e => scala.util.Failure(e) }))
+    val failures = Await.result(settled, Duration.Inf)
+      .collect { case scala.util.Failure(e) => e }
+    if (failures.nonEmpty) {
+      failures.tail.foreach(failures.head.addSuppressed)
+      throw failures.head
+    }
+  }
+
   /** Flatten struct terms to 12 scalar columns for columnar stats/pruning. */
   def flatten(triples: DataFrame): DataFrame =
     triples.select(
@@ -112,7 +132,7 @@ object TripleStore {
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
       })
-    Await.result(Future.sequence(writes), Duration.Inf)
+    awaitAll(writes)
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
@@ -169,7 +189,10 @@ object TripleStore {
         .sortWithinPartitions(keys.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$name")
 
-    def slot(p: String) = facts.select(tid(p).as("id"), col(s"${p}_kind").as("kind"),
+    // reuse the already-materialized id columns (re-hashing would cost 3
+    // extra full-data xxhash passes on the bandwidth-bound stage)
+    def slot(p: String) = facts.select(col(s"${p}_id").as("id"),
+      col(s"${p}_kind").as("kind"),
       col(s"${p}_lex").as("lex"), col(s"${p}_dt").as("dt"), col(s"${p}_lang").as("lang"))
 
     val writes = Seq(
@@ -177,10 +200,26 @@ object TripleStore {
       Future(idWrite("pos", Seq("p_id", "o_id", "s_id"))),
       Future(idWrite("osp", Seq("o_id", "s_id", "p_id"))),
       Future {
-        slot("s").union(slot("p")).union(slot("o")).dropDuplicates("id")
+        val dict = slot("s").union(slot("p")).union(slot("o"))
+          .dropDuplicates("kind", "lex", "dt", "lang")
           .repartitionByRange(math.max(1, partitions / 4), col("id"))
           .sortWithinPartitions("id")
-          .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/terms")
+          .persist()
+        // collision guard: content-derived ids are only sound while every
+        // distinct term gets a distinct id. One vocabulary-sized count
+        // pair; on a collision the snapshot would silently decode WRONG
+        // terms and merge distinct triples — fail before committing.
+        val nTerms = dict.count()
+        val nIds = dict.select("id").distinct().count()
+        if (nTerms != nIds) {
+          dict.unpersist()
+          throw new IllegalStateException(
+            s"xxhash64 term-id collision: $nTerms distinct terms map to " +
+              s"$nIds ids — the encoded layout cannot represent this " +
+              "vocabulary; use the term-struct materialize instead")
+        }
+        dict.write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/terms")
+        dict.unpersist()
       },
       Future {
         facts.groupBy("repo", "lang")
@@ -188,7 +227,7 @@ object TripleStore {
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
       })
-    Await.result(Future.sequence(writes), Duration.Inf)
+    awaitAll(writes)
     facts.unpersist()
 
     writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
@@ -209,18 +248,30 @@ object TripleStore {
     val terms = spark.read.parquet(s"$snapshotDir/terms")
     def term(alias: String) = terms.select(col("id").as(s"${alias}_tid"),
       struct(col("kind"), col("lex"), col("dt"), col("lang")).as(alias))
+    // repo/lang ride only the primary spo layout; pos/osp decode to the
+    // bare term triple
+    val extras =
+      if (facts.columns.contains("repo")) Seq(col("repo"), col("lang")) else Nil
     facts
       .join(term("s"), col("s_id") === col("s_tid"))
       .join(term("p"), col("p_id") === col("p_tid"))
       .join(term("o"), col("o_id") === col("o_tid"))
-      .select(col("s"), col("p"), col("o"), col("repo"), col("lang"))
+      .select(Seq(col("s"), col("p"), col("o")) ++ extras: _*)
   }
 
   /** Atomic manifest commit: write temp, then move into place. A snapshot
    * without manifest.json is by definition uncommitted → safely re-runnable. */
   def writeManifest(path: Path, fields: Map[String, String]): Unit = {
     Files.createDirectories(path.getParent)
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // other control chars
+      case c => c.toString
+    } + "\""
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
@@ -234,7 +285,15 @@ object TripleStore {
 
   /** Pattern-shaped read: pick the layout whose leading sort column is
    * bound — the FastTripleStore index-selection rule, columnar edition
-   * (mem/pattern/PatternClassifier.java:51). */
+   * (mem/pattern/PatternClassifier.java:51).
+   *
+   * Matching is by LEXICAL FORM only — an IRI, a bnode label and a
+   * literal sharing a lexical form all match (handy for IRI-shaped
+   * lookups, wrong for term-exact semantics; use
+   * `Compiler.SnapshotGraph.scanPattern` for full 4-field term matching).
+   * The result always carries the 12 term columns regardless of which
+   * layout served it (repo/lang live only on spo and would make the
+   * schema data-dependent). */
   def scan(spark: SparkSession, snapshotDir: String,
            s: Option[String], p: Option[String], o: Option[String]): DataFrame = {
     val layout = (s, p, o) match {
@@ -244,6 +303,7 @@ object TripleStore {
       case _ => "spo"
     }
     var df = spark.read.parquet(s"$snapshotDir/$layout")
+      .select(termCols.map(col): _*)
     s.foreach(v => df = df.where(col("s_lex") === v))
     p.foreach(v => df = df.where(col("p_lex") === v))
     o.foreach(v => df = df.where(col("o_lex") === v))
@@ -319,7 +379,7 @@ object TripleStore {
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
       })
-    Await.result(Future.sequence(writes), Duration.Inf)
+    awaitAll(writes)
 
     writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
       "snapshot" -> Paths.get(snapshotDir).getFileName.toString,
@@ -333,6 +393,9 @@ object TripleStore {
   /** Quad-pattern read: graph-bound scans prune on the leading g_lex of
    * every layout; within a graph the s/p/o shape picks the index exactly
    * like `scan`. */
+  /** Lexical-form matching, like [[scan]] — term-exact quad patterns go
+   * through `Compiler.QuadSnapshotGraph.scanQuadPattern`. All quad
+   * layouts carry the same 16 columns, so no schema trim is needed. */
   def scanQuads(spark: SparkSession, snapshotDir: String,
                 g: Option[String], s: Option[String],
                 p: Option[String], o: Option[String]): DataFrame = {
