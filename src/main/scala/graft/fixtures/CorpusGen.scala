@@ -110,10 +110,18 @@ object CorpusGen {
       .flatMap(r => repoRows(seed, r.toInt, nRepos, filesPerRepo))
   }
 
+  /** Entity-dictionary size for a corpus shape — THE shared formula: the
+   * generator plants mentions in [0, nEntities) and the pipeline sizes
+   * its dictionary with the same expression; if they diverge, planted
+   * surfaces fall outside the dictionary and the linker silently drops
+   * them. */
+  def nEntities(nRepos: Int, filesPerRepo: Int): Int =
+    math.max(9, nRepos * filesPerRepo / 4)
+
   /** All rows of one repo — pure, deterministic in (seed, r). */
   def repoRows(seed: Long, r: Int, nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] = {
     val rows = Seq.newBuilder[CorpusRow]
-    val nEntities = math.max(9, nRepos * filesPerRepo / 4)
+    val nEntities = CorpusGen.nEntities(nRepos, filesPerRepo)
     locally {
       val repo = f"org${r % 13}%04d/repo$r%04d"
       val commit = commitOf(seed, repo)

@@ -30,6 +30,13 @@ object Pipeline {
 
   final case class StageResult(name: String, rows: Long, skipped: Boolean, wallMs: Long)
 
+  /** Driver-collect threshold for the CC canon pass (both paths): the
+   * driver union-find is a SERIAL Amdahl term — the env knob lets a
+   * small-heap deployment lower it, and the scaling benchmark pin the
+   * distributed path with 0. */
+  private def ccLocalMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX", "2000000").toLong
+
   /**
    * Fused single-pass run: generate → extract → link → canon → materialize
    * with NO intermediate stage materialization — only the CC edge list (it
@@ -44,7 +51,7 @@ object Pipeline {
     val corpus = CorpusGen.generateDistributed(spark, seed, nRepos, filesPerRepo)
     // generation already yields repo-range partitions — skip the re-shuffle
     val cands = Extractor.extract(corpus, repartition = false)
-    val nEntities = math.max(9, nRepos * filesPerRepo / 4)
+    val nEntities = CorpusGen.nEntities(nRepos, filesPerRepo)
     val dict = CorpusGen.dictionaryDistributed(spark, nEntities)
     // join-strategy selection (north rule): broadcast while the dictionary
     // is genuinely small; above ~100k entities the broadcast build is a
@@ -71,12 +78,6 @@ object Pipeline {
       val edges = linked
         .where(col("p.lex") === CorpusGen.OWL_SAMEAS)
         .select(col("s.lex").as("src"), col("o.lex").as("dst"))
-      // the driver union-find is a SERIAL Amdahl term (collect + single
-      // thread) — fine for truly small edge sets, but it flattens the
-      // N→4N scaling curve once edges reach the hundreds of thousands;
-      // the knob lets the scaling benchmark pin the distributed path
-      val ccLocalMax = sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX",
-        "2000000").toLong
       val mapping = ConnectedComponents.runAdaptive(edges, ccLocalMax)
       lap("link+cc") // forces gen→extract→link materialization via persist
       val rewritten = ConnectedComponents.rewrite(linked.toDF(), mapping)
@@ -94,17 +95,33 @@ object Pipeline {
           saltFactor: Int = 0, seed: Long = 42): Seq[StageResult] = {
     import spark.implicits._
     val results = Seq.newBuilder[StageResult]
+    val input = s"seed=$seed nRepos=$nRepos filesPerRepo=$filesPerRepo"
 
     def stage(name: String)(body: String => Long): StageResult = {
       val dir = s"$outDir/stages/$name"
       val t0 = System.nanoTime()
       val r =
-        if (TripleStore.isCommitted(dir)) StageResult(name, -1, skipped = true, 0)
-        else {
+        if (TripleStore.isCommitted(dir)) {
+          // resume = same stage AND same inputs: a committed manifest for
+          // different params is STALE output, not progress — skipping it
+          // would silently report the old corpus as this run's result
+          val m = TripleStore.readManifest(Paths.get(dir, "manifest.json"))
+          require(m.get("input").forall(_ == input),
+            s"stage $name at $dir was committed for input " +
+              s"'${m.getOrElse("input", "?")}' but this run is '$input' — " +
+              s"stale output; delete $outDir/stages to rebuild")
+          StageResult(name, m.get("rows").map(_.toLong).getOrElse(-1L),
+            skipped = true, 0)
+        } else {
           val rows = body(dir)
-          TripleStore.writeManifest(Paths.get(dir, "manifest.json"), Map(
-            "stage" -> name, "rows" -> rows.toString,
-            "input" -> s"seed=$seed nRepos=$nRepos filesPerRepo=$filesPerRepo"))
+          // MERGE with whatever manifest the body itself committed (the
+          // materialize stage's TripleStore.materialize writes the
+          // snapshot manifest to this same path — clobbering it would
+          // lose the layouts/parent/n_triples record)
+          val existing = TripleStore.readManifest(Paths.get(dir, "manifest.json"))
+          TripleStore.writeManifest(Paths.get(dir, "manifest.json"),
+            existing ++ Map(
+              "stage" -> name, "rows" -> rows.toString, "input" -> input))
           StageResult(name, rows, skipped = false, (System.nanoTime() - t0) / 1000000)
         }
       results += r; r
@@ -119,9 +136,12 @@ object Pipeline {
     }
     val corpus = spark.read.parquet(s"$outDir/stages/ingest/corpus").as[CorpusRow]
 
-    // ---- extract + normalize (one fused narrow stage)
+    // ---- extract + normalize (one fused narrow stage). The ingest stage
+    // already clustered the corpus files by (repo, lang) — re-shuffling
+    // every content byte again would double the pipeline's most expensive
+    // exchange for nothing (Extractor's repartition knob exists for this)
     stage("extract") { dir =>
-      val cands = Extractor.extract(corpus)
+      val cands = Extractor.extract(corpus, repartition = false)
       cands.write.mode(SaveMode.Overwrite).parquet(s"$dir/candidates")
       spark.read.parquet(s"$dir/candidates").count()
     }
@@ -129,8 +149,8 @@ object Pipeline {
 
     // ---- link
     stage("link") { dir =>
-      val nEntities = math.max(9, nRepos * filesPerRepo / 4)
-      val dict = CorpusGen.dictionaryDistributed(spark, nEntities)
+      val dict = CorpusGen.dictionaryDistributed(spark,
+        CorpusGen.nEntities(nRepos, filesPerRepo))
       val linked =
         if (saltFactor > 1) Linker.exactSalted(cands, dict, saltFactor, uniqueSurfaces = true)
         else Linker.exact(cands, dict, uniqueSurfaces = true)
@@ -144,7 +164,9 @@ object Pipeline {
       val edges = linked
         .where(col("p.lex") === CorpusGen.OWL_SAMEAS)
         .select(col("s.lex").as("src"), col("o.lex").as("dst"))
-      val mapping = ConnectedComponents.runAdaptive(edges)
+      // same driver-collect-threshold knob as the fused path (small-heap
+      // drivers / pinning the distributed CC for scaling runs)
+      val mapping = ConnectedComponents.runAdaptive(edges, ccLocalMax)
       val rewritten = ConnectedComponents.rewrite(linked, mapping)
       rewritten.write.mode(SaveMode.Overwrite).parquet(s"$dir/triples")
       spark.read.parquet(s"$dir/triples").count()
@@ -213,6 +235,9 @@ object Pipeline {
     val nRepos = if (args.length > 0) args(0).toInt else 50
     val filesPerRepo = if (args.length > 1) args(1).toInt else 20
     val outDir = if (args.length > 2) args(2) else "/tmp/graft_pipeline"
+    require(!outDir.startsWith("--"),
+      s"outDir '$outDir' looks like a flag — pass positional args as " +
+        "<nRepos> <filesPerRepo> <outDir> [--salted F]")
     val saltFactor = args.sliding(2).collectFirst {
       case Array("--salted", f) => f.toInt }.getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -283,6 +283,33 @@ object TripleStore {
   def isCommitted(snapshotDir: String): Boolean =
     Files.exists(Paths.get(snapshotDir, "manifest.json"))
 
+  /** Read back a [[writeManifest]] document (flat string→string JSON).
+   * Missing file → empty map. */
+  def readManifest(path: Path): Map[String, String] = {
+    if (!Files.exists(path)) return Map.empty
+    def unesc(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'u' if i + 5 < s.length =>
+              b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => b.append(c); i += 2
+          }
+        } else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.toString
+    }
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(Files.readString(path))
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
   /** Pattern-shaped read: pick the layout whose leading sort column is
    * bound — the FastTripleStore index-selection rule, columnar edition
    * (mem/pattern/PatternClassifier.java:51).
