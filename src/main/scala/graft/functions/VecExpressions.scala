@@ -19,13 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * generated consume path), so the ANN rerank inner loop runs as primitive
  * Java — no boxing, no intermediate arrays.
  *
- * Semantics mirror the HOF formula bit-for-bit so the DuckDB oracles are
- * unaffected: mismatched dimensions yield NULL
- * (zip_with pads the shorter array with nulls, poisoning the HOF sum),
- * all accumulation in Double in index order,
- * `dot / (sqrt(na) * sqrt(nb))` (zero vectors yield NaN, as before).
- * A null array OR a null element anywhere yields NULL (HOF null
- * propagation through `cast(x as double) * cast(y as double)` and `+`).
+ * Semantics mirror the HOF formula bit-for-bit on every NON-degenerate
+ * input so the DuckDB oracles are unaffected: mismatched dimensions
+ * yield NULL (zip_with pads the shorter array with nulls, poisoning the
+ * HOF sum), all accumulation in Double in index order,
+ * `dot / (sqrt(na) * sqrt(nb))`. A null array OR a null element
+ * anywhere yields NULL. One DELIBERATE divergence (pinned in VecSpec):
+ * zero vectors return NaN here — total function — while the HOF
+ * formulation THROWS DIVIDE_BY_ZERO under the session's ANSI default.
  */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -42,22 +43,17 @@ case class CosineSim(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     if (nx != ny) return null
+    // ONE fused pass: the three accumulators sum independently in index
+    // order, so fusing is bit-identical to the three-loop form while
+    // halving the memory traffic of the ANN rerank inner loop
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < nx) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
-    }
-    i = 0
-    while (i < nx) {
-      if (x.isNullAt(i)) return null
-      val v = x.getFloat(i).toDouble; na += v * v; i += 1
-    }
-    i = 0
-    while (i < ny) {
-      if (y.isNullAt(i)) return null
-      val v = y.getFloat(i).toDouble; nb += v * v; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -68,6 +64,9 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+      // every temporary through freshName — a bare local would collide
+      // with an enclosing generated scope and fail Janino compilation
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
         final int $nx = $a.numElements();
         final int $ny = $b.numElements();
@@ -76,21 +75,11 @@ case class CosineSim(left: Expression, right: Expression)
         for (int $i = 0; $i < $nx && !$bad; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
           else {
-            $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-          }
-        }
-        for (int $i = 0; $i < $nx && !$bad; $i++) {
-          if ($a.isNullAt($i)) { $bad = true; }
-          else {
-            final double v = (double) $a.getFloat($i);
-            $na += v * v;
-          }
-        }
-        for (int $i = 0; $i < $ny && !$bad; $i++) {
-          if ($b.isNullAt($i)) { $bad = true; }
-          else {
-            final double v = (double) $b.getFloat($i);
-            $nb += v * v;
+            final double $xv = (double) $a.getFloat($i);
+            final double $yv = (double) $b.getFloat($i);
+            $dot += $xv * $yv;
+            $na += $xv * $xv;
+            $nb += $yv * $yv;
           }
         }
         if ($bad) {

@@ -33,10 +33,20 @@ object MinHash {
   def charShingles(c: String, n: Int = 3): Column =
     expr(s"array_distinct(transform(sequence(1, greatest(1, length($c)-${n - 1})), i -> substring($c, i, $n)))")
 
-  /** Distinct word-bigram shingles of a pre-split token array column. */
+  /** Distinct word-bigram shingles of a pre-split token array column.
+   * Guarded for <2-token rows: `sequence(1, 0)` DESCENDS in Spark, so
+   * the unguarded transform would index element 0 (always an error) and
+   * kill the job on a one-word document. Empty array → all-NULL
+   * signature via [[sigSql]]'s empty branch. */
   def tokenBigrams(toks: String): Column =
-    expr(s"""array_distinct(transform(sequence(1, size($toks)-1),
-        j -> concat(element_at($toks, j), '_', element_at($toks, j+1))))""")
+    expr(tokenBigramsSql(toks))
+
+  /** The raw SQL of [[tokenBigrams]] — the dedup queries inline it so
+   * their DuckDB oracle builders mirror ONE definition. */
+  def tokenBigramsSql(toks: String): String =
+    s"""if(size($toks) < 2, array(),
+        array_distinct(transform(sequence(1, size($toks)-1),
+        j -> concat(element_at($toks, j), '_', element_at($toks, j+1)))))"""
 
   /** K-element minhash signature of a shingle array column. */
   def signature(shinglesCol: String): Column = expr(sigSql(shinglesCol))
@@ -60,10 +70,17 @@ object MinHash {
   /** (band, bucket) pairs from a signature column: `bands` bands of
    * `rowsPerBand` signature rows concatenated into a bucket key. Use with
    * posexplode to get one row per band. */
-  def bandBuckets(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+  def bandBuckets(sigCol: String, bands: Int, rowsPerBand: Int): Column = {
+    // enforced HERE, not just in callers: out-of-range bands index past
+    // the K-element signature — an ANSI error at best, and in lax mode a
+    // silent shared "" bucket that degrades LSH to the n² cross join
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= K,
+      s"bands ($bands) × rowsPerBand ($rowsPerBand) must fit the " +
+        s"$K-element signature")
     expr(s"""transform(sequence(0, ${bands - 1}), b ->
         array_join(transform(sequence(1, $rowsPerBand),
           r -> element_at($sigCol, b * $rowsPerBand + r)), '_'))""")
+  }
 
   /** Exact Jaccard (permille, integer — deterministic) of two array cols. */
   /** 60-bit SimHash of a document, computed row-locally in pure Scala —
@@ -80,8 +97,12 @@ object MinHash {
     toks.foreach { t =>
       val digest = md.digest(t.getBytes("UTF-8"))
       md.reset()
-      val hex = digest.map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      // first 15 hex chars = the big-endian first 8 bytes >>> 4 —
+      // allocation-free twin of parseLong(hexString.take(15), 16)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+      h = h >>> 4
       var j = 0
       while (j < 60) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -96,6 +117,8 @@ object MinHash {
 
   def jaccardPermille(a: String, b: String): Column = {
     val inter = s"size(array_intersect($a, $b))"
-    expr(s"(cast($inter as bigint) * 1000) div (size($a) + size($b) - $inter)")
+    // two empty sets → 0 (not a link signal), never an ANSI divide-by-zero
+    expr(s"""if(size($a) + size($b) - $inter = 0, 0L,
+        (cast($inter as bigint) * 1000) div (size($a) + size($b) - $inter))""")
   }
 }

@@ -40,7 +40,9 @@ object Multimodal {
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val width = 16 + (n % 640)
-    val height = 16 + ((n * 7) % 480)
+    // long arithmetic: n * 7 wraps Int negative past ~306 MB — video-sized
+    // blobs would get impossible negative dimensions
+    val height = 16 + (n.toLong * 7 % 480).toInt
     val channels = 1 + (n % 3)
     (width, height, channels)
   }
@@ -53,7 +55,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
+        // null payloads are SKIPPED (poisoned-row policy, same as the
+        // streaming operators): one undecodable row must not kill the job
+        batch.iterator.filter(_.media != null).map { r =>
           val (w, h, c) = decodeStub(r.media)
           val checksum = r.media.take(8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
           MediaMeta(r.doc_id, r.media.length.toLong, w, h, c, checksum)

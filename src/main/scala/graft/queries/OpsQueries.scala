@@ -87,10 +87,11 @@ object OpsQueries {
       // column ref is O(1) per element, while element_at(split(...), j)
       // re-splits the whole text per element — O(tokens²) per doc
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, size(toks)-1),
-            j -> concat(element_at(toks, j), '_', element_at(toks, j+1))))""")
-        .as("shingles"))
+      // ONE bigram definition (MinHash.tokenBigramsSql) shared with d4 and
+      // the linker — the DuckDB oracle's range(1, len) likewise yields an
+      // empty list for <2-token docs
+      .select(col("doc_id"),
+        expr(graft.ops.MinHash.tokenBigramsSql("toks")).as("shingles"))
       .select(col("doc_id"), posexplode(expr(mhSigExpr("shingles")))
         .as(Seq("h_idx", "minhash")))
 
@@ -111,10 +112,8 @@ object OpsQueries {
     // rows, evicted LRU at scale (MEMORY_AND_DISK default).
     val all = docs.union(mutated)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, size(toks)-1),
-            j -> concat(element_at(toks, j), '_', element_at(toks, j+1))))""")
-        .as("shingles"))
+      .select(col("doc_id"),
+        expr(graft.ops.MinHash.tokenBigramsSql("toks")).as("shingles"))
       .persist()
     val sig = all.withColumn("mh", expr(mhSigExpr("shingles")))
     val banded = sig.select(col("doc_id"), col("shingles"),
