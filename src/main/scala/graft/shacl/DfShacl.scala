@@ -26,13 +26,19 @@ import graft.model.{Term, Triple}
  * Supported components (the flat subset): targetClass / targetNode /
  * targetSubjectsOf / targetObjectsOf; sh:path a predicate IRI or its
  * inverse; class, datatype, nodeKind, minCount, maxCount, min/max
- * Exclusive/Inclusive (numeric), minLength, maxLength, pattern(+flags),
- * in, hasValue, languageIn, uniqueLang, and the property-pair
- * constraints equals / disjoint / lessThan(OrEquals) (numeric, string,
- * boolean value spaces — a shapes graph ORDERING dateTimes needs the
- * complete face). A shapes graph using anything else (logical
- * operators, shape refs, qualified shapes, closed, path operators) is
- * rejected loudly at compile — route those through `Validator`.
+ * Exclusive/Inclusive, minLength, maxLength, pattern(+flags i/m/s/x —
+ * others rejected at compile), in, hasValue, languageIn, uniqueLang,
+ * and the property-pair constraints equals / disjoint /
+ * lessThan(OrEquals). Value ORDERING (ranges + lessThan*) delegates to
+ * the pure face's `Xsd.compare` via one shared comparator, so numerics
+ * are arbitrary-precision and dateTime/date order (incl. the
+ * partial-order timezone window) agrees with `Validator` by
+ * construction. Value nodes are a SET per focus (duplicate (s,p,o) rows
+ * in the input do not inflate counts), like the pure face's `distinct`.
+ * A shapes graph using anything else (logical operators, shape refs,
+ * qualified shapes, closed, path operators, implicit rdfs:Class
+ * targets) is rejected loudly at compile — route those through
+ * `Validator`.
  *
  * Scale notes (100 TB KG): the driver holds only the shapes (schema-sized
  * by definition) and the rdfs:subClassOf ontology (collected from data
@@ -46,6 +52,19 @@ object DfShacl {
 
   import SH._
 
+  /** ONE comparator for both faces: delegates to the pure engine's
+   * Xsd.compare (SPARQL operator comparison incl. arbitrary-precision
+   * numerics and the dateTime partial order). A UDF leaves whole-stage
+   * codegen only on range/lessThan-constrained slices — correctness
+   * across the faces outweighs codegen on those branches (the DecimalType
+   * cast it replaces silently overflowed >28-digit integers and rounded
+   * >10-dp decimals). */
+  private val cmpUdf = udf(
+    (ak: Byte, alex: String, adt: String, alang: String,
+     bk: Byte, blex: String, bdt: String, blang: String) =>
+      Xsd.compare(Term(ak, alex, adt, alang), Term(bk, blex, bdt, blang))
+        .map(Integer.valueOf).orNull)
+
   /** One flat property (or node) constraint set, compiled driver-side. */
   private final case class FlatShape(
       shapeIri: Term,
@@ -57,8 +76,10 @@ object DfShacl {
       nodeKind: Option[String],
       minCount: Option[Int],
       maxCount: Option[Int],
-      minInc: Option[BigDecimal], minExc: Option[BigDecimal],
-      maxInc: Option[BigDecimal], maxExc: Option[BigDecimal],
+      // full bound TERMS (every declared bound — multiple values are each
+      // a constraint), ordered via the shared Xsd.compare
+      minInc: Seq[Term], minExc: Seq[Term],
+      maxInc: Seq[Term], maxExc: Seq[Term],
       minLength: Option[Int], maxLength: Option[Int],
       pattern: Option[(String, String)],
       inList: Option[Seq[Term]],
@@ -89,18 +110,24 @@ object DfShacl {
   private def compile(shapes: Seq[Triple]): Seq[FlatShape] = {
     val sg = new GraphIndex(shapes.toVector)
 
-    def numeric(shape: Term, p: String): Option[BigDecimal] =
-      sg.obj(shape, sh(p)).map(t => BigDecimal(t.lex.trim))
     def intOf(shape: Term, p: String): Option[Int] =
-      sg.obj(shape, sh(p)).map(_.lex.toInt)
+      sg.obj(shape, sh(p)).map(t =>
+        try t.lex.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"DfShacl: sh:$p on shape ${shape.lex} needs an integer, " +
+              s"got '${t.lex}'")
+        })
 
     def flatten(shape: Term, focus: FocusSpec): Seq[FlatShape] = {
+      // deactivated FIRST: a disabled draft shape may legally carry
+      // non-flat constraints — SHACL ignores it entirely, so must we
+      if (sg.obj(shape, sh("deactivated")).exists(_.lex == "true")) return Nil
       val unsupported = sg.preds(shape).filterNot(flatPreds)
       if (unsupported.nonEmpty)
         throw new IllegalArgumentException(
           s"DfShacl: non-flat constraint(s) ${unsupported.map(_.lex).mkString(", ")} " +
             s"on shape ${shape.lex} — use graft.shacl.Validator for the full core")
-      if (sg.obj(shape, sh("deactivated")).exists(_.lex == "true")) return Nil
 
       val path = sg.obj(shape, sh("path")).map { pn =>
         SPath.parse(sg, pn) match {
@@ -119,14 +146,21 @@ object DfShacl {
         nodeKind = sg.obj(shape, sh("nodeKind")).map(_.lex.stripPrefix(NS)),
         minCount = intOf(shape, "minCount"),
         maxCount = intOf(shape, "maxCount"),
-        minInc = numeric(shape, "minInclusive"),
-        minExc = numeric(shape, "minExclusive"),
-        maxInc = numeric(shape, "maxInclusive"),
-        maxExc = numeric(shape, "maxExclusive"),
+        minInc = sg.objs(shape, sh("minInclusive")),
+        minExc = sg.objs(shape, sh("minExclusive")),
+        maxInc = sg.objs(shape, sh("maxInclusive")),
+        maxExc = sg.objs(shape, sh("maxExclusive")),
         minLength = intOf(shape, "minLength"),
         maxLength = intOf(shape, "maxLength"),
-        pattern = sg.obj(shape, sh("pattern")).map(p =>
-          (p.lex, sg.obj(shape, sh("flags")).map(_.lex).getOrElse(""))),
+        pattern = sg.obj(shape, sh("pattern")).map { p =>
+          val fl = sg.obj(shape, sh("flags")).map(_.lex).getOrElse("")
+          // only Java-inline-group flags pass through; anything else
+          // (e.g. XPath's 'q') would PatternSyntaxException mid-task
+          require(fl.forall("imsx".contains(_)),
+            s"DfShacl: sh:flags '$fl' on shape ${shape.lex} — only i/m/s/x " +
+              "are supported here; use graft.shacl.Validator")
+          (p.lex, fl)
+        },
         inList = sg.obj(shape, sh("in")).map(sg.list(_)),
         hasValue = sg.objs(shape, sh("hasValue")),
         equalsP = sg.objs(shape, sh("equals")),
@@ -138,6 +172,19 @@ object DfShacl {
       val children = sg.objs(shape, sh("property")).flatMap(flatten(_, focus))
       self +: children
     }
+
+    // implicit class targets (a shape that is also rdf:type rdfs:Class
+    // targets its own instances — SHACL §2.1.3.1): not compiled here, and
+    // skipping silently would under-validate — reject loudly
+    val shSubjects = shapes.collect {
+      case Triple(s, p, _) if p.lex.startsWith(NS) => s }.toSet
+    shapes.collectFirst {
+      case Triple(s, p, o) if p == rdfType &&
+          o.lex == "http://www.w3.org/2000/01/rdf-schema#Class" &&
+          shSubjects(s) => s
+    }.foreach(s => throw new IllegalArgumentException(
+      s"DfShacl: shape ${s.lex} uses an implicit rdfs:Class target — " +
+        "use graft.shacl.Validator"))
 
     val targeted = shapes.collect {
       case Triple(s, p, o) if p == sh("targetClass") => (s, FClass(o): FocusSpec)
@@ -219,13 +266,15 @@ object DfShacl {
       val focus = focusFrame(fs.focus)
       // value nodes: (focus, value) pairs — inner join on the subject; the
       // same `s`-keyed shuffle serves every per-value constraint below.
-      val vals: DataFrame = fs.path match {
+      val vals: DataFrame = (fs.path match {
         case None => focus.select($"s", $"s".as("v"))
         case Some((p, false)) =>
           focus.join(predScan(p).select($"s", $"o".as("v")), Seq("s"))
         case Some((p, true)) =>
           focus.join(predScan(p).select($"o".as("s"), $"s".as("v")), Seq("s"))
-      }
+        // SET semantics like the pure face's .distinct: duplicate input
+        // rows must not inflate maxCount / uniqueLang counts
+      }).dropDuplicates("s", "v")
       val v = col("v")
       val lexLen = length(v("lex"))
       val frames = Seq.newBuilder[DataFrame]
@@ -273,24 +322,21 @@ object DfShacl {
         frames += vals.join(inst, Seq("v"), "left_anti")
           .select(viol(col("s"), fs, "Class", v("lex")).as("r"))
       }
-      // numeric range constraints: violation = NOT (numeric AND in range)
-      val numDts = Seq(Term.XSD_INTEGER, Term.XSD_DECIMAL, Term.XSD_DOUBLE,
-        Term.XSD_FLOAT) ++ Seq("byte", "short", "int", "long", "unsignedByte",
-        "unsignedShort", "unsignedInt", "unsignedLong", "nonNegativeInteger",
-        "nonPositiveInteger", "negativeInteger", "positiveInteger")
-        .map(Term.XSD + _)
-      val asNum = when(v("kind") === Term.KIND_LIT && v("dt").isin(numDts: _*),
-        v("lex").cast(DecimalType(38, 10)))
-      def rangeViol(bound: Option[BigDecimal], component: String,
+      // value-range constraints through the SHARED comparator (pure-face
+      // Xsd.compare): arbitrary-precision numerics, string/boolean, and
+      // the dateTime partial order — incomparable ⇒ violation, exactly
+      // like Validator. One bound term = one constraint.
+      def rangeViol(bounds: Seq[Term], component: String,
           ok: Column => Column): Unit =
-        bound.foreach { b =>
-          val bc = lit(b.toString).cast(DecimalType(38, 10))
-          valueViol(asNum.isNull || !ok(bc), component)
+        bounds.foreach { b =>
+          val c = cmpUdf(v("kind"), v("lex"), v("dt"), v("lang"),
+            lit(b.kind), lit(b.lex), lit(b.dt), lit(b.lang))
+          valueViol(c.isNull || !ok(c), component)
         }
-      rangeViol(fs.minInc, "MinInclusive", asNum >= _)
-      rangeViol(fs.minExc, "MinExclusive", asNum > _)
-      rangeViol(fs.maxInc, "MaxInclusive", asNum <= _)
-      rangeViol(fs.maxExc, "MaxExclusive", asNum < _)
+      rangeViol(fs.minInc, "MinInclusive", _ >= 0)
+      rangeViol(fs.minExc, "MinExclusive", _ > 0)
+      rangeViol(fs.maxInc, "MaxInclusive", _ <= 0)
+      rangeViol(fs.maxExc, "MaxExclusive", _ < 0)
       fs.minLength.foreach(n =>
         valueViol(v("kind") === Term.KIND_BNODE || lexLen < n, "MinLength"))
       fs.maxLength.foreach(n =>
@@ -326,27 +372,18 @@ object DfShacl {
         frames += vals.join(otherVals(p).withColumnRenamed("w", "v"), Seq("s", "v"))
           .select(viol(col("s"), fs, "Disjoint", v("lex")).as("r"))
       }
-      // lessThan / lessThanOrEquals: per (value, other-value) pair, like
-      // the pure engine; comparable spaces here are numeric / string /
-      // boolean (the Validator additionally orders dateTime — a shapes
-      // graph ordering dateTimes should use the complete face)
+      // lessThan / lessThanOrEquals: per (value, other-value) pair, via
+      // the SAME shared comparator — numeric / string / boolean /
+      // dateTime exactly as the pure engine orders them; incomparable
+      // pairs are violations
       def pairOrderViol(preds: Seq[Term], component: String,
           strict: Boolean): Unit = preds.foreach { p =>
         val pairs = vals.join(otherVals(p), Seq("s"))
         val w = col("w")
-        def numOf(t: Column): Column =
-          when(t("kind") === Term.KIND_LIT && t("dt").isin(numDts: _*),
-            t("lex").cast(DecimalType(38, 10)))
-        def sameDt(dt: String): Column =
-          v("kind") === Term.KIND_LIT && w("kind") === Term.KIND_LIT &&
-            v("dt") === dt && w("dt") === dt
-        val numOk =
-          if (strict) numOf(v) < numOf(w) else numOf(v) <= numOf(w)
-        val lexOk =
-          if (strict) v("lex") < w("lex") else v("lex") <= w("lex")
-        val ok = coalesce(numOk, lit(false)) ||
-          ((sameDt(Term.XSD_STRING) || sameDt(Term.XSD_BOOLEAN)) && lexOk)
-        frames += pairs.filter(!ok)
+        val c = cmpUdf(v("kind"), v("lex"), v("dt"), v("lang"),
+          w("kind"), w("lex"), w("dt"), w("lang"))
+        val ok = if (strict) c < 0 else c <= 0
+        frames += pairs.filter(c.isNull || !ok)
           .select(viol(col("s"), fs, component, v("lex")).as("r"))
       }
       pairOrderViol(fs.lessThan, "LessThan", strict = true)

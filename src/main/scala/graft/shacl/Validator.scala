@@ -172,13 +172,17 @@ object Validator {
       range("maxInclusive", "MaxInclusive", _ <= 0)
 
       // ---- string-based
+      // CODE POINTS, not UTF-16 units: SHACL defines string length via
+      // fn:string-length (code points), and the DataFrame face's length()
+      // counts code points — one emoji is length 1 on both faces
+      def cpLen(s: String): Int = s.codePointCount(0, s.length)
       sg.obj(shape, sh("minLength")).foreach(n =>
         values.foreach(v =>
-          if (v.isBNode || Xsd.strVal(v).length < n.lex.toInt)
+          if (v.isBNode || cpLen(Xsd.strVal(v)) < n.lex.toInt)
             res(Some(v), "MinLength")))
       sg.obj(shape, sh("maxLength")).foreach(n =>
         values.foreach(v =>
-          if (v.isBNode || Xsd.strVal(v).length > n.lex.toInt)
+          if (v.isBNode || cpLen(Xsd.strVal(v)) > n.lex.toInt)
             res(Some(v), "MaxLength")))
       sg.obj(shape, sh("pattern")).foreach { pat =>
         val flags = sg.obj(shape, sh("flags")).map(_.lex).getOrElse("")
