@@ -37,26 +37,38 @@ object ResultSetIO {
     s"""{"head":{"vars":$head},"results":{"bindings":[${rows.mkString(",")}]}}"""
   }
 
-  /** Per-term JSON object column: {"type":…,"value":…,(...)}. */
+  /** Per-term JSON object column: {"type":…,"value":…,(...)}. A combined
+   * dirLang tag ("en--ltr", the storage convention) splits into xml:lang
+   * + its:dir — the form this file's own readers (and conformant
+   * writers) use; emitting the combined tag would be an invalid BCP47
+   * xml:lang. (Known limit: triple-term bindings serialize their <<( )>>
+   * text as a literal; the readers accept the nested "triple" form.) */
   private def termJson(t: Column): Column = {
     val typ = when(TermCols.kind(t) === Term.KIND_IRI, "uri")
       .when(TermCols.kind(t) === Term.KIND_BNODE, "bnode")
       .otherwise("literal")
+    val lang = TermCols.lang(t)
+    val baseLang = when(lang.contains("--"), substring_index(lang, "--", 1))
+      .otherwise(lang)
+    val dir = when(lang.contains("--"), substring_index(lang, "--", -1))
+      .otherwise(lit(""))
     when(t.isNotNull, struct(
       typ.as("type"),
       TermCols.lex(t).as("value"),
-      when(TermCols.isLiteral(t) && TermCols.lang(t) =!= "",
-        TermCols.lang(t)).as("xml:lang"),
+      when(TermCols.isLiteral(t) && baseLang =!= "", baseLang).as("xml:lang"),
+      when(TermCols.isLiteral(t) && dir =!= "", dir).as("its:dir"),
       when(TermCols.isLiteral(t) && TermCols.lang(t) === "" &&
         TermCols.dt(t) =!= "" && TermCols.dt(t) =!= Term.XSD_STRING,
         TermCols.dt(t)).as("datatype")))
   }
 
-  /** SPARQL results CSV: header of variable names, lexical values only
-   * (riot/rowset/rw CSV semantics). */
+  /** SPARQL results CSV: header of variable names, lexical values —
+   * bnodes carry the _: marker the format requires (RowSetWriterCSV). */
   def writeCsv(solutions: DataFrame, path: String): Unit =
     solutions.select(solutions.columns.map(v =>
-      TermCols.lex(col(v)).as(v)): _*)
+      when(TermCols.kind(col(v)) === Term.KIND_BNODE,
+          concat(lit("_:"), TermCols.lex(col(v))))
+        .otherwise(TermCols.lex(col(v))).as(v)): _*)
       .write.mode("overwrite").option("header", "true").csv(path)
 
   // ---------------------------------------------------------------- XML/TSV
@@ -71,7 +83,8 @@ object ResultSetIO {
     val vars = solutions.columns.toSeq
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\"?>\n")
-    sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n<head>")
+    sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"" +
+      " xmlns:its=\"http://www.w3.org/2005/11/its\">\n<head>")
     vars.foreach(v => sb.append(s"""<variable name="${xmlEscape(v)}"/>"""))
     sb.append("</head>\n<results>\n")
     solutions.collect().foreach { r =>
@@ -85,7 +98,15 @@ object ResultSetIO {
             case Term.KIND_IRI => sb.append(s"<uri>${xmlEscape(lex)}</uri>")
             case Term.KIND_BNODE => sb.append(s"<bnode>${xmlEscape(lex)}</bnode>")
             case _ =>
-              if (lang.nonEmpty)
+              // combined dirLang tag splits to xml:lang + its:dir (the
+              // form the readers consume; "en--ltr" is not valid BCP47)
+              val (baseLang, dirPart) = lang.split("--", 2) match {
+                case Array(b, d) => (b, d)
+                case _ => (lang, "")
+              }
+              if (baseLang.nonEmpty && dirPart.nonEmpty)
+                sb.append(s"""<literal xml:lang="${xmlEscape(baseLang)}" its:dir="${xmlEscape(dirPart)}">${xmlEscape(lex)}</literal>""")
+              else if (lang.nonEmpty)
                 sb.append(s"""<literal xml:lang="${xmlEscape(lang)}">${xmlEscape(lex)}</literal>""")
               else if (dt.nonEmpty && dt != Term.XSD_STRING)
                 sb.append(s"""<literal datatype="${xmlEscape(dt)}">${xmlEscape(lex)}</literal>""")
@@ -131,6 +152,40 @@ object ResultSetIO {
       spark.sparkContext.parallelize(rows, 1),
       StructType(vars.map(v => StructField(v, TermCols.schema, nullable = true))))
 
+  /** Quote bare identifiers OUTSIDE string literals (lenient-JSON last
+   * resort); true/false/null stay bare. Tracks string state + escapes so
+   * text inside values is never rewritten. */
+  private def quoteBareIdents(s: String): String = {
+    val out = new StringBuilder(s.length + 16)
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; out.append(c); i += 1 }
+      else if (c.isDigit || (c == '-' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        // pass a whole number token through (incl. 1e5 — its 'e' must not
+        // be captured as an identifier)
+        out.append(c); i += 1
+        while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) {
+          out.append(s.charAt(i)); i += 1
+        }
+      }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val word = s.substring(start, i)
+        if (word == "true" || word == "false" || word == "null") out.append(word)
+        else out.append('"').append(word).append('"')
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   private def termRow(typ: String, value: String, lang: String, dt: String): Row =
     typ match {
       case "uri" => Row(Term.KIND_IRI, value, "", "")
@@ -174,10 +229,10 @@ object ResultSetIO {
       catch {
         case _: com.fasterxml.jackson.core.JsonProcessingException =>
           // last resort for bare identifiers in VALUE position (e.g. an
-          // unquoted var name inside "vars": [ "s", z ]) — quote them
-          mapper.readTree(json.replaceAll(
-            """(?<=[\[,])(\s*)([A-Za-z_][A-Za-z0-9_]*)(\s*)(?=[,\]])""",
-            "$1\"$2\"$3"))
+          // unquoted var name inside "vars": [ "s", z ]) — quote them,
+          // QUOTE-AWARE: a regex sweep would also fire inside string
+          // values ("tags [alpha]") and corrupt the document
+          mapper.readTree(quoteBareIdents(json))
       }
     val vars = root.path("head").path("vars").elements().asScala.map(_.asText).toSeq
     def jsonTerm(n: com.fasterxml.jackson.databind.JsonNode): Row =
@@ -208,7 +263,12 @@ object ResultSetIO {
    * ?vars, then full term syntax per cell (the N-Triples line parser
    * reads each cell; empty cell = unbound). */
   def fromTsv(spark: SparkSession, tsv: String): DataFrame = {
-    val lines = tsv.split("\n").filter(_.nonEmpty)
+    // drop only the trailing newline artifact: an EMPTY body line is a
+    // real solution row with the (single) variable unbound — filtering
+    // all empties silently changed cardinality on write→read
+    val lines0 = tsv.split("\n", -1).toSeq
+    val lines = if (lines0.nonEmpty && lines0.last.isEmpty)
+      lines0.dropRight(1) else lines0
     require(lines.nonEmpty, "empty TSV document")
     val vars = lines.head.split("\t").map(_.trim.stripPrefix("?")).toSeq
     val rows = lines.tail.toSeq.map { line =>
@@ -235,8 +295,14 @@ object ResultSetIO {
 
   /** Parse a W3C results-XML document (JDK DOM — no extra deps). */
   def fromSparqlXml(spark: SparkSession, xml: String): DataFrame = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder()
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // results documents are DATA: no DTDs, no external entities (XXE)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
     def elems(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
       val nl = parent.getElementsByTagName(name)

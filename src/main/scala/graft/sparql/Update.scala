@@ -54,35 +54,58 @@ object Update {
 
   /** Apply a (possibly compound, ';'-separated) update request to a quad
    * dataset; returns the post-state. Operations see each other's effects
-   * in order, like the reference's sequential UpdateEngineWorker visit. */
-  def runDataset(quads: DataFrame, text: String): DataFrame =
+   * in order, like the reference's sequential UpdateEngineWorker visit.
+   * Every 8 ops the accumulated plan is checkpointed — long compound
+   * requests otherwise grow a nested except/union plan whose per-op
+   * existence probes (graphExists) re-execute the whole chain. */
+  def runDataset(quads: DataFrame, text: String): DataFrame = {
+    val reqTag = freshReqTag()
     parse(text).zipWithIndex.foldLeft(quads.select("s", "p", "o", "g")) {
-      case (d, (u, k)) => applyOne(d, u, k)
+      case (d, (u, k)) =>
+        val next = applyOne(d, u, k, reqTag)
+        if ((k + 1) % 8 == 0) next.localCheckpoint(true) else next
     }
+  }
 
-  def applyOne(ds: DataFrame, u: Parser.UpdateAst, opIdx: Int = 0): DataFrame = u match {
+  // bnode labels minted by a request must be FRESH per request (SPARQL
+  // 1.1 Update §3.1.3.1: running `INSERT DATA { _:b :p :o }` twice
+  // creates TWO bnodes) — a per-JVM counter feeds each request's scope
+  private val reqCtr = new java.util.concurrent.atomic.AtomicLong()
+  private def freshReqTag(): String = "q" + reqCtr.incrementAndGet()
+
+  def applyOne(ds: DataFrame, u: Parser.UpdateAst, opIdx: Int = 0,
+               reqTag: String = freshReqTag()): DataFrame = u match {
     // DATA blocks: bnode labels are scoped to the REQUEST (the same label
-    // in two DATA graphs/ops of one request is the same bnode)
-    case Parser.UpdateData(true, qs) => setUnion(ds, constQuads(ds, qs))
-    case Parser.UpdateData(false, qs) => ds.except(constQuads(ds, qs))
+    // in two DATA graphs/ops of one request is the same bnode; a LATER
+    // request minting the same source label gets a fresh bnode)
+    case Parser.UpdateData(true, qs) => setUnion(ds, constQuads(ds, qs, reqTag))
+    case Parser.UpdateData(false, qs) => ds.except(constQuads(ds, qs, reqTag))
 
     case Parser.UpdateModify(del, ins, where, withG, usingD, usingN) =>
       val view = datasetView(ds, withG, usingD, usingN)
-      val sols = Compiler.compile(where, Compiler.DfGraph(view))
+      val sols0 = Compiler.compile(where, Compiler.DfGraph(view))
+      // evaluate the WHERE once: both templates instantiate against the
+      // same checkpointed bindings (otherwise an expensive WHERE runs one
+      // full job per template)
+      val sols =
+        if (del.nonEmpty && ins.nonEmpty) sols0.localCheckpoint(true) else sols0
       val defG = withG.map(Term.iri).getOrElse(DG)
-      // template bnodes are fresh per EXECUTION: each op gets its own
-      // scope. localCheckpoint pins the instantiation: the frames hold
-      // nondeterministic per-row bnode ids (and a union of them under
-      // `except`'s anti-join trips Spark's PushDownLeftSemiAntiJoin
-      // assertion, SPARK optimizer bug) — materializing one instantiation
-      // is also exactly the reference's evaluate-once semantics
+      // template bnodes are fresh per EXECUTION: each op of each request
+      // gets its own scope. localCheckpoint pins the instantiation: the
+      // frames hold nondeterministic per-row bnode ids (and a union of
+      // them under `except`'s anti-join trips Spark's
+      // PushDownLeftSemiAntiJoin assertion, SPARK optimizer bug) —
+      // materializing one instantiation is also exactly the reference's
+      // evaluate-once semantics
       val removals =
         if (del.nonEmpty)
-          Construct.constructQuads(del, sols, defG, s"_u$opIdx").localCheckpoint(true)
+          Construct.constructQuads(del, sols, defG, s"_${reqTag}_u$opIdx")
+            .localCheckpoint(true)
         else ds.limit(0)
       val additions =
         if (ins.nonEmpty)
-          Construct.constructQuads(ins, sols, defG, s"_u$opIdx").localCheckpoint(true)
+          Construct.constructQuads(ins, sols, defG, s"_${reqTag}_u$opIdx")
+            .localCheckpoint(true)
         else ds.limit(0)
       setUnion(ds.except(removals), additions)
 
@@ -111,10 +134,12 @@ object Update {
 
   /** Materialize a concrete-quads DATA block: template instantiation
    * against a single empty solution row (INSERT DATA's blank nodes get
-   * one fresh label per request, like the reference's per-request bnode
-   * scope). */
-  private def constQuads(like: DataFrame, qs: Seq[Parser.QuadPat]): DataFrame =
-    Construct.constructQuads(qs, like.sparkSession.range(1).toDF("__one"), DG)
+   * one fresh label per request — the request tag scopes them, like the
+   * reference's per-request bnode scope). */
+  private def constQuads(like: DataFrame, qs: Seq[Parser.QuadPat],
+                         reqTag: String): DataFrame =
+    Construct.constructQuads(qs, like.sparkSession.range(1).toDF("__one"), DG,
+        s"_$reqTag")
       .localCheckpoint(true) // see UpdateModify note
 
   /** Re-scope the dataset for a WHERE: USING/USING NAMED act like
