@@ -257,6 +257,13 @@ object GoldenRunner {
   private def webBase(path: String): String =
     path.replace("/root/reference/jena-arq/testing/rdf-tests-cg/",
       "https://w3c.github.io/rdf-tests/")
+      // Jena's RRX extras declare mf:assumedTestBase = the published
+      // rdf12/rdf-xml/eval URL; their expected .nt files resolve
+      // relative IRIs against it, not the local path.
+      .replace("/root/reference/jena-arq/testing/RIOT/rrx11-2/",
+        "https://w3c.github.io/rdf-tests/rdf/rdf12/rdf-xml/eval/")
+      .replace("/root/reference/jena-arq/testing/RIOT/rrx12/",
+        "https://w3c.github.io/rdf-tests/rdf/rdf12/rdf-xml/eval/")
 
   private def parseAnyRdf(path: String): Seq[graft.model.Quad] = {
     val text = readFile(path)

@@ -109,17 +109,30 @@ object RdfXmlLite {
 
     def langOf(e: XElem, inherited: String): String =
       xmlAttr(e, "lang").getOrElse(inherited)
-    /** rdf:version scope — RDF 1.2 features (its:dir, parseType="Triple")
-     * activate only where an rdf:version="1.2" declaration is in scope;
-     * settable on any element, inherited like xml:lang (rdf12-xml-dir-02
-     * vs -05). */
+    /** rdf:version scope — parseType="Triple" activates only where an
+     * rdf:version="1.2" declaration is in scope; settable on any element,
+     * inherited like xml:lang (rdf12-xml-tt-01). */
     def verOf(e: XElem, inherited: Boolean): Boolean =
       rdfAttr(e, "version").map(_.startsWith("1.2")).getOrElse(inherited)
-    /** RDF 1.2 initial text direction (its:dir), inherited like xml:lang;
-     * inert without rdf:version="1.2" in scope. */
-    def dirOf(e: XElem, inherited: String, ver12: Boolean): String =
+    /** its:version="2.0" declared on the DOCUMENT element (ITS 2.0
+     * document declaration). Deliberately not inherited from inner
+     * elements — see dirOf. */
+    def itsVerOf(e: XElem, inherited: Boolean): Boolean =
+      e.attrs.exists(a => a.ns == ITSNS && a.local == "version") || inherited
+    /** RDF 1.2 initial text direction (its:dir), inherited like xml:lang.
+     * Reconciling the vendored fixtures (the reference's RRX applies
+     * its:dir unconditionally and DISABLES the W3C rdf12 rdf-xml suite —
+     * Scripts_RIOT_rdf_tests_std.java:71 "Caution! RDF 1.1 until RDF/XML
+     * tests fixed"): its:dir is inert exactly when its:version="2.0" is
+     * declared on the ROOT element WITHOUT rdf:version="1.2" in scope —
+     * then the document announces ITS 2.0 localization markup, not RDF
+     * base direction (rdf12-xml-dir-02 inert; rdf12-xml-dir-05,
+     * rrx12-basedir-NoVersion, rrx12-basedir-PropertyAttr[Local] all
+     * active). The value is validated whenever the attribute is live
+     * (RRX itsDir). */
+    def dirOf(e: XElem, inherited: String, ver12: Boolean, itsv: Boolean): String =
       e.attrs.find(a => a.ns == ITSNS && a.local == "dir") match {
-        case Some(a) if ver12 =>
+        case Some(a) if ver12 || !itsv =>
           if (a.value != "ltr" && a.value != "rtl")
             err(s"its:dir must be 'ltr' or 'rtl', not '${a.value}'")
           a.value
@@ -214,14 +227,19 @@ object RdfXmlLite {
 
     /** nodeElement: returns its subject term. */
     def nodeElem(e: XElem, lang0: String, dir0: String, ver0: Boolean,
-                 base0: String): Term = {
+                 itsv0: Boolean, base0: String): Term = {
       val lang = langOf(e, lang0)
       val ver12 = verOf(e, ver0)
-      val dir = dirOf(e, dir0, ver12)
+      val itsv = itsv0 // root-declared only, not inherited from inner elements
+      val dir = dirOf(e, dir0, ver12, itsv)
       val base = baseOf(e, base0)
       if (e.ns.isEmpty) err(s"unqualified element '${e.qName}'")
       if (e.ns == RDFNS && NotNode.contains(e.local))
         err(s"rdf:${e.local} is not allowed as a node element")
+      // grammar: node elements contain property elements only — character
+      // content is an error (rrx12-tt-error1's inner node element)
+      if (e.children.exists { case s: String => s.trim.nonEmpty; case _ => false })
+        err(s"character content is not allowed in node element '${e.qName}'")
       val about = rdfAttr(e, "about")
       val id = rdfAttr(e, "ID")
       val nodeId = rdfAttr(e, "nodeID")
@@ -245,18 +263,19 @@ object RdfXmlLite {
       }
       // one rdf:li counter per node element, advanced only by li children
       var liN = 0
-      e.childElems.foreach(propertyElem(subj, _, lang, dir, ver12, base, () => liN, n => liN = n))
+      e.childElems.foreach(propertyElem(subj, _, lang, dir, ver12, itsv, base, () => liN, n => liN = n))
       subj
     }
 
     /** propertyElement of subject `subj`; get/set thread the parent's
      * rdf:li counter. */
     def propertyElem(subj: Term, p: XElem, lang0: String, dir0: String,
-                     ver0: Boolean, base0: String,
+                     ver0: Boolean, itsv0: Boolean, base0: String,
                      get: () => Int, set: Int => Unit): Unit = {
       val lang = langOf(p, lang0)
       val ver12 = verOf(p, ver0)
-      val dir = dirOf(p, dir0, ver12)
+      val itsv = itsv0 // root-declared only, not inherited from inner elements
+      val dir = dirOf(p, dir0, ver12, itsv)
       val base = baseOf(p, base0)
       if (p.ns.isEmpty) err(s"unqualified element '${p.qName}'")
       if (p.ns == RDFNS && NotProperty.contains(p.local))
@@ -291,11 +310,11 @@ object RdfXmlLite {
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Resource\"")
           val b = freshBnode()
           var li = 0
-          kids.foreach(propertyElem(b, _, lang, dir, ver12, base, () => li, n => li = n))
+          kids.foreach(propertyElem(b, _, lang, dir, ver12, itsv, base, () => li, n => li = n))
           b
         case Some("Collection") =>
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Collection\"")
-          val items = kids.map(nodeElem(_, lang, dir, ver12, base))
+          val items = kids.map(nodeElem(_, lang, dir, ver12, itsv, base))
           if (items.isEmpty) Term.iri(RDFNS + "nil")
           else {
             val cells = items.map(_ => freshBnode())
@@ -316,7 +335,7 @@ object RdfXmlLite {
           if (pAttrs.nonEmpty) err("property attributes with rdf:parseType=\"Triple\"")
           if (kids.size != 1) err("rdf:parseType=\"Triple\" needs exactly one node element")
           val mark = out.length
-          nodeElem(kids.head, lang, dir, ver12, base)
+          nodeElem(kids.head, lang, dir, ver12, itsv, base)
           val inner = out.drop(mark)
           if (inner.size != 1)
             err(s"rdf:parseType=\"Triple\" content must yield exactly one triple, got ${inner.size}")
@@ -339,9 +358,13 @@ object RdfXmlLite {
               if (kids.size > 1) err("a property element may contain only one node element")
               if (p.text.trim.nonEmpty) err("mixed text and element content needs parseType")
               if (pAttrs.nonEmpty) err("property attributes with element content")
-              nodeElem(kids.head, lang, dir, ver12, base)
+              nodeElem(kids.head, lang, dir, ver12, itsv, base)
             case None if pAttrs.nonEmpty =>
-              // empty property element with property attributes → bnode
+              // emptyPropertyElt: property attributes require EMPTY content —
+              // even whitespace is an error (rrx11-2
+              // error-propertyattr-and-content-2 "Whitespace not allowed")
+              if (p.text.nonEmpty)
+                err("property attributes with character content (emptyPropertyElt requires empty content)")
               val b = freshBnode()
               attrObjTriples(b)
               b
@@ -384,10 +407,25 @@ object RdfXmlLite {
     val rootBase = baseOf(root, docBase)
     val rootLang = langOf(root, "")
     val rootVer = verOf(root, false)
-    val rootDir = dirOf(root, "", rootVer)
-    if (root.ns == RDFNS && root.local == "RDF")
-      root.childElems.foreach(nodeElem(_, rootLang, rootDir, rootVer, rootBase))
-    else nodeElem(root, "", "", false, docBase)
+    val rootItsv = itsVerOf(root, false)
+    val rootDir = dirOf(root, "", rootVer, rootItsv)
+    if (root.ns == RDFNS && root.local == "RDF") {
+      // root-element attribute check (RRX checkRootElementAttributes):
+      // rdf:RDF admits only xmlns decls, xml:base/lang/space, its:dir /
+      // its:version, and rdf:version — anything else is an error
+      // (rrx11-2 error-top-attr-unknown / error-top-attr-illegal)
+      root.attrs.foreach { a =>
+        val ok =
+          a.qName == "xmlns" || a.qName.startsWith("xmlns:") ||
+            (a.ns == XMLNS && (a.local == "base" || a.local == "lang" || a.local == "space")) ||
+            (a.ns == ITSNS && (a.local == "dir" || a.local == "version")) ||
+            (a.ns == RDFNS && a.local == "version") ||
+            // XML reserves unprefixed names beginning with "xml" — ignored
+            (a.ns.isEmpty && a.qName.toLowerCase.startsWith("xml"))
+        if (!ok) err(s"illegal attribute on rdf:RDF: '${a.qName}'")
+      }
+      root.childElems.foreach(nodeElem(_, rootLang, rootDir, rootVer, rootItsv, rootBase))
+    } else nodeElem(root, "", "", false, false, docBase)
     out.toList
   }
 }

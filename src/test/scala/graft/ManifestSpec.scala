@@ -194,11 +194,17 @@ class ManifestSpec extends AnyFunSuite {
     s"$RDFT/rdf12/rdf-trig/eval/manifest.ttl",
     s"$RDFT/rdf12/rdf-xml/eval/manifest.ttl",
     // ARQ's own extra Turtle eval cases (testing/RIOT/Lang/Turtle2)
-    "/root/reference/jena-arq/testing/RIOT/Lang/Turtle2/manifest.ttl")
+    "/root/reference/jena-arq/testing/RIOT/Lang/Turtle2/manifest.ttl",
+    // Jena's RRX parser extras (testing/RIOT/rrx11-2 + rrx12): RDF/XML
+    // xml:lang / property-resource shapes, RDF 1.2 triple terms,
+    // annotations, base+its:dir interaction, error checks
+    "/root/reference/jena-arq/testing/RIOT/rrx11-2/manifest.ttl",
+    "/root/reference/jena-arq/testing/RIOT/rrx12/manifest.ttl")
 
   riotSuites.foreach { m =>
     val label = m.stripPrefix(RDFT + "/")
-      .stripPrefix("/root/reference/jena-arq/testing/RIOT/Lang/")
+      .stripPrefix("/root/reference/jena-arq/testing/RIOT/")
+      .stripPrefix("Lang/")
       .stripSuffix("/manifest.ttl")
     test(s"W3C RIOT $label manifest") {
       val results = GoldenRunner.runRiotManifest(m)
