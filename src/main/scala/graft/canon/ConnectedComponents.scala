@@ -39,22 +39,30 @@ object ConnectedComponents {
   def runAdaptive(edges: DataFrame, localThreshold: Long = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // One materialization of the caller's edge plan (which may be a whole
+    // upstream pipeline, e.g. an LSH pair search): persist it, then eagerly
+    // checkpoint BOTH derived frames while the cache is live — the returned
+    // DataFrame must not re-execute the raw plan on every downstream action
+    // (selfLoops lazily referencing it cost one full d4 recompute per
+    // evaluation before this).
     val raw = edges.toDF("src", "dst")
-    val selfLoops = raw.where(col("src") === col("dst"))
-      .select(col("src").as("node"), col("src").as("component")).distinct()
-    val e = raw
-      .where(col("src") =!= col("dst"))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val selfLoops = raw.where(col("src") === col("dst"))
+        .select(col("src").as("node"), col("src").as("component")).distinct()
+        .localCheckpoint(true)
+      val e = raw
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
       val base =
         if (e.count() <= localThreshold) {
           val pairs = e.as[(String, String)].collect()
           val mapping = graft.fixtures.CorpusGen.connectedComponentsLocal(pairs.toSeq)
           spark.createDataset(mapping.toSeq).toDF("node", "component")
-        } else loop(e.localCheckpoint(true))
+        } else loop(e)
       padSelfLoops(base, selfLoops)
-    } finally e.unpersist()
+    } finally raw.unpersist()
   }
 
   /** Self-loop-ONLY nodes still belong in the map (mapping to themselves);
@@ -68,13 +76,17 @@ object ConnectedComponents {
    * themselves). */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val raw = edges.toDF("src", "dst")
-    val selfLoops = raw.where(col("src") === col("dst"))
-      .select(col("src").as("node"), col("src").as("component")).distinct()
-    val prepared = raw
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    padSelfLoops(loop(prepared, maxIter), selfLoops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val selfLoops = raw.where(col("src") === col("dst"))
+        .select(col("src").as("node"), col("src").as("component")).distinct()
+        .localCheckpoint(true)
+      val prepared = raw
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      padSelfLoops(loop(prepared, maxIter), selfLoops)
+    } finally raw.unpersist()
   }
 
   /** The star-contraction fixpoint over an already DEDUPED, self-loop-free,
