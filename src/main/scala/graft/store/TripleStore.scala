@@ -79,6 +79,15 @@ object TripleStore {
                   parent: Option[String], partitions: Int = 32): Long = {
     val spark = triples.sparkSession
     val t0 = System.nanoTime()
+    // opt-in phase laps (SPARK_GRAFT_LAPS=1): decomposes the fixed driver
+    // term of the scaling model (BASELINE.md trial 10) without a profiler
+    val lapOn = sys.env.contains("SPARK_GRAFT_LAPS")
+    var tl = t0
+    def lap(name: String): Unit = if (lapOn) {
+      val now = System.nanoTime()
+      println(f"[materialize] $name%-10s ${(now - tl) / 1e9}%.1f s")
+      tl = now
+    }
 
     val flat = flatten(triples)
     val keyIdx = termCols.map(flat.schema.fieldIndex)
@@ -98,9 +107,11 @@ object TripleStore {
         }
       }(org.apache.spark.sql.Encoders.row(flat.schema))
       .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/spo")
+    lap("spo_write")
 
     val spo = spark.read.parquet(s"$snapshotDir/spo")
     val total = spo.count()
+    lap("count")
 
     // POS/OSP carry the 12 term columns only: the query read path
     // (Compiler.scanPattern) never touches repo/lang on the secondary
@@ -133,6 +144,7 @@ object TripleStore {
           .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/lineage")
       })
     awaitAll(writes)
+    lap("pos_osp_lineage")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeManifest(Paths.get(snapshotDir, "manifest.json"), Map(
