@@ -1,0 +1,451 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algebra._
+import graft.algebra.{TermCols => TC}
+import graft.model.{Term, Triple}
+
+/**
+ * Dual-engine DIFFERENTIAL testing — the reference's own correctness
+ * architecture (SURVEY §4.2/§5.6): a deliberately naive, materializing
+ * evaluator exists purely as an oracle for the optimized engine
+ * (jena-arq/.../sparql/engine/ref/QueryEngineRef.java:43,
+ * EvaluatorSimple.java:50; manifest-ref-arq.ttl runs the same queries on
+ * both engines and diffs). Here: `RefEval` implements SPARQL algebra
+ * semantics directly over in-memory `Seq[Triple]` + `Map[String,Term]`
+ * bindings (per-operator definitions from the SPARQL 1.1 spec §18.5), and
+ * a fixed-seed generator produces random Op trees over the JOIN FAMILY —
+ * Join/LeftJoin/Minus/Semi/Anti/Union/Filter/Extend/VALUES/Distinct/
+ * Project/Group — where compatible-binding semantics bugs live (maybe-
+ * bound shared variables, unbound-vs-NULL, error propagation). Each tree
+ * is evaluated by the DataFrame compiler and by RefEval and compared as
+ * solution MULTISETS (bag semantics).
+ *
+ * Expressions are generated as PAIRS (a compiler RowExpr and its local
+ * semantics) because RowExpr is opaque Catalyst-column code; the catalog
+ * pins the dual meaning of each operator including SPARQL error handling
+ * (error = None locally, NULL column-side; Kleene AND/OR matches SQL
+ * three-valued logic, QueryIterFilterExpr.java:52 drop-on-error).
+ *
+ * Fixed seed (offline cache has no scalatest-scalacheck bridge, like
+ * NormalizeSpec); override iterations with -Dgraft.diff.n=N.
+ */
+class DifferentialSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val EX = "http://example/"
+  private def iri(s: String) = Term.iri(EX + s)
+  private def int(n: Int) = Term.lit(n.toString, Term.XSD_INTEGER)
+
+  // ------------------------------------------------------------ RefEval
+
+  /** A solution: var → term; absent key = unbound (Binding.java:45). */
+  type Sol = Map[String, Term]
+
+  object RefEval {
+    /** SPARQL §18.3 compatibility: agree on every shared bound var. */
+    def compatible(a: Sol, b: Sol): Boolean =
+      a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+
+    def matchPattern(g: Seq[Triple], tp: TriplePattern, sol: Sol): Seq[Sol] = {
+      def slot(p: TermPat, actual: Term, acc: Sol): Option[Sol] = p match {
+        case TAny => Some(acc)
+        case TConst(t) => if (t == actual) Some(acc) else None
+        case TVar(n) => acc.get(n) match {
+          case Some(bound) => if (bound == actual) Some(acc) else None
+          case None => Some(acc + (n -> actual))
+        }
+      }
+      g.flatMap { t =>
+        slot(tp.s, t.s, sol).flatMap(a => slot(tp.p, t.p, a))
+          .flatMap(a => slot(tp.o, t.o, a)).toSeq
+      }
+    }
+
+    def eval(op: Op, g: Seq[Triple], x: DExprs): Seq[Sol] = op match {
+      case Bgp(pats) =>
+        pats.foldLeft(Seq[Sol](Map.empty)) { (sols, tp) =>
+          sols.flatMap(s => matchPattern(g, tp, s))
+        }
+      case Join(l, r) =>
+        val (ls, rs) = (eval(l, g, x), eval(r, g, x))
+        for (a <- ls; b <- rs if compatible(a, b)) yield a ++ b
+      case Union(l, r) => eval(l, g, x) ++ eval(r, g, x)
+      case LeftJoin(l, r, cond) =>
+        // §18.5 LeftJoin(Ω1,Ω2,expr) = Filter(expr, Join) ∪ Diff: μ1 alone
+        // when no compatible μ2 makes expr true (false OR error both fail)
+        val (ls, rs) = (eval(l, g, x), eval(r, g, x))
+        val condTrue = (m: Sol) =>
+          cond.forall(c => x.evalBool(c, m).contains(true))
+        ls.flatMap { a =>
+          val matches = rs.filter(b => compatible(a, b))
+            .map(b => a ++ b).filter(condTrue)
+          if (matches.nonEmpty) matches else Seq(a)
+        }
+      case Minus(l, r) =>
+        // remove μ1 compatible with some μ2 SHARING ≥1 bound var
+        // (OpExecutor.java:267–277, QueryIterMinus.java:35)
+        val (ls, rs) = (eval(l, g, x), eval(r, g, x))
+        ls.filter(a => !rs.exists(b =>
+          compatible(a, b) && a.keySet.intersect(b.keySet).nonEmpty))
+      case SemiJoin(l, r) =>
+        val (ls, rs) = (eval(l, g, x), eval(r, g, x))
+        ls.filter(a => rs.exists(b => compatible(a, b)))
+      case AntiJoin(l, r) =>
+        val (ls, rs) = (eval(l, g, x), eval(r, g, x))
+        ls.filter(a => !rs.exists(b => compatible(a, b)))
+      case ExistsFlag(v, r, input) =>
+        val rs = eval(r, g, x)
+        eval(input, g, x).map(a =>
+          a + (v -> Term.lit(rs.exists(b => compatible(a, b)).toString,
+            Term.XSD + "boolean")))
+      case Filter(c, input) =>
+        eval(input, g, x).filter(m => x.evalBool(c, m).contains(true))
+      case Extend(v, e, input) =>
+        // eval error ⇒ var stays unbound, row kept (QueryIterAssign.java:67)
+        eval(input, g, x).map(m => x.evalTerm(e, m) match {
+          case Some(t) => m + (v -> t)
+          case None => m
+        })
+      case Project(vars, input) =>
+        eval(input, g, x).map(_.filter(kv => vars.contains(kv._1)))
+      case DropVars(vars, input) =>
+        eval(input, g, x).map(_.filter(kv => !vars.contains(kv._1)))
+      case Distinct(input) => eval(input, g, x).distinct
+      case Table(_, rows) => rows
+      case Group(keys, aggs, input) =>
+        val sols = eval(input, g, x)
+        val groups: Seq[(Sol, Seq[Sol])] =
+          if (keys.isEmpty) Seq((Map.empty: Sol) -> sols)
+          else sols.groupBy(m => keys.flatMap(k => m.get(k).map(k -> _)).toMap)
+            .toSeq
+        groups.map { case (key, members) =>
+          key ++ aggs.flatMap { case (name, agg) =>
+            x.evalAgg(agg, members).map(name -> _)
+          }
+        }
+      case other => sys.error(s"RefEval: unsupported op $other")
+    }
+  }
+
+  // ---------------------------------------------- dual expression catalog
+
+  /** Registry pairing each generated RowExpr with its local semantics —
+   * RowExprs are opaque closures, so the generator records both faces
+   * under one id and `DExprs` dispatches the local one. */
+  final class DExprs {
+    sealed trait LocalF
+    final case class LBool(f: Sol => Option[Boolean]) extends LocalF
+    final case class LTerm(f: Sol => Option[Term]) extends LocalF
+    final case class LAgg(f: Seq[Sol] => Option[Term]) extends LocalF
+    private val locals = scala.collection.mutable.Map[RowExpr, LocalF]()
+    private val shows = scala.collection.mutable.Map[RowExpr, String]()
+
+    def bool(show: String, re: RowExpr, f: Sol => Option[Boolean]): RowExpr = {
+      locals(re) = LBool(f); shows(re) = show; re
+    }
+    def term(show: String, re: RowExpr, f: Sol => Option[Term]): RowExpr = {
+      locals(re) = LTerm(f); shows(re) = show; re
+    }
+    def agg(show: String, re: RowExpr, f: Seq[Sol] => Option[Term]): RowExpr = {
+      locals(re) = LAgg(f); shows(re) = show; re
+    }
+    def evalBool(re: RowExpr, m: Sol): Option[Boolean] =
+      locals(re) match { case LBool(f) => f(m); case _ => sys.error("not a bool expr") }
+    def evalTerm(re: RowExpr, m: Sol): Option[Term] =
+      locals(re) match { case LTerm(f) => f(m); case _ => sys.error("not a term expr") }
+    def evalAgg(re: RowExpr, ms: Seq[Sol]): Option[Term] =
+      locals(re) match { case LAgg(f) => f(ms); case _ => sys.error("not an agg expr") }
+    def show(re: RowExpr): String = shows.getOrElse(re, "?")
+  }
+
+  // --------------------------------------------------------- generator
+
+  private val varPool = Vector("a", "b", "c", "d")
+
+  private def genTerm(rnd: Random): Term = rnd.nextInt(4) match {
+    case 0 => iri("s" + rnd.nextInt(5))
+    case 1 => iri("o" + rnd.nextInt(3))
+    case 2 => Term.string("x" + rnd.nextInt(3)) // non-numeric: arithmetic errors
+    case _ => int(1 + rnd.nextInt(5))
+  }
+
+  private def genGraph(rnd: Random): Seq[Triple] =
+    (0 until (20 + rnd.nextInt(15))).map { _ =>
+      Triple(iri("s" + rnd.nextInt(5)), iri("p" + rnd.nextInt(3)), genTerm(rnd))
+    }.distinct
+
+  private def genPattern(rnd: Random): TriplePattern = {
+    def s = if (rnd.nextInt(10) < 6) TVar(varPool(rnd.nextInt(varPool.size)))
+            else TConst(iri("s" + rnd.nextInt(5)))
+    def p = if (rnd.nextInt(10) < 2) TVar(varPool(rnd.nextInt(varPool.size)))
+            else TConst(iri("p" + rnd.nextInt(3)))
+    def o = if (rnd.nextInt(10) < 6) TVar(varPool(rnd.nextInt(varPool.size)))
+            else TConst(genTerm(rnd))
+    TriplePattern(s, p, o)
+  }
+
+  /** Kleene three-valued AND/OR — SQL NULL logic ≡ SPARQL error logic. */
+  private def k3And(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+    (a, b) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+  private def k3Or(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+    (a, b) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+
+  private def localNum(t: Term): Option[Double] =
+    if (t.kind == Term.KIND_LIT && (t.dt == Term.XSD_INTEGER ||
+        t.dt == Term.XSD_DECIMAL || t.dt == Term.XSD_DOUBLE))
+      t.lex.toDoubleOption
+    else None
+
+  private def genCond(rnd: Random, vars: Seq[String], x: DExprs, depth: Int = 0): RowExpr = {
+    def vr() = vars(rnd.nextInt(vars.size))
+    if (vars.isEmpty)
+      return x.bool("true", RowExpr(_ => org.apache.spark.sql.functions.lit(true)),
+        _ => Some(true))
+    rnd.nextInt(if (depth < 1) 7 else 5) match {
+      case 0 =>
+        val v0 = vr()
+        x.bool(s"bound($v0)", RowExpr(r => r(v0).isNotNull),
+          m => Some(m.contains(v0)))
+      case 1 =>
+        val (v0, t) = (vr(), genTerm(rnd))
+        x.bool(s"sameTerm($v0, ${t.lex})", RowExpr(r => r(v0) === TC.const(t)),
+          m => m.get(v0).map(_ == t))
+      case 2 =>
+        val (v0, k) = (vr(), 1 + rnd.nextInt(5))
+        x.bool(s"num($v0) < $k", RowExpr(r => TC.numValue(r(v0)) < k),
+          m => m.get(v0).flatMap(localNum).map(_ < k))
+      case 3 =>
+        val (v0, v1) = (vr(), vr())
+        x.bool(s"$v0 = $v1 (term)", RowExpr(r => r(v0) === r(v1)),
+          m => for (a <- m.get(v0); b <- m.get(v1)) yield a == b)
+      case 4 =>
+        val v0 = vr()
+        x.bool(s"isIRI($v0)", RowExpr(r => TC.isIri(r(v0))),
+          m => m.get(v0).map(_.kind == Term.KIND_IRI))
+      case 5 =>
+        val (c1, c2) = (genCond(rnd, vars, x, depth + 1), genCond(rnd, vars, x, depth + 1))
+        x.bool(s"(${x.show(c1)} && ${x.show(c2)})",
+          RowExpr(r => c1(r) && c2(r)),
+          m => k3And(x.evalBool(c1, m), x.evalBool(c2, m)))
+      case _ =>
+        val (c1, c2) = (genCond(rnd, vars, x, depth + 1), genCond(rnd, vars, x, depth + 1))
+        x.bool(s"(${x.show(c1)} || ${x.show(c2)})",
+          RowExpr(r => c1(r) || c2(r)),
+          m => k3Or(x.evalBool(c1, m), x.evalBool(c2, m)))
+    }
+  }
+
+  private def genTermExpr(rnd: Random, vars: Seq[String], x: DExprs): RowExpr = {
+    import org.apache.spark.sql.functions.when
+    def vr() = vars(rnd.nextInt(vars.size))
+    rnd.nextInt(if (vars.isEmpty) 1 else 3) match {
+      case 0 =>
+        val t = genTerm(rnd)
+        x.term(s"const(${t.lex})", RowExpr(_ => TC.const(t)), _ => Some(t))
+      case 1 =>
+        val v0 = vr()
+        x.term(s"copy($v0)", RowExpr(r => r(v0)), m => m.get(v0))
+      case _ =>
+        // num(v)+1 as xsd:integer; non-numeric/unbound ⇒ error ⇒ unbound
+        val v0 = vr()
+        x.term(s"num($v0)+1",
+          RowExpr { r =>
+            val n = TC.numValue(r(v0))
+            when(n.isNotNull, TC.intTerm(n + 1))
+          },
+          m => m.get(v0).flatMap(localNum).map(d => int((d + 1).toLong.toInt)))
+    }
+  }
+
+  /** Returns (op, visibleVars). Depth-bounded; expressions only reference
+   * visible vars (the Parser's scope tracking guarantees the same). */
+  private def genOp(rnd: Random, x: DExprs, depth: Int): (Op, Seq[String]) = {
+    def leaf(): (Op, Seq[String]) = rnd.nextInt(6) match {
+      case 0 => // VALUES with occasional unbound cells
+        val vs = rnd.shuffle(varPool).take(1 + rnd.nextInt(2)).sorted
+        val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          vs.flatMap(v => if (rnd.nextInt(4) == 0) None
+                          else Some(v -> genTerm(rnd))).toMap
+        }
+        (Table(vs, rows), vs)
+      case _ =>
+        val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
+        (Bgp(pats), pats.flatMap(_.vars).distinct)
+    }
+    if (depth <= 0) leaf()
+    else rnd.nextInt(12) match {
+      case 0 => leaf()
+      case 1 =>
+        val (l, lv) = genOp(rnd, x, depth - 1)
+        val (r, rv) = genOp(rnd, x, depth - 1)
+        (Join(l, r), (lv ++ rv).distinct)
+      case 2 =>
+        val (l, lv) = genOp(rnd, x, depth - 1)
+        val (r, rv) = genOp(rnd, x, depth - 1)
+        (Union(l, r), (lv ++ rv).distinct)
+      case 3 =>
+        val (l, lv) = genOp(rnd, x, depth - 1)
+        val (r, rv) = genOp(rnd, x, depth - 1)
+        val cond = if (rnd.nextBoolean()) Some(genCond(rnd, (lv ++ rv).distinct, x))
+                   else None
+        (LeftJoin(l, r, cond), (lv ++ rv).distinct)
+      case 4 =>
+        val (l, lv) = genOp(rnd, x, depth - 1)
+        val (r, _) = genOp(rnd, x, depth - 1)
+        (Minus(l, r), lv)
+      case 5 =>
+        val (l, lv) = genOp(rnd, x, depth - 1)
+        val (r, _) = genOp(rnd, x, depth - 1)
+        (if (rnd.nextBoolean()) SemiJoin(l, r) else AntiJoin(l, r), lv)
+      case 6 =>
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        (Filter(genCond(rnd, vs, x), in), vs)
+      case 7 =>
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        val fresh = varPool.find(!vs.contains(_))
+        fresh match {
+          case Some(v) => (Extend(v, genTermExpr(rnd, vs, x), in), vs :+ v)
+          case None => (in, vs)
+        }
+      case 8 =>
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        (Distinct(in), vs)
+      case 9 =>
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        if (vs.isEmpty) (in, vs)
+        else {
+          val keep = rnd.shuffle(vs).take(1 + rnd.nextInt(vs.size))
+          (Project(keep, in), keep)
+        }
+      case 10 =>
+        // GROUP BY one key + COUNT(var): unbound keys group together
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        if (vs.size < 2) (in, vs)
+        else {
+          val key = vs(rnd.nextInt(vs.size))
+          val cv = vs(rnd.nextInt(vs.size))
+          // agg var must be FRESH (SPARQL forbids reusing an in-scope var
+          // as the AS target — nested Groups put "n" in scope)
+          val n = (Iterator.single("n") ++ Iterator.from(2).map("n" + _))
+            .find(c => !vs.contains(c)).get
+          val a = x.agg(s"count($cv)",
+            RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count(r(cv)))),
+            ms => Some(int(ms.count(_.contains(cv)))))
+          (Group(Seq(key), Seq(n -> a), in), Seq(key, n))
+        }
+      case _ =>
+        val (in, vs) = genOp(rnd, x, depth - 1)
+        val (r, _) = genOp(rnd, x, depth - 1)
+        val fresh = varPool.find(!vs.contains(_))
+        fresh match {
+          case Some(v) =>
+            // spend the flag in a filter, then drop it — the common
+            // expression-level EXISTS compilation shape
+            val f = x.bool(s"flag($v)",
+              RowExpr(rr => TC.lex(rr(v)) === "true"),
+              m => m.get(v).map(_.lex == "true"))
+            (DropVars(Seq(v), Filter(f, ExistsFlag(v, r, in))), vs)
+          case None => (in, vs)
+        }
+    }
+  }
+
+  private def showOp(op: Op, x: DExprs): String = op match {
+    case Bgp(ps) => "BGP(" + ps.map(p => s"${sl(p.s)} ${sl(p.p)} ${sl(p.o)}").mkString(" . ") + ")"
+    case Join(l, r) => s"Join(${showOp(l, x)}, ${showOp(r, x)})"
+    case Union(l, r) => s"Union(${showOp(l, x)}, ${showOp(r, x)})"
+    case LeftJoin(l, r, c) =>
+      s"LeftJoin(${showOp(l, x)}, ${showOp(r, x)}, ${c.map(x.show).getOrElse("-")})"
+    case Minus(l, r) => s"Minus(${showOp(l, x)}, ${showOp(r, x)})"
+    case SemiJoin(l, r) => s"Semi(${showOp(l, x)}, ${showOp(r, x)})"
+    case AntiJoin(l, r) => s"Anti(${showOp(l, x)}, ${showOp(r, x)})"
+    case ExistsFlag(v, r, in) => s"ExistsFlag($v, ${showOp(r, x)}, ${showOp(in, x)})"
+    case Filter(c, in) => s"Filter(${x.show(c)}, ${showOp(in, x)})"
+    case Extend(v, e, in) => s"Extend($v := ${x.show(e)}, ${showOp(in, x)})"
+    case Project(vs, in) => s"Project(${vs.mkString(",")}, ${showOp(in, x)})"
+    case DropVars(vs, in) => s"Drop(${vs.mkString(",")}, ${showOp(in, x)})"
+    case Distinct(in) => s"Distinct(${showOp(in, x)})"
+    case Group(ks, as, in) =>
+      s"Group(${ks.mkString(",")}, ${as.map(a => a._1 + "=" + x.show(a._2)).mkString(",")}, ${showOp(in, x)})"
+    case Table(vs, rows) => s"VALUES(${vs.mkString(",")} × ${rows.size})"
+    case other => other.toString
+  }
+  private def sl(p: TermPat): String = p match {
+    case TVar(n) => "?" + n
+    case TConst(t) => t.lex.stripPrefix(EX)
+    case TAny => "ANY"
+  }
+
+  // --------------------------------------------------------- comparison
+
+  private def collectSols(df: DataFrame): Seq[Sol] = {
+    val vars = df.schema.fields.zipWithIndex.collect {
+      case (f, idx) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
+        && !f.name.startsWith("__") => // compiler-internal helper columns
+        (f.name, idx)
+    }.toSeq
+    df.collect().toSeq.map { r =>
+      vars.flatMap { case (v, idx) =>
+        val x = r.getAs[Row](idx)
+        if (x == null) None
+        else Some(v -> Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3)))
+      }.toMap
+    }
+  }
+
+  private def bag(sols: Seq[Sol]): Map[String, Int] =
+    sols.map(m => m.toSeq.sortBy(_._1)
+        .map { case (k, t) => s"$k=${t.kind}:${t.lex}:${t.dt}:${t.lang}" }
+        .mkString("|"))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+
+  // --------------------------------------------------------------- test
+
+  private val iterations =
+    sys.props.get("graft.diff.n").map(_.toInt).getOrElse(60)
+
+  test(s"differential: compiler ≡ naive evaluator on $iterations random plans") {
+    val failures = Seq.newBuilder[String]
+    var checked = 0
+    (0 until iterations).foreach { i =>
+      val rnd = new Random(0xD1FF + i)
+      val x = new DExprs
+      val g = genGraph(rnd)
+      val (op, _) = genOp(rnd, x, depth = 2 + i % 3)
+      val gdf = spark.createDataset(g)(
+        org.apache.spark.sql.Encoders.product[Triple]).toDF()
+      val expected = bag(RefEval.eval(op, g, x))
+      val actual =
+        try bag(collectSols(Compiler.compile(op, gdf)))
+        catch {
+          case e: Exception =>
+            failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+            Map.empty[String, Int]
+        }
+      checked += 1
+      if (actual.nonEmpty || expected.nonEmpty)
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH ${showOp(op, x)}\n  expected-but-not-actual: " +
+            s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+        }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size}/$checked differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+}
