@@ -66,10 +66,75 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
 
+    /** Distinct reachability pairs (≥1 step) — Graphs.transitiveClosure. */
+    def tc(rel: Seq[(Term, Term)]): Seq[(Term, Term)] = {
+      val adj = rel.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      adj.keys.toSeq.flatMap { src =>
+        val seen = scala.collection.mutable.Set[Term]()
+        var frontier = adj.getOrElse(src, Set.empty)
+        while (frontier.nonEmpty) {
+          val next = frontier.filterNot(seen)
+          seen ++= next
+          frontier = next.flatMap(n => adj.getOrElse(n, Set.empty))
+        }
+        seen.toSeq.map(src -> _)
+      }
+    }
+
+    /** All subject/object terms as identity pairs (zero-length node set). */
+    def allNodes(g: Seq[Triple]): Seq[(Term, Term)] =
+      (g.map(_.s) ++ g.map(_.o)).distinct.map(t => (t, t))
+
+    /** Mirror of PathEval.pairs — BAG for link/inv/seq/alt/negset, SET
+     * for the closure forms (visited-set ALP contract). */
+    def pathRel(g: Seq[Triple], p: Path): Seq[(Term, Term)] = p match {
+      case PLink(iri) =>
+        g.filter(t => t.p.kind == Term.KIND_IRI && t.p.lex == iri).map(t => (t.s, t.o))
+      case PNegPropSet(fwd, inv) =>
+        def dir(excl: Seq[String], rev: Boolean) =
+          g.filter(t => t.p.kind == Term.KIND_IRI && !excl.contains(t.p.lex))
+            .map(t => if (rev) (t.o, t.s) else (t.s, t.o))
+        (fwd.nonEmpty, inv.nonEmpty) match {
+          case (_, false) => dir(fwd, rev = false)
+          case (false, true) => dir(inv, rev = true)
+          case (true, true) => dir(fwd, rev = false) ++ dir(inv, rev = true)
+        }
+      case PInverse(q) => pathRel(g, q).map(_.swap)
+      case PAlt(a, b) => pathRel(g, a) ++ pathRel(g, b)
+      case PSeq(a, b) =>
+        val (la, lb) = (pathRel(g, a), pathRel(g, b))
+        for ((x1, m) <- la; (m2, y) <- lb if m == m2) yield (x1, y)
+      case POneOrMore(q) => tc(pathRel(g, q))
+      case PZeroOrMore(q) => (tc(pathRel(g, q)) ++ allNodes(g)).distinct
+      case PZeroOrOne(q) => (pathRel(g, q) ++ allNodes(g)).distinct
+      case other => sys.error(s"RefEval: unsupported path $other")
+    }
+
     def eval(op: Op, g: Seq[Triple], x: DExprs): Seq[Sol] = op match {
       case Bgp(pats) =>
         pats.foldLeft(Seq[Sol](Map.empty)) { (sols, tp) =>
           sols.flatMap(s => matchPattern(g, tp, s))
+        }
+      case PathPattern(sp, path, op2) =>
+        var prs = pathRel(g, path)
+        // constant-endpoint zero-length augmentation (Compiler PathPattern:
+        // SPARQL 18.4 ZeroLengthPath matches a constant against itself even
+        // off-graph), mirrored incl. the consts-only distinct
+        if (PathEval.allowsZero(path)) {
+          val consts = Seq(sp, op2).collect { case TConst(t) => t }.distinct
+          prs = prs ++ consts.map(t => (t, t))
+          if (consts.nonEmpty) prs = prs.distinct
+        }
+        def slot(p: TermPat, actual: Term, acc: Sol): Option[Sol] = p match {
+          case TAny => Some(acc)
+          case TConst(t) => if (t == actual) Some(acc) else None
+          case TVar(n) => acc.get(n) match {
+            case Some(b) => if (b == actual) Some(acc) else None
+            case None => Some(acc + (n -> actual))
+          }
+        }
+        prs.flatMap { case (s, o) =>
+          slot(sp, s, Map.empty: Sol).flatMap(a => slot(op2, o, a)).toSeq
         }
       case Join(l, r) =>
         val (ls, rs) = (eval(l, g, x), eval(r, g, x))
@@ -189,6 +254,41 @@ class DifferentialSpec extends AnyFunSuite {
     TriplePattern(s, p, o)
   }
 
+  private def genPath(rnd: Random, depth: Int): Path = {
+    def link() = PLink(EX + "p" + rnd.nextInt(3))
+    if (depth <= 0) {
+      if (rnd.nextInt(5) == 0) {
+        // negated property set: random forward/inverse member mix, never
+        // both-empty (no !() syntax exists)
+        val fwd = (0 until 3).filter(_ => rnd.nextBoolean()).map(i => EX + "p" + i)
+        val inv = (0 until 3).filter(_ => rnd.nextBoolean()).map(i => EX + "p" + i)
+        if (fwd.isEmpty && inv.isEmpty) PNegPropSet(Seq(EX + "p0"), Nil)
+        else PNegPropSet(fwd, inv)
+      } else link()
+    } else rnd.nextInt(7) match {
+      case 0 => PInverse(genPath(rnd, depth - 1))
+      case 1 => PSeq(genPath(rnd, depth - 1), genPath(rnd, depth - 1))
+      case 2 => PAlt(genPath(rnd, depth - 1), genPath(rnd, depth - 1))
+      case 3 => POneOrMore(genPath(rnd, depth - 1))
+      case 4 => PZeroOrMore(genPath(rnd, depth - 1))
+      case 5 => PZeroOrOne(genPath(rnd, depth - 1))
+      case _ => genPath(rnd, 0)
+    }
+  }
+
+  private def showPath(p: Path): String = p match {
+    case PLink(i) => i.stripPrefix(EX)
+    case PInverse(q) => s"^(${showPath(q)})"
+    case PSeq(a, b) => s"(${showPath(a)}/${showPath(b)})"
+    case PAlt(a, b) => s"(${showPath(a)}|${showPath(b)})"
+    case POneOrMore(q) => s"(${showPath(q)})+"
+    case PZeroOrMore(q) => s"(${showPath(q)})*"
+    case PZeroOrOne(q) => s"(${showPath(q)})?"
+    case PNegPropSet(f, i) =>
+      s"!(${(f.map(_.stripPrefix(EX)) ++ i.map("^" + _.stripPrefix(EX))).mkString("|")})"
+    case other => other.toString
+  }
+
   /** Kleene three-valued AND/OR — SQL NULL logic ≡ SPARQL error logic. */
   private def k3And(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
     (a, b) match {
@@ -273,7 +373,7 @@ class DifferentialSpec extends AnyFunSuite {
   /** Returns (op, visibleVars). Depth-bounded; expressions only reference
    * visible vars (the Parser's scope tracking guarantees the same). */
   private def genOp(rnd: Random, x: DExprs, depth: Int): (Op, Seq[String]) = {
-    def leaf(): (Op, Seq[String]) = rnd.nextInt(6) match {
+    def leaf(): (Op, Seq[String]) = rnd.nextInt(7) match {
       case 0 => // VALUES with occasional unbound cells
         val vs = rnd.shuffle(varPool).take(1 + rnd.nextInt(2)).sorted
         val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
@@ -281,6 +381,12 @@ class DifferentialSpec extends AnyFunSuite {
                           else Some(v -> genTerm(rnd))).toMap
         }
         (Table(vs, rows), vs)
+      case 1 => // property path: var/const endpoint mix
+        def end() = if (rnd.nextInt(10) < 6) TVar(varPool(rnd.nextInt(varPool.size)))
+                    else TConst(genTerm(rnd))
+        val (s, o) = (end(), end())
+        val pp = PathPattern(s, genPath(rnd, 1 + rnd.nextInt(2)), o)
+        (pp, Seq(s, o).collect { case TVar(n) => n }.distinct)
       case _ =>
         val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
         (Bgp(pats), pats.flatMap(_.vars).distinct)
@@ -365,6 +471,7 @@ class DifferentialSpec extends AnyFunSuite {
 
   private def showOp(op: Op, x: DExprs): String = op match {
     case Bgp(ps) => "BGP(" + ps.map(p => s"${sl(p.s)} ${sl(p.p)} ${sl(p.o)}").mkString(" . ") + ")"
+    case PathPattern(s, p, o) => s"Path(${sl(s)} ${showPath(p)} ${sl(o)})"
     case Join(l, r) => s"Join(${showOp(l, x)}, ${showOp(r, x)})"
     case Union(l, r) => s"Union(${showOp(l, x)}, ${showOp(r, x)})"
     case LeftJoin(l, r, c) =>
