@@ -15,8 +15,10 @@ object FusedProbe {
     val nRepos = if (args.length > 1) args(1).toInt else 40000
     val filesPerRepo = if (args.length > 2) args(2).toInt else 40
     val outDir = if (args.length > 3) args(3) else "/dev/shm/graft_fused_probe"
-    // same tiny warmup as the protocol: JIT + codec init off the clock
+    // same tiny warmup as the protocol: JIT + codec init off the clock;
+    // laps enabled only AFTER it so the real leg's lap lines stand alone
     ScalingBench.runAt(cpus, 20, 5, s"$outDir/warmup")
+    sys.props("graft.laps") = "1"
     val r = ScalingBench.runAt(cpus, nRepos, filesPerRepo, s"$outDir/leg_c$cpus")
     println(f"""{"probe":"fused_leg","cpus":$cpus,"triples":${r.triples},"wall":${r.wallSec}%.1f,"throughput":${r.throughput}%.0f}""")
   }

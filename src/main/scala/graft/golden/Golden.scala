@@ -53,7 +53,11 @@ object Manifest {
       updPre: DatasetSpec = DatasetSpec(Nil, Nil),
       updPost: Option[DatasetSpec] = None,
       // federated tests: qt:serviceData (endpoint IRI, data file) pairs
-      serviceData: Seq[(String, String)] = Nil)
+      serviceData: Seq[(String, String)] = Nil,
+      // mf:assumedTestBase: (local manifest dir prefix → published URL) —
+      // relative IRIs in action/result docs resolve against the PUBLISHED
+      // base, not the local path
+      assumedBase: Option[(String, String)] = None)
 
   /** Parse one manifest.ttl into its test entries (list order kept). */
   def load(manifestPath: String): Seq[Entry] = {
@@ -94,6 +98,8 @@ object Manifest {
       DatasetSpec(objs(node, UT + "data").map(path), utGraphPairs(node))
 
     manifestNodes.flatMap { m =>
+      val assumed = obj(m, MF + "assumedTestBase")
+        .map(b => (dir + "/", b.lex))
       objs(m, MF + "entries").flatMap(listItems).map { e =>
         val action = obj(e, MF + "action")
         val query = action.flatMap {
@@ -117,7 +123,8 @@ object Manifest {
             .flatMap(sd => for {
               ep <- obj(sd, QT + "endpoint")
               f <- obj(sd, QT + "data")
-            } yield (ep.lex, path(f))))
+            } yield (ep.lex, path(f))),
+          assumedBase = assumed)
       }
     }
   }
@@ -253,21 +260,22 @@ object GoldenRunner {
     }
 
   /** The suites' expected .nt files resolve relative IRIs against the
-   * tests' PUBLISHED URL, not the local path. */
-  private def webBase(path: String): String =
-    path.replace("/root/reference/jena-arq/testing/rdf-tests-cg/",
-      "https://w3c.github.io/rdf-tests/")
-      // Jena's RRX extras declare mf:assumedTestBase = the published
-      // rdf12/rdf-xml/eval URL; their expected .nt files resolve
-      // relative IRIs against it, not the local path.
-      .replace("/root/reference/jena-arq/testing/RIOT/rrx11-2/",
-        "https://w3c.github.io/rdf-tests/rdf/rdf12/rdf-xml/eval/")
-      .replace("/root/reference/jena-arq/testing/RIOT/rrx12/",
-        "https://w3c.github.io/rdf-tests/rdf/rdf12/rdf-xml/eval/")
+   * tests' PUBLISHED URL, not the local path: use the manifest's own
+   * mf:assumedTestBase when declared (rrx11-2, rrx12, the rdf12 suites),
+   * else the rdf-tests-cg checkout → published-URL mapping. */
+  private def webBase(path: String, assumed: Option[(String, String)]): String =
+    assumed match {
+      case Some((localPrefix, web)) if path.startsWith(localPrefix) =>
+        web + path.stripPrefix(localPrefix)
+      case _ =>
+        path.replace("/root/reference/jena-arq/testing/rdf-tests-cg/",
+          "https://w3c.github.io/rdf-tests/")
+    }
 
-  private def parseAnyRdf(path: String): Seq[graft.model.Quad] = {
+  private def parseAnyRdf(path: String,
+                          assumed: Option[(String, String)]): Seq[graft.model.Quad] = {
     val text = readFile(path)
-    val base = webBase(path)
+    val base = webBase(path, assumed)
     import graft.model.Quad
     if (path.endsWith(".nt"))
       NTriples.parseDocument(text).map(t => Quad(t.s, t.p, t.o, Term.defaultGraph))
@@ -295,7 +303,7 @@ object GoldenRunner {
     val action = e.query.getOrElse(return Skipped("no action file"))
     val negative = e.types.exists(t => t.startsWith(RDFT) && t.contains("Negative"))
     val parsed =
-      try Right(parseAnyRdf(action))
+      try Right(parseAnyRdf(action, e.assumedBase))
       catch { case ex: Exception => Left(ex) }
     (parsed, negative) match {
       case (Left(_), true) => Passed
@@ -306,7 +314,7 @@ object GoldenRunner {
         e.result match {
           case None => Passed // positive-syntax test
           case Some(rf) =>
-            val exp = parseAnyRdf(rf)
+            val exp = parseAnyRdf(rf, e.assumedBase)
             if (isoTT(datasetTriples(qs), datasetTriples(exp))) Passed
             else Failed(s"${qs.size} quads vs expected ${exp.size}\n  actual:   " +
               qs.take(8).map(q => q.s.toNTriples + " " + q.p.toNTriples + " " +

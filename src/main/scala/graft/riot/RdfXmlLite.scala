@@ -353,7 +353,12 @@ object RdfXmlLite {
               if (!validNCName(nid)) err(s"rdf:nodeID value '$nid' is not an XML NCName")
               Term.bnode(nid)
             }) match {
-            case Some(o) => attrObjTriples(o); o
+            case Some(o) =>
+              // emptyPropertyElt: rdf:resource/rdf:nodeID require empty
+              // content — non-whitespace text would be silently dropped
+              if (p.text.trim.nonEmpty)
+                err("rdf:resource/rdf:nodeID on a property element with character content")
+              attrObjTriples(o); o
             case None if kids.nonEmpty =>
               if (kids.size > 1) err("a property element may contain only one node element")
               if (p.text.trim.nonEmpty) err("mixed text and element content needs parseType")
@@ -425,7 +430,7 @@ object RdfXmlLite {
         if (!ok) err(s"illegal attribute on rdf:RDF: '${a.qName}'")
       }
       root.childElems.foreach(nodeElem(_, rootLang, rootDir, rootVer, rootItsv, rootBase))
-    } else nodeElem(root, "", "", false, false, docBase)
+    } else nodeElem(root, "", "", false, rootItsv, docBase)
     out.toList
   }
 }

@@ -79,9 +79,10 @@ object TripleStore {
                   parent: Option[String], partitions: Int = 32): Long = {
     val spark = triples.sparkSession
     val t0 = System.nanoTime()
-    // opt-in phase laps (SPARK_GRAFT_LAPS=1): decomposes the fixed driver
-    // term of the scaling model (BASELINE.md trial 10) without a profiler
-    val lapOn = sys.env.contains("SPARK_GRAFT_LAPS")
+    // opt-in phase laps (SPARK_GRAFT_LAPS=1 or -Dgraft.laps=1): decomposes
+    // the fixed driver term of the scaling model (BASELINE.md trial 10)
+    val lapOn = sys.env.get("SPARK_GRAFT_LAPS").contains("1") ||
+      sys.props.get("graft.laps").contains("1")
     var tl = t0
     def lap(name: String): Unit = if (lapOn) {
       val now = System.nanoTime()

@@ -535,15 +535,17 @@ class DifferentialSpec extends AnyFunSuite {
       val gdf = spark.createDataset(g)(
         org.apache.spark.sql.Encoders.product[Triple]).toDF()
       val expected = bag(RefEval.eval(op, g, x))
+      var crashed = false
       val actual =
         try bag(collectSols(Compiler.compile(op, gdf)))
         catch {
           case e: Exception =>
             failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+            crashed = true
             Map.empty[String, Int]
         }
       checked += 1
-      if (actual.nonEmpty || expected.nonEmpty)
+      if (!crashed)
         if (actual != expected) {
           val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
           val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
