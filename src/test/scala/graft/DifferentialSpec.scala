@@ -309,6 +309,24 @@ class DifferentialSpec extends AnyFunSuite {
       t.lex.toDoubleOption
     else None
 
+  /** Local mirror of TermCols.sortKey (SPARQL total order) over this
+   * spec's term universe (IRIs, strings, canonical integers). */
+  private def localKey(t: Option[Term]): (Int, Int, Double, String, String, String) =
+    t match {
+      case None => (0, 1, 0.0, "", "", "")
+      case Some(x) =>
+        val kr = x.kind match {
+          case Term.KIND_BNODE => 1
+          case Term.KIND_IRI => 2
+          case Term.KIND_TRIPLE_TERM => 4
+          case _ => 3
+        }
+        val num = localNum(x)
+        (kr, if (num.isDefined) 0 else 1, num.getOrElse(0.0), x.lex, x.dt, x.lang)
+    }
+  private val keyOrd =
+    implicitly[Ordering[(Int, Int, Double, String, String, String)]]
+
   private def genCond(rnd: Random, vars: Seq[String], x: DExprs, depth: Int = 0): RowExpr = {
     def vr() = vars(rnd.nextInt(vars.size))
     if (vars.isEmpty)
@@ -437,7 +455,7 @@ class DifferentialSpec extends AnyFunSuite {
           (Project(keep, in), keep)
         }
       case 10 =>
-        // GROUP BY one key + COUNT(var): unbound keys group together
+        // GROUP BY one key + one aggregate: unbound keys group together
         val (in, vs) = genOp(rnd, x, depth - 1)
         if (vs.size < 2) (in, vs)
         else {
@@ -447,9 +465,27 @@ class DifferentialSpec extends AnyFunSuite {
           // as the AS target — nested Groups put "n" in scope)
           val n = (Iterator.single("n") ++ Iterator.from(2).map("n" + _))
             .find(c => !vs.contains(c)).get
-          val a = x.agg(s"count($cv)",
-            RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count(r(cv)))),
-            ms => Some(int(ms.count(_.contains(cv)))))
+          def bound(ms: Seq[Sol]) = ms.flatMap(_.get(cv))
+          val a = rnd.nextInt(5) match {
+            case 0 => x.agg(s"count($cv)",
+              RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count(r(cv)))),
+              ms => Some(int(ms.count(_.contains(cv)))))
+            case 1 => x.agg(s"countD($cv)",
+              RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count_distinct(r(cv)))),
+              ms => Some(int(bound(ms).distinct.size)))
+            case 2 => x.agg(s"sum($cv)",
+              RowExpr(r => SparqlAggregates.sumAgg(r(cv))),
+              // poisoned by any bound non-numeric; empty sum = integer 0;
+              // integer-only universe keeps the promoted rank at integer
+              ms => if (bound(ms).exists(t => localNum(t).isEmpty)) None
+                    else Some(int(bound(ms).flatMap(localNum).sum.toLong.toInt)))
+            case 3 => x.agg(s"min($cv)",
+              RowExpr(r => SparqlAggregates.minAgg(r(cv))),
+              ms => bound(ms).sortBy(t => localKey(Some(t)))(keyOrd).headOption)
+            case _ => x.agg(s"max($cv)",
+              RowExpr(r => SparqlAggregates.maxAgg(r(cv))),
+              ms => bound(ms).sortBy(t => localKey(Some(t)))(keyOrd).lastOption)
+          }
           (Group(Seq(key), Seq(n -> a), in), Seq(key, n))
         }
       case _ =>
@@ -555,6 +591,54 @@ class DifferentialSpec extends AnyFunSuite {
     }
     val fs = failures.result()
     assert(fs.isEmpty, s"${fs.size}/$checked differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
+  /** ORDER BY differential: the compiled output must (a) be bag-equal to
+   * the unordered oracle and (b) arrive SORTED per the local mirror of
+   * the SPARQL total order (rows tying on every sort key may come in any
+   * relative order — sortedness, not sequence equality, is the spec). */
+  test("differential: ORDER BY respects the SPARQL total order on 30 random plans") {
+    val failures = Seq.newBuilder[String]
+    (0 until 30).foreach { i =>
+      val rnd = new Random(0x04DE4 + i)
+      val x = new DExprs
+      val g = genGraph(rnd)
+      val (op, vs0) = genOp(rnd, x, depth = 2)
+      val vs = vs0.distinct
+      if (vs.nonEmpty) {
+        val keys = rnd.shuffle(vs).take(1 + rnd.nextInt(math.min(2, vs.size)))
+          .map(v => SortKey(v, ascending = rnd.nextBoolean()))
+        val gdf = spark.createDataset(g)(
+          org.apache.spark.sql.Encoders.product[Triple]).toDF()
+        val ordered = Order(keys, op)
+        val expected = bag(RefEval.eval(op, g, x))
+        try {
+          val rows = collectSols(Compiler.compile(ordered, gdf))
+          if (bag(rows) != expected)
+            failures += s"[$i] ORDER changed the bag: ${showOp(op, x)}"
+          // adjacent-pair sortedness under the chained (asc/desc) comparator
+          def cmp(a: Sol, b: Sol): Int =
+            keys.iterator.map { k =>
+              val c = keyOrd.compare(localKey(a.get(k.v)), localKey(b.get(k.v)))
+              if (k.ascending) c else -c
+            }.find(_ != 0).getOrElse(0)
+          rows.sliding(2).zipWithIndex.foreach {
+            case (Seq(a, b), j) =>
+              if (cmp(a, b) > 0)
+                failures += s"[$i] row $j out of order under " +
+                  s"${keys.map(k => (if (k.ascending) "" else "-") + k.v).mkString(",")}: " +
+                  showOp(op, x)
+            case _ => ()
+          }
+        } catch {
+          case e: Exception =>
+            failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+        }
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} order-differential failures:\n" +
       fs.take(6).mkString("\n"))
   }
 }
