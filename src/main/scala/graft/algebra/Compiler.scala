@@ -1151,6 +1151,19 @@ object PathEval {
     case _ => false
   }
 
+  /** The ACTIVE graph's triples: paths evaluate in the active graph
+   * exactly like BGPs, so on a quad table only default-graph rows (and no
+   * empty-graph marker rows) participate — without this filter a
+   * top-level path would traverse NAMED-graph edges (caught by the quad
+   * differential gate). */
+  private def activeTriples(g: GraphSource): DataFrame = {
+    val df = g.df
+    if (df.columns.contains("g"))
+      df.filter((TermCols.lex(col("g")) === Compiler.DefaultGraph ||
+          col("g").isNull) && col("s").isNotNull)
+    else df
+  }
+
   /** All (src, dst) term pairs connected by `path`. Over a store snapshot,
    * a plain link scans the POS layout with the predicate pushed down (the
    * hot case — every closure's per-round probe); composite paths fall back
@@ -1161,7 +1174,7 @@ object PathEval {
         sg.scanPattern(TriplePattern(TVar("src"),
           TConst(graft.model.Term.iri(iri)), TVar("dst"))).df
       case _ =>
-        g.df.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
+        activeTriples(g).filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
           .select(col("s").as("src"), col("o").as("dst"))
     }
     case PNegPropSet(fwd, inv) =>
@@ -1169,7 +1182,7 @@ object PathEval {
       //   NPS(fwd)  ∪  ^NPS(inv) — each direction present only when its
       // member list is (P_NegPropSet.java fwd/bwd split)
       def dirScan(excluded: Seq[String], reversed: Boolean): DataFrame = {
-        val base = g.df.filter(TermCols.isIri(col("p")) &&
+        val base = activeTriples(g).filter(TermCols.isIri(col("p")) &&
           !TermCols.lex(col("p")).isin(excluded: _*))
         if (reversed) base.select(col("o").as("src"), col("s").as("dst"))
         else base.select(col("s").as("src"), col("o").as("dst"))
@@ -1235,11 +1248,12 @@ object PathEval {
         s"P_Shortest is not implemented (matching the reference): $p")
   }
 
-  /** Identity pairs over every term occurring as subject or object —
-   * SPARQL's zero-length-path node set. */
+  /** Identity pairs over every term occurring as subject or object of the
+   * ACTIVE graph — SPARQL's zero-length-path node set. */
   private def allNodes(g: GraphSource): DataFrame = {
-    val n = g.df.select(col("s").as("n"))
-      .union(g.df.select(col("o").as("n")))
+    val at = activeTriples(g)
+    val n = at.select(col("s").as("n"))
+      .union(at.select(col("o").as("n")))
       .filter(col("n").isNotNull).distinct()
     n.select(col("n").as("src"), col("n").as("dst"))
   }

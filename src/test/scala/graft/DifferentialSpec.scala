@@ -46,6 +46,10 @@ class DifferentialSpec extends AnyFunSuite {
   /** A solution: var → term; absent key = unbound (Binding.java:45). */
   type Sol = Map[String, Term]
 
+  /** Dataset under evaluation: `triples` is the ACTIVE (default) graph;
+   * `quads` the named-graph part (empty in triple mode). */
+  final case class GData(triples: Seq[Triple], quads: Seq[graft.model.Quad])
+
   object RefEval {
     /** SPARQL §18.3 compatibility: agree on every shared bound var. */
     def compatible(a: Sol, b: Sol): Boolean =
@@ -110,13 +114,58 @@ class DifferentialSpec extends AnyFunSuite {
       case other => sys.error(s"RefEval: unsupported path $other")
     }
 
-    def eval(op: Op, g: Seq[Triple], x: DExprs): Seq[Sol] = op match {
+    /** 4-slot unification for QuadBgp: the graph slot joins exactly like
+     * s/p/o (Compiler extraSlots); GRAPH never matches the default graph. */
+    def matchQuad(qs: Seq[graft.model.Quad], gp: TermPat, tp: TriplePattern,
+                  sol: Sol): Seq[Sol] = {
+      def slot(p: TermPat, actual: Term, acc: Sol): Option[Sol] = p match {
+        case TAny => Some(acc)
+        case TConst(t) => if (t == actual) Some(acc) else None
+        case TVar(n) => acc.get(n) match {
+          case Some(b) => if (b == actual) Some(acc) else None
+          case None => Some(acc + (n -> actual))
+        }
+      }
+      qs.filter(q => q.g != Term.defaultGraph).flatMap { q =>
+        slot(gp, q.g, sol).flatMap(a => slot(tp.s, q.s, a))
+          .flatMap(a => slot(tp.p, q.p, a)).flatMap(a => slot(tp.o, q.o, a)).toSeq
+      }
+    }
+
+    def eval(op: Op, g: GData, x: DExprs): Seq[Sol] = op match {
       case Bgp(pats) =>
         pats.foldLeft(Seq[Sol](Map.empty)) { (sols, tp) =>
-          sols.flatMap(s => matchPattern(g, tp, s))
+          sols.flatMap(s => matchPattern(g.triples, tp, s))
+        }
+      case QuadBgp(gp, pats) =>
+        pats.foldLeft(Seq[Sol](Map.empty)) { (sols, tp) =>
+          sols.flatMap(s => matchQuad(g.quads, gp, tp, s))
+        }
+      case DatasetNames(gp) =>
+        val names = g.quads.map(_.g).filter(_ != Term.defaultGraph).distinct
+        names.flatMap { n =>
+          gp match {
+            case TAny => Some(Map.empty: Sol)
+            case TConst(t) => if (t == n) Some(Map.empty: Sol) else None
+            case TVar(v) => Some(Map(v -> n))
+          }
+        }
+      case GraphScope(gn, body) =>
+        // body evaluates against the NAMED graph's triples as the active graph
+        val scoped = g.quads.filter(_.g == gn).map(q => Triple(q.s, q.p, q.o))
+        eval(body, GData(scoped, Nil), x)
+      case GraphVarEnum(v, body) =>
+        // §18.5: union over named graphs gn of Join(eval(D[gn], body), {v→gn});
+        // v is NOT visible inside body — a body binding the name joins here
+        val names = g.quads.map(_.g).filter(_ != Term.defaultGraph).distinct
+        names.flatMap { gn =>
+          val scoped = g.quads.filter(_.g == gn).map(q => Triple(q.s, q.p, q.o))
+          eval(body, GData(scoped, Nil), x).flatMap { m =>
+            if (m.get(v).forall(_ == gn)) Some(m + (v -> gn)) else None
+          }
         }
       case PathPattern(sp, path, op2) =>
-        var prs = pathRel(g, path)
+        var prs = pathRel(g.triples, path)
         // constant-endpoint zero-length augmentation (Compiler PathPattern:
         // SPARQL 18.4 ZeroLengthPath matches a constant against itself even
         // off-graph), mirrored incl. the consts-only distinct
@@ -388,10 +437,38 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** Quad mode (set by the dataset differential test, read by leaf()):
+   * adds QuadBgp / DatasetNames / GraphScope / GraphVarEnum leaves. Tests
+   * in a funsuite run sequentially, so a field flag is safe. */
+  private var quadMode = false
+
+  private def genGraphName(rnd: Random): Term = iri("g" + (1 + rnd.nextInt(2)))
+
   /** Returns (op, visibleVars). Depth-bounded; expressions only reference
    * visible vars (the Parser's scope tracking guarantees the same). */
   private def genOp(rnd: Random, x: DExprs, depth: Int): (Op, Seq[String]) = {
-    def leaf(): (Op, Seq[String]) = rnd.nextInt(7) match {
+    def quadLeaf(): (Op, Seq[String]) = rnd.nextInt(4) match {
+      case 0 =>
+        val gp = if (rnd.nextBoolean()) TVar(varPool(rnd.nextInt(varPool.size)))
+                 else TConst(genGraphName(rnd))
+        val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
+        (QuadBgp(gp, pats),
+          (pats.flatMap(_.vars) ++ Seq(gp).collect { case TVar(n) => n }).distinct)
+      case 1 =>
+        val gp = if (rnd.nextBoolean()) TVar(varPool(rnd.nextInt(varPool.size)))
+                 else TConst(genGraphName(rnd))
+        (DatasetNames(gp), Seq(gp).collect { case TVar(n) => n })
+      case 2 =>
+        val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
+        (GraphScope(genGraphName(rnd), Bgp(pats)), pats.flatMap(_.vars).distinct)
+      case _ =>
+        val v = varPool(rnd.nextInt(varPool.size))
+        val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
+        (GraphVarEnum(v, Bgp(pats)), (pats.flatMap(_.vars) :+ v).distinct)
+    }
+    def leaf(): (Op, Seq[String]) =
+      if (quadMode && rnd.nextInt(10) < 5) quadLeaf()
+      else rnd.nextInt(7) match {
       case 0 => // VALUES with occasional unbound cells
         val vs = rnd.shuffle(varPool).take(1 + rnd.nextInt(2)).sorted
         val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
@@ -524,6 +601,11 @@ class DifferentialSpec extends AnyFunSuite {
     case Group(ks, as, in) =>
       s"Group(${ks.mkString(",")}, ${as.map(a => a._1 + "=" + x.show(a._2)).mkString(",")}, ${showOp(in, x)})"
     case Table(vs, rows) => s"VALUES(${vs.mkString(",")} × ${rows.size})"
+    case QuadBgp(gp, ps) =>
+      s"QuadBGP(${sl(gp)}, " + ps.map(p => s"${sl(p.s)} ${sl(p.p)} ${sl(p.o)}").mkString(" . ") + ")"
+    case DatasetNames(gp) => s"DatasetNames(${sl(gp)})"
+    case GraphScope(gn, in) => s"Graph(${gn.lex.stripPrefix(EX)}, ${showOp(in, x)})"
+    case GraphVarEnum(v, in) => s"GraphVar(?$v, ${showOp(in, x)})"
     case other => other.toString
   }
   private def sl(p: TermPat): String = p match {
@@ -570,7 +652,7 @@ class DifferentialSpec extends AnyFunSuite {
       val (op, _) = genOp(rnd, x, depth = 2 + i % 3)
       val gdf = spark.createDataset(g)(
         org.apache.spark.sql.Encoders.product[Triple]).toDF()
-      val expected = bag(RefEval.eval(op, g, x))
+      val expected = bag(RefEval.eval(op, GData(g, Nil), x))
       var crashed = false
       val actual =
         try bag(collectSols(Compiler.compile(op, gdf)))
@@ -594,6 +676,46 @@ class DifferentialSpec extends AnyFunSuite {
       fs.take(6).mkString("\n"))
   }
 
+  /** Dataset (quad) differential: random plans over a dataset with a
+   * default graph + two named graphs — QuadBgp (graph slot joins like
+   * s/p/o, never the default graph), DatasetNames, GRAPH <const>,
+   * GRAPH ?var (per-graph enumeration with the boundary join), and the
+   * default-graph scoping of plain BGPs and property paths. */
+  test("differential: dataset semantics on 40 random quad plans") {
+    import graft.model.Quad
+    val failures = Seq.newBuilder[String]
+    quadMode = true
+    try (0 until 40).foreach { i =>
+      val rnd = new Random(0x9AAD + i)
+      val x = new DExprs
+      val defG = genGraph(rnd)
+      val named = (0 until 15 + rnd.nextInt(10)).map { _ =>
+        Quad(iri("s" + rnd.nextInt(5)), iri("p" + rnd.nextInt(3)),
+          genTerm(rnd), genGraphName(rnd))
+      }.distinct
+      val allQuads = defG.map(t => Quad(t.s, t.p, t.o, Term.defaultGraph)) ++ named
+      val qdf = spark.createDataset(allQuads)(
+        org.apache.spark.sql.Encoders.product[Quad]).toDF()
+      val (op, _) = genOp(rnd, x, depth = 2 + i % 2)
+      val expected = bag(RefEval.eval(op, GData(defG, named), x))
+      try {
+        val actual = bag(collectSols(Compiler.compile(op, qdf)))
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH ${showOp(op, x)}\n  expected-but-not-actual: " +
+            s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+      }
+    } finally quadMode = false
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} quad-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
   /** ORDER BY differential: the compiled output must (a) be bag-equal to
    * the unordered oracle and (b) arrive SORTED per the local mirror of
    * the SPARQL total order (rows tying on every sort key may come in any
@@ -612,7 +734,7 @@ class DifferentialSpec extends AnyFunSuite {
         val gdf = spark.createDataset(g)(
           org.apache.spark.sql.Encoders.product[Triple]).toDF()
         val ordered = Order(keys, op)
-        val expected = bag(RefEval.eval(op, g, x))
+        val expected = bag(RefEval.eval(op, GData(g, Nil), x))
         try {
           val rows = collectSols(Compiler.compile(ordered, gdf))
           if (bag(rows) != expected)
