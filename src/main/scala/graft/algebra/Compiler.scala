@@ -566,8 +566,16 @@ object Compiler {
       // the dataset is EXACTLY what the clauses describe (SPARQL 13.2):
       // graphs named in FROM merge into the default graph; FROM NAMED
       // graphs stay named; everything else disappears
-      val defaultPart = g.df.filter(glex.isin(defaults: _*))
+      val defaultPart0 = g.df.filter(glex.isin(defaults: _*))
         .withColumn("g", TermCols.const(graft.model.Term.defaultGraph))
+      // the FROM default graph is the set-UNION of the listed graphs — a
+      // triple present in two of them matches ONCE (the reference's
+      // GraphUnionRead.find wraps Iter.distinct, GraphUnionRead.java:119);
+      // a single source graph is already a set, so skip the exchange then
+      val defaultPart =
+        if (defaults.lengthCompare(1) > 0)
+          defaultPart0.dropDuplicates("s", "p", "o")
+        else defaultPart0
       val namedPart = g.df.filter(glex.isin(named: _*) && glex =!= DefaultGraph)
       comp(in, DfGraph(defaultPart.union(namedPart)))
 

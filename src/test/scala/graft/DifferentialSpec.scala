@@ -164,6 +164,14 @@ class DifferentialSpec extends AnyFunSuite {
             if (m.get(v).forall(_ == gn)) Some(m + (v -> gn)) else None
           }
         }
+      case DatasetClause(defaults, named, body) =>
+        // FROM re-scope: default graph = set-UNION of the listed graphs
+        // (GraphUnionRead dedup), named graphs = exactly the listed names
+        val defT = g.quads.filter(q => defaults.contains(q.g.lex))
+          .map(q => Triple(q.s, q.p, q.o)).distinct
+        val namedQ = g.quads.filter(q =>
+          named.contains(q.g.lex) && q.g != Term.defaultGraph)
+        eval(body, GData(defT, namedQ), x)
       case PathPattern(sp, path, op2) =>
         var prs = pathRel(g.triples, path)
         // constant-endpoint zero-length augmentation (Compiler PathPattern:
@@ -447,7 +455,15 @@ class DifferentialSpec extends AnyFunSuite {
   /** Returns (op, visibleVars). Depth-bounded; expressions only reference
    * visible vars (the Parser's scope tracking guarantees the same). */
   private def genOp(rnd: Random, x: DExprs, depth: Int): (Op, Seq[String]) = {
-    def quadLeaf(): (Op, Seq[String]) = rnd.nextInt(4) match {
+    def quadLeaf(): (Op, Seq[String]) = rnd.nextInt(5) match {
+      case 4 =>
+        // FROM / FROM NAMED re-scope over a shallow quad-mode body;
+        // overlapping FROM graphs exercise the set-union dedup
+        val all = Seq(EX + "g1", EX + "g2")
+        val defaults = all.filter(_ => rnd.nextBoolean())
+        val named = all.filter(_ => rnd.nextBoolean())
+        val (body, vs) = genOp(rnd, x, 1)
+        (DatasetClause(defaults, named, body), vs)
       case 0 =>
         val gp = if (rnd.nextBoolean()) TVar(varPool(rnd.nextInt(varPool.size)))
                  else TConst(genGraphName(rnd))
@@ -605,6 +621,8 @@ class DifferentialSpec extends AnyFunSuite {
       s"QuadBGP(${sl(gp)}, " + ps.map(p => s"${sl(p.s)} ${sl(p.p)} ${sl(p.o)}").mkString(" . ") + ")"
     case DatasetNames(gp) => s"DatasetNames(${sl(gp)})"
     case GraphScope(gn, in) => s"Graph(${gn.lex.stripPrefix(EX)}, ${showOp(in, x)})"
+    case DatasetClause(d, n, in) =>
+      s"From(${d.map(_.stripPrefix(EX)).mkString(",")}; named=${n.map(_.stripPrefix(EX)).mkString(",")}, ${showOp(in, x)})"
     case GraphVarEnum(v, in) => s"GraphVar(?$v, ${showOp(in, x)})"
     case other => other.toString
   }
