@@ -392,23 +392,23 @@ class DifferentialSpec extends AnyFunSuite {
     rnd.nextInt(if (depth < 1) 7 else 5) match {
       case 0 =>
         val v0 = vr()
-        x.bool(s"bound($v0)", RowExpr(r => r(v0).isNotNull),
+        x.bool(s"BOUND(?$v0)", RowExpr(r => r(v0).isNotNull),
           m => Some(m.contains(v0)))
       case 1 =>
         val (v0, t) = (vr(), genTerm(rnd))
-        x.bool(s"sameTerm($v0, ${t.lex})", RowExpr(r => r(v0) === TC.const(t)),
+        x.bool(s"sameTerm(?$v0, ${rTerm(t)})", RowExpr(r => r(v0) === TC.const(t)),
           m => m.get(v0).map(_ == t))
       case 2 =>
         val (v0, k) = (vr(), 1 + rnd.nextInt(5))
-        x.bool(s"num($v0) < $k", RowExpr(r => TC.numValue(r(v0)) < k),
+        x.bool(s"(?$v0 < $k)", RowExpr(r => TC.numValue(r(v0)) < k),
           m => m.get(v0).flatMap(localNum).map(_ < k))
       case 3 =>
         val (v0, v1) = (vr(), vr())
-        x.bool(s"$v0 = $v1 (term)", RowExpr(r => r(v0) === r(v1)),
+        x.bool(s"sameTerm(?$v0, ?$v1)", RowExpr(r => r(v0) === r(v1)),
           m => for (a <- m.get(v0); b <- m.get(v1)) yield a == b)
       case 4 =>
         val v0 = vr()
-        x.bool(s"isIRI($v0)", RowExpr(r => TC.isIri(r(v0))),
+        x.bool(s"isIRI(?$v0)", RowExpr(r => TC.isIri(r(v0))),
           m => m.get(v0).map(_.kind == Term.KIND_IRI))
       case 5 =>
         val (c1, c2) = (genCond(rnd, vars, x, depth + 1), genCond(rnd, vars, x, depth + 1))
@@ -429,14 +429,14 @@ class DifferentialSpec extends AnyFunSuite {
     rnd.nextInt(if (vars.isEmpty) 1 else 3) match {
       case 0 =>
         val t = genTerm(rnd)
-        x.term(s"const(${t.lex})", RowExpr(_ => TC.const(t)), _ => Some(t))
+        x.term(rTerm(t), RowExpr(_ => TC.const(t)), _ => Some(t))
       case 1 =>
         val v0 = vr()
-        x.term(s"copy($v0)", RowExpr(r => r(v0)), m => m.get(v0))
+        x.term(s"?$v0", RowExpr(r => r(v0)), m => m.get(v0))
       case _ =>
         // num(v)+1 as xsd:integer; non-numeric/unbound ⇒ error ⇒ unbound
         val v0 = vr()
-        x.term(s"num($v0)+1",
+        x.term(s"(?$v0 + 1)",
           RowExpr { r =>
             val n = TC.numValue(r(v0))
             when(n.isNotNull, TC.intTerm(n + 1))
@@ -449,6 +449,9 @@ class DifferentialSpec extends AnyFunSuite {
    * adds QuadBgp / DatasetNames / GraphScope / GraphVarEnum leaves. Tests
    * in a funsuite run sequentially, so a field flag is safe. */
   private var quadMode = false
+  /** Text mode additionally suppresses DatasetClause leaves (FROM is
+   * query-level syntax, not renderable inside a group). */
+  private var textMode = false
 
   private def genGraphName(rnd: Random): Term = iri("g" + (1 + rnd.nextInt(2)))
 
@@ -456,7 +459,7 @@ class DifferentialSpec extends AnyFunSuite {
    * visible vars (the Parser's scope tracking guarantees the same). */
   private def genOp(rnd: Random, x: DExprs, depth: Int): (Op, Seq[String]) = {
     def quadLeaf(): (Op, Seq[String]) = rnd.nextInt(5) match {
-      case 4 =>
+      case 4 if !textMode =>
         // FROM / FROM NAMED re-scope over a shallow quad-mode body;
         // overlapping FROM graphs exercise the set-union dedup
         val all = Seq(EX + "g1", EX + "g2")
@@ -560,22 +563,22 @@ class DifferentialSpec extends AnyFunSuite {
             .find(c => !vs.contains(c)).get
           def bound(ms: Seq[Sol]) = ms.flatMap(_.get(cv))
           val a = rnd.nextInt(5) match {
-            case 0 => x.agg(s"count($cv)",
+            case 0 => x.agg(s"COUNT(?$cv)",
               RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count(r(cv)))),
               ms => Some(int(ms.count(_.contains(cv)))))
-            case 1 => x.agg(s"countD($cv)",
+            case 1 => x.agg(s"COUNT(DISTINCT ?$cv)",
               RowExpr(r => TC.intTerm(org.apache.spark.sql.functions.count_distinct(r(cv)))),
               ms => Some(int(bound(ms).distinct.size)))
-            case 2 => x.agg(s"sum($cv)",
+            case 2 => x.agg(s"SUM(?$cv)",
               RowExpr(r => SparqlAggregates.sumAgg(r(cv))),
               // poisoned by any bound non-numeric; empty sum = integer 0;
               // integer-only universe keeps the promoted rank at integer
               ms => if (bound(ms).exists(t => localNum(t).isEmpty)) None
                     else Some(int(bound(ms).flatMap(localNum).sum.toLong.toInt)))
-            case 3 => x.agg(s"min($cv)",
+            case 3 => x.agg(s"MIN(?$cv)",
               RowExpr(r => SparqlAggregates.minAgg(r(cv))),
               ms => bound(ms).sortBy(t => localKey(Some(t)))(keyOrd).headOption)
-            case _ => x.agg(s"max($cv)",
+            case _ => x.agg(s"MAX(?$cv)",
               RowExpr(r => SparqlAggregates.maxAgg(r(cv))),
               ms => bound(ms).sortBy(t => localKey(Some(t)))(keyOrd).lastOption)
           }
@@ -630,6 +633,81 @@ class DifferentialSpec extends AnyFunSuite {
     case TVar(n) => "?" + n
     case TConst(t) => t.lex.stripPrefix(EX)
     case TAny => "ANY"
+  }
+
+  // ------------------------------------------------ SPARQL text renderer
+
+  private def rTerm(t: Term): String = t.kind match {
+    case Term.KIND_IRI => s"<${t.lex}>"
+    case _ if t.dt == Term.XSD_INTEGER => t.lex
+    case _ if t.dt == Term.XSD_STRING => "\"" + t.lex + "\""
+    case _ => "\"" + t.lex + "\"^^<" + t.dt + ">"
+  }
+  private def rPat(p: TermPat): String = p match {
+    case TVar(n) => s"?$n"
+    case TConst(t) => rTerm(t)
+    case TAny => sys.error("TAny has no surface syntax")
+  }
+  private def rPath(p: Path): String = p match {
+    case PLink(i) => s"<$i>"
+    case PInverse(q) => s"^(${rPath(q)})"
+    case PSeq(a, b) => s"(${rPath(a)}/${rPath(b)})"
+    case PAlt(a, b) => s"(${rPath(a)}|${rPath(b)})"
+    case POneOrMore(q) => s"(${rPath(q)})+"
+    case PZeroOrMore(q) => s"(${rPath(q)})*"
+    case PZeroOrOne(q) => s"(${rPath(q)})?"
+    case PNegPropSet(f, i) =>
+      s"!(${(f.map(x => s"<$x>") ++ i.map(x => s"^<$x>")).mkString("|")})"
+    case other => sys.error(s"no syntax for $other")
+  }
+
+  /** Render a generated op as a SPARQL group-graph-pattern body. None for
+   * shapes with no group-level surface syntax (DatasetClause mid-tree).
+   * The expression catalog's `show` strings are valid SPARQL. */
+  private def render(op: Op, x: DExprs): Option[String] = op match {
+    case Bgp(ps) =>
+      Some(ps.map(p => s"${rPat(p.s)} ${rPat(p.p)} ${rPat(p.o)} .").mkString(" "))
+    case PathPattern(s, p, o) => Some(s"${rPat(s)} ${rPath(p)} ${rPat(o)} .")
+    case QuadBgp(gp, ps) =>
+      Some(s"GRAPH ${rPat(gp)} { " +
+        ps.map(p => s"${rPat(p.s)} ${rPat(p.p)} ${rPat(p.o)} .").mkString(" ") + " }")
+    case DatasetNames(gp) => Some(s"GRAPH ${rPat(gp)} { }")
+    case GraphScope(gn, in) => render(in, x).map(b => s"GRAPH ${rTerm(gn)} { $b }")
+    case GraphVarEnum(v, in) => render(in, x).map(b => s"GRAPH ?$v { $b }")
+    case Join(l, r) =>
+      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } { $b }"
+    case Union(l, r) =>
+      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } UNION { $b }"
+    case LeftJoin(l, r, cond) =>
+      for { a <- render(l, x); b <- render(r, x) } yield
+        s"{ $a } OPTIONAL { $b ${cond.map(c => s"FILTER(${x.show(c)})").getOrElse("")} }"
+    case Minus(l, r) =>
+      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } MINUS { $b }"
+    case SemiJoin(l, r) =>
+      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } FILTER EXISTS { $b }"
+    case AntiJoin(l, r) =>
+      for { a <- render(l, x); b <- render(r, x) } yield
+        s"{ $a } FILTER NOT EXISTS { $b }"
+    case DropVars(Seq(v), Filter(_, ExistsFlag(v2, r, in))) if v == v2 =>
+      // the generator's expression-level-EXISTS composite ≡ FILTER EXISTS
+      for { a <- render(in, x); b <- render(r, x) } yield
+        s"{ $a } FILTER EXISTS { $b }"
+    case Filter(c, in) => render(in, x).map(b => s"{ $b FILTER(${x.show(c)}) }")
+    case Extend(v, e, in) =>
+      render(in, x).map(b => s"{ $b BIND(${x.show(e)} AS ?$v) }")
+    case Distinct(in) =>
+      render(in, x).map(b => s"{ SELECT DISTINCT * WHERE { $b } }")
+    case Project(vs, in) =>
+      render(in, x).map(b =>
+        s"{ SELECT ${vs.map("?" + _).mkString(" ")} WHERE { $b } }")
+    case Group(Seq(k), Seq((n, a)), in) =>
+      render(in, x).map(b =>
+        s"{ SELECT ?$k (${x.show(a)} AS ?$n) WHERE { $b } GROUP BY ?$k }")
+    case Table(vs, rows) =>
+      Some(s"VALUES (${vs.map("?" + _).mkString(" ")}) { " +
+        rows.map(r => "(" + vs.map(v => r.get(v).map(rTerm).getOrElse("UNDEF"))
+          .mkString(" ") + ")").mkString(" ") + " }")
+    case _ => None
   }
 
   // --------------------------------------------------------- comparison
@@ -731,6 +809,55 @@ class DifferentialSpec extends AnyFunSuite {
     } finally quadMode = false
     val fs = failures.result()
     assert(fs.isEmpty, s"${fs.size} quad-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
+  /** SPARQL TEXT differential: render each random plan as query text,
+   * run it through the full Parser → Compiler path, and compare to the
+   * naive evaluation of the ORIGINAL algebra — exercising the parser's
+   * group building, OPTIONAL/FILTER folding, EXISTS rewrite, GRAPH
+   * compilation, subqueries (projection/DISTINCT/GROUP BY) and VALUES on
+   * structures the fixed W3C cases never enumerate. */
+  test("differential: text round-trip — Parser+Compiler ≡ naive evaluator on random plans") {
+    import graft.model.Quad
+    val failures = Seq.newBuilder[String]
+    var rendered = 0
+    val textIters = sys.props.get("graft.diff.n").map(_.toInt / 2 + 25).getOrElse(50)
+    quadMode = true; textMode = true
+    try (0 until textIters).foreach { i =>
+      val rnd = new Random(0x7E87 + i)
+      val x = new DExprs
+      val defG = genGraph(rnd)
+      val named = (0 until 15 + rnd.nextInt(10)).map { _ =>
+        Quad(iri("s" + rnd.nextInt(5)), iri("p" + rnd.nextInt(3)),
+          genTerm(rnd), genGraphName(rnd))
+      }.distinct
+      val allQuads = defG.map(t => Quad(t.s, t.p, t.o, Term.defaultGraph)) ++ named
+      val qdf = spark.createDataset(allQuads)(
+        org.apache.spark.sql.Encoders.product[Quad]).toDF()
+      val (op, _) = genOp(rnd, x, depth = 2 + i % 2)
+      render(op, x).foreach { body =>
+        rendered += 1
+        val q = s"SELECT * WHERE { $body }"
+        val expected = bag(RefEval.eval(op, GData(defG, named), x))
+        try {
+          val parsed = graft.sparql.Parser.parse(q)
+          val actual = bag(collectSols(Compiler.compile(parsed, qdf)))
+          if (actual != expected) {
+            val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+            val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+            failures += s"[$i] MISMATCH $q\n  expected-but-not-actual: " +
+              s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+          }
+        } catch {
+          case e: Exception =>
+            failures += s"[$i] PARSE/COMPILE FAILED: ${e.getMessage}\n  $q"
+        }
+      }
+    } finally { quadMode = false; textMode = false }
+    val fs = failures.result()
+    assert(rendered * 10 >= textIters * 6, s"only $rendered/$textIters plans rendered to text")
+    assert(fs.isEmpty, s"${fs.size}/$rendered text-differential failures:\n" +
       fs.take(6).mkString("\n"))
   }
 
