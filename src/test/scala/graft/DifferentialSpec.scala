@@ -164,6 +164,21 @@ class DifferentialSpec extends AnyFunSuite {
             if (m.get(v).forall(_ == gn)) Some(m + (v -> gn)) else None
           }
         }
+      case Lateral(l, r) =>
+        // per-left-row RHS evaluation (set-at-a-time twin: compatible
+        // join + per-tag windows). Slice/Distinct observe the left row.
+        def evalLat(rr: Op, m1: Sol): Seq[Sol] = rr match {
+          case Slice(off, lim, Order(keys, rb)) =>
+            val merged = eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _)
+            val sorted = merged.sortBy(m => keys.map(k => localKey(m.get(k.v))))(
+              Ordering.Implicits.seqOrdering(keyOrd))
+            sorted.slice(off.toInt, off.toInt + lim.toInt)
+          case Distinct(rb) =>
+            eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _).distinct
+          case rb =>
+            eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _)
+        }
+        eval(l, g, x).flatMap(m1 => evalLat(r, m1))
       case DatasetClause(defaults, named, body) =>
         // FROM re-scope: default graph = set-UNION of the listed graphs
         // (GraphUnionRead dedup), named graphs = exactly the listed names
@@ -858,6 +873,74 @@ class DifferentialSpec extends AnyFunSuite {
     val fs = failures.result()
     assert(rendered * 10 >= textIters * 6, s"only $rendered/$textIters plans rendered to text")
     assert(fs.isEmpty, s"${fs.size}/$rendered text-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
+  /** LATERAL differential: per-left-row Slice over a fully-keyed Order
+   * (the window machinery: every rbody var is an ASC sort key, so rows
+   * tying on all keys within one left row are identical and the cut is
+   * deterministic), per-left-row Distinct, and the plain correlated join.
+   * RefEval's Lateral case mirrors the compiler's compatible-join
+   * semantics (the documented set-at-a-time twin of substitution). */
+  test("differential: LATERAL with per-left-row LIMIT/DISTINCT on 30 random plans") {
+    val failures = Seq.newBuilder[String]
+    (0 until 30).foreach { i =>
+      val rnd = new Random(0x1A7E + i)
+      val x = new DExprs
+      val g = genGraph(rnd)
+      val (l, lv) = genOp(rnd, x, depth = 1)
+      val (rb, rvs) = genOp(rnd, x, depth = 1)
+      val r = rnd.nextInt(3) match {
+        case 0 if rvs.nonEmpty =>
+          Slice(rnd.nextInt(2), 1 + rnd.nextInt(2),
+            Order(rvs.sorted.map(v => SortKey(v, ascending = true)), rb))
+        case 1 => Distinct(rb)
+        case _ => rb
+      }
+      // a BIND in the RHS onto a var the left binds is a SPARQL scope
+      // error (the compiler rejects it) — regenerate-as-skip those plans
+      def extendVars(o: Op): Set[String] = o match {
+        case Extend(v, _, in) => extendVars(in) + v
+        case Filter(_, in) => extendVars(in)
+        case Order(_, in) => extendVars(in)
+        case Slice(_, _, in) => extendVars(in)
+        case Distinct(in) => extendVars(in)
+        case Project(_, in) => extendVars(in)
+        case DropVars(_, in) => extendVars(in)
+        case Group(_, _, in) => extendVars(in)
+        case ExistsFlag(_, _, in) => extendVars(in)
+        case Join(a, b) => extendVars(a) ++ extendVars(b)
+        case Union(a, b) => extendVars(a) ++ extendVars(b)
+        case LeftJoin(a, b, _) => extendVars(a) ++ extendVars(b)
+        case Minus(a, _) => extendVars(a)
+        case SemiJoin(a, _) => extendVars(a)
+        case AntiJoin(a, _) => extendVars(a)
+        case _ => Set.empty
+      }
+      if (extendVars(r).intersect(lv.toSet).nonEmpty) ()
+      else {
+      val op = Lateral(l, r)
+      val gdf = spark.createDataset(g)(
+        org.apache.spark.sql.Encoders.product[Triple]).toDF()
+      val expected = bag(RefEval.eval(op, GData(g, Nil), x))
+      try {
+        val actual = bag(collectSols(Compiler.compile(op, gdf)))
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH Lateral(${showOp(l, x)}, ${showOp(r, x)})\n" +
+            s"  expected-but-not-actual: ${missing.take(4)}\n" +
+            s"  actual-but-not-expected: ${extra.take(4)}"
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  " +
+            s"Lateral(${showOp(l, x)}, ${showOp(r, x)})"
+      }
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} lateral-differential failures:\n" +
       fs.take(6).mkString("\n"))
   }
 
