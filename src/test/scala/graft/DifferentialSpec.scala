@@ -438,17 +438,18 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
-  private def genTermExpr(rnd: Random, vars: Seq[String], x: DExprs): RowExpr = {
-    import org.apache.spark.sql.functions.when
+  private def genTermExpr(rnd: Random, vars: Seq[String], x: DExprs,
+                          depth: Int = 0): RowExpr = {
+    import org.apache.spark.sql.functions.{when, lit}
     def vr() = vars(rnd.nextInt(vars.size))
-    rnd.nextInt(if (vars.isEmpty) 1 else 3) match {
+    rnd.nextInt(if (vars.isEmpty) 1 else if (depth < 1) 6 else 3) match {
       case 0 =>
         val t = genTerm(rnd)
         x.term(rTerm(t), RowExpr(_ => TC.const(t)), _ => Some(t))
       case 1 =>
         val v0 = vr()
         x.term(s"?$v0", RowExpr(r => r(v0)), m => m.get(v0))
-      case _ =>
+      case 2 =>
         // num(v)+1 as xsd:integer; non-numeric/unbound ⇒ error ⇒ unbound
         val v0 = vr()
         x.term(s"(?$v0 + 1)",
@@ -457,6 +458,36 @@ class DifferentialSpec extends AnyFunSuite {
             when(n.isNotNull, TC.intTerm(n + 1))
           },
           m => m.get(v0).flatMap(localNum).map(d => int((d + 1).toLong.toInt)))
+      case 3 =>
+        // STR(?v): the lexical form as a simple literal (E_Str)
+        val v0 = vr()
+        x.term(s"STR(?$v0)",
+          RowExpr(r => graft.functions.SparqlFunctions.str(r(v0))),
+          m => m.get(v0).map(t => Term.string(t.lex)))
+      case 4 =>
+        // COALESCE: first argument that does NOT error (E_Coalesce)
+        val (e1, e2) = (genTermExpr(rnd, vars, x, depth + 1),
+          genTermExpr(rnd, vars, x, depth + 1))
+        x.term(s"COALESCE(${x.show(e1)}, ${x.show(e2)})",
+          RowExpr(r => graft.functions.SparqlFunctions.coalesceFn(e1(r), e2(r))),
+          m => x.evalTerm(e1, m).orElse(x.evalTerm(e2, m)))
+      case _ =>
+        // IF: an erroring condition errors the whole IF (E_If; the same
+        // guarded shape the Parser emits)
+        val c = genCond(rnd, vars, x, 1)
+        val (e1, e2) = (genTermExpr(rnd, vars, x, depth + 1),
+          genTermExpr(rnd, vars, x, depth + 1))
+        x.term(s"IF(${x.show(c)}, ${x.show(e1)}, ${x.show(e2)})",
+          RowExpr { r =>
+            val cc = c(r)
+            when(cc.isNull, lit(null).cast(TC.schema))
+              .otherwise(graft.functions.SparqlFunctions.ifFn(cc, e1(r), e2(r)))
+          },
+          m => x.evalBool(c, m) match {
+            case None => None
+            case Some(true) => x.evalTerm(e1, m)
+            case Some(false) => x.evalTerm(e2, m)
+          })
     }
   }
 
@@ -693,20 +724,29 @@ class DifferentialSpec extends AnyFunSuite {
       for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } { $b }"
     case Union(l, r) =>
       for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } UNION { $b }"
+    // OPTIONAL and MINUS are group-accumulation elements (they apply to
+    // everything accumulated so far in their group) — wrap in their own
+    // group so a parent's siblings stay outside the left operand
     case LeftJoin(l, r, cond) =>
       for { a <- render(l, x); b <- render(r, x) } yield
-        s"{ $a } OPTIONAL { $b ${cond.map(c => s"FILTER(${x.show(c)})").getOrElse("")} }"
+        s"{ { $a } OPTIONAL { $b ${cond.map(c => s"FILTER(${x.show(c)})").getOrElse("")} } }"
     case Minus(l, r) =>
-      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } MINUS { $b }"
+      for { a <- render(l, x); b <- render(r, x) } yield s"{ { $a } MINUS { $b } }"
+    // the EXISTS-ish renders wrap themselves in an EXTRA group: a SPARQL
+    // filter applies to the WHOLE group it appears in, AFTER any sibling
+    // BIND/patterns a parent may concatenate — without the wrapping, a
+    // parent's BIND would enter the filter's scope and diverge from the
+    // algebra (caught by the text differential)
     case SemiJoin(l, r) =>
-      for { a <- render(l, x); b <- render(r, x) } yield s"{ $a } FILTER EXISTS { $b }"
+      for { a <- render(l, x); b <- render(r, x) } yield
+        s"{ { $a } FILTER EXISTS { $b } }"
     case AntiJoin(l, r) =>
       for { a <- render(l, x); b <- render(r, x) } yield
-        s"{ $a } FILTER NOT EXISTS { $b }"
+        s"{ { $a } FILTER NOT EXISTS { $b } }"
     case DropVars(Seq(v), Filter(_, ExistsFlag(v2, r, in))) if v == v2 =>
       // the generator's expression-level-EXISTS composite ≡ FILTER EXISTS
       for { a <- render(in, x); b <- render(r, x) } yield
-        s"{ $a } FILTER EXISTS { $b }"
+        s"{ { $a } FILTER EXISTS { $b } }"
     case Filter(c, in) => render(in, x).map(b => s"{ $b FILTER(${x.show(c)}) }")
     case Extend(v, e, in) =>
       render(in, x).map(b => s"{ $b BIND(${x.show(e)} AS ?$v) }")
