@@ -827,6 +827,45 @@ class DifferentialSpec extends AnyFunSuite {
       fs.take(6).mkString("\n"))
   }
 
+  /** Store-path differential: the same random plans evaluated against a
+   * MATERIALIZED TripleStore snapshot (SnapshotGraph — layout-aware
+   * pattern compilation picking SPO/POS/OSP with pushed parquet filters)
+   * must agree with the naive evaluator; exercises all 8 pattern shapes
+   * against the custom scan-selection logic. One fixed graph, 30 plans. */
+  test("differential: SnapshotGraph store read path on 30 random plans") {
+    import org.apache.spark.sql.functions.lit
+    val failures = Seq.newBuilder[String]
+    val g = genGraph(new Random(0x570E))
+    val gdf = spark.createDataset(g)(
+      org.apache.spark.sql.Encoders.product[Triple]).toDF()
+    val snap = java.nio.file.Files.createTempDirectory("graft_diff_snap").toString
+    graft.store.TripleStore.materialize(
+      gdf.withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+      snap, parent = None, partitions = 2)
+    val sg = Compiler.SnapshotGraph(spark, snap)
+    (0 until 30).foreach { i =>
+      val rnd = new Random(0x570E + 1 + i)
+      val x = new DExprs
+      val (op, _) = genOp(rnd, x, depth = 2 + i % 2)
+      val expected = bag(RefEval.eval(op, GData(g, Nil), x))
+      try {
+        val actual = bag(collectSols(Compiler.compile(op, sg)))
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH ${showOp(op, x)}\n  expected-but-not-actual: " +
+            s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} store-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
   /** Dataset (quad) differential: random plans over a dataset with a
    * default graph + two named graphs — QuadBgp (graph slot joins like
    * s/p/o, never the default graph), DatasetNames, GRAPH <const>,
