@@ -866,6 +866,44 @@ class DifferentialSpec extends AnyFunSuite {
       fs.take(6).mkString("\n"))
   }
 
+  /** Id-encoded store differential: the same plan family against a
+   * dictionary-encoded snapshot (EncodedSnapshotGraph — narrow id
+   * equi-joins with decode at projection edges; the TDB2 NodeTable
+   * analog) must match the naive evaluator. */
+  test("differential: EncodedSnapshotGraph id store on 30 random plans") {
+    import org.apache.spark.sql.functions.lit
+    val failures = Seq.newBuilder[String]
+    val g = genGraph(new Random(0xE6C0))
+    val gdf = spark.createDataset(g)(
+      org.apache.spark.sql.Encoders.product[Triple]).toDF()
+    val snap = java.nio.file.Files.createTempDirectory("graft_diff_enc").toString
+    graft.store.TripleStore.materializeEncoded(
+      gdf.withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+      snap, parent = None, partitions = 2)
+    val sg = Compiler.EncodedSnapshotGraph(spark, snap)
+    (0 until 30).foreach { i =>
+      val rnd = new Random(0xE6C0 + 1 + i)
+      val x = new DExprs
+      val (op, _) = genOp(rnd, x, depth = 2 + i % 2)
+      val expected = bag(RefEval.eval(op, GData(g, Nil), x))
+      try {
+        val actual = bag(collectSols(Compiler.compile(op, sg)))
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH ${showOp(op, x)}\n  expected-but-not-actual: " +
+            s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} encoded-store-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
   /** Dataset (quad) differential: random plans over a dataset with a
    * default graph + two named graphs — QuadBgp (graph slot joins like
    * s/p/o, never the default graph), DatasetNames, GRAPH <const>,
