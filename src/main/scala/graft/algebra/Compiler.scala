@@ -247,6 +247,16 @@ object Compiler {
 
   private def hasGraphCol(g: DataFrame): Boolean = g.columns.contains("g")
 
+  /** The ACTIVE (default) graph's triples of a frame that may be a quad
+   * table: default-graph rows only, empty-graph marker rows dropped;
+   * triple tables pass through. ONE definition shared by BGP scans and
+   * PathEval so the two can never diverge. */
+  private[algebra] def defaultGraphTriples(df: DataFrame): DataFrame =
+    if (hasGraphCol(df))
+      df.filter((TermCols.lex(col("g")) === DefaultGraph || col("g").isNull) &&
+        col("s").isNotNull)
+    else df
+
   private[algebra] def comp(op: Op, g: GraphSource): Compiled = op match {
     case Bgp(patterns) =>
       require(patterns.nonEmpty, "empty BGP")
@@ -262,11 +272,7 @@ object Compiler {
           // on a quad table, an un-GRAPHed BGP matches the default graph
           // only; s-NULL marker rows (empty-graph existence markers) are
           // not triples
-          val base =
-            if (hasGraphCol(g.df))
-              g.df.filter((TermCols.lex(col("g")) === DefaultGraph || col("g").isNull) &&
-                col("s").isNotNull)
-            else g.df
+          val base = defaultGraphTriples(g.df)
           patterns.map(scan(base, _)).reduceLeft(join(_, _, "inner"))
       }
 
@@ -468,7 +474,7 @@ object Compiler {
 
     case GraphScope(gname, in) =>
       val scoped: GraphSource = g match {
-        case qsg: QuadSnapshotGraph =>
+        case qsg: QuadSnapshotGraph if !usesDataset(in) =>
           DfGraph(qsg.spark.read.parquet(s"${qsg.dir}/gspo")
             .where(col("g_kind") === gname.kind && col("g_lex") === gname.lex &&
               col("g_dt") === gname.dt && col("g_lang") === gname.lang)
@@ -479,13 +485,26 @@ object Compiler {
                 col("p_dt").as("dt"), col("p_lang").as("lang")).as("p"),
               struct(col("o_kind").as("kind"), col("o_lex").as("lex"),
                 col("o_dt").as("dt"), col("o_lang").as("lang")).as("o")))
-        case _ =>
+        case _ if !usesDataset(in) =>
           require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
           DfGraph(g.df
             .filter(col("g") === TermCols.const(gname) &&
               TermCols.lex(col("g")) =!= DefaultGraph &&
               col("s").isNotNull) // drop empty-graph marker rows
             .select("s", "p", "o"))
+        case _ =>
+          // the body re-accesses the DATASET (nested GRAPH, dataset
+          // names, FROM): GRAPH only changes the ACTIVE graph — SPARQL
+          // 18.5 eval(D(D[iri]), P) keeps the named-graph part visible,
+          // so re-scope to a QUAD table: default := the named graph's
+          // triples, named part unchanged
+          require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
+          val glex = TermCols.lex(col("g"))
+          val defaultPart = g.df.filter(col("g") === TermCols.const(gname) &&
+              glex =!= DefaultGraph && col("s").isNotNull)
+            .withColumn("g", TermCols.const(graft.model.Term.defaultGraph))
+          val namedPart = g.df.filter(glex =!= DefaultGraph && col("g").isNotNull)
+          DfGraph(defaultPart.union(namedPart))
       }
       comp(in, scoped)
 
@@ -854,6 +873,23 @@ object Compiler {
       Compiled(out.df.drop(t), out.certain - t, out.maybe)
     }
 
+  /** Does the body re-access the DATASET (named graphs / dataset names /
+   * FROM) rather than only the active graph? Decides whether GraphScope
+   * must keep the quad columns when re-scoping (a generic Product walk so
+   * new Op nodes are covered by default). SERVICE bodies evaluate against
+   * their own endpoint's dataset, so a hit inside one over-triggers
+   * harmlessly (the quad columns are merely kept). */
+  private def usesDataset(op: Op): Boolean = op match {
+    case QuadBgp(_, _) | GraphScope(_, _) | GraphVarEnum(_, _) |
+         DatasetNames(_) | DatasetClause(_, _, _) => true
+    case p: Product => p.productIterator.exists {
+      case o: Op => usesDataset(o)
+      case s: Seq[_] => s.exists { case o: Op => usesDataset(o); case _ => false }
+      case Some(o: Op) => usesDataset(o)
+      case _ => false
+    }
+  }
+
   /** Does this RHS shape observe per-left-row evaluation (vs evaluating
    * identically for every left row)? Decides whether [[lateral]] must
    * materialize a per-left-row tag. */
@@ -1163,14 +1199,9 @@ object PathEval {
    * exactly like BGPs, so on a quad table only default-graph rows (and no
    * empty-graph marker rows) participate — without this filter a
    * top-level path would traverse NAMED-graph edges (caught by the quad
-   * differential gate). */
-  private def activeTriples(g: GraphSource): DataFrame = {
-    val df = g.df
-    if (df.columns.contains("g"))
-      df.filter((TermCols.lex(col("g")) === Compiler.DefaultGraph ||
-          col("g").isNull) && col("s").isNotNull)
-    else df
-  }
+   * differential gate). Shares the Bgp scan's definition. */
+  private def activeTriples(g: GraphSource): DataFrame =
+    Compiler.defaultGraphTriples(g.df)
 
   /** All (src, dst) term pairs connected by `path`. Over a store snapshot,
    * a plain link scans the POS layout with the predicate pushed down (the

@@ -143,24 +143,26 @@ class DifferentialSpec extends AnyFunSuite {
         }
       case DatasetNames(gp) =>
         val names = g.quads.map(_.g).filter(_ != Term.defaultGraph).distinct
-        names.flatMap { n =>
-          gp match {
-            case TAny => Some(Map.empty: Sol)
-            case TConst(t) => if (t == n) Some(Map.empty: Sol) else None
-            case TVar(v) => Some(Map(v -> n))
-          }
+        gp match {
+          // GRAPH <g> {} / GRAPH [] {} are existence gates: one unit row
+          case TAny => if (names.nonEmpty) Seq(Map.empty: Sol) else Nil
+          case TConst(t) =>
+            if (names.contains(t)) Seq(Map.empty: Sol) else Nil
+          case TVar(v) => names.map(n => Map(v -> n): Sol)
         }
       case GraphScope(gn, body) =>
-        // body evaluates against the NAMED graph's triples as the active graph
+        // GRAPH changes the ACTIVE graph only — the dataset's named part
+        // stays visible to nested GRAPH/dataset operators (SPARQL 18.5
+        // eval(D(D[iri]), P))
         val scoped = g.quads.filter(_.g == gn).map(q => Triple(q.s, q.p, q.o))
-        eval(body, GData(scoped, Nil), x)
+        eval(body, GData(scoped, g.quads), x)
       case GraphVarEnum(v, body) =>
         // §18.5: union over named graphs gn of Join(eval(D[gn], body), {v→gn});
         // v is NOT visible inside body — a body binding the name joins here
         val names = g.quads.map(_.g).filter(_ != Term.defaultGraph).distinct
         names.flatMap { gn =>
           val scoped = g.quads.filter(_.g == gn).map(q => Triple(q.s, q.p, q.o))
-          eval(body, GData(scoped, Nil), x).flatMap { m =>
+          eval(body, GData(scoped, g.quads), x).flatMap { m =>
             if (m.get(v).forall(_ == gn)) Some(m + (v -> gn)) else None
           }
         }
@@ -170,11 +172,33 @@ class DifferentialSpec extends AnyFunSuite {
         def evalLat(rr: Op, m1: Sol): Seq[Sol] = rr match {
           case Slice(off, lim, Order(keys, rb)) =>
             val merged = eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _)
-            val sorted = merged.sortBy(m => keys.map(k => localKey(m.get(k.v))))(
-              Ordering.Implicits.seqOrdering(keyOrd))
-            sorted.slice(off.toInt, off.toInt + lim.toInt)
+            // honor per-key direction (the generator emits ASC-only, but
+            // the oracle must not silently mis-rank if that changes)
+            val ord = new Ordering[Sol] {
+              def compare(a: Sol, b: Sol): Int =
+                keys.iterator.map { k =>
+                  val c = keyOrd.compare(localKey(a.get(k.v)), localKey(b.get(k.v)))
+                  if (k.ascending) c else -c
+                }.find(_ != 0).getOrElse(0)
+            }
+            merged.sorted(ord).slice(off.toInt, off.toInt + lim.toInt)
+          case Slice(_, _, _) =>
+            // a per-left-row cut of UNORDERED rows is implementation-
+            // arbitrary — the oracle refuses rather than guessing
+            sys.error("lateral oracle: Slice without a full-key Order")
           case Distinct(rb) =>
             eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _).distinct
+          case Group(keys, aggs, rb) if keys.nonEmpty =>
+            // per-left-row KEYED aggregation (Compiler.lat Group case:
+            // group by left cols + keys over the compatible merged rows)
+            val ms = eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _)
+            ms.groupBy(m => keys.flatMap(k => m.get(k).map(k -> _)).toMap)
+              .toSeq.map { case (key, members) =>
+                m1 ++ key ++ aggs.flatMap { case (n, a) =>
+                  x.evalAgg(a, members).map(n -> _) }
+              }
+          case Group(_, _, _) =>
+            sys.error("lateral oracle: keyless per-left-row Group not mirrored")
           case rb =>
             eval(rb, g, x).filter(compatible(m1, _)).map(m1 ++ _)
         }
@@ -524,8 +548,11 @@ class DifferentialSpec extends AnyFunSuite {
                  else TConst(genGraphName(rnd))
         (DatasetNames(gp), Seq(gp).collect { case TVar(n) => n })
       case 2 =>
-        val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
-        (GraphScope(genGraphName(rnd), Bgp(pats)), pats.flatMap(_.vars).distinct)
+        // body may itself contain GRAPH/dataset leaves: nested GRAPH
+        // keeps the dataset's named part visible (quad-preserving
+        // GraphScope re-scope)
+        val (body, vs) = genOp(rnd, x, if (rnd.nextBoolean()) 1 else 0)
+        (GraphScope(genGraphName(rnd), body), vs)
       case _ =>
         val v = varPool(rnd.nextInt(varPool.size))
         val pats = (0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd))
@@ -683,11 +710,15 @@ class DifferentialSpec extends AnyFunSuite {
 
   // ------------------------------------------------ SPARQL text renderer
 
-  private def rTerm(t: Term): String = t.kind match {
-    case Term.KIND_IRI => s"<${t.lex}>"
-    case _ if t.dt == Term.XSD_INTEGER => t.lex
-    case _ if t.dt == Term.XSD_STRING => "\"" + t.lex + "\""
-    case _ => "\"" + t.lex + "\"^^<" + t.dt + ">"
+  private def rTerm(t: Term): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r")
+    t.kind match {
+      case Term.KIND_IRI => s"<${t.lex}>"
+      case _ if t.dt == Term.XSD_INTEGER => t.lex
+      case _ if t.dt == Term.XSD_STRING => "\"" + esc(t.lex) + "\""
+      case _ => "\"" + esc(t.lex) + "\"^^<" + t.dt + ">"
+    }
   }
   private def rPat(p: TermPat): String = p match {
     case TVar(n) => s"?$n"
@@ -1007,11 +1038,42 @@ class DifferentialSpec extends AnyFunSuite {
       val g = genGraph(rnd)
       val (l, lv) = genOp(rnd, x, depth = 1)
       val (rb, rvs) = genOp(rnd, x, depth = 1)
-      val r = rnd.nextInt(3) match {
+      // the oracle mirrors per-left-row Slice/Group only at the RHS TOP;
+      // nested inside rb they would not commute with the compatibility
+      // filter (global-then-filter ≠ per-row) — skip those rbs. Distinct
+      // commutes (filter-then-distinct ≡ distinct-then-filter).
+      def hasGroupOrSlice(o: Op): Boolean = o match {
+        case Group(_, _, _) | Slice(_, _, _) => true
+        case p: Product => p.productIterator.exists {
+          case oo: Op => hasGroupOrSlice(oo)
+          case s: Seq[_] => s.exists { case oo: Op => hasGroupOrSlice(oo); case _ => false }
+          case Some(oo: Op) => hasGroupOrSlice(oo)
+          case _ => false
+        }
+      }
+      if (hasGroupOrSlice(rb)) ()
+      else {
+      val r = rnd.nextInt(4) match {
         case 0 if rvs.nonEmpty =>
           Slice(rnd.nextInt(2), 1 + rnd.nextInt(2),
             Order(rvs.sorted.map(v => SortKey(v, ascending = true)), rb))
         case 1 => Distinct(rb)
+        case 2 if rvs.size >= 2 && rvs.intersect(lv).size <= 1 =>
+          // per-left-row keyed aggregation at the RHS top. Correlation is
+          // restricted to the KEY var: in SPARQL text a lateral subquery
+          // can only correlate through PROJECTED vars (non-projected
+          // inner vars are renamed fresh), so a body var that is both
+          // left-bound and aggregated has no text counterpart and its
+          // algebra semantics is unspecified — not generated.
+          val key = rvs.intersect(lv).headOption
+            .getOrElse(rvs(rnd.nextInt(rvs.size)))
+          val cv = rvs(rnd.nextInt(rvs.size))
+          val n = (Iterator.single("n") ++ Iterator.from(2).map("n" + _))
+            .find(c => !rvs.contains(c) && !lv.contains(c)).get
+          val a = x.agg(s"COUNT(?$cv)",
+            RowExpr(rr => TC.intTerm(org.apache.spark.sql.functions.count(rr(cv)))),
+            ms => Some(int(ms.count(_.contains(cv)))))
+          Group(Seq(key), Seq(n -> a), rb)
         case _ => rb
       }
       // a BIND in the RHS onto a var the left binds is a SPARQL scope
@@ -1053,6 +1115,7 @@ class DifferentialSpec extends AnyFunSuite {
         case e: Exception =>
           failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  " +
             s"Lateral(${showOp(l, x)}, ${showOp(r, x)})"
+      }
       }
       }
     }
