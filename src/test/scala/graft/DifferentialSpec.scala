@@ -1124,6 +1124,82 @@ class DifferentialSpec extends AnyFunSuite {
       fs.take(6).mkString("\n"))
   }
 
+  /** SPARQL Update differential: random `DELETE {…} INSERT {…} WHERE {…}`
+   * requests (templates over the body's vars incl. maybe-bound ones,
+   * constants, var predicates) against `Update.run`, compared with the
+   * spec evaluation: WHERE once over the ORIGINAL graph, instantiate
+   * templates per solution (unbound-var and ill-formed instantiations
+   * dropped — literal subjects, non-IRI predicates), apply deletes then
+   * inserts, set semantics (UpdateEngineWorker.java:342,370). */
+  test("differential: SPARQL Update on 25 random requests") {
+    val failures = Seq.newBuilder[String]
+    var executed = 0
+    textMode = true
+    try (0 until 25).foreach { i =>
+      val rnd = new Random(0x0bd8 + i)
+      val x = new DExprs
+      val g = genGraph(rnd)
+      val (body, vs) = genOp(rnd, x, depth = 1 + i % 2)
+      render(body, x).foreach { bodyText =>
+        def tpl(): TriplePattern = {
+          def s = if (vs.nonEmpty && rnd.nextBoolean()) TVar(vs(rnd.nextInt(vs.size)))
+                  else TConst(iri("s" + rnd.nextInt(5)))
+          def p = if (vs.nonEmpty && rnd.nextInt(4) == 0) TVar(vs(rnd.nextInt(vs.size)))
+                  else TConst(iri("p" + rnd.nextInt(3)))
+          def o = if (vs.nonEmpty && rnd.nextBoolean()) TVar(vs(rnd.nextInt(vs.size)))
+                  else TConst(genTerm(rnd))
+          TriplePattern(s, p, o)
+        }
+        val delT = Seq.fill(rnd.nextInt(2) + (if (rnd.nextBoolean()) 1 else 0))(tpl())
+        val insT = Seq.fill(if (delT.isEmpty) 1 + rnd.nextInt(2) else rnd.nextInt(2))(tpl())
+        def tplText(ts: Seq[TriplePattern]) =
+          ts.map(t => s"${rPat(t.s)} ${rPat(t.p)} ${rPat(t.o)} .").mkString(" ")
+        val q = (if (delT.nonEmpty) s"DELETE { ${tplText(delT)} } " else "") +
+          (if (insT.nonEmpty) s"INSERT { ${tplText(insT)} } " else "") +
+          s"WHERE { $bodyText }"
+        // local spec evaluation
+        val sols = RefEval.eval(body, GData(g, Nil), x)
+        def ground(p: TermPat, m: Sol): Option[Term] = p match {
+          case TConst(t) => Some(t)
+          case TVar(v) => m.get(v)
+          case TAny => None
+        }
+        def inst(ts: Seq[TriplePattern]): Set[Triple] =
+          sols.flatMap(m => ts.flatMap { t =>
+            for {
+              s <- ground(t.s, m); p <- ground(t.p, m); o <- ground(t.o, m)
+              if s.kind != Term.KIND_LIT && p.kind == Term.KIND_IRI
+            } yield Triple(s, p, o)
+          }).toSet
+        val expected = (g.toSet -- inst(delT)) ++ inst(insT)
+        try {
+          val gdf = spark.createDataset(g)(
+            org.apache.spark.sql.Encoders.product[Triple]).toDF()
+          val out = graft.sparql.Update.run(gdf, q)
+          val actual = out.collect().map { r =>
+            def t(idx: Int) = {
+              val c = r.getAs[Row](idx)
+              Term(c.getByte(0), c.getString(1), c.getString(2), c.getString(3))
+            }
+            Triple(t(out.columns.indexOf("s")), t(out.columns.indexOf("p")),
+              t(out.columns.indexOf("o")))
+          }.toSet
+          executed += 1
+          if (actual != expected)
+            failures += s"[$i] MISMATCH $q\n  missing: ${(expected -- actual).take(3)}" +
+              s"\n  extra: ${(actual -- expected).take(3)}"
+        } catch {
+          case e: Exception =>
+            failures += s"[$i] UPDATE FAILED: ${e.getMessage}\n  $q"
+        }
+      }
+    } finally textMode = false
+    val fs = failures.result()
+    assert(executed >= 15, s"only $executed/25 requests executed")
+    assert(fs.isEmpty, s"${fs.size}/$executed update-differential failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
   /** ORDER BY differential: the compiled output must (a) be bag-equal to
    * the unordered oracle and (b) arrive SORTED per the local mirror of
    * the SPARQL total order (rows tying on every sort key may come in any
