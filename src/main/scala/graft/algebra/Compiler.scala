@@ -342,28 +342,7 @@ object Compiler {
 
     case Minus(l, r) => minusJoin(comp(l, g), comp(r, g))
 
-    case ExistsFlag(v, r, in) =>
-      val l = comp(in, g)
-      val rc = comp(r, g)
-      val rr = renamedRight(rc)
-      val shared = l.vars.intersect(rc.vars).toSeq.sorted
-      val mv = maybeShared(l, rc, shared)
-      val lid = tagged(l.df)
-      val matched =
-        if (mv.size <= MaxDecomposedVars)
-          compatMatches(lid, rr, l.certain, rc.certain,
-            shared.filterNot(mv.contains), mv)
-        else {
-          val cond = shared.map { sv =>
-            (col(sv) <=> col(RP + sv)) || col(sv).isNull || col(RP + sv).isNull
-          }.foldLeft(lit(true))(_ && _)
-          lid.join(rr, cond, "inner")
-        }
-      val ids = matched.select(col(LID)).distinct().withColumn("__exm", lit(true))
-      val df = lid.join(ids, Seq(LID), "left_outer")
-        .withColumn(v, TermCols.boolTerm(coalesce(col("__exm"), lit(false))))
-        .drop(LID, "__exm")
-      Compiled(df, l.certain + v, l.maybe)
+    case ExistsFlag(v, r, in) => existsFlagC(comp(in, g), comp(r, g), v)
 
     case DropVars(vs, in) =>
       val c = comp(in, g)
@@ -371,79 +350,51 @@ object Compiler {
         c.certain -- vs, c.maybe -- vs)
 
     case GraphVarEnum(gv, body) =>
-      // enumerate the dataset's named graphs (driver-side, bounded by the
-      // graph COUNT — see the Algebra node's scaladoc) and evaluate the
-      // body per graph — SPARQL 18.5: Union over g of
-      // Join(eval(D[g], P), {(var, g)}). The var is NOT visible inside
-      // the body (W3C graph-variable-scope); a body that itself binds the
-      // var joins at the boundary (compatible-binding restriction).
-      val names = namedGraphTerms(g) match {
-        // zero named graphs: one never-matching name keeps the schema and
-        // yields the (correct) empty result
-        case Seq() => Seq(Term.iri("urn:graft:no-such-graph"))
-        case ns => ns
+      // SPARQL 18.5: Union over g of Join(eval(D[g], P), {(var, g)}).
+      // SINGLE-PLAN compile (the scale path): when the body is built from
+      // graph-local operators, evaluate it ONCE over the named-quads frame
+      // with the active graph threaded as a hidden certain column — every
+      // scan binds it, every join/OPTIONAL/EXISTS keys on it (per-graph
+      // scoping for free), aggregates group by it. No driver-side graph
+      // enumeration, no N-way plan union: at one-named-graph-per-document
+      // scale (the north star's 10^12 files) this is the only shape that
+      // survives. The var is NOT visible inside the body (W3C
+      // graph-variable-scope); a body that itself binds the var joins at
+      // the boundary.
+      if (graphVarSinglePlan(body)) compGraphVar(gv, body, g)
+      else {
+        // fallback: driver-side enumeration, one GraphScope plan per
+        // graph, unioned — kept ONLY for bodies the single-plan compile
+        // cannot express (nested GRAPH / FROM / sub-SLICE / LATERAL /
+        // SERVICE), under a loud graph-count cap.
+        val cap = g.spark.conf.getOption("graft.graphVarEnumMax")
+          .map(_.toInt).getOrElse(1000)
+        val names = namedGraphTerms(g, cap) match {
+          // zero named graphs: one never-matching name keeps the schema
+          // and yields the (correct) empty result
+          case Seq() => Seq(Term.iri("urn:graft:no-such-graph"))
+          case ns => ns
+        }
+        names.map { t =>
+          val c = comp(GraphScope(t, body), g)
+          val const = TermCols.const(t)
+          val df =
+            if (c.vars(gv))
+              c.df.filter(col(gv).isNull || col(gv) === const)
+                .withColumn(gv, coalesce(col(gv), const))
+            else c.df.withColumn(gv, const)
+          Compiled(df, c.certain + gv, c.maybe - gv)
+        }.reduceLeft(unionPad)
       }
-      names.map { t =>
-        val c = comp(GraphScope(t, body), g)
-        val const = TermCols.const(t)
-        val df =
-          if (c.vars(gv))
-            c.df.filter(col(gv).isNull || col(gv) === const)
-              .withColumn(gv, coalesce(col(gv), const))
-          else c.df.withColumn(gv, const)
-        Compiled(df, c.certain + gv, c.maybe - gv)
-      }.reduceLeft(unionPad)
 
     case Lateral(l, r) => lateral(comp(l, g), r, g)
 
     case Unfold(listVar, outVar, idxVar, in) =>
-      val c = comp(in, g)
-      require(c.vars.contains(listVar), s"Unfold of unknown var $listVar")
-      val isArray = c.df.schema(listVar).dataType
-        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      val exploded =
-        if (isArray) idxVar match {
-          case Some(iv) =>
-            c.df.select(col("*"), posexplode_outer(col(listVar)).as(Seq("__i", outVar)))
-              .withColumn(iv, TermCols.intTerm(col("__i") + 1)).drop("__i")
-          case None =>
-            c.df.select(col("*"), explode_outer(col(listVar)).as(outVar))
-        } else {
-          // cdt:List / cdt:Map LITERAL (SPARQL-CDTs UNFOLD): one row per
-          // element (v, 1-based idx) or map entry (key, value); a non-CDT
-          // or malformed operand contributes no rows (plain explode)
-          val pairs = c.df.select(col("*"),
-            explode(graft.cdt.CdtFunctions.unfoldUdf(col(listVar))).as("__u"))
-          val withV1 = pairs.withColumn(outVar, col("__u._1"))
-          (idxVar match {
-            case Some(iv) => withV1.withColumn(iv, col("__u._2"))
-            case None => withV1
-          }).drop("__u")
-        }
-      Compiled(exploded.drop(listVar), c.certain - listVar,
-        c.maybe - listVar ++ Set(outVar) ++ idxVar.toSet)
+      unfoldC(comp(in, g), listVar, outVar, idxVar)
 
     case Union(l, r) => unionPad(comp(l, g), comp(r, g))
 
-    case Group(keys, aggs, in) =>
-      val c = comp(in, g)
-      if (aggs.isEmpty) {
-        // GROUP BY with no aggregates in scope — one row per group, keys
-        // only (SELECT ?s { … } GROUP BY ?s ≡ projected distinct)
-        Compiled(c.df.select(keys.map(col): _*).dropDuplicates(),
-          c.certain.intersect(keys.toSet), keys.toSet -- c.certain)
-      } else {
-        // "*" resolves to the whole visible row — COUNT(DISTINCT *)
-        // (AggCountDistinct over bindings, not a single var)
-        def res(v: String): Column =
-          if (v == "*") struct(c.df.columns.map(col): _*) else resolve(c, v)
-        val aggCols = aggs.map { case (name, e) => e(res).as(name) }
-        val out =
-          if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
-          else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        Compiled(out, c.certain.intersect(keys.toSet),
-          aggs.map(_._1).toSet ++ c.maybe.intersect(keys.toSet))
-      }
+    case Group(keys, aggs, in) => groupC(comp(in, g), keys, aggs)
 
     case Order(keys, in) =>
       val c = comp(in, g)
@@ -616,20 +567,355 @@ object Compiler {
   private def resolve(c: Compiled, v: String): Column =
     if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema)
 
+  /** Group compile over an already-compiled input (shared by [[comp]] and
+   * the single-plan GRAPH ?var body compiler [[compG]]). */
+  private def groupC(c: Compiled, keys: Seq[String],
+                     aggs: Seq[(String, RowExpr)]): Compiled =
+    if (aggs.isEmpty) {
+      // GROUP BY with no aggregates in scope — one row per group, keys
+      // only (SELECT ?s { … } GROUP BY ?s ≡ projected distinct)
+      Compiled(c.df.select(keys.map(col): _*).dropDuplicates(),
+        c.certain.intersect(keys.toSet), keys.toSet -- c.certain)
+    } else {
+      // "*" resolves to the whole visible row — COUNT(DISTINCT *)
+      // (AggCountDistinct over bindings, not a single var)
+      def res(v: String): Column =
+        if (v == "*") struct(c.df.columns.map(col): _*) else resolve(c, v)
+      val aggCols = aggs.map { case (name, e) => e(res).as(name) }
+      val out =
+        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+        else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      Compiled(out, c.certain.intersect(keys.toSet),
+        aggs.map(_._1).toSet ++ c.maybe.intersect(keys.toSet))
+    }
+
+  /** UNFOLD compile over an already-compiled input (shared by [[comp]]
+   * and [[compG]]). */
+  private def unfoldC(c: Compiled, listVar: String, outVar: String,
+                      idxVar: Option[String]): Compiled = {
+    require(c.vars.contains(listVar), s"Unfold of unknown var $listVar")
+    val isArray = c.df.schema(listVar).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val exploded =
+      if (isArray) idxVar match {
+        case Some(iv) =>
+          c.df.select(col("*"), posexplode_outer(col(listVar)).as(Seq("__i", outVar)))
+            .withColumn(iv, TermCols.intTerm(col("__i") + 1)).drop("__i")
+        case None =>
+          c.df.select(col("*"), explode_outer(col(listVar)).as(outVar))
+      } else {
+        // cdt:List / cdt:Map LITERAL (SPARQL-CDTs UNFOLD): one row per
+        // element (v, 1-based idx) or map entry (key, value); a non-CDT
+        // or malformed operand contributes no rows (plain explode)
+        val pairs = c.df.select(col("*"),
+          explode(graft.cdt.CdtFunctions.unfoldUdf(col(listVar))).as("__u"))
+        val withV1 = pairs.withColumn(outVar, col("__u._1"))
+        (idxVar match {
+          case Some(iv) => withV1.withColumn(iv, col("__u._2"))
+          case None => withV1
+        }).drop("__u")
+      }
+    Compiled(exploded.drop(listVar), c.certain - listVar,
+      c.maybe - listVar ++ Set(outVar) ++ idxVar.toSet)
+  }
+
+  /** Expression-level EXISTS flag over compiled left/right (shared by
+   * [[comp]] and [[compG]] — in the latter both sides carry the hidden
+   * graph column as a certain shared var, scoping the match per graph). */
+  private def existsFlagC(l: Compiled, rc: Compiled, v: String): Compiled = {
+    val rr = renamedRight(rc)
+    val shared = l.vars.intersect(rc.vars).toSeq.sorted
+    val mv = maybeShared(l, rc, shared)
+    val lid = tagged(l.df)
+    val matched =
+      if (mv.size <= MaxDecomposedVars)
+        compatMatches(lid, rr, l.certain, rc.certain,
+          shared.filterNot(mv.contains), mv)
+      else {
+        val cond = shared.map { sv =>
+          (col(sv) <=> col(RP + sv)) || col(sv).isNull || col(RP + sv).isNull
+        }.foldLeft(lit(true))(_ && _)
+        lid.join(rr, cond, "inner")
+      }
+    val ids = matched.select(col(LID)).distinct().withColumn("__exm", lit(true))
+    val df = lid.join(ids, Seq(LID), "left_outer")
+      .withColumn(v, TermCols.boolTerm(coalesce(col("__exm"), lit(false))))
+      .drop(LID, "__exm")
+    Compiled(df, l.certain + v, l.maybe)
+  }
+
   /** Distinct NAMED graph names of the dataset (driver-side; bounded by
-   * the graph count). Sorted for deterministic union order. */
-  private def namedGraphTerms(g: GraphSource): Seq[Term] = {
-    val names: DataFrame = g match {
-      case qsg: QuadSnapshotGraph => qsg.df.select(col("g"))
+   * `cap` — the collect FAILS LOUDLY past it rather than OOM the driver).
+   * Sorted for deterministic union order. */
+  private def namedGraphTerms(g: GraphSource, cap: Int = Int.MaxValue): Seq[Term] = {
+    val rows = namedGraphNamesDf(g).limit(math.min(cap.toLong + 1, Int.MaxValue).toInt)
+      .collect()
+    if (rows.length > cap) throw new IllegalStateException(
+      s"GRAPH ?var enumeration fallback over > $cap named graphs — this " +
+        "body shape compiles per-graph on the driver and cannot scale to " +
+        "many graphs. Simplify the GRAPH body to the single-plan subset " +
+        "(BGP/path/join/optional/filter/union/group) or raise " +
+        "spark.conf graft.graphVarEnumMax explicitly.")
+    rows.map { r =>
+      val x = r.getStruct(0)
+      graft.model.Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
+    }.toSeq.sortBy(t => (t.kind, t.lex))
+  }
+
+  // ---- single-plan GRAPH ?var compile (the scale path) ----------------
+
+  /** Hidden active-graph column threaded through [[compG]] — certain in
+   * every sub-result, never visible to the query (guarded in
+   * [[graphVarSinglePlan]]). */
+  private val AGV = "__activeg"
+
+  /** The dataset's NAMED quads as a (g, s, p, o) term-struct frame.
+   * Empty-graph marker rows (s NULL) are KEPT — name enumeration needs
+   * them; triple-level consumers filter s.isNotNull / on p. */
+  private[algebra] def namedQuadsDf(g: GraphSource): DataFrame = {
+    val base = g match {
+      case qsg: QuadSnapshotGraph => qsg.df
       case _ =>
         require(hasGraphCol(g.df), "GRAPH needs a quad table (g column)")
-        g.df.select(col("g"))
+        g.df
     }
-    names.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
-      .distinct().collect().map { r =>
-        val x = r.getStruct(0)
-        graft.model.Term(x.getByte(0), x.getString(1), x.getString(2), x.getString(3))
-      }.toSeq.sortBy(t => (t.kind, t.lex))
+    base.filter(TermCols.lex(col("g")) =!= DefaultGraph && col("g").isNotNull)
+      .select(col("g"), col("s"), col("p"), col("o"))
+  }
+
+  /** Distinct named-graph names as a DISTRIBUTED frame (column `g`). */
+  private def namedGraphNamesDf(g: GraphSource): DataFrame =
+    namedQuadsDf(g).select(col("g")).distinct()
+
+  /** Is `body` expressible by the single-plan GRAPH ?var compile? True
+   * only for graph-local operators: scans bind the hidden graph column,
+   * binary ops key on it, per-row ops ignore it. Excluded (→ enumeration
+   * fallback): dataset re-access (nested GRAPH / QuadBgp / FROM /
+   * DatasetNames / SERVICE), per-group-sensitive Slice, LATERAL, and the
+   * escape hatches (ExtOp/GraphOp see raw frames). */
+  private def graphVarSinglePlan(op: Op): Boolean = {
+    def ok(o: Op): Boolean = o match {
+      case Bgp(_) | PathPattern(_, _, _) | Table(_, _) | Null => true
+      case Join(a, b) => ok(a) && ok(b)
+      case LeftJoin(a, b, _) => ok(a) && ok(b)
+      case Union(a, b) => ok(a) && ok(b)
+      case SemiJoin(a, b) => ok(a) && ok(b)
+      case AntiJoin(a, b) => ok(a) && ok(b)
+      case Minus(a, b) => ok(a) && ok(b)
+      case ExistsFlag(_, r, in) => ok(r) && ok(in)
+      case Filter(_, in) => ok(in)
+      case Extend(_, _, in) => ok(in)
+      case Project(_, in) => ok(in)
+      case DropVars(_, in) => ok(in)
+      case Distinct(in) => ok(in)
+      case Reduced(in) => ok(in)
+      case Group(_, _, in) => ok(in)
+      case Order(_, in) => ok(in)
+      case Unfold(_, _, _, in) => ok(in)
+      case Label(_, in) => ok(in)
+      case _ => false
+    }
+    ok(op) && !opVisibleVars(op).contains(AGV)
+  }
+
+  /** GRAPH ?var as ONE plan: compile the body with [[compG]] (active
+   * graph = hidden certain column), then surface the column as the graph
+   * variable — joining when the body itself binds the var (SPARQL 18.5
+   * boundary restriction, same as the enumeration fallback). */
+  private def compGraphVar(gv: String, body: Op, g: GraphSource): Compiled = {
+    val c = compG(body, g)
+    if (c.vars(gv)) {
+      val df = c.df.filter(col(gv).isNull || col(gv) === col(AGV))
+        .withColumn(gv, coalesce(col(gv), col(AGV))).drop(AGV)
+      Compiled(df, (c.certain - AGV) + gv, c.maybe - gv)
+    } else
+      Compiled(c.df.withColumnRenamed(AGV, gv), (c.certain - AGV) + gv, c.maybe)
+  }
+
+  /** Body compiler for the single-plan GRAPH ?var: mirrors [[comp]] over
+   * the supported subset with the invariant that EVERY result carries the
+   * hidden [[AGV]] column as a certain var — scans bind it from the quad
+   * frame, so the shared-var join machinery scopes joins / OPTIONAL /
+   * EXISTS / NOT EXISTS to the same graph automatically; grouping adds it
+   * as a key (per-graph aggregation); graph-independent leaves (VALUES)
+   * cross-join the distributed name frame (per-graph bag semantics). */
+  private def compG(op: Op, g: GraphSource): Compiled = op match {
+    case Bgp(patterns) =>
+      require(patterns.nonEmpty, "empty BGP")
+      comp(QuadBgp(TVar(AGV), patterns), g)
+
+    case PathPattern(s0, path, o0) =>
+      val nq = namedQuadsDf(g)
+      var prs = PathEval.pairsG(nq, path) // (g, src, dst)
+      if (PathEval.allowsZero(path)) {
+        // zero-length const endpoints match themselves in EVERY named
+        // graph (per-graph twin of the PathPattern zero augmentation)
+        val consts = Seq(s0, o0).collect { case TConst(t) => t }.distinct
+        consts.foreach { t =>
+          prs = prs.union(namedGraphNamesDf(g).select(col("g"),
+            TermCols.const(t).as("src"), TermCols.const(t).as("dst")))
+        }
+        if (consts.nonEmpty) prs = prs.distinct()
+      }
+      bindPairG(prs, s0, o0)
+
+    case Table(vars, rows) =>
+      // VALUES is graph-independent: per-graph semantics yield the table
+      // once PER named graph — the tiny table broadcasts over the
+      // distributed name frame (never a driver enumeration)
+      val vt = valuesTable(g.spark, vars, rows)
+      Compiled(namedGraphNamesDf(g).select(col("g").as(AGV))
+          .crossJoin(broadcast(vt.df)),
+        vt.certain + AGV, vt.maybe)
+
+    case Null =>
+      Compiled(g.spark.range(0)
+          .select(lit(null).cast(TermCols.schema).as(AGV), lit(1).as("__unit")),
+        Set(AGV), Set.empty)
+
+    case Project(vars, in) =>
+      val c = compG(in, g)
+      val keep = vars :+ AGV
+      Compiled(c.df.select(keep.map(v =>
+          if (c.vars(v) || v == AGV) col(v)
+          else lit(null).cast(TermCols.schema).as(v)): _*),
+        c.certain.intersect(keep.toSet), vars.toSet -- c.certain)
+
+    case Filter(cond, in) =>
+      val c = compG(in, g)
+      Compiled(c.df.filter(cond(v => resolve(c, v))), c.certain, c.maybe)
+
+    case Extend(name, expr, in) =>
+      val c = compG(in, g)
+      require(!c.vars.contains(name), s"Extend onto bound var $name")
+      Compiled(c.df.withColumn(name, expr(v => resolve(c, v))),
+        c.certain, c.maybe + name)
+
+    case Join(l, r) => join(compG(l, g), compG(r, g), "inner")
+    case LeftJoin(l, r, cond) => leftJoin(compG(l, g), compG(r, g), cond)
+    case SemiJoin(l, r) => halfJoin(compG(l, g), compG(r, g), "left_semi")
+    case AntiJoin(l, r) => halfJoin(compG(l, g), compG(r, g), "left_anti")
+    case Minus(l, r) => minusJoinG(compG(l, g), compG(r, g))
+    case ExistsFlag(v, r, in) => existsFlagC(compG(in, g), compG(r, g), v)
+    case Union(l, r) => unionPad(compG(l, g), compG(r, g))
+
+    case DropVars(vs, in) =>
+      val c = compG(in, g)
+      val safe = vs.filterNot(_ == AGV)
+      Compiled(c.df.drop(safe.filter(c.vars.contains): _*),
+        c.certain -- safe, c.maybe -- safe)
+
+    case Distinct(in) =>
+      val c = compG(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+    case Reduced(in) =>
+      val c = compG(in, g); Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
+
+    case Group(keys, aggs, in) =>
+      // per-graph grouping: the active graph is always a key
+      val c = compG(in, g)
+      val grouped = groupC(c, keys :+ AGV, aggs)
+      if (keys.nonEmpty || aggs.isEmpty) grouped
+      else {
+        // keyless aggregate: per-graph evaluation yields EXACTLY ONE row
+        // per named graph — including graphs whose body result is empty
+        // (COUNT()=0 over the empty group; W3C aggregates "singleton"
+        // case). groupBy(AGV) alone would drop those graphs, so pad the
+        // missing ones with the zero-group row: the same aggregate
+        // expressions evaluated over an EMPTY input (which is exactly
+        // what the top-level keyless Group compiles to).
+        val names = namedGraphNamesDf(g).select(col("g").as(AGV))
+        val empty = c.df.limit(0)
+        def res(v: String): Column =
+          if (v == "*") struct(empty.columns.map(col): _*)
+          else if (c.vars(v)) col(v) else lit(null).cast(TermCols.schema)
+        val zeroRow = empty.agg(aggs.head._2(res).as(aggs.head._1),
+          aggs.tail.map { case (n, e) => e(res).as(n) }: _*)
+        val missing = names
+          .join(grouped.df.select(col(AGV)), Seq(AGV), "left_anti")
+          .crossJoin(broadcast(zeroRow))
+        Compiled(grouped.df.unionByName(missing), grouped.certain, grouped.maybe)
+      }
+
+    case Order(keys, in) =>
+      val c = compG(in, g)
+      val sortCols = keys.map { k =>
+        val sk = TermCols.sortKey(resolve(c, k.v))
+        if (k.ascending) sk.asc else sk.desc
+      }
+      Compiled(c.df.orderBy(sortCols: _*), c.certain, c.maybe)
+
+    case Unfold(listVar, outVar, idxVar, in) =>
+      unfoldC(compG(in, g), listVar, outVar, idxVar)
+
+    case Label(_, in) => compG(in, g)
+
+    case other => throw new IllegalStateException(
+      s"compG: unsupported node $other — graphVarSinglePlan out of sync")
+  }
+
+  /** Per-graph MINUS: [[AGV]] scopes the anti-join to the same graph but
+   * is NOT a query-shared var — the ≥1-both-bound-shared-var rule
+   * (OpExecutor.java:267–277) applies to the DATA vars only, so two
+   * patterns sharing no query variables still remove nothing. */
+  private def minusJoinG(l: Compiled, r: Compiled): Compiled = {
+    val shared = (l.vars.intersect(r.vars) - AGV).toSeq.sorted
+    if (shared.isEmpty) return l
+    val rr = renamedRight(r)
+    val mv = maybeShared(l, r, shared)
+    val agvEq = col(AGV) === col(RP + AGV)
+    if (mv.isEmpty) {
+      val cond = shared.map(v => col(v) === col(RP + v)).reduce(_ && _) && agvEq
+      Compiled(l.df.join(rr, cond, "left_anti"), l.certain, l.maybe)
+    } else if (mv.size <= MaxDecomposedVars) {
+      val lid = tagged(l.df)
+      val certainKeys = shared.filterNot(mv.contains)
+      val matchedIds = compatMatches(lid, rr, l.certain, r.certain,
+        certainKeys, mv, requireBothBound = true, extraKeys = Seq(AGV))
+        .select(col(LID)).distinct()
+      Compiled(lid.join(matchedIds, Seq(LID), "left_anti").drop(LID),
+        l.certain, l.maybe)
+    } else {
+      val compat = shared.map { v =>
+        (col(v) <=> col(RP + v)) || col(v).isNull || col(RP + v).isNull
+      }.reduce(_ && _)
+      val anyBothBound = shared.map { v =>
+        col(v).isNotNull && col(RP + v).isNotNull
+      }.reduce(_ || _)
+      Compiled(l.df.join(rr, compat && anyBothBound && agvEq, "left_anti"),
+        l.certain, l.maybe)
+    }
+  }
+
+  /** Bind a (g, src, dst) pair frame against a path pattern's s/o slots,
+   * keeping the graph column as [[AGV]] — the per-graph twin of
+   * [[bindPair]] (same bag semantics). */
+  private def bindPairG(pairs: DataFrame, s: TermPat, o: TermPat): Compiled = {
+    var df = pairs
+    s match {
+      case TConst(t) => df = df.filter(col("src") === TermCols.const(t))
+      case _ =>
+    }
+    o match {
+      case TConst(t) => df = df.filter(col("dst") === TermCols.const(t))
+      case _ =>
+    }
+    val ag = col("g").as(AGV)
+    (s, o) match {
+      case (TVar(a), TVar(b)) if a == b =>
+        Compiled(df.filter(col("src") === col("dst"))
+            .select(ag, col("src").as(a)), Set(AGV, a), Set.empty)
+      case (TVar(a), TVar(b)) =>
+        Compiled(df.select(ag, col("src").as(a), col("dst").as(b)),
+          Set(AGV, a, b), Set.empty)
+      case (TVar(a), _) =>
+        Compiled(df.select(ag, col("src").as(a)), Set(AGV, a), Set.empty)
+      case (_, TVar(b)) =>
+        Compiled(df.select(ag, col("dst").as(b)), Set(AGV, b), Set.empty)
+      case _ =>
+        // both const: per-graph existence gate — one row per graph where
+        // the pair holds (the per-graph twin of bindPair's limit(1))
+        Compiled(df.select(ag).distinct(), Set(AGV), Set.empty)
+    }
   }
 
   /** SPARQL bag union with unbound padding for one-sided vars. */
@@ -763,7 +1049,8 @@ object Compiler {
   private def compatMatches(ldf: DataFrame, rdf: DataFrame,
                             lCertain: Set[String], rCertain: Set[String],
                             certainKeys: Seq[String], maybeVars: Seq[String],
-                            requireBothBound: Boolean = false): DataFrame = {
+                            requireBothBound: Boolean = false,
+                            extraKeys: Seq[String] = Nil): DataFrame = {
     val cases0 = maybeVars.foldLeft(Seq(Seq.empty[Int])) { (acc, v) =>
       val ks = Seq(0) ++ (if (!lCertain(v)) Seq(1) else Nil) ++
         (if (!rCertain(v)) Seq(2) else Nil)
@@ -779,7 +1066,10 @@ object Compiler {
     cases.map { c =>
       var lf = ldf
       var rf = rdf
-      var keys = certainKeys
+      // extraKeys (per-graph scoping) join like certain keys but are NOT
+      // ≥1-both-bound witnesses — the requireBothBound filter above reads
+      // certainKeys only
+      var keys = extraKeys ++ certainKeys
       maybeVars.zip(c).foreach { case (v, k) => k match {
         case 0 =>
           lf = lf.filter(col(v).isNotNull); rf = rf.filter(col(RP + v).isNotNull)
@@ -882,12 +1172,17 @@ object Compiler {
   private def usesDataset(op: Op): Boolean = op match {
     case QuadBgp(_, _) | GraphScope(_, _) | GraphVarEnum(_, _) |
          DatasetNames(_) | DatasetClause(_, _, _) => true
-    case p: Product => p.productIterator.exists {
-      case o: Op => usesDataset(o)
-      case s: Seq[_] => s.exists { case o: Op => usesDataset(o); case _ => false }
-      case Some(o: Op) => usesDataset(o)
-      case _ => false
-    }
+    case p: Product =>
+      // walk ANY nested structure (tuples, Options, collections) so an Op
+      // child of a future algebra node is found no matter how it is
+      // stored — a missed child would silently under-scope GraphScope
+      def walk(x: Any): Boolean = x match {
+        case o: Op => usesDataset(o)
+        case q: Product => q.productIterator.exists(walk)
+        case it: Iterable[_] => it.exists(walk)
+        case _ => false
+      }
+      p.productIterator.exists(walk)
   }
 
   /** Does this RHS shape observe per-left-row evaluation (vs evaluating
@@ -1295,5 +1590,100 @@ object PathEval {
       .union(at.select(col("o").as("n")))
       .filter(col("n").isNotNull).distinct()
     n.select(col("n").as("src"), col("n").as("dst"))
+  }
+
+  // ---- graph-threaded variant (single-plan GRAPH ?var) ----------------
+
+  /** All (g, src, dst) pairs connected by `path` WITHIN each named graph
+   * of `nq` (a (g, s, p, o) named-quads frame — marker rows tolerated:
+   * every case filters on p or s). One plan for ALL graphs: joins key on
+   * (g, node), closures pack (g, node) into the closure's node so a walk
+   * can never cross graphs — the shape that survives one-graph-per-
+   * document scale, where per-graph plan enumeration cannot. */
+  def pairsG(nq: DataFrame, path: Path): DataFrame = path match {
+    case PLink(iri) =>
+      nq.filter(TermCols.isIri(col("p")) && TermCols.lex(col("p")) === iri)
+        .select(col("g"), col("s").as("src"), col("o").as("dst"))
+    case PNegPropSet(fwd, inv) =>
+      def dirScan(excluded: Seq[String], reversed: Boolean): DataFrame = {
+        val base = nq.filter(TermCols.isIri(col("p")) &&
+          !TermCols.lex(col("p")).isin(excluded: _*))
+        if (reversed) base.select(col("g"), col("o").as("src"), col("s").as("dst"))
+        else base.select(col("g"), col("s").as("src"), col("o").as("dst"))
+      }
+      (fwd.nonEmpty, inv.nonEmpty) match {
+        case (_, false) => dirScan(fwd, reversed = false)
+        case (false, true) => dirScan(inv, reversed = true)
+        case (true, true) =>
+          dirScan(fwd, reversed = false).union(dirScan(inv, reversed = true))
+      }
+    case PInverse(p) =>
+      pairsG(nq, p).select(col("g"), col("dst").as("src"), col("src").as("dst"))
+    case PAlt(a, b) => pairsG(nq, a).union(pairsG(nq, b))
+    case PSeq(a, b) =>
+      val l = pairsG(nq, a).select(col("g"), col("src"), col("dst").as("__mid"))
+      val r = pairsG(nq, b)
+        .select(col("g").as("__g2"), col("src").as("__mid2"), col("dst"))
+      l.join(r, col("g") === col("__g2") && col("__mid") === col("__mid2"))
+        .select(col("g"), col("src"), col("dst"))
+    case POneOrMore(p) => closureG(pairsG(nq, p))
+    case PZeroOrMore(p) =>
+      closureG(pairsG(nq, p)).union(allNodesG(nq)).distinct()
+    case PZeroOrOne(p) =>
+      pairsG(nq, p).union(allNodesG(nq)).distinct()
+    case PFixedLength(p, n) =>
+      require(n >= 1, "PFixedLength n must be >= 1")
+      val base = pairsG(nq, p)
+      (2 to n).foldLeft(base) { (acc, _) =>
+        acc.select(col("g"), col("src"), col("dst").as("__m"))
+          .join(base.select(col("g").as("__g2"), col("src").as("__m2"), col("dst")),
+            col("g") === col("__g2") && col("__m") === col("__m2"))
+          .select(col("g"), col("src"), col("dst"))
+      }
+    case PMod(p, min, max) =>
+      require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+      if (max < 0) {
+        val head =
+          if (min == 0) allNodesG(nq)
+          else pairsG(nq, PFixedLength(p, min))
+        val star = pairsG(nq, PZeroOrMore(p))
+        head.select(col("g"), col("src"), col("dst").as("__m"))
+          .join(star.select(col("g").as("__g2"), col("src").as("__m2"), col("dst")),
+            col("g") === col("__g2") && col("__m") === col("__m2"))
+          .select(col("g"), col("src"), col("dst")).distinct()
+      } else {
+        val parts = (math.max(min, 1) to max).map(k => pairsG(nq, PFixedLength(p, k)))
+        val fixed =
+          if (parts.isEmpty) allNodesG(nq)
+          else parts.reduce(_ union _)
+        val withZero = if (min == 0) fixed.union(allNodesG(nq)) else fixed
+        withZero.distinct()
+      }
+    case PDistinct(p) => pairsG(nq, p).distinct()
+    case PMulti(p) => pairsG(nq, p)
+    case PShortest(p) =>
+      throw new UnsupportedOperationException(
+        s"P_Shortest is not implemented (matching the reference): $p")
+  }
+
+  /** Per-graph transitive closure in ONE distributed loop: the graph name
+   * rides inside the closure's node — struct(g, n) — so frontier joins
+   * can only extend walks within a single graph. */
+  private def closureG(edges: DataFrame): DataFrame = {
+    val packed = edges.select(
+      struct(col("g").as("g"), col("src").as("n")).as("src"),
+      struct(col("g").as("g"), col("dst").as("n")).as("dst"))
+    Graphs.transitiveClosure(packed)
+      .select(col("src.g").as("g"), col("src.n").as("src"), col("dst.n").as("dst"))
+  }
+
+  /** Per-graph zero-length node set: (g, n, n) for every term occurring
+   * as subject or object in graph g. */
+  private def allNodesG(nq: DataFrame): DataFrame = {
+    val t = nq.filter(col("s").isNotNull)
+    val n = t.select(col("g"), col("s").as("n"))
+      .union(t.select(col("g"), col("o").as("n")))
+      .filter(col("n").isNotNull).distinct()
+    n.select(col("g"), col("n").as("src"), col("n").as("dst"))
   }
 }

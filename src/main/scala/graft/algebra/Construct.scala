@@ -24,12 +24,29 @@ import graft.model.Term
  */
 object Construct {
 
+  /** Tag each solution row with `__row` and PIN the assignment with an
+   * eager localCheckpoint whenever more than one consumer exists: the
+   * tagged frame is unioned across N template-pattern branches, and
+   * `monotonically_increasing_id` is partition-order-dependent — a task
+   * retry or AQE re-plan between branches could otherwise assign
+   * DIFFERENT ids to the same solution row, silently breaking
+   * cross-pattern bnode co-reference (and recomputing the solutions
+   * subplan N×). Single-branch bnode-free templates never read `__row`,
+   * so they skip the materialization. Same device as Compiler.tagged. */
+  private def rowTagged(solutions: DataFrame, branches: Int,
+                        hasBnodes: Boolean): DataFrame = {
+    val tagged = solutions.withColumn("__row", monotonically_increasing_id())
+    if (branches > 1 || hasBnodes) tagged.localCheckpoint(true) else tagged
+  }
+
   /** Pattern slots: constants, solution variables, or template bnodes
    * (`TConst(Term.bnode(label))` is treated as a template bnode). */
   def construct(template: Seq[TriplePattern], solutions: DataFrame): DataFrame = {
     // one per-row id shared by all patterns of the row: template bnode
     // labels become label_rowid (fresh per row, stable within the row)
-    val withRow = solutions.withColumn("__row", monotonically_increasing_id())
+    val hasBnodes = template.exists(tp =>
+      Seq(tp.s, tp.p, tp.o).exists { case TConst(t) => t.isBNode; case _ => false })
+    val withRow = rowTagged(solutions, template.size, hasBnodes)
 
     def slotCol(p: TermPat): Column = p match {
       case TConst(t) if t.isBNode =>
@@ -60,7 +77,11 @@ object Construct {
   def constructQuads(template: Seq[graft.sparql.Parser.QuadPat],
                      solutions: DataFrame, defaultG: Term,
                      bnodeScope: String = ""): DataFrame = {
-    val withRow = solutions.withColumn("__row", monotonically_increasing_id())
+    val hasBnodes = template.exists { case graft.sparql.Parser.QuadPat(gp, tp) =>
+      (gp.toSeq ++ Seq(tp.s, tp.p, tp.o))
+        .exists { case TConst(t) => t.isBNode; case _ => false }
+    }
+    val withRow = rowTagged(solutions, template.size, hasBnodes)
     def slotCol(p: TermPat): Column = p match {
       case TConst(t) if t.isBNode =>
         // labels are fresh per (bnodeScope, solution row): one scope per

@@ -141,7 +141,7 @@ object OpsQueries {
     // verify joins probe the same (doc_id, shingles) subplan on the same
     // key, keeping the two shingle exchanges identical (reusable when the
     // planner chooses; renamed-before-join frames never are)
-    cand
+    val verified = cand
       .join(all, col("a_id") === col("doc_id"))
       .withColumnRenamed("shingles", "a_sh").drop("doc_id")
       .join(all, col("b_id") === col("doc_id"))
@@ -151,6 +151,15 @@ object OpsQueries {
       .withColumn("jac_permille", expr("(cast(inter as bigint) * 1000) div uni"))
       .where(col("jac_permille") >= 500)
       .select(col("a_id"), col("b_id"), col("jac_permille"))
+    // materialize the (small) verified-pair set eagerly so the shingle cache
+    // can be RELEASED before returning — a persist() that outlives the query
+    // pins [n_docs × avg_shingles] rows in executor memory for the session's
+    // lifetime, a stability hazard at scale (and it compounds: the bench
+    // evaluates d4 four times per round). The checkpointed pair frame is
+    // id-pairs only, orders of magnitude smaller than the shingle frame.
+    val out = verified.localCheckpoint(true)
+    all.unpersist(false)
+    out
   }
 
   /** 60-bit SimHash column over a (doc_id, text) frame (shared by

@@ -164,6 +164,37 @@ class PlanSpec extends AnyFunSuite {
     assert(dflt.count() == quads.count(_.g.lex == Term.DEFAULT_GRAPH))
   }
 
+  test("GRAPH ?var compiles to ONE g-keyed plan — no driver enumeration, no N-way union") {
+    import graft.model.Quad
+    // two named graphs with p-chains that MUST NOT connect across graphs:
+    // g1: a->b->c, g2: c->d (so a cross-graph leak would derive (a, d))
+    def q(s: String, o: String, g: String) = Quad(
+      Term.iri(EX + s), Term.iri(EX + "p"), Term.iri(EX + o), Term.iri(EX + g))
+    val quads = Seq(q("a", "b", "g1"), q("b", "c", "g1"), q("c", "d", "g2"))
+    val gdf = spark.createDataset(quads).toDF()
+    // cap 0: the enumeration fallback would throw — only the single-plan
+    // compile can satisfy this test
+    spark.conf.set("graft.graphVarEnumMax", "0")
+    try {
+      val closure = Compiler.compile(GraphVarEnum("g",
+        PathPattern(TVar("x"), POneOrMore(PLink(EX + "p")), TVar("y"))), gdf)
+      val rows = closure.select(col("g.lex"), col("x.lex"), col("y.lex"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (EX + "g1", EX + "a", EX + "b"), (EX + "g1", EX + "a", EX + "c"),
+        (EX + "g1", EX + "b", EX + "c"), (EX + "g2", EX + "c", EX + "d")),
+        s"per-graph closure mismatch: $rows")
+      // a BGP+OPTIONAL+FILTER body also stays on the single plan
+      val opt = Compiler.compile(GraphVarEnum("g", LeftJoin(
+        Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "p")), TVar("y")))),
+        Bgp(Seq(TriplePattern(TVar("y"), TConst(Term.iri(EX + "p")), TVar("z")))),
+        None)), gdf)
+      assert(opt.count() == 3) // (a,b,+c in g1), (b,c,null in g1), (c,d,null in g2)
+      // per-graph scoping: b->c (g1) must NOT join c->d (g2)
+      assert(opt.filter(col("z").isNotNull).count() == 1)
+    } finally spark.conf.unset("graft.graphVarEnumMax")
+  }
+
   test("MINUS with all-certain shared vars plans as an equi anti-join (no BNLJ)") {
     val g = spark.createDataset((1 to 400).map(k => Triple(
       Term.iri(EX + "s" + k),

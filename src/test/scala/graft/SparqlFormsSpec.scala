@@ -42,6 +42,33 @@ class SparqlFormsSpec extends AnyFunSuite {
     assert(bn.map(_.getAs[Row]("s").getString(1)).distinct.length == 2)
   }
 
+  test("CONSTRUCT bnode co-reference is pinned across template branches") {
+    import graft.algebra._
+    // solutions arrive through a shuffle; each template branch consumes
+    // the row-tagged frame, and without the eager checkpoint a re-plan
+    // between branches could assign different __row ids to the same
+    // solution (breaking cross-pattern co-reference). Assert the output
+    // pairing: every bnode carries exactly one ex:of and one ex:label,
+    // and the (subject, name) pairing matches the source data.
+    val sols = Compiler.compile(Bgp(Seq(
+      TriplePattern(TVar("s"), TConst(i("name")), TVar("n")))),
+      g.repartition(5))
+    val out = Construct.construct(Seq(
+      TriplePattern(TConst(Term.bnode("c")), TConst(i("of")), TVar("s")),
+      TriplePattern(TConst(Term.bnode("c")), TConst(i("label")), TVar("n"))),
+      sols).collect()
+    val byB = out.groupBy(_.getAs[Row]("s").getString(1))
+    assert(byB.size == 2)
+    val pairing = byB.values.map { ts =>
+      def obj(p: String) = ts.filter(_.getAs[Row]("p").getString(1) == EX + p)
+        .map(_.getAs[Row]("o").getString(1))
+      (obj("of").toSeq, obj("label").toSeq)
+    }.toSet
+    assert(pairing == Set(
+      (Seq(EX + "alice"), Seq("Alice")), (Seq(EX + "bob"), Seq("Bob"))),
+      s"bnode co-reference broken: $pairing")
+  }
+
   test("DESCRIBE: resource slice + bnode closure") {
     val gd = spark.createDataset(Seq(
       Triple(i("alice"), i("addr"), Term.bnode("b1")),
