@@ -50,6 +50,7 @@ object SparkEntry {
     "t6_decontam"       -> OpsQueries.t6_decontam _,
     "t7_repetition"     -> OpsQueries.t7_repetition _,
     "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
+    "t9_text_query"     -> OpsQueries.t9_text_query _,
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
     "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
@@ -550,6 +551,15 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY draw % 64
                                    ORDER BY draw, doc_id) AS BIGINT) AS pos
          FROM t""",
+    "t9_text_query" ->
+      """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS doc,
+           CAST(len(list_intersect(
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+             ['spark', 'vector'])) AS BIGINT) AS score
+         FROM documents
+         WHERE len(list_intersect(
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+             ['spark', 'vector'])) > 0""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,

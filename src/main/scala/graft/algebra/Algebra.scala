@@ -137,7 +137,8 @@ final case class GraphVarEnum(v: String, body: Op) extends Op
  * transport itself stays out of scope in this zero-egress build
  * (SURVEY §7.4); a deployment registers a source wrapping its client.
  * SILENT ⇒ unknown/failing endpoint evaluates to the unit table. */
-final case class Service(silent: Boolean, target: TermPat, body: Op) extends Op
+final case class Service(silent: Boolean, target: TermPat, body: Op,
+                         bodyText: Option[String] = None) extends Op
 
 // ---- projections / filters / binds (§2.2)
 final case class Project(vars: Seq[String], input: Op) extends Op

@@ -461,15 +461,15 @@ object Compiler {
 
     case Label(_, in) => comp(in, g)
 
-    case Service(silent, target, body) =>
-      // Federated evaluation against a REGISTERED endpoint (the zero-
-      // egress stand-in for the reference's HTTP ServiceExec — see
-      // ServiceRegistry): the inner pattern compiles against the
-      // endpoint's GraphSource and the result hash-joins with the outer
-      // bindings set-at-a-time. SILENT ⇒ a failing/unknown endpoint
-      // yields the unit table (SPARQL 1.1 Fed §4: "the SERVICE statement
-      // is considered to have a result of a single solution mapping with
-      // no bindings").
+    case Service(silent, target, body, bodyText) =>
+      // Federated evaluation against a REGISTERED endpoint: either a
+      // local GraphSource (the zero-egress stand-in) or an HTTP
+      // ServiceTransport (the pluggable seam — reference:
+      // sparql/exec/http/QueryExecHTTP.java). Either way the endpoint's
+      // result set hash-joins with the outer bindings set-at-a-time.
+      // SILENT ⇒ a failing/unknown endpoint yields the unit table
+      // (SPARQL 1.1 Fed §4: "the SERVICE statement is considered to have
+      // a result of a single solution mapping with no bindings").
       def unit = Compiled(
         g.spark.range(1).select(lit(1).as("__unit")), Set.empty, Set.empty)
       def evalAgainst(src: GraphSource): Compiled =
@@ -480,28 +480,47 @@ object Compiler {
             c.df.queryExecution.analyzed // force analysis errors eagerly
             c
           } catch { case scala.util.control.NonFatal(_) => unit }
+      def evalTransport(iri: String, t: ServiceRegistry.ServiceTransport): Compiled = {
+        def run: Compiled = {
+          val q = bodyText.getOrElse(throw new IllegalStateException(
+            "SERVICE over an HTTP transport needs the body's source text " +
+              "(algebra-built Service nodes carry none — parse the query " +
+              "from text, or register a GraphSource endpoint instead)"))
+          val (ct, payload) = t.execute(iri, q)
+          val df = ServiceRegistry.parseResults(g.spark, ct, payload)
+          // wire results carry no boundness metadata: every var is maybe
+          Compiled(df, Set.empty, df.columns.toSet)
+        }
+        if (!silent) run
+        else try run catch { case scala.util.control.NonFatal(_) => unit }
+      }
       target match {
         case TConst(t) =>
-          ServiceRegistry.lookup(t.lex) match {
-            case Some(src) => evalAgainst(src)
-            case None if silent => unit
-            case None => throw new IllegalArgumentException(
+          (ServiceRegistry.lookup(t.lex), ServiceRegistry.lookupTransport(t.lex)) match {
+            case (Some(src), _) => evalAgainst(src)
+            case (None, Some(tr)) => evalTransport(t.lex, tr)
+            case (None, None) if silent => unit
+            case (None, None) => throw new IllegalArgumentException(
               s"SERVICE endpoint <${t.lex}> is not registered — wire it " +
-                "via graft.algebra.ServiceRegistry.register")
+                "via graft.algebra.ServiceRegistry.register / registerTransport")
           }
         case TVar(v) =>
           // variable target: union over the registered endpoints, the
           // variable bound to each endpoint's IRI per branch (the
           // set-at-a-time twin of the reference's per-binding dispatch —
           // the outer join then restricts to whatever the query bound).
-          val eps = ServiceRegistry.all
+          val eps = ServiceRegistry.all.map { case (iri, src) =>
+            () => (iri, evalAgainst(src))
+          } ++ ServiceRegistry.allTransports.map { case (iri, tr) =>
+            () => (iri, evalTransport(iri, tr))
+          }
           if (eps.isEmpty) {
             if (silent) unit
             else throw new IllegalArgumentException(
               s"SERVICE ?$v: no endpoints registered")
           } else
-            eps.map { case (iri, src) =>
-              val c = evalAgainst(src)
+            eps.map { thunk =>
+              val (iri, c) = thunk()
               Compiled(c.df.withColumn(v, TermCols.const(Term.iri(iri))),
                 c.certain + v, c.maybe - v)
             }.reduce(unionPad)

@@ -207,4 +207,21 @@ object PropFuncs {
   def namespace(solutions: DataFrame, iriVar: String, outVar: String): DataFrame =
     solutions.withColumn(outVar, strTerm(
       expr(s"substring($iriVar.lex, 1, length($iriVar.lex) - length(regexp_extract($iriVar.lex, '([^/#]*)$$', 1)))")))
+
+  /** text:query — analyzed keyword lookup over the graph's literals
+   * (TextQueryPF.java:65; index machinery in [[graft.text.TextIndex]]).
+   * One solution per matching (subject, literal); `scoreVar` binds the
+   * deterministic matched-term count as an xsd:integer. An unbound
+   * subject is enumerated from the hits; a bound one equi-joins them. */
+  def textQuery(solutions: DataFrame, graph: DataFrame, subjVar: String,
+                scoreVar: Option[String], pred: Option[String], q: String,
+                limit: Option[Int]): DataFrame = {
+    val hits0 = graft.text.TextIndex.search(graph, pred, q, limit)
+    val hits = scoreVar match {
+      case Some(sv) =>
+        hits0.select(col("s").as("__th"), TermCols.intTerm(col("score")).as(sv))
+      case None => hits0.select(col("s").as("__th"))
+    }
+    joinOnOrBind(solutions, hits, "__th", subjVar)
+  }
 }

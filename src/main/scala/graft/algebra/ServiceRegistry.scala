@@ -19,19 +19,72 @@ import scala.collection.concurrent.TrieMap
  * are deployment wiring, not query state.
  */
 object ServiceRegistry {
+
+  /**
+   * HTTP transport seam — the pluggable client a deployment WITH egress
+   * implements (the reference's QueryExecHTTP,
+   * jena-arq/.../sparql/exec/http/QueryExecHTTP.java). The engine hands it
+   * the endpoint IRI and a SELF-CONTAINED query string (the SERVICE
+   * body's source text, prologue included — outer bindings batch in via
+   * the normal hash join, or a VALUES block a batching implementation
+   * may inject); the transport returns (contentType, body) of a W3C
+   * result-set document, parsed by [[parseResults]] with the repo's own
+   * readers (JSON / XML / TSV). The zero-egress in-sandbox implementation
+   * is [[LoopbackTransport]], which round-trips through the same wire
+   * format against a local graph.
+   */
+  trait ServiceTransport {
+    /** Execute `query` against `endpointIri`; returns (contentType, body). */
+    def execute(endpointIri: String, query: String): (String, String)
+  }
+
+  /** In-process transport: runs the query on a local graph and serializes
+   * the result set through the SPARQL-JSON wire format — proving the
+   * seam round-trips without network egress. */
+  final class LoopbackTransport(graph: org.apache.spark.sql.DataFrame)
+      extends ServiceTransport {
+    def execute(endpointIri: String, query: String): (String, String) =
+      ("application/sparql-results+json",
+        graft.riot.ResultSetIO.toSparqlJson(
+          graft.sparql.Sparql.select(query, graph)))
+  }
+
+  /** Parse a transport response by content type with the repo's result-set
+   * readers. */
+  def parseResults(spark: org.apache.spark.sql.SparkSession,
+                   contentType: String, body: String): org.apache.spark.sql.DataFrame = {
+    val ct = contentType.toLowerCase
+    if (ct.contains("json")) graft.riot.ResultSetIO.fromSparqlJson(spark, body)
+    else if (ct.contains("xml")) graft.riot.ResultSetIO.fromSparqlXml(spark, body)
+    else if (ct.contains("tab-separated") || ct.contains("tsv"))
+      graft.riot.ResultSetIO.fromTsv(spark, body)
+    else throw new IllegalArgumentException(
+      s"unsupported SERVICE response content type: $contentType")
+  }
+
   private val endpoints = TrieMap[String, Compiler.GraphSource]()
+  private val transports = TrieMap[String, ServiceTransport]()
 
   def register(iri: String, source: Compiler.GraphSource): Unit =
     endpoints.put(iri, source)
 
-  def unregister(iri: String): Unit = endpoints.remove(iri)
+  def registerTransport(iri: String, t: ServiceTransport): Unit =
+    transports.put(iri, t)
+
+  def unregister(iri: String): Unit = { endpoints.remove(iri); transports.remove(iri) }
 
   def lookup(iri: String): Option[Compiler.GraphSource] = endpoints.get(iri)
+
+  def lookupTransport(iri: String): Option[ServiceTransport] = transports.get(iri)
 
   /** Registered (iri, source) pairs, deterministic order — the
    * enumeration set for SERVICE with a VARIABLE target. */
   def all: Seq[(String, Compiler.GraphSource)] =
     endpoints.toSeq.sortBy(_._1)
 
-  def clear(): Unit = endpoints.clear()
+  /** Registered (iri, transport) pairs, deterministic order. */
+  def allTransports: Seq[(String, ServiceTransport)] =
+    transports.toSeq.sortBy(_._1)
+
+  def clear(): Unit = { endpoints.clear(); transports.clear() }
 }

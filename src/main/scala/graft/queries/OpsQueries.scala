@@ -628,6 +628,26 @@ object OpsQueries {
           .as("redacted_md5"))
   }
 
+  /** text:query through the FULL stack — documents become a one-literal-
+   * per-doc graph, the SPARQL property function (TextQueryPF analog,
+   * graft.text.TextIndex) searches "spark vector" scored by matched-term
+   * count. The scale shape is the postings isin-prune + one subject-keyed
+   * aggregation; the DuckDB oracle restates it as a token-list
+   * intersection. */
+  def t9_text_query(s: SparkSession, d: String): DataFrame = {
+    import graft.algebra.TermCols
+    val g = Tables.documents(s, d).select(
+      TermCols.iriTerm(concat(lit("urn:doc:"), col("doc_id"))).as("s"),
+      TermCols.const(graft.model.Term.iri("urn:p:text")).as("p"),
+      TermCols.strTerm(col("text")).as("o"))
+    val q = """PREFIX text: <http://jena.apache.org/text#>
+      SELECT ?s ?score WHERE {
+        ?s text:query (<urn:p:text> "spark vector" ?score) . }"""
+    graft.sparql.Sparql.select(q, g)
+      .select(TermCols.lex(col("s")).as("doc"),
+        TermCols.lex(col("score")).cast("long").as("score"))
+  }
+
   /** The capstone corpus-quality FILTER — the end decision a training-data
    * pipeline ships: one narrow per-row projection combines the signal
    * families (token counts, stopword ratio, duplicate-word ratio, planted

@@ -217,7 +217,7 @@ object ShaclSparql {
       throw new IllegalArgumentException("SHACL pre-binding: " + msg)
     op match {
       case Minus(_, _) => fail("MINUS is not allowed")
-      case Service(_, _, _) => fail("SERVICE is not allowed")
+      case Service(_, _, _, _) => fail("SERVICE is not allowed")
       case Table(vars, _) if vars.nonEmpty => fail("VALUES is not allowed")
       case Extend(v, _, _) if preBound.contains(v) =>
         fail(s"reassignment of pre-bound ?$v")

@@ -188,7 +188,7 @@ object Parser {
         case Null => Set.empty
         case ExtOp(_, vs, in) => opVars(in) ++ vs
         case GraphOp(_, vs, in) => opVars(in) ++ vs
-        case Service(_, t, body) => pv(Seq(t)) ++ opVars(body)
+        case Service(_, t, body, _) => pv(Seq(t)) ++ opVars(body)
       }
     }
 
@@ -409,12 +409,14 @@ object Parser {
      * bind-or-filter ops instead of a stored-triple match. */
     private val ListNs = "http://jena.apache.org/ARQ/list#"
     private val ApfNs = "http://jena.apache.org/ARQ/property#"
+    private val TextNs = "http://jena.apache.org/text#"
     private val propFuncIris: Set[String] = Set(
       ListNs + "member", ListNs + "index", ListNs + "length",
       "http://www.w3.org/2000/01/rdf-schema#member",
       ApfNs + "bag", ApfNs + "seq", ApfNs + "alt", ApfNs + "container",
       ApfNs + "splitIRI", ApfNs + "localname", ApfNs + "namespace",
-      ApfNs + "str", ApfNs + "assign", ApfNs + "concat", ApfNs + "strSplit")
+      ApfNs + "str", ApfNs + "assign", ApfNs + "concat", ApfNs + "strSplit",
+      TextNs + "query")
     /** Triple-term component in a template: term, nested `<<( )>>`, or
      * nested reified `<< >>` (its reifier node). Left = ground constant,
      * Right = per-solution expression. */
@@ -1251,8 +1253,18 @@ object Parser {
           val silent = eatKw("SILENT")
           ws()
           val target = if (peekVar) TVar(varName()) else TConst(iriTerm())
+          ws()
+          // capture the body's SOURCE TEXT, prologue-completed, for the
+          // HTTP transport seam (ServiceRegistry.ServiceTransport): a
+          // deployment with egress ships this string to the remote
+          // endpoint; the local GraphSource path ignores it
+          val bodyStart = i
           val body = groupGraphPattern()
-          val svc = Service(silent, target, body)
+          val prologue = prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
+            .mkString("", "\n", "\n")
+          val bodyText = prologue + "SELECT * WHERE " +
+            s.substring(bodyStart, i).trim
+          val svc = Service(silent, target, body, Some(bodyText))
           current = Some(current.map(Join(_, svc)).getOrElse(svc))
           newBgpScope(); lastNonTriples = true
         }
@@ -1867,6 +1879,33 @@ object Parser {
                   Filter(RowExpr(v => pat2re(other)(v) === v(hv)), cur)
               }
             }
+          case _ if iri == TextNs + "query" =>
+            // text:query forms (TextQueryPF.java:65 arg parsing):
+            //   ?s text:query "keywords"
+            //   ?s text:query (ex:pred? "keywords" limit? ?score?)
+            // The reference's subject-list score form `(?s ?score)
+            // text:query …` is not parseable here (pfunc subjects are
+            // single terms); the trailing ?score object var is this
+            // engine's documented equivalent.
+            if (args.isEmpty) fail("text:query needs arguments")
+            var rest = args
+            val pred = rest.head match {
+              case TConst(t) if t.isIri => rest = rest.tail; Some(t.lex)
+              case _ => None
+            }
+            val q = rest.headOption match {
+              case Some(TConst(t)) if t.isLiteral => rest = rest.tail; t.lex
+              case _ => fail("text:query needs a constant string query")
+            }
+            val lim = rest.headOption match {
+              case Some(TConst(t)) if t.isLiteral && t.lex.matches("[0-9]+") =>
+                rest = rest.tail; Some(t.lex.toInt)
+              case _ => None
+            }
+            if (!rest.forall(_.isInstanceOf[TVar]) || rest.size > 1)
+              fail("text:query: at most one trailing ?score variable")
+            graphGen(rest)((sv, outs) => (df, gdf) =>
+              PropFuncs.textQuery(df, gdf, sv, outs.headOption, pred, q, lim))
           case other => fail(s"unsupported property function <$other>")
         }
       }

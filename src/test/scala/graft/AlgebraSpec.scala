@@ -292,6 +292,47 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(split, "part").contains("example"))
   }
 
+  test("text:query property function: keyword OR/AND, phrase, score, limit") {
+    import graft.sparql.Sparql
+    val g2 = spark.createDataset(Seq(
+      Triple(i("d1"), i("title"), Term.string("The quick brown fox")),
+      Triple(i("d2"), i("title"), Term.string("A lazy brown dog")),
+      Triple(i("d3"), i("title"), Term.string("Quick quick dog")),
+      Triple(i("d3"), i("body"), Term.string("nothing here")),
+      Triple(i("d4"), i("size"), Term.lit("7", Term.XSD_INTEGER)))).toDF()
+    def q(body: String) =
+      s"""PREFIX text: <http://jena.apache.org/text#>
+          PREFIX ex: <http://example/>
+          SELECT * WHERE { $body }"""
+    // OR semantics (Lucene default operator): quick OR brown
+    val or = Sparql.select(q("""?s text:query "quick brown" ."""), g2)
+    assert(lexSet(or, "s") == Set(EX + "d1", EX + "d2", EX + "d3"))
+    // AND: all terms must match the same literal
+    val and = Sparql.select(q("""?s text:query "quick AND brown" ."""), g2)
+    assert(lexSet(and, "s") == Set(EX + "d1"))
+    // phrase subset: substring on the analyzed literal
+    val ph = Sparql.select(q("""?s text:query "\"brown dog\"" ."""), g2)
+    assert(lexSet(ph, "s") == Set(EX + "d2"))
+    // predicate-scoped + score var: d3 matches quick+dog in title (2),
+    // d2 only dog (1); body literals excluded by the ex:title scope
+    val sc = Sparql.select(
+      q("""?s text:query (ex:title "quick dog" ?score) ."""), g2)
+    val scores = sc.collect().map(r => (
+      r.getStruct(r.fieldIndex("s")).getString(1),
+      r.getStruct(r.fieldIndex("score")).getString(1))).toSet
+    assert(scores == Set((EX + "d1", "1"), (EX + "d2", "1"), (EX + "d3", "2")))
+    // limit: global top-N by score (deterministic tiebreak)
+    val lim = Sparql.select(q("""?s text:query ("quick dog" 1) ."""), g2)
+    assert(lexSet(lim, "s") == Set(EX + "d3"))
+    // bound subject: equi-join against the hits, no enumeration
+    val bound = Sparql.select(q(
+      """?s ex:size 7 . ?s text:query "anything" ."""), g2)
+    assert(bound.count() == 0)
+    val bound2 = Sparql.select(q(
+      """?s ex:body ?b . ?s text:query "nothing" ."""), g2)
+    assert(lexSet(bound2, "s") == Set(EX + "d3"))
+  }
+
   test("VALUES table joined to a BGP") {
     val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))

@@ -96,4 +96,63 @@ class ServiceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("not registered"))
     }
   }
+
+  test("ServiceTransport seam: fake wire transport joins like a local endpoint") {
+    // a fake HTTP client returning a canned W3C SPARQL-JSON document —
+    // proves the engine side of the seam (query text out, result-set
+    // document in) without any network
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val fake = new ServiceRegistry.ServiceTransport {
+      def execute(iri: String, q: String): (String, String) = {
+        seen += ((iri, q))
+        ("application/sparql-results+json",
+          s"""{"head":{"vars":["s","mail"]},"results":{"bindings":[
+                {"s":{"type":"uri","value":"${EX}alice"},
+                 "mail":{"type":"literal","value":"alice@wire"}},
+                {"s":{"type":"uri","value":"${EX}dave"},
+                 "mail":{"type":"literal","value":"dave@wire"}}]}}""")
+      }
+    }
+    ServiceRegistry.registerTransport(EX + "wire", fake)
+    try {
+      val out = Sparql.select(
+        s"""PREFIX ex: <$EX>
+            SELECT ?s ?mail WHERE {
+              ?s ex:name ?n .
+              SERVICE <${EX}wire> { ?s ex:email ?mail }
+            }""", localGraph)
+      // dave is not in the local graph — only alice survives the join
+      assert(lexes(out, "mail") == Set("alice@wire"))
+      // the transport received the endpoint IRI and a SELF-CONTAINED
+      // query (prologue + SELECT * over the body's source text)
+      val (iri, q) = seen.head
+      assert(iri == EX + "wire")
+      assert(q.contains(s"PREFIX ex: <$EX>") && q.contains("SELECT * WHERE")
+        && q.contains("ex:email"))
+    } finally ServiceRegistry.clear()
+  }
+
+  test("LoopbackTransport: round-trips through the SPARQL-JSON wire format") {
+    ServiceRegistry.registerTransport(EX + "emails",
+      new ServiceRegistry.LoopbackTransport(emailsGraph))
+    try {
+      val out = Sparql.select(
+        s"""SELECT ?s ?mail WHERE {
+              ?s <${EX}name> ?n .
+              SERVICE <${EX}emails> { ?s <${EX}email> ?mail }
+            }""", localGraph)
+      assert(lexes(out, "mail") == Set("alice@example", "carol@example"))
+      // SILENT swallows a transport failure → unit table (left side kept)
+      ServiceRegistry.registerTransport(EX + "down",
+        new ServiceRegistry.ServiceTransport {
+          def execute(i: String, q: String) = throw new RuntimeException("503")
+        })
+      val silent = Sparql.select(
+        s"""SELECT * WHERE {
+              ?s <${EX}name> ?n .
+              SERVICE SILENT <${EX}down> { ?s <${EX}email> ?mail }
+            }""", localGraph)
+      assert(silent.count() == 3)
+    } finally ServiceRegistry.clear()
+  }
 }
