@@ -72,7 +72,12 @@ object SparqlQueries {
    * snapshot is committed once per input dir and reused (resume-by-
    * manifest, like every store stage). */
   def r25_encoded_bgp(s: SparkSession, d: String): DataFrame = {
-    val snap = s"/tmp/graft_encsnap_${Integer.toHexString(d.hashCode)}"
+    // snapshot dir keyed by a CONTENT digest of the input — the full
+    // canonical path plus the source parquet files' (name, size, mtime)
+    // listing — so changed or swapped inputs can never silently reuse a
+    // stale snapshot (and two dirs can never collide the way a 32-bit
+    // hashCode could)
+    val snap = s"/tmp/graft_encsnap_${graft.store.TripleStore.inputDigest(d)}"
     if (!graft.store.TripleStore.isCommitted(snap))
       graft.store.TripleStore.materializeEncoded(
         triples(s, d).withColumn("repo", lit("r0")).withColumn("lang", lit("x")),

@@ -1007,6 +1007,22 @@ object Rules {
     // per-round timing trace (env GRAFT_RULES_TRACE=1) — planning vs
     // execution vs dispatch-collect; for sizing fixpoint-latency work
     val trace = sys.env.get("GRAFT_RULES_TRACE").contains("1")
+    // ---- fused dispatch: ONE Spark job per round ---------------------
+    // From round 1 on the delta is all DERIVED facts, so when every rule
+    // head has a CONSTANT predicate (and every rdf:type head a constant
+    // class) the per-round dispatch vocabulary is bounded by the PROGRAM
+    // (≤ #heads) — tiny. Then the distinct (predicate, type-object) set
+    // can ride the checkpoint materialization as an observed collect_set
+    // aggregate, fusing the dispatch-collect with the checkpoint: one
+    // job per round instead of two. Programs with variable-predicate or
+    // variable-class heads have DATA-bounded vocabularies and keep the
+    // two-job path, whose executor-side distinct+limit caps what reaches
+    // the driver (an observed collect_set has no such cap).
+    val fusedDispatchOk = rs.rules.forall(_.heads.forall {
+      case Atom(_, RConst(p), o) =>
+        p.lex != rdfTypeLex || o.isInstanceOf[RConst]
+      case _ => false
+    })
     // family canonicalization is per-rule-set work: do it once, not once
     // per round (it re-walks every rule AST)
     val compiledFams = familize(rs.rules)
@@ -1045,7 +1061,35 @@ object Rules {
         freshPlan.queryExecution.executedPlan // force analysis+optimization
         System.nanoTime()
       } else 0L
-      val fresh = freshPlan.localCheckpoint(true)
+      // fused path: the dispatch pairs ride the checkpoint job as an
+      // observed aggregate; getOrEmpty never blocks, so if the metric
+      // does not surface (defensive) the two-job collect below runs
+      val (fresh, fusedPairs) =
+        if (fusedDispatchOk) {
+          val obs = org.apache.spark.sql.Observation(s"rules_round_$iter")
+          val observed = freshPlan.observe(obs,
+            collect_set(struct(col("p.lex").as("p"),
+              when(col("p.lex") === rdfTypeLex, col("o.lex")).as("tobj")))
+              .as("pairs"))
+          val cp = observed.localCheckpoint(true)
+          // get() blocks until the observed action's execution event —
+          // normally already fired here (the checkpoint IS the action);
+          // the bounded wait + fallback guard against an event that
+          // never surfaces, so the loop can never hang on a metric
+          val metric: Option[Seq[(String, Option[String])]] =
+            try {
+              val fut = scala.concurrent.Future(obs.get)(
+                scala.concurrent.ExecutionContext.global)
+              val m = scala.concurrent.Await.result(fut,
+                scala.concurrent.duration.Duration(30, "seconds"))
+              m.get("pairs").map(_.asInstanceOf[Seq[org.apache.spark.sql.Row]]
+                .map(r => (r.getString(0), Option(r.getString(1)))))
+            } catch {
+              case _: java.util.concurrent.TimeoutException => None
+              case _: InterruptedException => None
+            }
+          (cp, metric)
+        } else (freshPlan.localCheckpoint(true), None)
       val tExec = if (trace) System.nanoTime() else 0L
       if (trace) {
         val (fams, sings) = compiledFams
@@ -1055,15 +1099,17 @@ object Rules {
         println(f"[rules] round $iter chains=$nChains " +
           f"(fam=${fams.size} single=${sings.size}) " +
           f"plan=${(tPlan - t0) / 1e9}%.2fs exec=${(tExec - tPlan) / 1e9}%.2fs " +
-          s"parts=${fresh.rdd.getNumPartitions}")
+          s"parts=${fresh.rdd.getNumPartitions} fused=${fusedPairs.isDefined}")
       }
-      // one vocabulary-bounded job per round: the distinct (predicate,
-      // rdf:type-object) collect doubles as the emptiness check and the
-      // exact-dispatch key set
-      val pairs = fresh.select(col("p.lex").as("p"),
-          when(col("p.lex") === rdfTypeLex, col("o.lex")).as("tobj"))
-        .distinct().limit(dispatchTypeObjCap + 1)
-        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      // two-job fallback: one vocabulary-bounded collect — the distinct
+      // (predicate, rdf:type-object) set doubles as the emptiness check
+      // and the exact-dispatch key set
+      val pairs = fusedPairs.getOrElse {
+        fresh.select(col("p.lex").as("p"),
+            when(col("p.lex") === rdfTypeLex, col("o.lex")).as("tobj"))
+          .distinct().limit(dispatchTypeObjCap + 1)
+          .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      }
       if (trace) println(f"[rules] round $iter collect=" +
         f"${(System.nanoTime() - tExec) / 1e9}%.2fs keys=${pairs.length}")
       deltaEmpty = pairs.isEmpty

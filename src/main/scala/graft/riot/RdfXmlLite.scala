@@ -118,7 +118,8 @@ object RdfXmlLite {
      * document declaration). Deliberately not inherited from inner
      * elements — see dirOf. */
     def itsVerOf(e: XElem, inherited: Boolean): Boolean =
-      e.attrs.exists(a => a.ns == ITSNS && a.local == "version") || inherited
+      e.attrs.exists(a => a.ns == ITSNS && a.local == "version" &&
+        a.value.trim.startsWith("2.")) || inherited
     /** RDF 1.2 initial text direction (its:dir), inherited like xml:lang.
      * Reconciling the vendored fixtures (the reference's RRX applies
      * its:dir unconditionally and DISABLES the W3C rdf12 rdf-xml suite —

@@ -296,6 +296,32 @@ object TripleStore {
   def isCommitted(snapshotDir: String): Boolean =
     Files.exists(Paths.get(snapshotDir, "manifest.json"))
 
+  /** Content digest of an input directory for snapshot-dir keying: the
+   * canonical path plus every parquet file's (relative name, size,
+   * mtime), sha-256'd. Two different inputs cannot collide, and a
+   * changed input (new files, rewritten files) changes the digest — the
+   * stale-reuse hazard a bare path hashCode had. */
+  def inputDigest(dir: String): String = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val entries =
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val st = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .map(p => s"${root.relativize(p)}|${Files.size(p)}|" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted
+        } finally st.close()
+      }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(root.toString.getBytes("UTF-8"))
+    entries.foreach(e => md.update(('\n' + e).getBytes("UTF-8")))
+    md.digest().take(12).map("%02x".format(_)).mkString
+  }
+
   /** Read back a [[writeManifest]] document (flat string→string JSON).
    * Missing file → empty map. */
   def readManifest(path: Path): Map[String, String] = {

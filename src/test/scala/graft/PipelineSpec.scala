@@ -146,4 +146,20 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => s"${ntOf(r, "s")} ${ntOf(r, "p")} ${ntOf(r, "o")} .").toSet
     assert(nts(outA) == nts(outB))
   }
+
+  test("inputDigest: distinct inputs and changed inputs get distinct snapshot keys") {
+    import graft.store.TripleStore
+    val a = Files.createTempDirectory("graft_diga")
+    val b = Files.createTempDirectory("graft_digb")
+    Files.write(a.resolve("x.parquet"), Array[Byte](1, 2, 3))
+    Files.write(b.resolve("x.parquet"), Array[Byte](1, 2, 3))
+    // same file listing, different dirs → different keys (path is hashed)
+    assert(TripleStore.inputDigest(a.toString) != TripleStore.inputDigest(b.toString))
+    // stable across calls
+    assert(TripleStore.inputDigest(a.toString) == TripleStore.inputDigest(a.toString))
+    // a changed input (new file) changes the key — no stale-snapshot reuse
+    val before = TripleStore.inputDigest(a.toString)
+    Files.write(a.resolve("y.parquet"), Array[Byte](9))
+    assert(TripleStore.inputDigest(a.toString) != before)
+  }
 }
