@@ -59,6 +59,7 @@ object SparkEntry {
     "c5_shuffle_shards" -> OpsQueries.c5_shuffle_shards _,
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
+    "x2_geo_within"     -> OpsQueries.x2_geo_within _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
     // SPARQL algebra over a triple encoding (graft.algebra Compiler)
     "r16_bgp"             -> SparqlQueries.r16_bgp _,
@@ -604,6 +605,24 @@ object SparkEntry {
          FROM pts p JOIN pts q ON p.id < q.id
          WHERE (p.lat - q.lat) * (p.lat - q.lat)
              + (p.lon - q.lon) * (p.lon - q.lon) <= 9.0""",
+    "x2_geo_within" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey AS BIGINT) AS id,
+                  CAST(('0x' || substr(md5(c_custkey || 'lat'), 1, 15)) AS BIGINT)
+                    % 1800 / 10.0 - 90.0 AS lat,
+                  CAST(('0x' || substr(md5(c_custkey || 'lon'), 1, 15)) AS BIGINT)
+                    % 3600 / 10.0 - 180.0 AS lon
+           FROM customer),
+         e(ax, ay, bx, by) AS (VALUES
+           (0, 0, 60, 0), (60, 0, 60, 30), (60, 30, 30, 30),
+           (30, 30, 30, 60), (30, 60, 0, 60), (0, 60, 0, 0))
+         SELECT p.id
+         FROM pts p
+         WHERE p.lon >= 0 AND p.lon <= 60 AND p.lat >= 0 AND p.lat <= 60
+           AND (SELECT count(*) FROM e
+                 WHERE ((e.ay > p.lat) != (e.by > p.lat))
+                   AND p.lon < e.ax + (e.bx - e.ax) * (p.lat - e.ay)
+                                      / (e.by - e.ay)) % 2 = 1""",
     "v4_cdt_fold" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
                 '[' || string_agg(DISTINCT '"' || c_mktsegment || '"', ', '

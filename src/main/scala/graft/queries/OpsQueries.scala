@@ -828,4 +828,21 @@ object OpsQueries {
       (expr(hash60("concat(c_custkey, 'lon')")) % 3600 / 10.0 - 180.0).as("lon"))
     graft.ops.Geo.radiusJoinPlanar(pts, 3.0)
   }
+
+  /** Point-in-polygon region filter (geof:sfWithin subset) over the same
+   * hash-derived point cloud as x1: a CONSTANT concave L-polygon parsed
+   * once on the driver compiles to a pushable bbox prefilter + an
+   * unrolled ray-crossing parity — pure codegen'd comparisons, no UDF,
+   * no join. The DuckDB oracle restates the identical parity arithmetic
+   * over the polygon's edge list. */
+  def x2_geo_within(s: SparkSession, d: String): DataFrame = {
+    val rings = graft.ops.Geo.parsePolygon(
+      "POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
+    Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("id"),
+        (expr(hash60("concat(c_custkey, 'lat')")) % 1800 / 10.0 - 90.0).as("lat"),
+        (expr(hash60("concat(c_custkey, 'lon')")) % 3600 / 10.0 - 180.0).as("lon"))
+      .where(graft.ops.Geo.withinPolygonCol(col("lon"), col("lat"), rings))
+      .select(col("id"))
+  }
 }

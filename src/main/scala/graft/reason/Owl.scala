@@ -1013,4 +1013,68 @@ object Owl {
     nothingV.unionByName(disjV).unionByName(dtpV).unionByName(dtrV)
       .dropDuplicates("severity", "focus", "message")
   }
+
+  // ---- owl:sameAs canonicalization (opt-in) -------------------------------
+
+  private val SameAsLex = "http://www.w3.org/2002/07/owl#sameAs"
+
+  /**
+   * owl:sameAs individual-equality canonicalization — the WebPIE-style
+   * pass OWLMicro deliberately excludes (the reference's OWLMicro rule
+   * set omits sameAs substitution for the same scalability reason,
+   * jena-core/.../reasoner/rulesys/etc/owl-fb-micro.rules), offered here
+   * as an EXPLICIT opt-in because large-KG users ask for it.
+   *
+   * sameAs edges (IRI/bnode endpoints; sameAs between literals is
+   * ignored) form components via the existing connected-components
+   * machinery; every subject and object is rewritten to its component's
+   * canonical member — the minimum term with IRIs ordered before bnodes,
+   * so a component containing any IRI canonicalizes to an IRI. The
+   * original sameAs triples are dropped; `keepMapping` appends one
+   * (canonical, owl:sameAs, member) triple per non-canonical member so
+   * original identifiers stay reachable.
+   *
+   * Scale shape: the component map is sameAs-sized (≪ corpus); the
+   * rewrite is two equi-joins on an 8+lex-byte key (AQE broadcasts small
+   * maps), then one set-dedup — the standard sameAs-canonicalization
+   * plan at 100 TB. Predicate positions are NOT rewritten (sameAs over
+   * properties is owl:equivalentProperty's job, handled by the rule
+   * engine).
+   */
+  def canonicalize(triples: DataFrame, keepMapping: Boolean = false): DataFrame = {
+    // node key: kind digit + lex — IRIs (kind 0) sort before bnodes
+    // (kind 1), so min-key canonicalization prefers IRIs; dt/lang are
+    // empty for both kinds, so the key is lossless and decodable
+    def key(c: org.apache.spark.sql.Column) =
+      concat(graft.algebra.TermCols.kind(c).cast("string"), lit("|"),
+        graft.algebra.TermCols.lex(c))
+    def decodeKey(k: org.apache.spark.sql.Column) =
+      graft.algebra.TermCols.mk(substring(k, 1, 1).cast("byte"),
+        substring(k, 3, Int.MaxValue), lit(""), lit(""))
+    val isSameAs = graft.algebra.TermCols.isIri(col("p")) &&
+      graft.algebra.TermCols.lex(col("p")) === SameAsLex
+    val nodeOk = (c: String) =>
+      col(s"$c.kind").isin(Term.KIND_IRI.toInt, Term.KIND_BNODE.toInt)
+    val edges = triples.filter(isSameAs && nodeOk("s") && nodeOk("o"))
+      .select(key(col("s")).as("src"), key(col("o")).as("dst"))
+    val comp = graft.canon.ConnectedComponents.runAdaptive(edges)
+      .where(col("node") =!= col("component")) // identity rewrites are no-ops
+      .localCheckpoint(true)
+    val rest = triples.filter(!isSameAs).select("s", "p", "o")
+    def rewrite(df: DataFrame, slot: String): DataFrame = {
+      val m = comp.select(col("node").as(s"__n_$slot"),
+        col("component").as(s"__c_$slot"))
+      df.join(m, key(col(slot)) === col(s"__n_$slot"), "left_outer")
+        .withColumn(slot, when(col(s"__c_$slot").isNotNull,
+          decodeKey(col(s"__c_$slot"))).otherwise(col(slot)))
+        .drop(s"__n_$slot", s"__c_$slot")
+    }
+    val rewritten = rewrite(rewrite(rest, "s"), "o")
+      .dropDuplicates("s", "p", "o")
+    if (!keepMapping) rewritten
+    else rewritten.unionByName(comp.select(
+      decodeKey(col("component")).as("s"),
+      graft.algebra.TermCols.const(Term.iri(SameAsLex)).as("p"),
+      decodeKey(col("node")).as("o"))).dropDuplicates("s", "p", "o")
+  }
 }

@@ -73,4 +73,83 @@ class GeoSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "spatial join must stay on the grid-cell equi-join")
   }
+
+  // the concave L-shape used across the polygon tests (CCW outer ring)
+  private val L_WKT =
+    "POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))"
+
+  test("point-in-polygon: parsing, concavity, holes, scalar/column parity") {
+    val rings = Geo.parsePolygon(L_WKT).get
+    assert(rings.head.length == 6) // closing vertex stripped
+    // concave notch: (45, 45) is OUTSIDE the L, (15, 45) inside
+    assert(!Geo.pointInRings(45, 45, rings))
+    assert(Geo.pointInRings(15, 45, rings))
+    assert(Geo.pointInRings(45, 15, rings))
+    assert(!Geo.pointInRings(-1, 30, rings))
+    // hole flips parity, point inside the hole is OUT
+    val holed = Geo.parsePolygon(
+      "POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))").get
+    assert(Geo.pointInRings(2, 2, holed))
+    assert(!Geo.pointInRings(5, 5, holed))
+    // geof:sfWithin term face + point-within-point
+    val geoPt = (lon: Double, lat: Double) => Geo.wktPointTerm(lon, lat)
+    assert(Geo.sfWithin(geoPt(15, 45), Term.lit(L_WKT, Geo.WKT_DT)).get)
+    assert(!Geo.sfWithin(geoPt(45, 45), Term.lit(L_WKT, Geo.WKT_DT)).get)
+    assert(Geo.sfWithin(geoPt(1, 2), geoPt(1, 2)).get)
+    assert(Geo.sfWithin(Term.string("x"), geoPt(1, 2)).isEmpty) // eval error
+    // column face agrees with the scalar on a deterministic point cloud
+    import spark.implicits._
+    val pts = (0 until 500).map { k =>
+      (k.toLong, (k * 37 % 140) - 20.0, (k * 53 % 140) - 20.0)
+    }
+    val df = pts.toDF("id", "lon", "lat")
+      .where(Geo.withinPolygonCol(col("lon"), col("lat"), rings))
+    val expected = pts.filter(p => Geo.pointInRings(p._2, p._3, rings))
+      .map(_._1).toSet
+    assert(df.collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("geof:sfWithin / sfContains callable from SPARQL text") {
+    val q = s"""
+      PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+      PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+      SELECT ?in ?out ?cont WHERE {
+        BIND(geof:sfWithin("POINT(15 45)"^^geo:wktLiteral,
+                           "$L_WKT"^^geo:wktLiteral) AS ?in)
+        BIND(geof:sfWithin("POINT(45 45)"^^geo:wktLiteral,
+                           "$L_WKT"^^geo:wktLiteral) AS ?out)
+        BIND(geof:sfContains("$L_WKT"^^geo:wktLiteral,
+                             "POINT(15 45)"^^geo:wktLiteral) AS ?cont)
+      }"""
+    val emptyGraph = spark.createDataset(Seq.empty[graft.model.Triple])(
+      org.apache.spark.sql.Encoders.product[graft.model.Triple]).toDF()
+    val r = graft.sparql.Sparql.select(q, emptyGraph).collect()(0)
+    def lex(c: String) = r.getAs[org.apache.spark.sql.Row](c).getAs[String]("lex")
+    assert(lex("in") == "true" && lex("out") == "false" && lex("cont") == "true")
+  }
+
+  test("polygonJoin: grid-bucketed candidates, exact ray test, no BNLJ") {
+    import spark.implicits._
+    val pts = (0 until 400).map { k =>
+      (k.toLong, (k * 37 % 160) - 30.0, (k * 53 % 160) - 30.0)
+    }.toDF("id", "lon", "lat")
+    val polyWkts = Seq(
+      (1L, L_WKT),
+      (2L, "POLYGON((100 100, 110 100, 110 110, 100 110))"),
+      (3L, "POLYGON((-30 -30, -10 -30, -10 -10, -30 -10))"))
+    val polys = polyWkts.toDF("pid", "wkt")
+    val out = Geo.polygonJoin(pts, polys, cellDeg = 20.0)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parsed = polyWkts.map { case (pid, w) => (pid, Geo.parsePolygon(w).get) }
+    val expected = (0 until 400).flatMap { k =>
+      val (lon, lat) = ((k * 37 % 160) - 30.0, (k * 53 % 160) - 30.0)
+      parsed.collect {
+        case (pid, r0) if Geo.pointInRings(lon, lat, r0) => (k.toLong, pid)
+      }
+    }.toSet
+    assert(got == expected)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "polygon join must stay on the grid-cell equi-join:\n" + plan)
+  }
 }

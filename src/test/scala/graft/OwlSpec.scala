@@ -335,4 +335,57 @@ class OwlSpec extends AnyFunSuite {
   }
 
   private val RDFS_ = "http://www.w3.org/2000/01/rdf-schema#"
+
+  test("owl:sameAs canonicalization: WG fixture, chain collapse, mapping, LP parity") {
+    import org.apache.spark.sql.Encoders
+    val sameAs = Term.iri(OWLNS + "sameAs")
+    def canonSet(ts: Seq[Triple], keepMapping: Boolean = false): Set[Triple] =
+      Owl.canonicalize(
+          spark.createDataset(ts)(Encoders.product[Triple]).toDF(), keepMapping)
+        .as(Encoders.product[Triple]).collect().toSet
+    // (1) the reference's WebOnt sameAs entailment fixture (the family
+    // MICRO skips): premises ⊨ conclusions under sameAs substitution ⇔
+    // canonicalizing (premises ∪ conclusions) adds NOTHING beyond
+    // canonicalized premises
+    val prem = loadWg(WGBASE + "sameAs/premises001")
+    val conc = loadWg(WGBASE + "sameAs/conclusions001")
+    assert(canonSet(prem ++ conc) == canonSet(prem),
+      "WG sameAs/001 conclusions must be absorbed by canonicalized premises")
+    // (2) chain collapse, IRI preferred, facts from every member merge
+    val chain = Seq(
+      Triple(eg("a"), sameAs, eg("b")),
+      Triple(eg("c"), sameAs, eg("b")), // undirected: {a,b,c} one component
+      Triple(eg("a"), eg("p"), Term.string("va")),
+      Triple(eg("c"), eg("p"), Term.string("vc")),
+      Triple(eg("z"), eg("p"), eg("c")))
+    val canon = canonSet(chain)
+    assert(canon == Set(
+      Triple(eg("a"), eg("p"), Term.string("va")),
+      Triple(eg("a"), eg("p"), Term.string("vc")),
+      Triple(eg("z"), eg("p"), eg("a"))), s"chain collapse wrong: $canon")
+    // a bnode member loses to any IRI member
+    val withB = Seq(Triple(Term.bnode("x"), sameAs, eg("m")),
+      Triple(Term.bnode("x"), eg("q"), Term.string("v")))
+    assert(canonSet(withB) == Set(Triple(eg("m"), eg("q"), Term.string("v"))))
+    // (3) keepMapping emits (canonical, sameAs, member) for non-canonical
+    val mapped = canonSet(chain, keepMapping = true)
+    assert(mapped.contains(Triple(eg("a"), sameAs, eg("b"))) &&
+      mapped.contains(Triple(eg("a"), sameAs, eg("c"))))
+    // (4) parity with the LP engine: a goal THROUGH a sameAs chain via
+    // backward substitution rules answers exactly the canonicalized facts
+    // (modulo the canonical rewrite of the goal subject)
+    val lpRules = """
+      @prefix eg: <http://eg/> .
+      [saSym: (?a owl:sameAs ?b) <- (?b owl:sameAs ?a)]
+      [saTrans: (?a owl:sameAs ?c) <- (?a owl:sameAs ?b), (?b owl:sameAs ?c)]
+      [saSubst: (?x eg:p ?v) <- (?x owl:sameAs ?y), (?y eg:p ?v)]
+    """
+    val engine = graft.reason.Lp.hybrid(chain, graft.reason.Rules.parseFull(lpRules))
+    val viaLp = engine.find(Some(eg("c")), Some(eg("p")), None)
+      .map(_.o).filter(_.isLiteral)
+    val viaCanon = canon.collect {
+      case Triple(s, p, o) if s == eg("a") && p == eg("p") => o }
+    assert(viaLp == viaCanon,
+      s"LP goal through sameAs chain ($viaLp) != canonicalized facts ($viaCanon)")
+  }
 }
