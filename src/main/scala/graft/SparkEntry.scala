@@ -72,6 +72,7 @@ object SparkEntry {
     "u1_update"           -> SparqlQueries.u1_update _,
     "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
     "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
+    "r27_encoded_path"    -> SparqlQueries.r27_encoded_path _,
     "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
     "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
     "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,

@@ -110,11 +110,15 @@ object Compiler {
     lazy val df: DataFrame =
       graft.store.TripleStore.decodeEncoded(spark, dir).select("s", "p", "o")
 
-    private def terms: DataFrame = spark.read.parquet(s"$dir/terms")
+    private[algebra] def terms: DataFrame = spark.read.parquet(s"$dir/terms")
+
+    /** Narrow (s_id, p_id, o_id) scan of a layout. */
+    private[algebra] def idLayout(layout: String): DataFrame =
+      spark.read.parquet(s"$dir/$layout").select("s_id", "p_id", "o_id")
 
     /** Driver-side constant→id probe (one scan for all constants of the
      * BGP; a term missing from the dictionary matches nothing). */
-    private def idsOf(cs: Seq[Term]): Map[Term, Long] = {
+    private[algebra] def idsOf(cs: Seq[Term]): Map[Term, Long] = {
       if (cs.isEmpty) return Map.empty
       val cond = cs.map(t => col("kind") === t.kind && col("lex") === t.lex &&
         col("dt") === t.dt && col("lang") === t.lang).reduce(_ || _)
@@ -1520,8 +1524,115 @@ object PathEval {
   /** All (src, dst) term pairs connected by `path`. Over a store snapshot,
    * a plain link scans the POS layout with the predicate pushed down (the
    * hot case — every closure's per-round probe); composite paths fall back
-   * to the struct view. */
-  def pairs(g: GraphSource, path: Path): DataFrame = path match {
+   * to the struct view. Over an ID-ENCODED snapshot, id-expressible paths
+   * evaluate entirely on LONG columns ([[pairsId]]) — closure joins move
+   * 16-byte rows, the dictionary joins in exactly once per endpoint at
+   * the projection edge. */
+  def pairs(g: GraphSource, path: Path): DataFrame = g match {
+    case esg: Compiler.EncodedSnapshotGraph if idExpressible(path) =>
+      decodeIdPairs(esg, pairsId(esg, path))
+    case _ => pairs0(g, path)
+  }
+
+  /** Paths the id-space evaluator covers. PNegPropSet needs per-predicate
+   * KIND checks (a dictionary join per scan) — it keeps the decoded
+   * fallback; PShortest raises either way. */
+  private def idExpressible(p: Path): Boolean = p match {
+    case PLink(_) => true
+    case PInverse(q) => idExpressible(q)
+    case PSeq(a, b) => idExpressible(a) && idExpressible(b)
+    case PAlt(a, b) => idExpressible(a) && idExpressible(b)
+    case POneOrMore(q) => idExpressible(q)
+    case PZeroOrMore(q) => idExpressible(q)
+    case PZeroOrOne(q) => idExpressible(q)
+    case PFixedLength(q, _) => idExpressible(q)
+    case PMod(q, _, _) => idExpressible(q)
+    case PDistinct(q) => idExpressible(q)
+    case PMulti(q) => idExpressible(q)
+    case _ => false
+  }
+
+  /** (src, dst) LONG id pairs connected by `path` over the encoded
+   * layouts — the same recursion as [[pairs0]] with joins/closures on
+   * 8-byte ids. */
+  private[graft] def pairsId(esg: Compiler.EncodedSnapshotGraph,
+                             path: Path): DataFrame = path match {
+    case PLink(iri) =>
+      val ids = esg.idsOf(Seq(graft.model.Term.iri(iri)))
+      val scan = esg.idLayout("pos")
+      ids.values.headOption match {
+        case Some(pid) => scan.where(col("p_id") === pid)
+          .select(col("s_id").as("src"), col("o_id").as("dst"))
+        case None => scan.limit(0)
+          .select(col("s_id").as("src"), col("o_id").as("dst"))
+      }
+    case PInverse(p) =>
+      pairsId(esg, p).select(col("dst").as("src"), col("src").as("dst"))
+    case PAlt(a, b) => pairsId(esg, a).union(pairsId(esg, b))
+    case PSeq(a, b) =>
+      val l = pairsId(esg, a).select(col("src"), col("dst").as("__mid"))
+      val r = pairsId(esg, b).select(col("src").as("__mid2"), col("dst"))
+      l.join(r, col("__mid") === col("__mid2")).select(col("src"), col("dst"))
+    case POneOrMore(p) =>
+      Graphs.transitiveClosure(pairsId(esg, p))
+    case PZeroOrMore(p) =>
+      Graphs.transitiveClosure(pairsId(esg, p)).union(allNodeIds(esg)).distinct()
+    case PZeroOrOne(p) =>
+      pairsId(esg, p).union(allNodeIds(esg)).distinct()
+    case PFixedLength(p, n) =>
+      require(n >= 1, "PFixedLength n must be >= 1")
+      val base = pairsId(esg, p)
+      (2 to n).foldLeft(base) { (acc, _) =>
+        acc.select(col("src"), col("dst").as("__m"))
+          .join(base.select(col("src").as("__m2"), col("dst")),
+            col("__m") === col("__m2"))
+          .select(col("src"), col("dst"))
+      }
+    case PMod(p, min, max) =>
+      require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+      if (max < 0) {
+        val head =
+          if (min == 0) allNodeIds(esg)
+          else pairsId(esg, PFixedLength(p, min))
+        val star = pairsId(esg, PZeroOrMore(p))
+        head.select(col("src"), col("dst").as("__m"))
+          .join(star.select(col("src").as("__m2"), col("dst")),
+            col("__m") === col("__m2"))
+          .select(col("src"), col("dst")).distinct()
+      } else {
+        val parts = (math.max(min, 1) to max).map(k => pairsId(esg, PFixedLength(p, k)))
+        val fixed =
+          if (parts.isEmpty) allNodeIds(esg)
+          else parts.reduce(_ union _)
+        val withZero = if (min == 0) fixed.union(allNodeIds(esg)) else fixed
+        withZero.distinct()
+      }
+    case PDistinct(p) => pairsId(esg, p).distinct()
+    case PMulti(p) => pairsId(esg, p)
+    case other => throw new IllegalStateException(
+      s"pairsId: $other is not id-expressible (idExpressible out of sync)")
+  }
+
+  /** Identity (id, id) pairs over every subject/object id. */
+  private def allNodeIds(esg: Compiler.EncodedSnapshotGraph): DataFrame = {
+    val spo = esg.idLayout("spo")
+    spo.select(col("s_id").as("n")).union(spo.select(col("o_id").as("n")))
+      .distinct().select(col("n").as("src"), col("n").as("dst"))
+  }
+
+  /** Decode an id-pair frame to term structs: ONE dictionary join per
+   * endpoint, at the projection edge (SURVEY §1.6). */
+  private def decodeIdPairs(esg: Compiler.EncodedSnapshotGraph,
+                            idPairs: DataFrame): DataFrame = {
+    def dict(tag: String) = esg.terms.select(col("id").as(s"__id_$tag"),
+      struct(col("kind"), col("lex"), col("dt"), col("lang")).as(tag))
+    idPairs
+      .join(dict("__src_t"), col("src") === col("__id___src_t"))
+      .join(dict("__dst_t"), col("dst") === col("__id___dst_t"))
+      .select(col("__src_t").as("src"), col("__dst_t").as("dst"))
+  }
+
+  private def pairs0(g: GraphSource, path: Path): DataFrame = path match {
     case PLink(iri) => g match {
       case sg: SnapshotGraph =>
         sg.scanPattern(TriplePattern(TVar("src"),

@@ -90,6 +90,27 @@ object SparqlQueries {
       TermCols.lex(col("nname")).as("nname"))
   }
 
+  /** r24's `{1,2}` alt-path evaluated against the ID-ENCODED snapshot:
+   * PathEval.pairsId runs the per-hop scans, the alt union and the
+   * fixed-length joins entirely on LONG id columns (16-byte rows through
+   * every shuffle), decoding via the dictionary exactly once per
+   * endpoint at the projection edge — the TDB2 "ids until the result
+   * boundary" property extended from BGPs (r25) to property paths.
+   * Same DuckDB oracle as r24. */
+  def r27_encoded_path(s: SparkSession, d: String): DataFrame = {
+    val snap = s"/tmp/graft_encsnap_${graft.store.TripleStore.inputDigest(d)}"
+    if (!graft.store.TripleStore.isCommitted(snap))
+      graft.store.TripleStore.materializeEncoded(
+        triples(s, d).withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+        snap, None, partitions = 8)
+    val op = PathPattern(v("src"),
+      PMod(PAlt(PLink(NS + "inNation"), PLink(NS + "inRegion")), 1, 2),
+      v("dst"))
+    Compiler.compile(op, Compiler.EncodedSnapshotGraph(s, snap))
+      .select(TermCols.lex(col("src")).as("src"),
+        TermCols.lex(col("dst")).as("dst"))
+  }
+
   /** Timezone arithmetic end-to-end through the TEXT parser (ADJUST =
    * E_AdjustToTimezone + HOURS over the adjusted local clock): events'
    * UTC timestamps become zoned xsd:dateTime literals, ADJUST converts
@@ -273,6 +294,14 @@ object SparqlQueries {
 
   val oracle: Map[String, String] = Map(
     "r24_path_mod" ->
+      """SELECT 'urn:g:c:' || c_custkey AS src, 'urn:g:n:' || c_nationkey AS dst
+         FROM customer
+         UNION
+         SELECT 'urn:g:n:' || n_nationkey, 'urn:g:r:' || n_regionkey FROM nation
+         UNION
+         SELECT 'urn:g:c:' || c_custkey, 'urn:g:r:' || n_regionkey
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "r27_encoded_path" ->
       """SELECT 'urn:g:c:' || c_custkey AS src, 'urn:g:n:' || c_nationkey AS dst
          FROM customer
          UNION

@@ -299,6 +299,37 @@ class PlanSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("encoded snapshot: property paths run on LONG id columns, decode at the edge") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = Files.createTempDirectory("plan_encp").toString + "/snap"
+    // chain s0 -p-> s1 -p-> … so p+ has a real closure
+    val ts = (0 until 50).map(k => Triple(
+      Term.iri(EX + "s" + k), Term.iri(EX + "p"), Term.iri(EX + "s" + (k + 1))))
+    graft.store.TripleStore.materializeEncoded(
+      spark.createDataset(ts).toDF()
+        .withColumn("repo", lit("r0")).withColumn("lang", lit("x")),
+      dir, None, partitions = 2)
+    val esg = Compiler.EncodedSnapshotGraph(spark, dir)
+    // the id-space pair frame: only LONG columns, POS scan with the
+    // predicate pushed as an ID filter — no struct decode inside the walk
+    val idPairs = PathEval.pairsId(esg, PSeq(PLink(EX + "p"), PLink(EX + "p")))
+    assert(idPairs.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      "id-space path frame must be all LONG columns")
+    val ip = plan(idPairs)
+    assert(ip.contains("/pos") && ip.contains("EqualTo(p_id,"),
+      "path link scan must hit the POS id layout with a pushed id filter:\n" + ip)
+    assert(!ip.contains("kind") && !ip.contains("lex"),
+      "no dictionary decode inside the id-space walk:\n" + ip)
+    // full compile: closure answers match the struct-view evaluation
+    val op = PathPattern(TVar("x"), POneOrMore(PLink(EX + "p")), TVar("y"))
+    val enc = Compiler.compile(op, esg)
+    val ref = Compiler.compile(op, spark.createDataset(ts).toDF())
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("x.lex"), col("y.lex")).collect().map(_.toSeq).toSet
+    assert(rows(enc) == rows(ref) && enc.count() == 50 * 51 / 2)
+  }
+
   test("linker broadcast path broadcasts the dictionary") {
     import graft.fixtures.{CorpusGen, DictRow}
     val corpus = spark.createDataset(CorpusGen.generate(42, 5, 4))
