@@ -564,7 +564,15 @@ object Compiler {
       // the FROM default graph is the set-UNION of the listed graphs — a
       // triple present in two of them matches ONCE (the reference's
       // GraphUnionRead.find wraps Iter.distinct, GraphUnionRead.java:119);
-      // a single source graph is already a set, so skip the exchange then
+      // a single source graph is already a set, so skip the exchange then.
+      // CONTRACT (matching the reference, where Graph.add dedupes on
+      // insert): a quad table is duplicate-free per (g, s, p, o) — every
+      // producer in this repo (TripleStore.materializeQuads, Update's
+      // dataset ops, the riot readers via dropDuplicates) maintains it.
+      // A caller feeding a non-set frame would see bag semantics here in
+      // the single-graph case only, exactly as a corrupted store would
+      // in the reference; we do not pay a per-query full-data exchange
+      // to defend against it.
       val defaultPart =
         if (defaults.lengthCompare(1) > 0)
           defaultPart0.dropDuplicates("s", "p", "o")
@@ -1477,12 +1485,16 @@ object Compiler {
                           rows: Seq[Map[String, Term]]): Compiled = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
     val schema = StructType(vars.map(v =>
       org.apache.spark.sql.types.StructField(v, TermCols.schema, nullable = true)))
     val data = rows.map(m => Row(vars.map(v =>
       m.get(v).map(t => Row(t.kind, t.lex, t.dt, t.lang)).orNull): _*))
+    // LocalRelation (not an RDD): VALUES data is query-literal-sized, and
+    // a local relation lets Catalyst fold/broadcast it — and lets the
+    // property-function bind recognize the 1-row unit table statically
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, 1), schema)
+      new java.util.ArrayList[Row](data.asJava), schema)
     val certain = vars.filter(v => rows.forall(_.contains(v))).toSet
     Compiled(df, certain, vars.toSet -- certain)
   }

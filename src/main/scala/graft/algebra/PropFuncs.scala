@@ -148,12 +148,22 @@ object PropFuncs {
 
   /** Generator join: equi-join when the key var is already a solution
    * column, else bind it from the generated rows (unbound-subject
-   * property-function enumeration). */
+   * property-function enumeration). A pattern block that STARTS with the
+   * property function has the single-row unit table as its solutions —
+   * the bind is then the generated frame itself, not a cross join
+   * (keeps pfunc-leading queries off the CartesianProduct plan). */
   private def joinOnOrBind(sol: DataFrame, gen: DataFrame,
                            genKey: String, keyVar: String): DataFrame =
     if (sol.columns.contains(keyVar))
       sol.join(gen, sol(keyVar) === gen(genKey)).drop(genKey)
-    else sol.crossJoin(gen.withColumnRenamed(genKey, keyVar))
+    else {
+      val renamed = gen.withColumnRenamed(genKey, keyVar)
+      sol.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.data.lengthCompare(1) == 0 && sol.columns.isEmpty => renamed
+        case _ => sol.crossJoin(renamed)
+      }
+    }
 
   private def memberPairs(graph: DataFrame, memberVar: String): DataFrame =
     graph

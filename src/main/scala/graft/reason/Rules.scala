@@ -254,7 +254,12 @@ object Rules {
             val local = ident()
             val ns = prefixes.getOrElse(pre, fail(s"unknown prefix '$pre'"))
             RConst(Term.iri(ns + local))
-          } else RConst(Term.iri(pre))
+          } else if (peek == '(') fail(
+            s"functor term '$pre(…)' is not supported — functors are a " +
+              "tuple-at-a-time construct (SURVEY §2.12); supported term " +
+              "forms: ?var, <iri>, pre:local, bare word, literal. " +
+              "Supported guard builtins: " + guardFnsFull.toSeq.sorted.mkString("/"))
+          else RConst(Term.iri(pre))
       }
     }
     def atomOrGuard(): Either[Atom, Guard] = {
@@ -354,7 +359,9 @@ object Rules {
       }
       val backward = tryEat("<-")
       if (backward && !full) fail(
-        s"backward rule '$name' — only forward rules are supported (§2.12)")
+        s"backward rule '$name' — this is the FORWARD-only parser " +
+          "(Rules.parse); backward/hybrid rules run through " +
+          "Rules.parseFull + the goal-directed engine (graft.reason.Lp)")
       if (!backward) { eat('-'); eat('>') }
       def atEnd(): Boolean = {
         ws()
