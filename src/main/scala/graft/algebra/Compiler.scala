@@ -365,7 +365,9 @@ object Compiler {
       // survives. The var is NOT visible inside the body (W3C
       // graph-variable-scope); a body that itself binds the var joins at
       // the boundary.
-      if (graphVarSinglePlan(body)) compGraphVar(gv, body, g)
+      val singlePlanOn = g.spark.conf
+        .getOption("graft.graphVarSinglePlan").forall(_ != "off")
+      if (singlePlanOn && graphVarSinglePlan(body)) compGraphVar(gv, body, g)
       else {
         // fallback: driver-side enumeration, one GraphScope plan per
         // graph, unioned — kept ONLY for bodies the single-plan compile

@@ -975,6 +975,77 @@ class DifferentialSpec extends AnyFunSuite {
       fs.take(6).mkString("\n"))
   }
 
+  /** GRAPH ?var single-plan differential: rich GRAPH-LOCAL bodies
+   * (BGPs, paths incl. closures and negated sets, VALUES, joins,
+   * OPTIONAL, MINUS, EXISTS/NOT-EXISTS, DISTINCT) compiled through the
+   * one-g-keyed-plan path — the enumeration fallback is CAPPED AT ZERO,
+   * so only compGraphVar can serve — against RefEval's per-graph
+   * enumeration semantics. Pins the active-graph threading through every
+   * binary operator and the (g, node)-packed closures. */
+  test("differential: GRAPH ?var single-plan on 40 rich graph-local bodies") {
+    import graft.model.Quad
+    val failures = Seq.newBuilder[String]
+    quadMode = true
+    spark.conf.set("graft.graphVarEnumMax", "0") // enumeration cannot serve
+    try (0 until 40).foreach { i =>
+      val rnd = new Random(0x51A6 + i)
+      val x = new DExprs
+      val defG = genGraph(rnd)
+      val named = (0 until 15 + rnd.nextInt(10)).map { _ =>
+        Quad(iri("s" + rnd.nextInt(5)), iri("p" + rnd.nextInt(3)),
+          genTerm(rnd), genGraphName(rnd))
+      }.distinct
+      val allQuads = defG.map(t => Quad(t.s, t.p, t.o, Term.defaultGraph)) ++ named
+      val qdf = spark.createDataset(allQuads)(
+        org.apache.spark.sql.Encoders.product[Quad]).toDF()
+      def leaf(): Op = rnd.nextInt(6) match {
+        case 0 =>
+          val s = if (rnd.nextBoolean()) TVar(varPool(rnd.nextInt(varPool.size)))
+                  else TConst(iri("s" + rnd.nextInt(5)))
+          PathPattern(s, genPath(rnd, 1), TVar(varPool(rnd.nextInt(varPool.size))))
+        case 1 =>
+          val vs = rnd.shuffle(varPool).take(1 + rnd.nextInt(2)).sorted
+          Table(vs, (0 until 1 + rnd.nextInt(2)).map(_ =>
+            vs.flatMap(v => if (rnd.nextInt(4) == 0) None
+                            else Some(v -> genTerm(rnd))).toMap))
+        case _ => Bgp((0 until 1 + rnd.nextInt(2)).map(_ => genPattern(rnd)))
+      }
+      def body(depth: Int): Op =
+        if (depth == 0) leaf()
+        else rnd.nextInt(8) match {
+          case 0 => Join(body(depth - 1), body(depth - 1))
+          case 1 => Union(body(depth - 1), body(depth - 1))
+          case 2 => LeftJoin(body(depth - 1), body(depth - 1), None)
+          case 3 => Minus(body(depth - 1), body(depth - 1))
+          case 4 => SemiJoin(body(depth - 1), body(depth - 1))
+          case 5 => AntiJoin(body(depth - 1), body(depth - 1))
+          case 6 => Distinct(body(depth - 1))
+          case _ => leaf()
+        }
+      val v = varPool(rnd.nextInt(varPool.size))
+      val op = GraphVarEnum(v, body(1 + rnd.nextInt(2)))
+      val expected = bag(RefEval.eval(op, GData(defG, named), x))
+      try {
+        val actual = bag(collectSols(Compiler.compile(op, qdf)))
+        if (actual != expected) {
+          val missing = expected.toSeq.filterNot(kv => actual.get(kv._1).contains(kv._2))
+          val extra = actual.toSeq.filterNot(kv => expected.get(kv._1).contains(kv._2))
+          failures += s"[$i] MISMATCH ${showOp(op, x)}\n  expected-but-not-actual: " +
+            s"${missing.take(4)}\n  actual-but-not-expected: ${extra.take(4)}"
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"[$i] COMPILE FAILED: ${e.getMessage}\n  ${showOp(op, x)}"
+      }
+    } finally {
+      quadMode = false
+      spark.conf.unset("graft.graphVarEnumMax")
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} GRAPH-?var-single-plan failures:\n" +
+      fs.take(6).mkString("\n"))
+  }
+
   /** SPARQL TEXT differential: render each random plan as query text,
    * run it through the full Parser → Compiler path, and compare to the
    * naive evaluation of the ORIGINAL algebra — exercising the parser's
