@@ -94,14 +94,15 @@ object SparkEntry {
            SELECT doc_id + 100000 AS doc_id,
                   substr(text, instr(text, ' ') + 1) AS text FROM documents),
          sh AS (
-           SELECT doc_id, list_distinct(list_transform(
+           SELECT doc_id, list_transform(list_distinct(list_transform(
              range(1, len(string_split(text, ' '))),
-             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1]))
+             j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j+1])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
              AS shingles
            FROM docs),
          sig AS (
            SELECT doc_id, shingles,
-             (${graft.queries.OpsQueries.mhSigSqlDuck("shingles")}) AS mh
+             (${graft.queries.OpsQueries.mhSigSqlDuckPrehashed("shingles")}) AS mh
            FROM sh),
          banded AS (
            SELECT doc_id, shingles, b AS band,

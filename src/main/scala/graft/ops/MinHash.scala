@@ -67,6 +67,21 @@ object MinHash {
             (acc, h) -> zip_with(acc, sequence(0, ${K - 1}),
               (m, i) -> least(m, pmod(h * element_at($pArr, i+1) + element_at($bArr, i+1), ${M}L)))))"""
 
+  /** [[sigSql]] over a PRE-HASHED 60-bit shingle array (each element =
+   * hash60 of the shingle): the md5 is paid once when the array is
+   * built, and the SAME long array then serves exact-overlap
+   * verification — the t6 long-key trick applied to MinHash-LSH. Values
+   * are bit-identical to sigSql on the raw shingles (sigSql's fold input
+   * is pmod(hash60(sh), M) per shingle). */
+  def sigSqlPrehashed(hsCol: String): String =
+    s"""if(size($hsCol) = 0,
+          transform(sequence(0, ${K - 1}), i -> cast(null as bigint)),
+          aggregate(
+            transform($hsCol, h0 -> pmod(h0, ${M}L)),
+            array_repeat(${M}L, $K),
+            (acc, h) -> zip_with(acc, sequence(0, ${K - 1}),
+              (m, i) -> least(m, pmod(h * element_at($pArr, i+1) + element_at($bArr, i+1), ${M}L)))))"""
+
   /** (band, bucket) pairs from a signature column: `bands` bands of
    * `rowsPerBand` signature rows concatenated into a bucket key. Use with
    * posexplode to get one row per band. */

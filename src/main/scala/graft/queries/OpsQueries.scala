@@ -42,6 +42,16 @@ object OpsQueries {
           list_transform($shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $M),
           h -> (h * ($p)[CAST(i+1 AS INT)] + ($b)[CAST(i+1 AS INT)]) % $M), 'min'))"""
   }
+  /** [[mhSigSqlDuck]] over a pre-hashed (hash60) long list — the DuckDB
+   * twin of MinHash.sigSqlPrehashed (non-negative values, so `%` = pmod). */
+  def mhSigSqlDuckPrehashed(hs: String): String = {
+    import graft.ops.MinHash.{B, M, P}
+    val p = P.mkString("[", ", ", "]")
+    val b = B.mkString("[", ", ", "]")
+    s"""list_transform(range(0, 8), i -> list_aggregate(list_transform(
+          list_transform($hs, h0 -> h0 % $M),
+          h -> (h * ($p)[CAST(i+1 AS INT)] + ($b)[CAST(i+1 AS INT)]) % $M), 'min'))"""
+  }
 
   private def tokensExpr = "split(text, ' ')"
 
@@ -105,17 +115,28 @@ object OpsQueries {
     val mutated = docs
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-    // persist the shingle frame: it feeds the signature computation AND the
-    // two verify joins — without it each consumer re-derives every doc's
-    // shingle array from text (3× the tokenize+shingle work; Catalyst only
-    // reuses exchanges, not arbitrary subplans). ~[n_docs × avg_shingles]
-    // rows, evicted LRU at scale (MEMORY_AND_DISK default).
+    // persist the HASHED shingle frame: each distinct bigram becomes its
+    // 60-bit hash60 long ONCE (one md5 per shingle, total), and the same
+    // long array then feeds BOTH the signature fold and the two exact
+    // Jaccard verify joins — the t6 long-key trick: the cache, the
+    // candidate verify shuffles and the intersections all move 8-byte
+    // longs instead of ~20-byte bigram strings. Collisions: distinct
+    // 60-bit hashes stand in for distinct shingles with pair collision
+    // probability < n²/2^60 ≈ 1e-14 at these shingle counts — and the
+    // DuckDB oracle hashes identically, so the gate compares the same
+    // quantity bit-for-bit. Without the persist each consumer re-derives
+    // every doc's array from text (3× the tokenize+shingle+md5 work;
+    // Catalyst only reuses exchanges, not arbitrary subplans).
     val all = docs.union(mutated)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         expr(graft.ops.MinHash.tokenBigramsSql("toks")).as("shingles"))
+      .select(col("doc_id"), expr(
+        "transform(shingles, sh -> cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint))")
+        .as("shingles"))
       .persist()
-    val sig = all.withColumn("mh", expr(mhSigExpr("shingles")))
+    val sig = all.withColumn("mh",
+      expr(graft.ops.MinHash.sigSqlPrehashed("shingles")))
     val banded = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), '_', element_at(mh, 2*b+2)))"))
