@@ -80,6 +80,7 @@ object SparkEntry {
     "v5_lp_goal"          -> graft.queries.ReasonQueries.v5_lp_goal _,
     "v6_magic_goal"       -> graft.queries.ReasonQueries.v6_magic_goal _,
     "v7_owl_micro"        -> graft.queries.ReasonQueries.v7_owl_micro _,
+    "v8_sameas_canon"     -> graft.queries.ReasonQueries.v8_sameas_canon _,
     "v3_shex"             -> graft.queries.ShexQueries.v3_shex _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),

@@ -179,7 +179,51 @@ object ReasonQueries {
     data.unionAll(s.createDataset(tbox).toDF())
   }
 
+  /** owl:sameAs canonicalization end-to-end (Owl.canonicalize, the
+   * opt-in WebPIE-style pass): every third customer gets a 3-member
+   * alias chain c:<k> → b:<k> → a:<k> (two directed sameAs edges, so
+   * the component only closes through the CC transitivity), with facts
+   * attached to DIFFERENT members — the segment on the c-alias, the
+   * nation on the b-alias. After canonicalization both facts sit on the
+   * min member a:<k>, the sameAs triples are gone, and untouched
+   * control entities (x:<k>) pass through unchanged. The oracle
+   * restates the rewrite relationally. */
+  def v8_sameas_canon(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val sameAs = Term.iri("http://www.w3.org/2002/07/owl#sameAs")
+    def node(pfx: String) =
+      TermCols.iriTerm(concat(lit(NS + pfx + ":"), col("c_custkey").cast("string")))
+    val sel = customer.where(col("c_custkey") % 3 === 0)
+    val rest = customer.where(col("c_custkey") % 3 =!= 0)
+    val g = sel.select(node("c").as("s"), TermCols.const(sameAs).as("p"),
+        node("b").as("o"))
+      .unionAll(sel.select(node("b").as("s"), TermCols.const(sameAs).as("p"),
+        node("a").as("o")))
+      .unionAll(sel.select(node("c").as("s"),
+        TermCols.const(Term.iri(NS + "seg")).as("p"),
+        TermCols.strTerm(col("c_mktsegment")).as("o")))
+      .unionAll(sel.select(node("b").as("s"),
+        TermCols.const(Term.iri(NS + "nat")).as("p"),
+        TermCols.strTerm(col("c_nationkey").cast("string")).as("o")))
+      .unionAll(rest.select(node("x").as("s"),
+        TermCols.const(Term.iri(NS + "seg")).as("p"),
+        TermCols.strTerm(col("c_mktsegment")).as("o")))
+    graft.reason.Owl.canonicalize(g)
+      .select(TermCols.lex(col("s")).as("s"), TermCols.lex(col("p")).as("p"),
+        TermCols.lex(col("o")).as("o"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v8_sameas_canon" -> s"""
+      SELECT '${NS}a:' || c_custkey AS s, '${NS}seg' AS p, c_mktsegment AS o
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT '${NS}a:' || c_custkey, '${NS}nat', CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT '${NS}x:' || c_custkey, '${NS}seg', c_mktsegment
+      FROM customer WHERE c_custkey % 3 <> 0
+      """,
     "v7_owl_micro" -> s"""
       WITH c AS (SELECT '${NS}c:' || c_custkey AS i,
                         '${NS}n:' || c_nationkey AS n FROM customer)
