@@ -722,10 +722,10 @@ object Compiler {
 
   /** Is `body` expressible by the single-plan GRAPH ?var compile? True
    * only for graph-local operators: scans bind the hidden graph column,
-   * binary ops key on it, per-row ops ignore it. Excluded (→ enumeration
-   * fallback): dataset re-access (nested GRAPH / QuadBgp / FROM /
-   * DatasetNames / SERVICE), per-group-sensitive Slice, LATERAL, and the
-   * escape hatches (ExtOp/GraphOp see raw frames). */
+   * binary ops key on it, per-row ops ignore it, grouping and Slice
+   * partition by it. Excluded (→ enumeration fallback): dataset
+   * re-access (nested GRAPH / QuadBgp / FROM / DatasetNames / SERVICE),
+   * LATERAL, and the escape hatches (ExtOp/GraphOp see raw frames). */
   private def graphVarSinglePlan(op: Op): Boolean = {
     def ok(o: Op): Boolean = o match {
       case Bgp(_) | PathPattern(_, _, _) | Table(_, _) | Null => true
@@ -744,6 +744,7 @@ object Compiler {
       case Reduced(in) => ok(in)
       case Group(_, _, in) => ok(in)
       case Order(_, in) => ok(in)
+      case Slice(_, _, in) => ok(in)
       case Unfold(_, _, _, in) => ok(in)
       case Label(_, in) => ok(in)
       case _ => false
@@ -876,6 +877,35 @@ object Compiler {
         if (k.ascending) sk.asc else sk.desc
       }
       Compiled(c.df.orderBy(sortCols: _*), c.certain, c.maybe)
+
+    case Slice(offset, limit, in) =>
+      // per-graph LIMIT/OFFSET (sub-SELECT inside GRAPH ?var): a rank
+      // window partitioned by the active graph — the per-group twin of
+      // comp's global Slice. Ordered by the inner ORDER BY's keys when
+      // present (deterministic); otherwise by an arbitrary stable id
+      // (any n rows per graph, the same freedom the per-graph
+      // enumeration has).
+      require(offset <= Int.MaxValue, s"OFFSET $offset exceeds supported range")
+      require(limit == Long.MaxValue || limit <= Int.MaxValue,
+        s"LIMIT $limit exceeds supported range")
+      val (sortCols, inner) = in match {
+        case Order(keys, i2) =>
+          val c0 = compG(i2, g)
+          (keys.map { k =>
+            val sk = TermCols.sortKey(resolve(c0, k.v))
+            if (k.ascending) sk.asc else sk.desc
+          }, c0)
+        case _ => (Seq.empty[Column], compG(in, g))
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w =
+        if (sortCols.nonEmpty) Window.partitionBy(col(AGV)).orderBy(sortCols: _*)
+        else Window.partitionBy(col(AGV)).orderBy(monotonically_increasing_id())
+      val hi = if (limit == Long.MaxValue) Long.MaxValue else offset + limit
+      val ranked = inner.df.withColumn("__gsl", row_number().over(w))
+      Compiled(ranked.filter(col("__gsl") > offset && col("__gsl") <= hi)
+          .drop("__gsl"),
+        inner.certain, inner.maybe)
 
     case Unfold(listVar, outVar, idxVar, in) =>
       unfoldC(compG(in, g), listVar, outVar, idxVar)

@@ -192,6 +192,17 @@ class PlanSpec extends AnyFunSuite {
       assert(opt.count() == 3) // (a,b,+c in g1), (b,c,null in g1), (c,d,null in g2)
       // per-graph scoping: b->c (g1) must NOT join c->d (g2)
       assert(opt.filter(col("z").isNotNull).count() == 1)
+      // per-graph LIMIT: a sub-SELECT with ORDER BY + LIMIT inside
+      // GRAPH ?g slices WITHIN each graph (rank window over the hidden
+      // graph column), still one plan
+      val lim = graft.sparql.Sparql.select(
+        s"""SELECT ?g ?y WHERE { GRAPH ?g {
+              SELECT ?y WHERE { ?x <${EX}p> ?y } ORDER BY ?y LIMIT 1 } }""",
+        gdf)
+      val rows2 = lim.select(col("g.lex"), col("y.lex"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows2 == Set((EX + "g1", EX + "b"), (EX + "g2", EX + "d")),
+        s"per-graph LIMIT wrong: $rows2")
     } finally spark.conf.unset("graft.graphVarEnumMax")
   }
 
