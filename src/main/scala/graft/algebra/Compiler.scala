@@ -375,13 +375,15 @@ object Compiler {
         // SERVICE), under a loud graph-count cap.
         val cap = g.spark.conf.getOption("graft.graphVarEnumMax")
           .map(_.toInt).getOrElse(1000)
-        val names = namedGraphTerms(g, cap) match {
-          // zero named graphs: one never-matching name keeps the schema
-          // and yields the (correct) empty result
-          case Seq() => Seq(Term.iri("urn:graft:no-such-graph"))
-          case ns => ns
-        }
-        names.map { t =>
+        val terms = namedGraphTerms(g, cap)
+        // zero named graphs: the union over graphs is EMPTY regardless of
+        // the body (SPARQL 18.5) — compile one branch against a
+        // never-matching name for the SCHEMA, then force zero rows (a
+        // graph-independent body like VALUES would otherwise still emit
+        // rows bound to the sentinel)
+        val names = if (terms.isEmpty)
+          Seq(Term.iri("urn:graft:no-such-graph")) else terms
+        val out = names.map { t =>
           val c = comp(GraphScope(t, body), g)
           val const = TermCols.const(t)
           val df =
@@ -391,6 +393,8 @@ object Compiler {
             else c.df.withColumn(gv, const)
           Compiled(df, c.certain + gv, c.maybe - gv)
         }.reduceLeft(unionPad)
+        if (terms.isEmpty) Compiled(out.df.limit(0), out.certain, out.maybe)
+        else out
       }
 
     case Lateral(l, r) => lateral(comp(l, g), r, g)
@@ -515,10 +519,16 @@ object Compiler {
           // variable bound to each endpoint's IRI per branch (the
           // set-at-a-time twin of the reference's per-binding dispatch —
           // the outer join then restricts to whatever the query bound).
+          // one branch per endpoint IRI: a GraphSource registration wins
+          // over a transport for the same IRI (mirroring the TConst
+          // lookup order) — without the dedup an endpoint registered both
+          // ways would contribute its solutions twice
+          val graphIris = ServiceRegistry.all.map(_._1).toSet
           val eps = ServiceRegistry.all.map { case (iri, src) =>
             () => (iri, evalAgainst(src))
-          } ++ ServiceRegistry.allTransports.map { case (iri, tr) =>
-            () => (iri, evalTransport(iri, tr))
+          } ++ ServiceRegistry.allTransports.collect {
+            case (iri, tr) if !graphIris(iri) =>
+              () => (iri, evalTransport(iri, tr))
           }
           if (eps.isEmpty) {
             if (silent) unit
@@ -877,6 +887,17 @@ object Compiler {
         if (k.ascending) sk.asc else sk.desc
       }
       Compiled(c.df.orderBy(sortCols: _*), c.certain, c.maybe)
+
+    // Slice commutes with per-row shapes (projection keeps rows 1:1), so
+    // push it inside before looking for the ORDER BY: the parser emits
+    // sub-selects as Slice(Project(Order(...))), and without this rewrite
+    // the Order-unwrap below would never fire — the ordered per-graph
+    // LIMIT would then rest on an UNSPECIFIED physical-ordering accident
+    // (row_number over monotonically_increasing_id above a global Sort).
+    case Slice(offset, limit, Project(vs, in)) =>
+      compG(Project(vs, Slice(offset, limit, in)), g)
+    case Slice(offset, limit, Label(_, in)) =>
+      compG(Slice(offset, limit, in), g)
 
     case Slice(offset, limit, in) =>
       // per-graph LIMIT/OFFSET (sub-SELECT inside GRAPH ?var): a rank

@@ -25,19 +25,24 @@ import graft.model.Term
 object Construct {
 
   /** Tag each solution row with `__row` and PIN the assignment with an
-   * eager localCheckpoint whenever more than one consumer exists: the
-   * tagged frame is unioned across N template-pattern branches, and
+   * eager localCheckpoint when the template mints bnodes: the tagged
+   * frame is unioned across N template-pattern branches, and
    * `monotonically_increasing_id` is partition-order-dependent — a task
    * retry or AQE re-plan between branches could otherwise assign
    * DIFFERENT ids to the same solution row, silently breaking
-   * cross-pattern bnode co-reference (and recomputing the solutions
-   * subplan N×). Single-branch bnode-free templates never read `__row`,
-   * so they skip the materialization. Same device as Compiler.tagged. */
-  private def rowTagged(solutions: DataFrame, branches: Int,
-                        hasBnodes: Boolean): DataFrame = {
-    val tagged = solutions.withColumn("__row", monotonically_increasing_id())
-    if (branches > 1 || hasBnodes) tagged.localCheckpoint(true) else tagged
-  }
+   * cross-pattern bnode co-reference. Same device as Compiler.tagged.
+   * Bnode-FREE templates never read `__row`, so they skip both the tag
+   * and the materialization — a multi-branch bnode-free CONSTRUCT
+   * re-evaluates the solutions subplan per branch rather than paying an
+   * eager full-solution checkpoint (the cheaper trade at scale: the
+   * branches are projections the optimizer can prune, the checkpoint is
+   * a forced materialization of every column). */
+  private def rowTagged(solutions: DataFrame,
+                        hasBnodes: Boolean): DataFrame =
+    if (hasBnodes)
+      solutions.withColumn("__row", monotonically_increasing_id())
+        .localCheckpoint(true)
+    else solutions
 
   /** Pattern slots: constants, solution variables, or template bnodes
    * (`TConst(Term.bnode(label))` is treated as a template bnode). */
@@ -46,7 +51,7 @@ object Construct {
     // labels become label_rowid (fresh per row, stable within the row)
     val hasBnodes = template.exists(tp =>
       Seq(tp.s, tp.p, tp.o).exists { case TConst(t) => t.isBNode; case _ => false })
-    val withRow = rowTagged(solutions, template.size, hasBnodes)
+    val withRow = rowTagged(solutions, hasBnodes)
 
     def slotCol(p: TermPat): Column = p match {
       case TConst(t) if t.isBNode =>
@@ -81,7 +86,7 @@ object Construct {
       (gp.toSeq ++ Seq(tp.s, tp.p, tp.o))
         .exists { case TConst(t) => t.isBNode; case _ => false }
     }
-    val withRow = rowTagged(solutions, template.size, hasBnodes)
+    val withRow = rowTagged(solutions, hasBnodes)
     def slotCol(p: TermPat): Column = p match {
       case TConst(t) if t.isBNode =>
         // labels are fresh per (bnodeScope, solution row): one scope per

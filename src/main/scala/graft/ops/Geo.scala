@@ -176,6 +176,10 @@ object Geo {
         val pts = m.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
           .map { p =>
             val xy = p.split("\\s+")
+            // a vertex with fewer than 2 coordinates (stray comma, truncated
+            // literal) is a PARSE error, not a task-killing exception — one
+            // malformed row on a dirty corpus must drop, not abort the job
+            if (xy.length < 2) return None
             (xy(0).toDouble, xy(1).toDouble)
           }
         val ring = if (pts.length > 1 && pts.head == pts.last) pts.init else pts

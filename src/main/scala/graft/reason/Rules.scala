@@ -1081,20 +1081,26 @@ object Rules {
           val cp = observed.localCheckpoint(true)
           // get() blocks until the observed action's execution event —
           // normally already fired here (the checkpoint IS the action);
-          // the bounded wait + fallback guard against an event that
-          // never surfaces, so the loop can never hang on a metric
-          val metric: Option[Seq[(String, Option[String])]] =
+          // the bounded wait + fallback guard against an event that never
+          // surfaces. A dedicated single-use daemon thread (not the
+          // global pool) runs the blocking get, and shutdownNow interrupts
+          // it on timeout — no thread can be left parked forever.
+          val metric: Option[Seq[(String, Option[String])]] = {
+            val ex = java.util.concurrent.Executors.newSingleThreadExecutor(
+              (r: Runnable) => { val t = new Thread(r, "rules-obs"); t.setDaemon(true); t })
             try {
-              val fut = scala.concurrent.Future(obs.get)(
-                scala.concurrent.ExecutionContext.global)
-              val m = scala.concurrent.Await.result(fut,
-                scala.concurrent.duration.Duration(30, "seconds"))
+              val fut = ex.submit(new java.util.concurrent.Callable[
+                Map[String, Any]] { def call(): Map[String, Any] = obs.get })
+              val m = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
               m.get("pairs").map(_.asInstanceOf[Seq[org.apache.spark.sql.Row]]
                 .map(r => (r.getString(0), Option(r.getString(1)))))
             } catch {
               case _: java.util.concurrent.TimeoutException => None
-              case _: InterruptedException => None
-            }
+              case _: java.util.concurrent.ExecutionException => None
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); None
+            } finally ex.shutdownNow()
+          }
           (cp, metric)
         } else (freshPlan.localCheckpoint(true), None)
       val tExec = if (trace) System.nanoTime() else 0L

@@ -1260,8 +1260,13 @@ object Parser {
           // endpoint; the local GraphSource path ignores it
           val bodyStart = i
           val body = groupGraphPattern()
-          val prologue = prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
-            .mkString("", "\n", "\n")
+          // the prologue must carry BASE too — a body using relative IRIs
+          // would otherwise resolve against the REMOTE endpoint's base
+          val baseDecl = // `base` here would hit a later local; qualify
+            if (P.this.base.nonEmpty) s"BASE <${P.this.base}>\n" else ""
+          val prologue = baseDecl +
+            prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
+              .mkString("", "\n", "\n")
           val bodyText = prologue + "SELECT * WHERE " +
             s.substring(bodyStart, i).trim
           val svc = Service(silent, target, body, Some(bodyText))

@@ -91,6 +91,13 @@ class GeoSpec extends AnyFunSuite {
       "POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))").get
     assert(Geo.pointInRings(2, 2, holed))
     assert(!Geo.pointInRings(5, 5, holed))
+    // malformed vertices are PARSE errors (None), never task-killing
+    // exceptions — one dirty literal must drop the row, not the job
+    assert(Geo.parsePolygon("POLYGON((1, 2 2, 3 3))").isEmpty)
+    assert(Geo.parsePolygon("POLYGON((1 x, 2 2, 3 3))").isEmpty)
+    assert(Geo.parsePolygon("POLYGON((1 1, 2 2))").isEmpty)
+    assert(Geo.sfWithin(Geo.wktPointTerm(1, 1),
+      Term.lit("POLYGON((1, 2 2, 3 3))", Geo.WKT_DT)).isEmpty)
     // geof:sfWithin term face + point-within-point
     val geoPt = (lon: Double, lat: Double) => Geo.wktPointTerm(lon, lat)
     assert(Geo.sfWithin(geoPt(15, 45), Term.lit(L_WKT, Geo.WKT_DT)).get)

@@ -204,6 +204,17 @@ class PlanSpec extends AnyFunSuite {
       assert(rows2 == Set((EX + "g1", EX + "b"), (EX + "g2", EX + "d")),
         s"per-graph LIMIT wrong: $rows2")
     } finally spark.conf.unset("graft.graphVarEnumMax")
+    // zero named graphs: GRAPH ?g over ANY body — including a
+    // graph-independent VALUES — is the EMPTY union (SPARQL 18.5), on
+    // both the single-plan path and the enumeration fallback
+    val defaultOnly = spark.createDataset(Seq(graft.model.Quad(
+      Term.iri(EX + "s"), Term.iri(EX + "p"), Term.iri(EX + "o"),
+      Term.defaultGraph))).toDF()
+    val valsBody = Table(Seq("x"), Seq(Map("x" -> Term.iri(EX + "a"))))
+    assert(Compiler.compile(GraphVarEnum("g", valsBody), defaultOnly).count() == 0)
+    spark.conf.set("graft.graphVarSinglePlan", "off")
+    try assert(Compiler.compile(GraphVarEnum("g", valsBody), defaultOnly).count() == 0)
+    finally spark.conf.unset("graft.graphVarSinglePlan")
   }
 
   test("MINUS with all-certain shared vars plans as an equi anti-join (no BNLJ)") {
