@@ -51,6 +51,7 @@ object SparkEntry {
     "t7_repetition"     -> OpsQueries.t7_repetition _,
     "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
     "t9_text_query"     -> OpsQueries.t9_text_query _,
+    "t10_text_fuzzy"    -> OpsQueries.t10_text_fuzzy _,
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
     "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
@@ -60,6 +61,7 @@ object SparkEntry {
     "g1_path_closure"   -> OpsQueries.g1_path_closure _,
     "x1_geo_radius"     -> OpsQueries.x1_geo_radius _,
     "x2_geo_within"     -> OpsQueries.x2_geo_within _,
+    "x3_geo_intersects" -> OpsQueries.x3_geo_intersects _,
     "v4_cdt_fold"       -> OpsQueries.v4_cdt_fold _,
     // SPARQL algebra over a triple encoding (graft.algebra Compiler)
     "r16_bgp"             -> SparqlQueries.r16_bgp _,
@@ -73,6 +75,7 @@ object SparkEntry {
     "r23_graph_quads"     -> SparqlQueries.r23_graph_quads _,
     "r24_path_mod"        -> SparqlQueries.r24_path_mod _,
     "r27_encoded_path"    -> SparqlQueries.r27_encoded_path _,
+    "r28_seeded_path"     -> SparqlQueries.r28_seeded_path _,
     "r25_encoded_bgp"     -> SparqlQueries.r25_encoded_bgp _,
     "r26_tz_adjust"       -> SparqlQueries.r26_tz_adjust _,
     "v1_shacl"            -> graft.queries.ShaclQueries.v1_shacl _,
@@ -84,6 +87,14 @@ object SparkEntry {
     "v3_shex"             -> graft.queries.ShexQueries.v3_shex _,
     "m1_media_meta"     -> ((s, d) => graft.ops.Multimodal.extractMeta(
       graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d))).toDF()),
+    // real javax.imageio decode over deterministically generated PNGs —
+    // the oracle predicts the dimensions the decoder must read back
+    "m2_image_decode"   -> ((s, d) => graft.ops.Multimodal.extractMeta(
+      graft.ops.Multimodal.syntheticImages(graft.Tables.documents(s, d)))
+      .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("width"),
+        org.apache.spark.sql.functions.col("height"),
+        org.apache.spark.sql.functions.col("channels"))),
   )
 
   /** d4's full DuckDB pipeline SQL — the "d4_dedup_lsh" oracle, and reused
@@ -564,6 +575,18 @@ object SparkEntry {
          WHERE len(list_intersect(
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
              ['spark', 'vector'])) > 0""",
+    "t10_text_fuzzy" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(
+             regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+           FROM documents),
+         hit AS (
+           SELECT DISTINCT doc_id FROM toks
+           WHERE levenshtein(token, 'vactor') <= 1),
+         ex AS (SELECT DISTINCT doc_id FROM toks WHERE token = 'spark')
+         SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS doc,
+                CAST(1 AS BIGINT) AS score
+         FROM hit WHERE doc_id NOT IN (SELECT doc_id FROM ex)""",
     "t8_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,
@@ -626,6 +649,38 @@ object SparkEntry {
                  WHERE ((e.ay > p.lat) != (e.by > p.lat))
                    AND p.lon < e.ax + (e.bx - e.ax) * (p.lat - e.ay)
                                       / (e.by - e.ay)) % 2 = 1""",
+    "x3_geo_intersects" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey AS BIGINT) AS id,
+                  CAST(('0x' || substr(md5(c_custkey || 'lat'), 1, 15)) AS BIGINT)
+                    % 1800 / 10.0 - 90.0 AS ay,
+                  CAST(('0x' || substr(md5(c_custkey || 'lon'), 1, 15)) AS BIGINT)
+                    % 3600 / 10.0 - 180.0 AS ax,
+                  CAST(('0x' || substr(md5(c_custkey || 'dlat'), 1, 15)) AS BIGINT)
+                    % 400 / 10.0 - 20.0 AS dy,
+                  CAST(('0x' || substr(md5(c_custkey || 'dlon'), 1, 15)) AS BIGINT)
+                    % 400 / 10.0 - 20.0 AS dx
+           FROM customer),
+         seg AS (SELECT id, ax, ay, ax + dx AS bx, ay + dy AS by FROM pts),
+         e(ex1, ey1, ex2, ey2) AS (VALUES
+           (0, 0, 60, 0), (60, 0, 60, 30), (60, 30, 30, 30),
+           (30, 30, 30, 60), (30, 60, 0, 60), (0, 60, 0, 0))
+         SELECT s.id FROM seg s
+         WHERE (s.ax >= 0 AND s.ax <= 60 AND s.ay >= 0 AND s.ay <= 60
+                AND (SELECT count(*) FROM e
+                      WHERE ((e.ey1 > s.ay) != (e.ey2 > s.ay))
+                        AND s.ax < e.ex1 + (e.ex2 - e.ex1) * (s.ay - e.ey1)
+                                           / (e.ey2 - e.ey1)) % 2 = 1)
+            OR (s.bx >= 0 AND s.bx <= 60 AND s.by >= 0 AND s.by <= 60
+                AND (SELECT count(*) FROM e
+                      WHERE ((e.ey1 > s.by) != (e.ey2 > s.by))
+                        AND s.bx < e.ex1 + (e.ex2 - e.ex1) * (s.by - e.ey1)
+                                           / (e.ey2 - e.ey1)) % 2 = 1)
+            OR EXISTS (SELECT 1 FROM e
+                 WHERE ((s.bx - s.ax) * (e.ey1 - s.ay) - (s.by - s.ay) * (e.ex1 - s.ax))
+                     * ((s.bx - s.ax) * (e.ey2 - s.ay) - (s.by - s.ay) * (e.ex2 - s.ax)) < 0
+                   AND ((e.ex2 - e.ex1) * (s.ay - e.ey1) - (e.ey2 - e.ey1) * (s.ax - e.ex1))
+                     * ((e.ex2 - e.ex1) * (s.by - e.ey1) - (e.ey2 - e.ey1) * (s.bx - e.ex1)) < 0)""",
     "v4_cdt_fold" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
                 '[' || string_agg(DISTINCT '"' || c_mktsegment || '"', ', '
@@ -641,6 +696,12 @@ object SparkEntry {
              list_transform(range(1, least(length(text), 8) + 1),
                i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
              (a, b) -> a * 31 + b) AS checksum
+         FROM documents""",
+    "m2_image_decode" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 32 AS INT) AS width,
+           CAST(8 + (doc_id * 3) % 32 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
          FROM documents""",
   )
 }

@@ -296,22 +296,7 @@ object Compiler {
             .reduceLeft(join(_, _, "inner"))
       }
 
-    case PathPattern(s, path, o) =>
-      var pairs = PathEval.pairs(g, path) // (src, dst) term structs
-      // A zero-length-matching path with a CONSTANT endpoint matches that
-      // constant against itself even when the term is absent from the
-      // graph ({ ?s :p* :o } on the empty graph binds ?s = :o — SPARQL
-      // 18.4 ZeroLengthPath over the evaluation's term universe; the W3C
-      // empty-dataset cases pin this).
-      if (PathEval.allowsZero(path)) {
-        val consts = Seq(s, o).collect { case TConst(t) => t }.distinct
-        consts.foreach { t =>
-          pairs = pairs.union(g.spark.range(1)
-            .select(TermCols.const(t).as("src"), TermCols.const(t).as("dst")))
-        }
-        if (consts.nonEmpty) pairs = pairs.distinct()
-      }
-      bindPair(pairs, s, o)
+    case PathPattern(s, path, o) => compPath(g, s, path, o, None)
 
     case Project(vars, in) =>
       val c = comp(in, g)
@@ -336,11 +321,41 @@ object Compiler {
     case Table(vars, rows) =>
       valuesTable(g.spark, vars, rows)
 
-    case Join(l, r) => join(comp(l, g), comp(r, g), "inner")
+    // Join family: when one side is a closure-bearing path pattern whose
+    // endpoint variable the OTHER side binds certainly, evaluate the path
+    // SEEDED from that side's values (the ALP bound-endpoint analog,
+    // PathEngineSPARQL.java:36 — the reference streams left bindings into
+    // the path iterator). Restricting the path's pairs to src/dst values
+    // the join partner actually produces cannot change the join result
+    // (inner: dropped pairs never match; left/semi: dropped RIGHT rows
+    // were incompatible on a certain shared var) but turns a global-
+    // closure materialization into a cone walk.
+    case Join(l, r) =>
+      (l, r) match {
+        case (_, pp: PathPattern) if seedablePath(pp) =>
+          val cl = comp(l, g)
+          join(cl, compPath(g, pp.s, pp.path, pp.o, Some(cl)), "inner")
+        case (pp: PathPattern, _) if seedablePath(pp) =>
+          val cr = comp(r, g)
+          join(compPath(g, pp.s, pp.path, pp.o, Some(cr)), cr, "inner")
+        case _ => join(comp(l, g), comp(r, g), "inner")
+      }
 
-    case LeftJoin(l, r, cond) => leftJoin(comp(l, g), comp(r, g), cond)
+    case LeftJoin(l, r, cond) =>
+      r match {
+        case pp: PathPattern if seedablePath(pp) =>
+          val cl = comp(l, g)
+          leftJoin(cl, compPath(g, pp.s, pp.path, pp.o, Some(cl)), cond)
+        case _ => leftJoin(comp(l, g), comp(r, g), cond)
+      }
 
-    case SemiJoin(l, r) => halfJoin(comp(l, g), comp(r, g), "left_semi")
+    case SemiJoin(l, r) =>
+      r match {
+        case pp: PathPattern if seedablePath(pp) =>
+          val cl = comp(l, g)
+          halfJoin(cl, compPath(g, pp.s, pp.path, pp.o, Some(cl)), "left_semi")
+        case _ => halfJoin(comp(l, g), comp(r, g), "left_semi")
+      }
 
     case AntiJoin(l, r) => halfJoin(comp(l, g), comp(r, g), "left_anti")
 
@@ -733,13 +748,15 @@ object Compiler {
   /** Is `body` expressible by the single-plan GRAPH ?var compile? True
    * only for graph-local operators: scans bind the hidden graph column,
    * binary ops key on it, per-row ops ignore it, grouping and Slice
-   * partition by it. Excluded (→ enumeration fallback): dataset
-   * re-access (nested GRAPH / QuadBgp / FROM / DatasetNames / SERVICE),
-   * LATERAL, and the escape hatches (ExtOp/GraphOp see raw frames). */
+   * partition by it, LATERAL threads it through the correlated leaf
+   * compiler. Excluded (→ enumeration fallback): dataset re-access
+   * (nested GRAPH / QuadBgp / FROM / DatasetNames / SERVICE) and the
+   * escape hatches (ExtOp/GraphOp see raw frames). */
   private def graphVarSinglePlan(op: Op): Boolean = {
     def ok(o: Op): Boolean = o match {
       case Bgp(_) | PathPattern(_, _, _) | Table(_, _) | Null => true
       case Join(a, b) => ok(a) && ok(b)
+      case Lateral(a, b) => ok(a) && ok(b)
       case LeftJoin(a, b, _) => ok(a) && ok(b)
       case Union(a, b) => ok(a) && ok(b)
       case SemiJoin(a, b) => ok(a) && ok(b)
@@ -836,6 +853,12 @@ object Compiler {
         c.certain, c.maybe + name)
 
     case Join(l, r) => join(compG(l, g), compG(r, g), "inner")
+    // LATERAL inside GRAPH ?var: same correlated machinery, with the
+    // leaf compiler swapped to compG — every RHS leaf binds the hidden
+    // active-graph column, so the per-left-row correlation keys on it
+    // and the lateral evaluation never crosses graphs (one plan for ALL
+    // graphs; no enumeration fallback)
+    case Lateral(a, b) => lateral(compG(a, g), b, g, leaf = compG(_, _))
     case LeftJoin(l, r, cond) => leftJoin(compG(l, g), compG(r, g), cond)
     case SemiJoin(l, r) => halfJoin(compG(l, g), compG(r, g), "left_semi")
     case AntiJoin(l, r) => halfJoin(compG(l, g), compG(r, g), "left_anti")
@@ -919,13 +942,23 @@ object Compiler {
         case _ => (Seq.empty[Column], compG(in, g))
       }
       import org.apache.spark.sql.expressions.Window
-      val w =
-        if (sortCols.nonEmpty) Window.partitionBy(col(AGV)).orderBy(sortCols: _*)
-        else Window.partitionBy(col(AGV)).orderBy(monotonically_increasing_id())
+      // the UNORDERED branch picks "any n rows per graph" — a specified
+      // freedom, but monotonically_increasing_id is partition-order-
+      // dependent, so under a task retry (or between two consumers of
+      // this plan) the chosen rows could differ. localCheckpoint pins the
+      // assignment exactly like tagged() pins LID rows — retry-stable for
+      // one materialization's cost on this rare branch only.
+      val (w, ranked0) =
+        if (sortCols.nonEmpty)
+          (Window.partitionBy(col(AGV)).orderBy(sortCols: _*), inner.df)
+        else
+          (Window.partitionBy(col(AGV)).orderBy(col("__gslid")),
+            inner.df.withColumn("__gslid", monotonically_increasing_id())
+              .localCheckpoint(true))
       val hi = if (limit == Long.MaxValue) Long.MaxValue else offset + limit
-      val ranked = inner.df.withColumn("__gsl", row_number().over(w))
+      val ranked = ranked0.withColumn("__gsl", row_number().over(w))
       Compiled(ranked.filter(col("__gsl") > offset && col("__gsl") <= hi)
-          .drop("__gsl"),
+          .drop("__gsl", "__gslid"),
         inner.certain, inner.maybe)
 
     case Unfold(listVar, outVar, idxVar, in) =>
@@ -1034,6 +1067,60 @@ object Compiler {
     val names = byVar.keySet
     Compiled(if (out.isEmpty) df.select(lit(1).as("__unit")) else df.select(out: _*),
       if (out.isEmpty) Set.empty else names, Set.empty)
+  }
+
+  /** Can seeding ever apply to this path pattern in a join context? —
+   * closure-bearing path with at least one variable endpoint (constant
+   * endpoints are already seeded by [[compPath]] itself). */
+  private def seedablePath(pp: PathPattern): Boolean =
+    PathEval.containsClosure(pp.path) &&
+      (pp.s.isInstanceOf[TVar] || pp.o.isInstanceOf[TVar])
+
+  /** Compile one path pattern. For closure-bearing paths with a bound
+   * endpoint — a CONSTANT subject/object, or (when `leftSeeds` carries the
+   * join partner's compilation) a variable endpoint the partner binds
+   * certainly — evaluation is SEEDED: the closure frontier starts from the
+   * bound node set and walks only the reachable cone (the ALP algorithm,
+   * PathEngine.java:49–122), instead of materializing the global closure
+   * and post-filtering. Non-closure paths keep the global plan: Catalyst
+   * pushes endpoint filters through scan/join chains by itself; only the
+   * iterative loop (a localCheckpoint pushdown barrier) needs help. */
+  private def compPath(g: GraphSource, s: TermPat, path: Path, o: TermPat,
+                       leftSeeds: Option[Compiled]): Compiled = {
+    def seedDfFor(p: TermPat): Option[DataFrame] = p match {
+      case TVar(v) => leftSeeds.filter(_.certain(v))
+        .map(_.df.select(col(v).as("n")))
+      case _ => None
+    }
+    var pairs: DataFrame =
+      if (!PathEval.containsClosure(path)) PathEval.pairs(g, path)
+      else (s, o) match {
+        case (TConst(t), _) => PathEval.pairsFromConst(g, path, t)
+        case (_, TConst(t)) => PathEval.pairsFromConst(g, PathEval.inverse(path), t)
+          .select(col("dst").as("src"), col("src").as("dst"))
+        case _ => seedDfFor(s) match {
+          case Some(sd) => PathEval.pairsFromSeeds(g, path, sd)
+          case None => seedDfFor(o) match {
+            case Some(sd) => PathEval.pairsFromSeeds(g, PathEval.inverse(path), sd)
+              .select(col("dst").as("src"), col("src").as("dst"))
+            case None => PathEval.pairs(g, path)
+          }
+        }
+      }
+    // A zero-length-matching path with a CONSTANT endpoint matches that
+    // constant against itself even when the term is absent from the
+    // graph ({ ?s :p* :o } on the empty graph binds ?s = :o — SPARQL
+    // 18.4 ZeroLengthPath over the evaluation's term universe; the W3C
+    // empty-dataset cases pin this).
+    if (PathEval.allowsZero(path)) {
+      val consts = Seq(s, o).collect { case TConst(t) => t }.distinct
+      consts.foreach { t =>
+        pairs = pairs.union(g.spark.range(1)
+          .select(TermCols.const(t).as("src"), TermCols.const(t).as("dst")))
+      }
+      if (consts.nonEmpty) pairs = pairs.distinct()
+    }
+    bindPair(pairs, s, o)
   }
 
   /** Bind a (src, dst) pair table against the s/o slots of a path pattern. */
@@ -1238,12 +1325,13 @@ object Compiler {
    * per-left-row tag (row-stable: [[taggedAs]] checkpoints eagerly). The
    * tag + checkpoint are paid only when [[perRowSensitive]] says the RHS
    * needs them — a plain RHS stays the old single-join plan. */
-  private def lateral(l: Compiled, r: Op, g: GraphSource): Compiled =
-    if (!perRowSensitive(r)) lat(l, r, g, tag = "")
+  private def lateral(l: Compiled, r: Op, g: GraphSource,
+                      leaf: (Op, GraphSource) => Compiled = comp): Compiled =
+    if (!perRowSensitive(r)) lat(l, r, g, tag = "", leaf)
     else {
       val t = freshTag()
       val lt = Compiled(taggedAs(l.df, t), l.certain + t, l.maybe)
-      val out = lat(lt, r, g, t)
+      val out = lat(lt, r, g, t, leaf)
       Compiled(out.df.drop(t), out.certain - t, out.maybe)
     }
 
@@ -1334,38 +1422,39 @@ object Compiler {
    * columns (plus the per-left-row `tag` column when the RHS is
    * per-row-sensitive); the result holds left + RHS columns with the
    * substitution semantics applied. */
-  private def lat(l: Compiled, r: Op, g: GraphSource, tag: String): Compiled = r match {
+  private def lat(l: Compiled, r: Op, g: GraphSource, tag: String,
+                  leaf: (Op, GraphSource) => Compiled = comp): Compiled = r match {
     case Filter(cond, in) =>
       // RHS filters see the LEFT bindings (lateral-3 "filter scope")
-      val c = lat(l, in, g, tag)
+      val c = lat(l, in, g, tag, leaf)
       Compiled(c.df.filter(cond(v => resolve(c, v))), c.certain, c.maybe)
     case Extend(name, expr, in) =>
-      val c = lat(l, in, g, tag)
+      val c = lat(l, in, g, tag, leaf)
       require(!c.vars.contains(name), s"Extend onto bound var $name")
       Compiled(c.df.withColumn(name, expr(v => resolve(c, v))),
         c.certain, c.maybe + name)
-    case Join(a, b) => lat(lat(l, a, g, tag), b, g, tag)
-    case Union(a, b) => unionPad(lat(l, a, g, tag), lat(l, b, g, tag))
+    case Join(a, b) => lat(lat(l, a, g, tag, leaf), b, g, tag)
+    case Union(a, b) => unionPad(lat(l, a, g, tag, leaf), lat(l, b, g, tag, leaf))
     case Distinct(in) =>
       // per-left-row dedup: the tag keeps duplicate left rows distinct
-      val c = lat(l, in, g, tag)
+      val c = lat(l, in, g, tag, leaf)
       Compiled(c.df.dropDuplicates(), c.certain, c.maybe)
-    case Reduced(in) => lat(l, Distinct(in), g, tag)
+    case Reduced(in) => lat(l, Distinct(in), g, tag, leaf)
     case Order(_, in) =>
       // ordering without a slice has no observable effect on the multiset
-      lat(l, in, g, tag)
-    case Label(_, in) => lat(l, in, g, tag)
+      lat(l, in, g, tag, leaf)
+    case Label(_, in) => lat(l, in, g, tag, leaf)
     case DropVars(vs, in) =>
-      val c = lat(l, in, g, tag)
+      val c = lat(l, in, g, tag, leaf)
       Compiled(c.df.drop(vs: _*), c.certain -- vs, c.maybe -- vs)
     case LeftJoin(a, b, cond) =>
       // per-row OPTIONAL (optional-in-lateral): left' rows unmatched by
       // the correlated RHS survive with unbound RHS vars. Fresh tag —
       // left' may have multiplied the original left rows.
-      val l2 = lat(l, a, g, tag)
+      val l2 = lat(l, a, g, tag, leaf)
       val t2 = freshTag()
       val lt2 = Compiled(taggedAs(l2.df, t2), l2.certain + t2, l2.maybe)
-      val m0 = lat(lt2, b, g, t2)
+      val m0 = lat(lt2, b, g, t2, leaf)
       val matched = cond match {
         case Some(e) => Compiled(m0.df.filter(e(v => resolve(m0, v))), m0.certain, m0.maybe)
         case None => m0
@@ -1378,9 +1467,9 @@ object Compiler {
       val out = matched.df.unionByName(
         padded.select(matched.df.columns.map(col): _*)).drop(t2)
       Compiled(out, l2.certain, l2.maybe ++ rhsVars)
-    case SemiJoin(a, b) => halfJoin(lat(l, a, g, tag), comp(b, g), "left_semi")
-    case AntiJoin(a, b) => halfJoin(lat(l, a, g, tag), comp(b, g), "left_anti")
-    case Minus(a, b) => minusJoin(lat(l, a, g, tag), comp(b, g))
+    case SemiJoin(a, b) => halfJoin(lat(l, a, g, tag, leaf), leaf(b, g), "left_semi")
+    case AntiJoin(a, b) => halfJoin(lat(l, a, g, tag, leaf), leaf(b, g), "left_anti")
+    case Minus(a, b) => minusJoin(lat(l, a, g, tag, leaf), leaf(b, g))
     case Slice(offset, limit, inner) =>
       // per-left-row LIMIT/OFFSET: row_number window over the tag
       require(offset <= Int.MaxValue && (limit == Long.MaxValue || limit <= Int.MaxValue),
@@ -1403,7 +1492,7 @@ object Compiler {
             "collide with left-side bindings while using LIMIT/OFFSET — " +
             "rename the inner variables (scope rename is not implemented here)")
       }
-      val joined = lat(l, body, g, tag)
+      val joined = lat(l, body, g, tag, leaf)
       import org.apache.spark.sql.expressions.Window
       val orderCols =
         if (sortKeys.isEmpty) Seq(lit(1).asc)
@@ -1431,7 +1520,7 @@ object Compiler {
       // get the aggregate-over-empty values (COUNT=0 etc.), obtained from
       // one global empty-frame aggregation.
       require(tag.nonEmpty, "internal: per-row group without a lateral tag")
-      val c = lat(l, in, g, tag)
+      val c = lat(l, in, g, tag, leaf)
       require(aggs.nonEmpty, "LATERAL grouped subquery without aggregates")
       def res(v: String): Column =
         if (v == "*") struct(c.df.columns.map(col): _*) else resolve(c, v)
@@ -1457,14 +1546,14 @@ object Compiler {
       // globally — including its LIMIT (lateral-in-optional).
       val corr = vs.toSet.intersect(l.vars -- Set(tag))
       if (!perRowSensitive(inner) || corr.isEmpty)
-        join(l, comp(Project(vs, inner), g), "inner")
+        join(l, leaf(Project(vs, inner), g), "inner")
       else {
         val hidden = (opVisibleVars(inner) -- vs).intersect(l.vars - tag)
         require(hidden.isEmpty,
           s"LATERAL sub-SELECT hides variable(s) ${hidden.mkString(", ")} that " +
             "collide with left-side bindings while using per-row modifiers — " +
             "rename the inner variables (scope rename is not implemented here)")
-        val c = lat(l, inner, g, tag)
+        val c = lat(l, inner, g, tag, leaf)
         val keep = (l.vars ++ vs.filter(c.vars)).toSeq.sorted
         Compiled(c.df.select(keep.map(col): _*),
           l.certain ++ vs.toSet.intersect(c.certain),
@@ -1472,8 +1561,11 @@ object Compiler {
       }
     case _ =>
       // pattern leaves & everything shape-insensitive: the correlated
-      // re-execution IS the compatible-binding join (SURVEY §2.3)
-      join(l, comp(r, g), "inner")
+      // re-execution IS the compatible-binding join (SURVEY §2.3). In
+      // GRAPH ?var single-plan mode `leaf` is [[compG]]: every leaf binds
+      // the hidden active-graph column, so the compatible-binding join
+      // keys on it and the correlated evaluation stays graph-scoped.
+      join(l, leaf(r, g), "inner")
   }
 
   private val tagCtr = new java.util.concurrent.atomic.AtomicLong()
@@ -1578,6 +1670,45 @@ object PathEval {
     case _ => false
   }
 
+  /** Structural inverse: a path `r` with pairs(r) = swap(pairs(p)),
+   * inversion pushed to the leaves (PathFactory.pathInverse / the ARQ
+   * inverse transform) — lets a bound OBJECT seed a forward walk. */
+  def inverse(p: Path): Path = p match {
+    case PLink(i) => PInverse(PLink(i))
+    case PInverse(q) => q
+    case PSeq(a, b) => PSeq(inverse(b), inverse(a))
+    case PAlt(a, b) => PAlt(inverse(a), inverse(b))
+    // NPS(fwd) ∪ ^NPS(inv) swapped = ^NPS(fwd) ∪ NPS(inv)
+    case PNegPropSet(fwd, inv) => PNegPropSet(inv, fwd)
+    case POneOrMore(q) => POneOrMore(inverse(q))
+    case PZeroOrMore(q) => PZeroOrMore(inverse(q))
+    case PZeroOrOne(q) => PZeroOrOne(inverse(q))
+    case PFixedLength(q, n) => PFixedLength(inverse(q), n)
+    case PMod(q, mn, mx) => PMod(inverse(q), mn, mx)
+    case PDistinct(q) => PDistinct(inverse(q))
+    case PMulti(q) => PMulti(inverse(q))
+    case PShortest(q) => PShortest(inverse(q))
+  }
+
+  /** Does evaluating `p` run an iterative closure loop? Those are the
+   * shapes where a bound endpoint can't reach the loop through Catalyst
+   * filter pushdown (each round's localCheckpoint is a pushdown barrier),
+   * so seeding must happen at evaluation time. Everything else — scans,
+   * join chains, unions — gets endpoint constants pushed into the leaf
+   * scans by the optimizer already. */
+  def containsClosure(p: Path): Boolean = p match {
+    case POneOrMore(_) | PZeroOrMore(_) => true
+    case PMod(q, _, max) => max < 0 || containsClosure(q)
+    case PSeq(a, b) => containsClosure(a) || containsClosure(b)
+    case PAlt(a, b) => containsClosure(a) || containsClosure(b)
+    case PInverse(q) => containsClosure(q)
+    case PDistinct(q) => containsClosure(q)
+    case PMulti(q) => containsClosure(q)
+    case PZeroOrOne(q) => containsClosure(q)
+    case PFixedLength(q, _) => containsClosure(q)
+    case _ => false
+  }
+
   /** The ACTIVE graph's triples: paths evaluate in the active graph
    * exactly like BGPs, so on a quad table only default-graph rows (and no
    * empty-graph marker rows) participate — without this filter a
@@ -1597,6 +1728,189 @@ object PathEval {
     case esg: Compiler.EncodedSnapshotGraph if idExpressible(path) =>
       decodeIdPairs(esg, pairsId(esg, path))
     case _ => pairs0(g, path)
+  }
+
+  // ---- seeded (bound-endpoint) evaluation — the ALP analog ------------
+  //
+  // Jena's path engine never closes the whole relation when an endpoint
+  // is known: ALP seeds a BFS at the bound node and visits its cone
+  // (path/eval/PathEngine.java:49–122, PathEngineSPARQL.java:36). The
+  // distributed analog: the SAME frontier-delta loop as the global
+  // closure, with the first frontier = the seed set's out-edges instead
+  // of every edge (Graphs.reachableFrom). Results equal
+  // pairs(g, path) restricted to src ∈ seeds, bag semantics per shape.
+
+  /** Seeded pairs for one CONSTANT endpoint term (seed the inverse path
+   * and swap for a bound object). Over an encoded snapshot the walk stays
+   * in id space: one driver dictionary probe for the seed, closure joins
+   * on LONGs, decode at the projection edge. */
+  def pairsFromConst(g: GraphSource, path: Path, t: graft.model.Term): DataFrame =
+    g match {
+      case esg: Compiler.EncodedSnapshotGraph if idExpressible(path) =>
+        val seedIds = esg.idsOf(Seq(t)).get(t) match {
+          case Some(id) => esg.spark.range(1).select(lit(id).as("n"))
+          case None => esg.spark.range(0).select(col("id").as("n"))
+        }
+        decodeIdPairs(esg, pairsIdFrom(esg, path, seedIds))
+      case _ =>
+        pairsFrom0(g, path,
+          g.spark.range(1).select(TermCols.const(t).as("n")))
+    }
+
+  /** Seeded pairs for a join-bound endpoint: `seeds` is a one-column frame
+   * of term structs (the join partner's certain values for the endpoint
+   * var). Over an encoded snapshot the seeds encode through one dictionary
+   * join, then the walk stays in id space. */
+  def pairsFromSeeds(g: GraphSource, path: Path, seeds: DataFrame): DataFrame =
+    g match {
+      case esg: Compiler.EncodedSnapshotGraph if idExpressible(path) =>
+        val sd = seeds.toDF("n").distinct()
+        val idSeeds = sd.join(esg.terms,
+            col("n.kind") === col("kind") && col("n.lex") === col("lex") &&
+              col("n.dt") === col("dt") && col("n.lang") === col("lang"))
+          .select(col("id").as("n"))
+        decodeIdPairs(esg, pairsIdFrom(esg, path, idSeeds))
+      case _ => pairsFrom0(g, path, seeds)
+    }
+
+  /** Identity pairs over seeds ∩ graph nodes (the restricted zero-length
+   * set: global allNodes ∩ src∈seeds). */
+  private def seedIdentity(nodes: DataFrame, seeds: DataFrame): DataFrame =
+    nodes.join(seeds.toDF("n").distinct(), col("src") === col("n"), "left_semi")
+
+  private def pairsFrom0(g: GraphSource, path: Path, seeds0: DataFrame): DataFrame = {
+    val seeds = seeds0.toDF("n").distinct()
+    path match {
+      // leaves: a single scan — restrict src by a semi-join against the
+      // (small, broadcastable) seed frame; Catalyst keeps the predicate
+      // pushdown of the underlying scan
+      case PLink(_) | PNegPropSet(_, _) | PInverse(PLink(_)) =>
+        pairs(g, path).join(seeds, col("src") === col("n"), "left_semi")
+      case PInverse(q) => pairsFrom0(g, inverse(q), seeds)
+      case PSeq(a, b) =>
+        val l = pairsFrom0(g, a, seeds)
+        val r = pairsFrom0(g, b, l.select(col("dst").as("n")))
+        l.select(col("src"), col("dst").as("__mid"))
+          .join(r.select(col("src").as("__mid2"), col("dst")),
+            col("__mid") === col("__mid2"))
+          .select(col("src"), col("dst"))
+      case PAlt(a, b) =>
+        pairsFrom0(g, a, seeds).union(pairsFrom0(g, b, seeds))
+      case POneOrMore(q) =>
+        // inner pairs stay global (they ARE the edge relation the cone
+        // walks); the closure itself is seeded. Select by NAME first:
+        // reachableFrom renames positionally and scan output order is
+        // not guaranteed (same guard as the global closure callers).
+        Graphs.reachableFrom(pairs(g, q).select(col("src"), col("dst")), seeds)
+      case PZeroOrMore(q) =>
+        Graphs.reachableFrom(pairs(g, q).select(col("src"), col("dst")), seeds)
+          .union(seedIdentity(allNodes(g), seeds)).distinct()
+      case PZeroOrOne(q) =>
+        pairsFrom0(g, q, seeds)
+          .union(seedIdentity(allNodes(g), seeds)).distinct()
+      case PFixedLength(q, n) =>
+        require(n >= 1, "PFixedLength n must be >= 1")
+        var acc = pairsFrom0(g, q, seeds)
+        for (_ <- 2 to n) {
+          val nxt = pairsFrom0(g, q, acc.select(col("dst").as("n")))
+          acc = acc.select(col("src"), col("dst").as("__m"))
+            .join(nxt.select(col("src").as("__m2"), col("dst")),
+              col("__m") === col("__m2"))
+            .select(col("src"), col("dst"))
+        }
+        acc
+      case PMod(q, min, max) =>
+        require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+        if (max < 0) {
+          val head =
+            if (min == 0) seedIdentity(allNodes(g), seeds)
+            else pairsFrom0(g, PFixedLength(q, min), seeds)
+          val star = pairsFrom0(g, PZeroOrMore(q), head.select(col("dst").as("n")))
+          head.select(col("src"), col("dst").as("__m"))
+            .join(star.select(col("src").as("__m2"), col("dst")),
+              col("__m") === col("__m2"))
+            .select(col("src"), col("dst")).distinct()
+        } else {
+          val parts = (math.max(min, 1) to max)
+            .map(k => pairsFrom0(g, PFixedLength(q, k), seeds))
+          val fixed =
+            if (parts.isEmpty) seedIdentity(allNodes(g), seeds)
+            else parts.reduce(_ union _)
+          val withZero =
+            if (min == 0) fixed.union(seedIdentity(allNodes(g), seeds)) else fixed
+          withZero.distinct()
+        }
+      case PDistinct(q) => pairsFrom0(g, q, seeds).distinct()
+      case PMulti(q) => pairsFrom0(g, q, seeds)
+      case PShortest(q) =>
+        throw new UnsupportedOperationException(
+          s"P_Shortest is not implemented (matching the reference): $q")
+    }
+  }
+
+  /** Id-space twin of [[pairsFrom0]] (seeds: one LONG column "n"). */
+  private def pairsIdFrom(esg: Compiler.EncodedSnapshotGraph, path: Path,
+                          seeds0: DataFrame): DataFrame = {
+    val seeds = seeds0.toDF("n").distinct()
+    def idIdentity: DataFrame =
+      allNodeIds(esg).join(seeds, col("src") === col("n"), "left_semi")
+    path match {
+      case PLink(_) =>
+        pairsId(esg, path).join(seeds, col("src") === col("n"), "left_semi")
+      case PInverse(PLink(i)) =>
+        pairsId(esg, PInverse(PLink(i)))
+          .join(seeds, col("src") === col("n"), "left_semi")
+      case PInverse(q) => pairsIdFrom(esg, inverse(q), seeds)
+      case PSeq(a, b) =>
+        val l = pairsIdFrom(esg, a, seeds)
+        val r = pairsIdFrom(esg, b, l.select(col("dst").as("n")))
+        l.select(col("src"), col("dst").as("__mid"))
+          .join(r.select(col("src").as("__mid2"), col("dst")),
+            col("__mid") === col("__mid2"))
+          .select(col("src"), col("dst"))
+      case PAlt(a, b) =>
+        pairsIdFrom(esg, a, seeds).union(pairsIdFrom(esg, b, seeds))
+      case POneOrMore(q) =>
+        Graphs.reachableFrom(pairsId(esg, q).select(col("src"), col("dst")), seeds)
+      case PZeroOrMore(q) =>
+        Graphs.reachableFrom(pairsId(esg, q).select(col("src"), col("dst")), seeds)
+          .union(idIdentity).distinct()
+      case PZeroOrOne(q) =>
+        pairsIdFrom(esg, q, seeds).union(idIdentity).distinct()
+      case PFixedLength(q, n) =>
+        require(n >= 1, "PFixedLength n must be >= 1")
+        var acc = pairsIdFrom(esg, q, seeds)
+        for (_ <- 2 to n) {
+          val nxt = pairsIdFrom(esg, q, acc.select(col("dst").as("n")))
+          acc = acc.select(col("src"), col("dst").as("__m"))
+            .join(nxt.select(col("src").as("__m2"), col("dst")),
+              col("__m") === col("__m2"))
+            .select(col("src"), col("dst"))
+        }
+        acc
+      case PMod(q, min, max) =>
+        require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+        if (max < 0) {
+          val head =
+            if (min == 0) idIdentity
+            else pairsIdFrom(esg, PFixedLength(q, min), seeds)
+          val star = pairsIdFrom(esg, PZeroOrMore(q), head.select(col("dst").as("n")))
+          head.select(col("src"), col("dst").as("__m"))
+            .join(star.select(col("src").as("__m2"), col("dst")),
+              col("__m") === col("__m2"))
+            .select(col("src"), col("dst")).distinct()
+        } else {
+          val parts = (math.max(min, 1) to max)
+            .map(k => pairsIdFrom(esg, PFixedLength(q, k), seeds))
+          val fixed = if (parts.isEmpty) idIdentity else parts.reduce(_ union _)
+          val withZero = if (min == 0) fixed.union(idIdentity) else fixed
+          withZero.distinct()
+        }
+      case PDistinct(q) => pairsIdFrom(esg, q, seeds).distinct()
+      case PMulti(q) => pairsIdFrom(esg, q, seeds)
+      case other => throw new IllegalStateException(
+        s"pairsIdFrom: $other is not id-expressible (idExpressible out of sync)")
+    }
   }
 
   /** Paths the id-space evaluator covers. PNegPropSet needs per-predicate

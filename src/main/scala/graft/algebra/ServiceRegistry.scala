@@ -49,6 +49,56 @@ object ServiceRegistry {
           graft.sparql.Sparql.select(query, graph)))
   }
 
+  /** Real HTTP implementation of the seam over `java.net.http.HttpClient`
+   * — the deployment client (reference: QueryExecHTTP.java's request
+   * construction: GET with a `query` param for short queries, else POST
+   * with `application/sparql-query`; Accept negotiates the W3C result
+   * formats this repo parses). Constructed lazily and never connecting
+   * until `execute`, so it is safe to instantiate in a zero-egress
+   * environment; unit tests drive it against an in-process loopback
+   * server. Non-2xx responses throw (SERVICE SILENT maps them to the
+   * unit table upstream, QueryExecHTTP-style). */
+  final class HttpServiceTransport(
+      timeoutSeconds: Long = 60,
+      /** GET/POST switch on total URL length — QueryExecHTTP's urlLimit. */
+      urlLimit: Int = 2 * 1024) extends ServiceTransport {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+    private lazy val client: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+
+    private val accept =
+      "application/sparql-results+json, " +
+        "application/sparql-results+xml;q=0.9, " +
+        "text/tab-separated-values;q=0.7"
+
+    def execute(endpointIri: String, query: String): (String, String) = {
+      val enc = java.net.URLEncoder.encode(query, "UTF-8")
+      val getUri = s"$endpointIri${if (endpointIri.contains("?")) "&" else "?"}query=$enc"
+      val builder =
+        if (getUri.length <= urlLimit)
+          HttpRequest.newBuilder(java.net.URI.create(getUri)).GET()
+        else
+          HttpRequest.newBuilder(java.net.URI.create(endpointIri))
+            .header("Content-Type", "application/sparql-query")
+            .POST(HttpRequest.BodyPublishers.ofString(query))
+      val req = builder
+        .header("Accept", accept)
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(
+          s"SERVICE <$endpointIri> HTTP ${resp.statusCode()}: " +
+            resp.body().take(200))
+      val ct = resp.headers().firstValue("Content-Type")
+        .orElse("application/sparql-results+json")
+      (ct, resp.body())
+    }
+  }
+
   /** Parse a transport response by content type with the repo's result-set
    * readers. */
   def parseResults(spark: org.apache.spark.sql.SparkSession,

@@ -7,18 +7,24 @@ import graft.model.Term
 
 /**
  * GeoSPARQL-lite (reference: jena-geosparql — geo:wktLiteral geometry
- * literals and the geof: function library). A deliberate point-geometry
- * subset re-expressed Spark-first: no JTS dependency exists in this
- * sandbox, so polygons/linestrings stay out of scope (documented in
- * SURVEY §7.4); points, distance and radius/box predicates — the shapes
- * a 100 TB geo-enrichment pipeline actually runs — are implemented as
- * CODEGEN'D column expressions (regexp extraction + trigonometry, no
- * UDFs on the hot path).
+ * literals and the geof: function library), re-expressed Spark-first
+ * WITHOUT JTS (none exists in this sandbox): POINT / LINESTRING /
+ * POLYGON-with-holes geometries, geof:distance, and the simple-features
+ * predicates sfWithin / sfContains (ray-parity point-in-polygon) and
+ * sfIntersects (orientation-sign segment intersection + containment
+ * composite). The full curved/topological algebra (sfTouches, sfCrosses,
+ * sfOverlaps on arbitrary geometry, exact-arithmetic boundaries) stays
+ * out of scope — documented in SURVEY §7.4. The hot paths — distance,
+ * constant-polygon membership, segment×polygon intersection — are
+ * CODEGEN'D column expressions (regexp extraction + arithmetic, no UDFs).
  *
  * Scale path: `radiusJoin` buckets points into radius-sized grid cells
  * and equi-joins each cell against its 3×3 neighborhood — the same
  * banding idea as the MinHash/SimHash LSH joins; never an all-pairs
- * nested loop (PlanSpec asserts the plan shape).
+ * nested loop (PlanSpec asserts the plan shape). `polygonJoin` grids
+ * polygon bboxes the same way and runs the parity test as a
+ * higher-order-function fold over the edge array (no UDF in the filter,
+ * no candidate×edge shuffle).
  */
 object Geo {
 
@@ -96,6 +102,10 @@ object Geo {
     sfWithin(a.orNull, b.orNull)
       .map(v => Term.lit(v.toString, Term.XSD + "boolean")).orNull)
 
+  private lazy val intersectsUdf = udf((a: Option[Term], b: Option[Term]) =>
+    sfIntersects(a.orNull, b.orNull)
+      .map(v => Term.lit(v.toString, Term.XSD + "boolean")).orNull)
+
   private[graft] def registerFunctions(): Unit = {
     graft.functions.Registry.registerFunction(GEOF + "distance", {
       case Seq(a, b) => distUdf(a, b,
@@ -116,6 +126,12 @@ object Geo {
       case Seq(a, b) => withinUdf(b, a)
       case other => throw new IllegalArgumentException(
         s"geof:sfContains takes 2 arguments, got ${other.size}")
+    })
+    // geof:sfIntersects — point/linestring/polygon composite (symmetric)
+    graft.functions.Registry.registerFunction(GEOF + "sfIntersects", {
+      case Seq(a, b) => intersectsUdf(a, b)
+      case other => throw new IllegalArgumentException(
+        s"geof:sfIntersects takes 2 arguments, got ${other.size}")
     })
   }
 
@@ -233,6 +249,147 @@ object Geo {
     }
   }
 
+  // ---- linestrings + sfIntersects (no JTS) ------------------------------
+
+  /** Parse `LINESTRING(x y, x y, …)` (optional leading CRS IRI) into a
+   * vertex sequence (≥2 points). */
+  def parseLineString(lex0: String): Option[Seq[(Double, Double)]] = {
+    if (lex0 == null) return None
+    val lex = lex0.replaceFirst("^\\s*<[^>]*>\\s*", "").trim
+    if (!lex.toUpperCase.startsWith("LINESTRING")) return None
+    val body = lex.substring("LINESTRING".length).trim
+    if (!body.startsWith("(") || !body.endsWith(")")) return None
+    val pts = body.substring(1, body.length - 1).split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { p =>
+        val xy = p.split("\\s+")
+        if (xy.length < 2) return None
+        try (xy(0).toDouble, xy(1).toDouble)
+        catch { case _: NumberFormatException => return None }
+      }
+    if (pts.length < 2) None else Some(pts)
+  }
+
+  /** Parsed geometry union for the scalar predicates. */
+  sealed trait Geom
+  final case class GPoint(lon: Double, lat: Double) extends Geom
+  final case class GLine(pts: Seq[(Double, Double)]) extends Geom
+  final case class GPolygon(rings: Seq[Seq[(Double, Double)]]) extends Geom
+
+  def parseGeom(t: Term): Option[Geom] = {
+    if (t == null || !t.isLiteral || t.dt != WKT_DT) return None
+    val m = java.util.regex.Pattern.compile(POINT_RX).matcher(t.lex)
+    if (m.matches())
+      try Some(GPoint(m.group(1).toDouble, m.group(2).toDouble))
+      catch { case _: NumberFormatException => None }
+    else parseLineString(t.lex).map(GLine.apply)
+      .orElse(parsePolygon(t.lex).map(GPolygon.apply))
+  }
+
+  /** Orientation sign of (p→q→r): >0 counter-clockwise, <0 clockwise,
+   * 0 collinear (the determinant the reference's JTS robust predicates
+   * compute — plain doubles here, documented). */
+  def orient(px: Double, py: Double, qx: Double, qy: Double,
+             rx: Double, ry: Double): Double =
+    (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+  private def onSegment(px: Double, py: Double, qx: Double, qy: Double,
+                        rx: Double, ry: Double): Boolean =
+    qx >= math.min(px, rx) && qx <= math.max(px, rx) &&
+      qy >= math.min(py, ry) && qy <= math.max(py, ry)
+
+  /** Closed-segment intersection (touching counts), orientation signs +
+   * collinear-overlap cases — the classic CCW test. */
+  def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                        cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) true
+    else if (o1 == 0 && onSegment(ax, ay, cx, cy, bx, by)) true
+    else if (o2 == 0 && onSegment(ax, ay, dx, dy, bx, by)) true
+    else if (o3 == 0 && onSegment(cx, cy, ax, ay, dx, dy)) true
+    else if (o4 == 0 && onSegment(cx, cy, bx, by, dx, dy)) true
+    else false
+  }
+
+  private def ringEdges(rings: Seq[Seq[(Double, Double)]]) =
+    rings.flatMap(r => r.indices.map(i => (r(i), r((i + 1) % r.length))))
+
+  private def lineSegs(pts: Seq[(Double, Double)]) =
+    pts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+
+  private def segsCross(s1: Seq[((Double, Double), (Double, Double))],
+                        s2: Seq[((Double, Double), (Double, Double))]): Boolean =
+    s1.exists { case ((ax, ay), (bx, by)) =>
+      s2.exists { case ((cx, cy), (dx, dy)) =>
+        segmentsIntersect(ax, ay, bx, by, cx, cy, dx, dy) } }
+
+  private def pointOnSegs(lon: Double, lat: Double,
+                          segs: Seq[((Double, Double), (Double, Double))]): Boolean =
+    segs.exists { case ((ax, ay), (bx, by)) =>
+      orient(ax, ay, bx, by, lon, lat) == 0 &&
+        onSegment(ax, ay, lon, lat, bx, by) }
+
+  /**
+   * geof:sfIntersects for the point/linestring/polygon subset
+   * (reference: geof/topological/RelateFF.java → JTS `intersects`):
+   * segment-intersection + containment composite —
+   *  - point×point: equality; point×line: on-segment; point×polygon:
+   *    ray parity;
+   *  - line×line: any closed-segment pair intersects;
+   *  - line×polygon: any vertex inside, or any segment crosses an edge;
+   *  - polygon×polygon: vertex-containment either way, or any edge pair
+   *    crosses.
+   * Interior-covered degenerate cases (a geometry strictly inside a
+   * HOLE's boundary touching nothing) follow ray parity like sfWithin.
+   * None = eval error (unparseable/non-WKT input).
+   */
+  def sfIntersects(a: Term, b: Term): Option[Boolean] = {
+    def go(ga: Geom, gb: Geom): Boolean = (ga, gb) match {
+      case (GPoint(x1, y1), GPoint(x2, y2)) => x1 == x2 && y1 == y2
+      case (GPoint(x, y), GLine(pts)) => pointOnSegs(x, y, lineSegs(pts))
+      case (GPoint(x, y), GPolygon(rs)) =>
+        pointInRings(x, y, rs) || pointOnSegs(x, y, ringEdges(rs))
+      case (GLine(p1), GLine(p2)) => segsCross(lineSegs(p1), lineSegs(p2))
+      case (GLine(pts), GPolygon(rs)) =>
+        pts.exists { case (x, y) => pointInRings(x, y, rs) } ||
+          segsCross(lineSegs(pts), ringEdges(rs))
+      case (GPolygon(r1), GPolygon(r2)) =>
+        r1.flatten.exists { case (x, y) => pointInRings(x, y, r2) } ||
+          r2.flatten.exists { case (x, y) => pointInRings(x, y, r1) } ||
+          segsCross(ringEdges(r1), ringEdges(r2))
+      case (x, y) => go(y, x) // remaining cases are the symmetric flips
+    }
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield go(ga, gb)
+  }
+
+  /**
+   * CONSTANT-polygon segment-intersection as a pure codegen'd Column
+   * predicate (the sfIntersects hot path for a segments corpus vs a
+   * region): both endpoints' parity tests plus a STRICT orientation-sign
+   * crossing test per polygon edge, all unrolled into whole-stage
+   * codegen. The strict (<0 product) crossing test omits the
+   * measure-zero collinear/touching cases — exactly the predicate the
+   * DuckDB oracle restates; the exact closed-segment semantics live in
+   * [[sfIntersects]].
+   */
+  def segIntersectsPolygonCol(ax: Column, ay: Column, bx: Column, by: Column,
+                              rings: Seq[Seq[(Double, Double)]]): Column = {
+    def orientC(px: Column, py: Column, qx: Column, qy: Column,
+                rx: Column, ry: Column): Column =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val crosses = ringEdges(rings).map { case ((cx, cy), (dx, dy)) =>
+      val o1 = orientC(ax, ay, bx, by, lit(cx), lit(cy))
+      val o2 = orientC(ax, ay, bx, by, lit(dx), lit(dy))
+      val o3 = orientC(lit(cx), lit(cy), lit(dx), lit(dy), ax, ay)
+      val o4 = orientC(lit(cx), lit(cy), lit(dx), lit(dy), bx, by)
+      o1 * o2 < 0 && o3 * o4 < 0
+    }.reduce(_ || _)
+    withinPolygonCol(ax, ay, rings) || withinPolygonCol(bx, by, rings) || crosses
+  }
+
   /**
    * CONSTANT-polygon membership as a pure codegen'd Column predicate —
    * the common 100 TB shape (filter a corpus by a region): the polygon
@@ -270,24 +427,41 @@ object Geo {
    */
   def polygonJoin(points: DataFrame, polys: DataFrame,
                   cellDeg: Double): DataFrame = {
-    val ringsUdf = udf((lex: String) =>
-      parsePolygon(lex).map(_.map(r => r.map(p => Array(p._1, p._2)).toArray).toArray).orNull)
-    val withRings = polys.select(col("pid"), ringsUdf(col("wkt")).as("rings"))
-      .where(col("rings").isNotNull)
-    val cells = withRings
+    // the parse UDF runs once per POLYGON row (table side, not candidate
+    // side) and emits the closed edge list directly: [ax, ay, bx, by]
+    // per edge across all rings — holes included, parity handles them
+    val edgesUdf = udf((lex: String) =>
+      parsePolygon(lex).map { rings =>
+        rings.flatMap { r =>
+          r.indices.map { i =>
+            val (a, b) = (r(i), r((i + 1) % r.length))
+            Array(a._1, a._2, b._1, b._2)
+          }
+        }.toArray
+      }.orNull)
+    val withEdges = polys.select(col("pid"), edgesUdf(col("wkt")).as("edges"))
+      .where(col("edges").isNotNull)
+    def axis(i: Int) = s"transform(edges, e -> e[$i])"
+    val cells = withEdges
       .withColumn("cx", explode(sequence(
-        floor(expr("array_min(transform(flatten(rings), p -> p[0]))") / cellDeg),
-        floor(expr("array_max(transform(flatten(rings), p -> p[0]))") / cellDeg))))
+        floor(expr(s"array_min(${axis(0)})") / cellDeg),
+        floor(expr(s"array_max(${axis(0)})") / cellDeg))))
       .withColumn("cy", explode(sequence(
-        floor(expr("array_min(transform(flatten(rings), p -> p[1]))") / cellDeg),
-        floor(expr("array_max(transform(flatten(rings), p -> p[1]))") / cellDeg))))
-      .select(col("pid"), col("rings"), col("cx"), col("cy"))
+        floor(expr(s"array_min(${axis(1)})") / cellDeg),
+        floor(expr(s"array_max(${axis(1)})") / cellDeg))))
+      .select(col("pid"), col("edges"), col("cx"), col("cy"))
     val pts = points.select(col("id"), col("lon"), col("lat"),
       floor(col("lon") / cellDeg).as("cx"), floor(col("lat") / cellDeg).as("cy"))
-    val inUdf = udf((lon: Double, lat: Double, rings: Seq[Seq[Seq[Double]]]) =>
-      pointInRings(lon, lat, rings.map(_.map(p => (p(0), p(1))))))
+    // exact ray test per candidate as a higher-order AGGREGATE over the
+    // edge array — the d5 conditional-sum trick: no UDF in the filter,
+    // no candidate×edge explode/shuffle; crossing parity folds in place
+    val parity = expr(
+      """aggregate(edges, 0,
+           (acc, e) -> acc + IF(((e[1] > lat) != (e[3] > lat))
+             AND lon < e[0] + (e[2] - e[0]) * (lat - e[1]) / (e[3] - e[1]),
+             1, 0)) % 2 = 1""")
     pts.join(cells, Seq("cx", "cy"))
-      .where(inUdf(col("lon"), col("lat"), col("rings")))
+      .where(parity)
       .select(col("id"), col("pid"))
   }
 }

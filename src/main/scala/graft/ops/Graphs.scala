@@ -25,25 +25,89 @@ object Graphs {
    * with Rules.closure, which toggles the same conf key. */
   private[graft] val closureLock = new Object
 
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame =
-    closureLock.synchronized {
-    // Constraint propagation trips over checkpointed unions here (Spark's
-    // UnionBase.rewriteConstraints throws "key not found: attr" when a
-    // LogicalRDD child carries constraints referencing pre-checkpoint
-    // attribute ids). The loop's plans are tiny — constraints buy nothing
-    // — so switch propagation off for the duration. NOTE the toggle is
-    // session-global: a concurrent query on the same session during a
-    // closure run would also plan without constraint propagation — a
-    // (documented) performance-only effect, never a correctness one.
-    val spark = edges.sparkSession
+  /** Rounds taken by the most recent closure loop on this JVM (either
+   * [[transitiveClosure]] or [[reachableFrom]]) — a test-only trace hook:
+   * specs assert a seeded cone query stops after cone-depth rounds while
+   * the global closure of the same graph needs diameter rounds. Writes
+   * happen under [[closureLock]], so reads after a closure call are
+   * well-ordered. */
+  @volatile private[graft] var lastClosureRounds: Int = 0
+
+  /** Constraint propagation trips over checkpointed unions here (Spark's
+   * UnionBase.rewriteConstraints throws "key not found: attr" when a
+   * LogicalRDD child carries constraints referencing pre-checkpoint
+   * attribute ids). The loops' plans are tiny — constraints buy nothing
+   * — so switch propagation off for the duration. NOTE the toggle is
+   * session-global: a concurrent query on the same session during a
+   * closure run would also plan without constraint propagation — a
+   * (documented) performance-only effect, never a correctness one. */
+  private def withConstraintPropagationOff[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.getOption(cpKey)
     spark.conf.set(cpKey, "false")
-    try transitiveClosure0(edges, maxIter)
+    try body
     finally cpPrev match {
       case Some(v) => spark.conf.set(cpKey, v)
       case None => spark.conf.unset(cpKey)
     }
+  }
+
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame =
+    closureLock.synchronized {
+      withConstraintPropagationOff(edges.sparkSession)(
+        transitiveClosure0(edges, maxIter))
+    }
+
+  /** Seeded reachability — the ALP analog proper (PathEngine.java:49–122
+   * seeds a BFS from the bound node and visits only the reachable cone).
+   * Returns every (src, dst) with src ∈ `seeds` (a one-column frame, any
+   * type matching the edge endpoints) and dst reachable in ≥1 step.
+   * Unlike [[transitiveClosure]] (whose first frontier is the WHOLE edge
+   * relation), the frontier here starts at the seed set, so per-round
+   * work is proportional to the seeds' cone, the tiny frontier broadcasts
+   * against the edge relation (shuffle-free rounds at cluster scale), and
+   * a `<root> :dep+ ?x` over a billion-edge graph never materializes the
+   * all-pairs closure. */
+  def reachableFrom(edges: DataFrame, seeds: DataFrame,
+                    maxIter: Int = 10000): DataFrame =
+    closureLock.synchronized {
+      withConstraintPropagationOff(edges.sparkSession)(
+        reachableFrom0(edges, seeds, maxIter))
+    }
+
+  private def reachableFrom0(edges: DataFrame, seeds: DataFrame,
+                             maxIter: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
+    var frontier = seeds.toDF("n").distinct()
+      .join(e, col("n") === col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var acc = frontier
+    var iter = 1
+    var done = frontier.isEmpty
+    while (!done) {
+      iter += 1
+      if (iter > maxIter) throw new IllegalStateException(
+        s"reachableFrom did not reach a fixpoint within $maxIter rounds " +
+          "(cone depth exceeds the cap) — raise maxIter")
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      // same semi-naive delta + null-safe anti-join as transitiveClosure0
+      val accR = acc.select(col("src").as("__asrc"), col("dst").as("__adst"))
+      val delta = next.join(accR,
+        col("src") <=> col("__asrc") && col("dst") <=> col("__adst"), "left_anti")
+        .localCheckpoint(true)
+      if (delta.isEmpty) done = true
+      else {
+        acc = acc.union(delta).localCheckpoint(true)
+        frontier = delta
+      }
+    }
+    lastClosureRounds = iter
+    acc
   }
 
   private def transitiveClosure0(edges: DataFrame, maxIter: Int): DataFrame = {
@@ -82,6 +146,7 @@ object Graphs {
         frontier = delta
       }
     }
+    lastClosureRounds = iter
     acc
   }
 

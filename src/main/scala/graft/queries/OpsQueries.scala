@@ -669,6 +669,24 @@ object OpsQueries {
         TermCols.lex(col("score")).cast("long").as("score"))
   }
 
+  /** t9's query-parser surface widened: FUZZY term (vactor~1 reaches
+   * "vector" through the vocabulary edit-distance expansion — a hit exact
+   * match misses) plus the NOT operator (-spark). The DuckDB oracle
+   * restates the same vocabulary walk with its levenshtein(). */
+  def t10_text_fuzzy(s: SparkSession, d: String): DataFrame = {
+    import graft.algebra.TermCols
+    val g = Tables.documents(s, d).select(
+      TermCols.iriTerm(concat(lit("urn:doc:"), col("doc_id"))).as("s"),
+      TermCols.const(graft.model.Term.iri("urn:p:text")).as("p"),
+      TermCols.strTerm(col("text")).as("o"))
+    val q = """PREFIX text: <http://jena.apache.org/text#>
+      SELECT ?s ?score WHERE {
+        ?s text:query (<urn:p:text> "vactor~1 -spark" ?score) . }"""
+    graft.sparql.Sparql.select(q, g)
+      .select(TermCols.lex(col("s")).as("doc"),
+        TermCols.lex(col("score")).cast("long").as("score"))
+  }
+
   /** The capstone corpus-quality FILTER — the end decision a training-data
    * pipeline ships: one narrow per-row projection combines the signal
    * families (token counts, stopword ratio, duplicate-word ratio, planted
@@ -856,6 +874,29 @@ object OpsQueries {
    * unrolled ray-crossing parity — pure codegen'd comparisons, no UDF,
    * no join. The DuckDB oracle restates the identical parity arithmetic
    * over the polygon's edge list. */
+  /** sfIntersects subset (segment × constant polygon): customer-derived
+   * SEGMENTS against the x2 region — both endpoints' ray parity plus a
+   * strict orientation-sign crossing test per polygon edge, all codegen'd
+   * columns ([[graft.ops.Geo.segIntersectsPolygonCol]]); the oracle
+   * restates the identical determinant arithmetic (md5-derived doubles
+   * are bit-identical across engines, so the measure-zero collinear
+   * cases cannot occur). */
+  def x3_geo_intersects(s: SparkSession, d: String): DataFrame = {
+    val rings = graft.ops.Geo.parsePolygon(
+      "POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
+    Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("id"),
+        (expr(hash60("concat(c_custkey, 'lat')")) % 1800 / 10.0 - 90.0).as("ay"),
+        (expr(hash60("concat(c_custkey, 'lon')")) % 3600 / 10.0 - 180.0).as("ax"),
+        (expr(hash60("concat(c_custkey, 'dlat')")) % 400 / 10.0 - 20.0).as("dy"),
+        (expr(hash60("concat(c_custkey, 'dlon')")) % 400 / 10.0 - 20.0).as("dx"))
+      .withColumn("bx", col("ax") + col("dx"))
+      .withColumn("by", col("ay") + col("dy"))
+      .where(graft.ops.Geo.segIntersectsPolygonCol(
+        col("ax"), col("ay"), col("bx"), col("by"), rings))
+      .select(col("id"))
+  }
+
   def x2_geo_within(s: SparkSession, d: String): DataFrame = {
     val rings = graft.ops.Geo.parsePolygon(
       "POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get

@@ -111,6 +111,30 @@ object SparqlQueries {
         TermCols.lex(col("dst")).as("dst"))
   }
 
+  /** Constant-root reachability — the SEEDED (ALP-analog) path evaluator
+   * end-to-end (PathEngine.java:49–122: BFS from the bound node). The
+   * dependency graph is 80 disjoint 50-cycles (4 000 nodes) plus a
+   * 10-node root chain: `<r0> g:dep+ ?x` must walk ONLY the 9-node chain
+   * cone — the global closure of this graph is 200 000 pairs over 50
+   * frontier rounds, the seeded walk is 9 pairs over 10 broadcast-probe
+   * rounds. The DuckDB oracle states the same seeded recursion. */
+  def r28_seeded_path(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d).select(col("user_id"))
+    val blk = (col("user_id") % 4000)
+    val cyc = u.select(
+      concat(lit("c"), blk.cast("string")).as("sn"),
+      concat(lit("c"), (blk - (blk % 50) + ((blk % 50 + 1) % 50)).cast("string")).as("dn"))
+    val chain = u.where(col("user_id") % 10 < 9).select(
+      concat(lit("r"), (col("user_id") % 10).cast("string")).as("sn"),
+      concat(lit("r"), (col("user_id") % 10 + 1).cast("string")).as("dn"))
+    val g = cyc.union(chain).distinct().select(
+      TermCols.iriTerm(concat(lit(NS + "d:"), col("sn"))).as("s"),
+      TermCols.const(Term.iri(NS + "dep")).as("p"),
+      TermCols.iriTerm(concat(lit(NS + "d:"), col("dn"))).as("o"))
+    val op = PathPattern(p(NS + "d:r0"), POneOrMore(PLink(NS + "dep")), v("x"))
+    Compiler.compile(op, g).select(TermCols.lex(col("x")).as("x"))
+  }
+
   /** Timezone arithmetic end-to-end through the TEXT parser (ADJUST =
    * E_AdjustToTimezone + HOURS over the adjusted local clock): events'
    * UTC timestamps become zoned xsd:dateTime literals, ADJUST converts
@@ -293,6 +317,23 @@ object SparqlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "r28_seeded_path" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT
+             'urn:g:d:c' || CAST(user_id % 4000 AS VARCHAR) AS src,
+             'urn:g:d:c' || CAST((user_id % 4000) - ((user_id % 4000) % 50)
+               + (((user_id % 4000) % 50 + 1) % 50) AS VARCHAR) AS dst
+           FROM events
+           UNION
+           SELECT DISTINCT
+             'urn:g:d:r' || CAST(user_id % 10 AS VARCHAR),
+             'urn:g:d:r' || CAST(user_id % 10 + 1 AS VARCHAR)
+           FROM events WHERE user_id % 10 < 9),
+         reach(x) AS (
+           SELECT e.dst AS x FROM e WHERE e.src = 'urn:g:d:r0'
+           UNION
+           SELECT e2.dst FROM reach r JOIN e e2 ON r.x = e2.src)
+         SELECT x FROM reach""",
     "r24_path_mod" ->
       """SELECT 'urn:g:c:' || c_custkey AS src, 'urn:g:n:' || c_nationkey AS dst
          FROM customer

@@ -57,24 +57,66 @@ object TextIndex {
       TermCols.lex(col("p")).isin(predicates: _*))
   }
 
-  /** Parsed keyword query: bare terms, quoted phrases, and whether an
-   * explicit AND appeared (Lucene's default operator is OR). */
+  /** Parsed keyword query: bare terms, quoted phrases, FUZZY terms
+   * (`term~` / `term~1` / `term~2` — Lucene FuzzyQuery, default
+   * maxEdits 2), NEGATED terms/phrases (`-term`, `-"..."`, or a `NOT`
+   * keyword — Lucene's prohibit operator), and whether an explicit AND
+   * appeared (Lucene's default operator is OR). Reference query-parser
+   * surface: TextIndexLucene.java:60 (QueryParser syntax). */
   final case class ParsedQuery(terms: Seq[String], phrases: Seq[String],
-                               conj: Boolean) {
-    require(terms.nonEmpty || phrases.nonEmpty, "empty text query")
+                               fuzzy: Seq[(String, Int)] = Nil,
+                               notTerms: Seq[String] = Nil,
+                               notPhrases: Seq[String] = Nil,
+                               conj: Boolean = false) {
+    require(terms.nonEmpty || phrases.nonEmpty || fuzzy.nonEmpty,
+      "text query needs at least one positive term or phrase")
   }
 
   def parseQuery(q: String): ParsedQuery = {
-    val phraseRe = "\"([^\"]*)\"".r
-    val phrases = phraseRe.findAllMatchIn(q).map(_.group(1).toLowerCase)
-      .filter(_.nonEmpty).toSeq.distinct
-    val rest = phraseRe.replaceAllIn(q, " ")
-    val raw = rest.split("\\s+").toSeq.filter(_.nonEmpty)
-    val conj = raw.contains("AND")
-    val terms = raw.filterNot(t => t == "AND" || t == "OR")
-      .flatMap(_.toLowerCase.split(s"[^\\p{L}\\p{Nd}]+")).filter(_.nonEmpty)
-      .distinct
-    ParsedQuery(terms, phrases, conj)
+    // units: optionally-negated phrase, or optionally-negated word with an
+    // optional trailing fuzzy marker
+    val unitRe = """(-?)"([^"]*)"|(-?)([^\s"]+)""".r
+    var terms = Vector[String]()
+    var phrases = Vector[String]()
+    var fuzzy = Vector[(String, Int)]()
+    var notTerms = Vector[String]()
+    var notPhrases = Vector[String]()
+    var conj = false
+    var pendingNot = false
+    def analyze(w: String): Seq[String] =
+      w.toLowerCase.split(s"[^\\p{L}\\p{Nd}]+").toSeq.filter(_.nonEmpty)
+    unitRe.findAllMatchIn(q).foreach { m =>
+      if (m.group(2) != null) { // phrase
+        val neg = m.group(1) == "-" || pendingNot
+        pendingNot = false
+        val p = m.group(2).toLowerCase
+        if (p.nonEmpty) {
+          if (neg) notPhrases :+= p else phrases :+= p
+        }
+      } else {
+        val neg0 = m.group(3) == "-"
+        val w0 = m.group(4)
+        if (w0 == "AND") conj = true
+        else if (w0 == "OR") ()
+        else if (w0 == "NOT") pendingNot = true
+        else {
+          val neg = neg0 || pendingNot
+          pendingNot = false
+          val fuzzyRe = """(.+?)~(\d?)$""".r
+          w0 match {
+            case fuzzyRe(base, d) if !neg =>
+              val dist = if (d.isEmpty) 2 else d.toInt
+              analyze(base).foreach(t => fuzzy :+= (t, math.min(dist, 2)))
+            case fuzzyRe(base, _) => // negated fuzzy degrades to exact NOT
+              notTerms ++= analyze(base)
+            case w =>
+              if (neg) notTerms ++= analyze(w) else terms ++= analyze(w)
+          }
+        }
+      }
+    }
+    ParsedQuery(terms.distinct, phrases.distinct, fuzzy.distinct,
+      notTerms.distinct, notPhrases.distinct, conj)
   }
 
   /**
@@ -86,16 +128,43 @@ object TextIndex {
    */
   def search(graph: DataFrame, pred: Option[String], q: String,
              limit: Option[Int]): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
     val pq = parseQuery(q)
     val preds = pred.toSeq
-    // term hits: candidate rows from the postings, pruned to the query's
-    // tokens BEFORE any shuffle; __tc = matched distinct terms
-    val termHits =
+    // SLOT TABLE: each positive query term is a slot; a fuzzy term's slot
+    // is filled by every vocabulary token within its edit distance (the
+    // distributed analog of Lucene's FuzzyQuery term-dictionary automaton
+    // walk: the DISTINCT token vocabulary is scanned once per query, with
+    // a length prefilter, never the corpus). Scoring counts SLOTS, so a
+    // fuzzy term matching three vocabulary tokens still scores 1 — same
+    // as Lucene's one-query-term semantics.
+    val exactSlots =
       if (pq.terms.isEmpty) None
-      else Some(postings(graph, preds)
-        .filter(col("token").isin(pq.terms: _*))
+      else Some(pq.terms.zipWithIndex.toDF("token", "__slot"))
+    val fuzzySlots =
+      if (pq.fuzzy.isEmpty) None
+      else {
+        val vocab = postings(graph, preds).select(col("token")).distinct()
+        Some(pq.fuzzy.zipWithIndex.map { case ((t, d), j) =>
+          vocab
+            .filter(length(col("token")).between(t.length - d, t.length + d))
+            .filter(levenshtein(col("token"), lit(t)) <= d)
+            .select(col("token"), lit(pq.terms.size + j).as("__slot"))
+        }.reduce(_ union _))
+      }
+    val slotTable = (exactSlots, fuzzySlots) match {
+      case (Some(e), Some(f)) => Some(e.union(f))
+      case (e, f) => e.orElse(f)
+    }
+    val nPosSlots = pq.terms.size + pq.fuzzy.size
+    // term hits: candidate rows from the postings, joined to the (tiny,
+    // broadcast) slot table BEFORE any shuffle; __tc = matched slots
+    val termHits = slotTable.map(st =>
+      postings(graph, preds)
+        .join(broadcast(st), "token")
         .groupBy(col("s"), col("o"))
-        .agg(count_distinct(col("token")).as("__tc")))
+        .agg(count_distinct(col("__slot")).as("__tc")))
     // candidate set: term hits suffice when every phrase-match must also
     // term-match (AND with ≥1 term) or there are no phrases; otherwise a
     // phrase can match literals with NO term hit, so widen to the scoped
@@ -115,11 +184,22 @@ object TextIndex {
       else pq.phrases.map(p =>
         when(lower(TermCols.lex(col("o"))).contains(p), 1L).otherwise(0L))
         .reduce(_ + _)
-    val scored = based.withColumn("__pc", pc)
+    val scored0 = based.withColumn("__pc", pc)
       .filter(
-        if (pq.conj) col("__tc") === pq.terms.size && col("__pc") === pq.phrases.size
+        if (pq.conj) col("__tc") === nPosSlots && col("__pc") === pq.phrases.size
         else (col("__tc") + col("__pc")) > 0)
       .select(col("s"), col("o"), (col("__tc") + col("__pc")).as("score"))
+    // NOT operator (Lucene prohibit): drop candidates whose literal
+    // contains any excluded token (postings anti-join — same isin pruning
+    // as the positive probe) or excluded phrase (post-filter)
+    val scored1 =
+      if (pq.notTerms.isEmpty) scored0
+      else scored0.join(
+        postings(graph, preds).filter(col("token").isin(pq.notTerms: _*))
+          .select(col("s"), col("o")).distinct(),
+        Seq("s", "o"), "left_anti")
+    val scored = pq.notPhrases.foldLeft(scored1)((d, p) =>
+      d.filter(!lower(TermCols.lex(col("o"))).contains(p)))
     limit match {
       case Some(n) =>
         scored.orderBy(col("score").desc, TermCols.lex(col("s")),

@@ -333,6 +333,45 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(bound2, "s") == Set(EX + "d3"))
   }
 
+  test("text:query fuzzy terms and NOT operator (Lucene query-parser surface)") {
+    import graft.sparql.Sparql
+    import graft.text.TextIndex
+    val g2 = spark.createDataset(Seq(
+      Triple(i("d1"), i("title"), Term.string("The quick brown fox")),
+      Triple(i("d2"), i("title"), Term.string("A lazy brown dog")),
+      Triple(i("d3"), i("title"), Term.string("Quick quick dog")),
+      Triple(i("d4"), i("title"), Term.string("brick houses")))).toDF()
+    def q(body: String) =
+      s"""PREFIX text: <http://jena.apache.org/text#>
+          SELECT * WHERE { $body }"""
+    // fuzzy: quock~1 matches "quick" (edit distance 1) — a hit exact
+    // match misses entirely
+    assert(Sparql.select(q("""?s text:query "quock" ."""), g2).count() == 0)
+    val fz = Sparql.select(q("""?s text:query "quock~1" ."""), g2)
+    assert(lexSet(fz, "s") == Set(EX + "d1", EX + "d3"))
+    // default maxEdits 2: quack~ matches quick (2 edits) and brick? no —
+    // quack→brick is 3 edits; quack→quick is 2
+    val fz2 = Sparql.select(q("""?s text:query "quack~" ."""), g2)
+    assert(lexSet(fz2, "s") == Set(EX + "d1", EX + "d3"))
+    // fuzzy slot scores 1 even when multiple vocabulary tokens match
+    val pqd = TextIndex.parseQuery("brwn~1")
+    assert(pqd.fuzzy == Seq(("brwn", 1)))
+    val fsc = TextIndex.search(g2, None, "brwn~1", None)
+    assert(fsc.collect().forall(_.getLong(2) == 1L))
+    // NOT via '-': brown but not dog
+    val not = Sparql.select(q("""?s text:query "brown -dog" ."""), g2)
+    assert(lexSet(not, "s") == Set(EX + "d1"))
+    // NOT keyword form
+    val not2 = Sparql.select(q("""?s text:query "brown NOT fox" ."""), g2)
+    assert(lexSet(not2, "s") == Set(EX + "d2"))
+    // negated phrase
+    val np = Sparql.select(q("""?s text:query "quick -\"brown fox\"" ."""), g2)
+    assert(lexSet(np, "s") == Set(EX + "d3"))
+    // AND + fuzzy + NOT composed
+    val mix = Sparql.select(q("""?s text:query "quock~1 AND dog -lazy" ."""), g2)
+    assert(lexSet(mix, "s") == Set(EX + "d3"))
+  }
+
   test("VALUES table joined to a BGP") {
     val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))

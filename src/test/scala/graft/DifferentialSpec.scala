@@ -1012,7 +1012,7 @@ class DifferentialSpec extends AnyFunSuite {
       }
       def body(depth: Int): Op =
         if (depth == 0) leaf()
-        else rnd.nextInt(8) match {
+        else rnd.nextInt(9) match {
           case 0 => Join(body(depth - 1), body(depth - 1))
           case 1 => Union(body(depth - 1), body(depth - 1))
           case 2 => LeftJoin(body(depth - 1), body(depth - 1), None)
@@ -1020,6 +1020,11 @@ class DifferentialSpec extends AnyFunSuite {
           case 4 => SemiJoin(body(depth - 1), body(depth - 1))
           case 5 => AntiJoin(body(depth - 1), body(depth - 1))
           case 6 => Distinct(body(depth - 1))
+          // LATERAL threads the hidden graph column through the
+          // correlated leaf compiler (r5); per-row-sensitive (Distinct)
+          // and plain RHSs both exercised
+          case 7 => Lateral(body(depth - 1),
+            if (rnd.nextBoolean()) Distinct(leaf()) else leaf())
           case _ => leaf()
         }
       val v = varPool(rnd.nextInt(varPool.size))

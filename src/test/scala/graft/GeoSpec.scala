@@ -158,5 +158,103 @@ class GeoSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "polygon join must stay on the grid-cell equi-join:\n" + plan)
+    // the ray test is a higher-order fold over the edge array, not a UDF:
+    // the per-candidate predicate (a FilterExec, or folded into the hash
+    // join's post-join condition) must be the aggregate() fold with no
+    // Scala UDF anywhere in it
+    val conds = plan.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("Join")).toSeq
+    assert(conds.exists(_.contains("aggregate(")),
+      "parity predicate should be the HOF fold:\n" + plan)
+    assert(!conds.exists(_.contains("UDF")),
+      "no UDF in the candidate predicate:\n" + conds.mkString("\n"))
+  }
+
+  test("segment intersection: orientation + collinear cases") {
+    // proper crossing
+    assert(Geo.segmentsIntersect(0, 0, 10, 10, 0, 10, 10, 0))
+    // disjoint
+    assert(!Geo.segmentsIntersect(0, 0, 1, 1, 5, 5, 6, 6))
+    // touching at an endpoint (closed semantics)
+    assert(Geo.segmentsIntersect(0, 0, 5, 5, 5, 5, 9, 0))
+    // collinear overlapping
+    assert(Geo.segmentsIntersect(0, 0, 4, 0, 2, 0, 6, 0))
+    // collinear disjoint
+    assert(!Geo.segmentsIntersect(0, 0, 1, 0, 3, 0, 5, 0))
+    // T-touch (endpoint on interior)
+    assert(Geo.segmentsIntersect(0, 0, 10, 0, 5, -5, 5, 0))
+  }
+
+  test("sfIntersects: point/linestring/polygon composite") {
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    val poly = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val holed = wkt("POLYGON((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))")
+    // line crossing the polygon edge, neither endpoint inside
+    assert(Geo.sfIntersects(wkt("LINESTRING(-5 5, 15 5)"), poly).get)
+    // line fully outside
+    assert(!Geo.sfIntersects(wkt("LINESTRING(20 20, 30 30)"), poly).get)
+    // line fully inside (no edge crossing — containment arm)
+    assert(Geo.sfIntersects(wkt("LINESTRING(2 2, 3 3)"), poly).get)
+    // line inside the HOLE of a holed polygon: parity says outside
+    assert(!Geo.sfIntersects(wkt("LINESTRING(9 9, 11 11)"), holed).get)
+    // symmetric dispatch
+    assert(Geo.sfIntersects(poly, wkt("LINESTRING(-5 5, 15 5)")).get)
+    // polygon×polygon: overlap / disjoint / one-inside-other
+    assert(Geo.sfIntersects(poly,
+      wkt("POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))")).get)
+    assert(!Geo.sfIntersects(poly,
+      wkt("POLYGON((20 20, 30 20, 30 30, 20 30, 20 20))")).get)
+    assert(Geo.sfIntersects(poly,
+      wkt("POLYGON((2 2, 3 2, 3 3, 2 3, 2 2))")).get)
+    // point cases: on-segment, in-polygon, disjoint
+    assert(Geo.sfIntersects(wkt("POINT(5 0)"), poly).get)
+    assert(Geo.sfIntersects(wkt("POINT(5 5)"), poly).get)
+    assert(!Geo.sfIntersects(wkt("POINT(50 50)"), poly).get)
+    assert(Geo.sfIntersects(wkt("POINT(2 2)"), wkt("LINESTRING(0 0, 4 4)")).get)
+    // eval error on junk
+    assert(Geo.sfIntersects(Term.string("nope"), poly).isEmpty)
+  }
+
+  test("segIntersectsPolygonCol matches the scalar composite on clean data") {
+    import spark.implicits._
+    val rings = Geo.parsePolygon("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
+    val segs = (0 until 300).map { k =>
+      val ax = (k * 37 % 173) - 80.0 + 0.17
+      val ay = (k * 53 % 167) - 80.0 + 0.31
+      (k.toLong, ax, ay, ax + ((k * 29 % 41) - 20.0) + 0.13,
+        ay + ((k * 31 % 43) - 21.0) + 0.07)
+    }
+    val df = segs.toDF("id", "ax", "ay", "bx", "by")
+    val got = df.where(Geo.segIntersectsPolygonCol(
+        col("ax"), col("ay"), col("bx"), col("by"), rings))
+      .select("id").collect().map(_.getLong(0)).toSet
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    val polyT = wkt("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))")
+    val exp = segs.collect {
+      case (id, ax, ay, bx, by) if Geo.sfIntersects(
+        wkt(s"LINESTRING($ax $ay, $bx $by)"), polyT).get => id
+    }.toSet
+    assert(got == exp)
+    assert(got.nonEmpty && got.size < segs.size)
+  }
+
+  test("geof:sfIntersects callable from SPARQL text") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val EX = "http://example/"
+    val g = spark.createDataset(Seq(
+      graft.model.Triple(Term.iri(EX + "road1"), Term.iri(EX + "wkt"),
+        Term.lit("LINESTRING(-5 5, 15 5)", Geo.WKT_DT)),
+      graft.model.Triple(Term.iri(EX + "road2"), Term.iri(EX + "wkt"),
+        Term.lit("LINESTRING(20 20, 30 30)", Geo.WKT_DT)))).toDF()
+    val out = Sparql.select(
+      s"""PREFIX geof: <${Geo.GEOF}>
+          SELECT ?s WHERE {
+            ?s <${EX}wkt> ?w .
+            FILTER(geof:sfIntersects(?w,
+              "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"^^<${Geo.WKT_DT}>))
+          }""", g)
+    val subj = out.collect().map(_.getStruct(0).getString(1)).toSet
+    assert(subj == Set(EX + "road1"))
   }
 }

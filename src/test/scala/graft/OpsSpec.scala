@@ -100,6 +100,29 @@ class OpsSpec extends AnyFunSuite {
     assert(meta1.forall(m => m.width >= 16 && m.channels >= 1 && m.n_bytes > 0))
   }
 
+  test("multimodal: real javax.imageio decode round-trips generated PNGs") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.syntheticImages(docs)
+    val meta = Multimodal.extractMeta(media, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(meta.length == 40)
+    meta.foreach { m =>
+      assert(m.width == 8 + (m.doc_id % 32).toInt)
+      assert(m.height == 8 + (m.doc_id * 3 % 32).toInt)
+      assert(m.channels == (if (m.doc_id % 2 == 0) 1 else 3))
+      assert(m.n_bytes > 0)
+    }
+    // poisoned-row policy: an image/* payload no reader can decode drops
+    import spark.implicits._
+    val junk = spark.createDataset(Seq(
+      graft.ops.MediaRow(1L, Array[Byte](1, 2, 3), "image/png"),
+      graft.ops.MediaRow(2L, meta.head.doc_id.toString.getBytes, "image/gif")))
+    assert(Multimodal.extractMeta(junk).count() == 0)
+    // a real PNG among junk survives
+    val mixed = junk.union(media.limit(1))
+    assert(Multimodal.extractMeta(mixed).count() == 1)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     import spark.implicits._
     val base = Tables.documents(spark, sf).where(col("doc_id") < 30)

@@ -203,6 +203,17 @@ class PlanSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(rows2 == Set((EX + "g1", EX + "b"), (EX + "g2", EX + "d")),
         s"per-graph LIMIT wrong: $rows2")
+      // LATERAL inside GRAPH ?var stays on the single plan (r5): the
+      // correlated RHS re-binds the hidden graph column, so per-left-row
+      // evaluation never crosses graphs — b->c (g1) must not see c->d (g2)
+      val lat = Compiler.compile(GraphVarEnum("g", Lateral(
+        Bgp(Seq(TriplePattern(TVar("x"), TConst(Term.iri(EX + "p")), TVar("y")))),
+        Distinct(Bgp(Seq(TriplePattern(TVar("y"), TConst(Term.iri(EX + "p")), TVar("z"))))))),
+        gdf)
+      val rows3 = lat.select(col("g.lex"), col("x.lex"), col("z.lex"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows3 == Set((EX + "g1", EX + "a", EX + "c")),
+        s"LATERAL-in-GRAPH?var leak: $rows3")
     } finally spark.conf.unset("graft.graphVarEnumMax")
     // zero named graphs: GRAPH ?g over ANY body — including a
     // graph-independent VALUES — is the EMPTY union (SPARQL 18.5), on
