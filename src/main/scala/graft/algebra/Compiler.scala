@@ -807,7 +807,23 @@ object Compiler {
 
     case PathPattern(s0, path, o0) =>
       val nq = namedQuadsDf(g)
-      var prs = PathEval.pairsG(nq, path) // (g, src, dst)
+      // seeded per-graph evaluation for constant endpoints (the GRAPH
+      // ?var twin of compPath's ALP seeding): the seed set is
+      // (graph, const) for every named graph — the packed closure walks
+      // only each graph's cone from the constant
+      val seedOnG = g.spark.conf
+        .getOption("graft.pathSeededEval").forall(_ != "off")
+      def constSeeds(t: Term): DataFrame =
+        namedGraphNamesDf(g).select(col("g"), TermCols.const(t).as("n"))
+      var prs: DataFrame =
+        if (!seedOnG || !PathEval.containsClosure(path)) PathEval.pairsG(nq, path)
+        else (s0, o0) match {
+          case (TConst(t), _) => PathEval.pairsGFrom(nq, path, constSeeds(t))
+          case (_, TConst(t)) =>
+            PathEval.pairsGFrom(nq, PathEval.inverse(path), constSeeds(t))
+              .select(col("g"), col("dst").as("src"), col("src").as("dst"))
+          case _ => PathEval.pairsG(nq, path)
+        }
       if (PathEval.allowsZero(path)) {
         // zero-length const endpoints match themselves in EVERY named
         // graph (per-graph twin of the PathPattern zero augmentation)
@@ -1092,8 +1108,13 @@ object Compiler {
         .map(_.df.select(col(v).as("n")))
       case _ => None
     }
+    // escape hatch (and the honest A/B lever for the seeded-vs-global
+    // closure benchmark): graft.pathSeededEval=off forces the pre-r5
+    // global-closure-then-filter plan
+    val seedOn = g.spark.conf
+      .getOption("graft.pathSeededEval").forall(_ != "off")
     var pairs: DataFrame =
-      if (!PathEval.containsClosure(path)) PathEval.pairs(g, path)
+      if (!PathEval.containsClosure(path) || !seedOn) PathEval.pairs(g, path)
       else (s, o) match {
         case (TConst(t), _) => PathEval.pairsFromConst(g, path, t)
         case (_, TConst(t)) => PathEval.pairsFromConst(g, PathEval.inverse(path), t)
@@ -2184,6 +2205,90 @@ object PathEval {
       struct(col("g").as("g"), col("dst").as("n")).as("dst"))
     Graphs.transitiveClosure(packed)
       .select(col("src.g").as("g"), col("src.n").as("src"), col("dst.n").as("dst"))
+  }
+
+  /** Per-graph SEEDED reachability (the GRAPH ?var twin of the ALP
+   * seeding): seeds are (g, n) rows; nodes pack as struct(g, n) exactly
+   * like [[closureG]], so the frontier walks each graph's cone from its
+   * own seeds and never crosses graphs. */
+  private def reachableFromG(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val packed = edges.select(
+      struct(col("g").as("g"), col("src").as("n")).as("src"),
+      struct(col("g").as("g"), col("dst").as("n")).as("dst"))
+    val packedSeeds = seeds.toDF("g", "n")
+      .select(struct(col("g").as("g"), col("n").as("n")).as("n"))
+    Graphs.reachableFrom(packed, packedSeeds)
+      .select(col("src.g").as("g"), col("src.n").as("src"), col("dst.n").as("dst"))
+  }
+
+  /** Per-graph seeded pairs — [[pairsFrom0]] with the graph name threaded
+   * through every join/closure key. `seeds0`: (g, n) rows. Returns the
+   * (g, src, dst) rows of [[pairsG]] restricted to src ∈ that graph's
+   * seeds, walking only the seeded cones. */
+  def pairsGFrom(nq: DataFrame, path: Path, seeds0: DataFrame): DataFrame = {
+    val seeds = seeds0.toDF("__sg", "__sn").distinct()
+    def restrict(d: DataFrame): DataFrame =
+      d.join(seeds, col("g") === col("__sg") && col("src") === col("__sn"),
+        "left_semi")
+    def identity: DataFrame = restrict(allNodesG(nq))
+    def reseed(d: DataFrame): DataFrame =
+      d.select(col("g"), col("dst").as("n"))
+    path match {
+      case PLink(_) | PNegPropSet(_, _) | PInverse(PLink(_)) =>
+        restrict(pairsG(nq, path))
+      case PInverse(q) => pairsGFrom(nq, inverse(q), seeds)
+      case PSeq(a, b) =>
+        val l = pairsGFrom(nq, a, seeds)
+        val r = pairsGFrom(nq, b, reseed(l))
+        l.select(col("g"), col("src"), col("dst").as("__mid"))
+          .join(r.select(col("g").as("__g2"), col("src").as("__mid2"), col("dst")),
+            col("g") === col("__g2") && col("__mid") === col("__mid2"))
+          .select(col("g"), col("src"), col("dst"))
+      case PAlt(a, b) =>
+        pairsGFrom(nq, a, seeds).union(pairsGFrom(nq, b, seeds))
+      case POneOrMore(q) =>
+        reachableFromG(pairsG(nq, q).select(col("g"), col("src"), col("dst")),
+          seeds)
+      case PZeroOrMore(q) =>
+        reachableFromG(pairsG(nq, q).select(col("g"), col("src"), col("dst")),
+          seeds).union(identity).distinct()
+      case PZeroOrOne(q) =>
+        pairsGFrom(nq, q, seeds).union(identity).distinct()
+      case PFixedLength(q, n) =>
+        require(n >= 1, "PFixedLength n must be >= 1")
+        var acc = pairsGFrom(nq, q, seeds)
+        for (_ <- 2 to n) {
+          val nxt = pairsGFrom(nq, q, reseed(acc))
+          acc = acc.select(col("g"), col("src"), col("dst").as("__m"))
+            .join(nxt.select(col("g").as("__g2"), col("src").as("__m2"), col("dst")),
+              col("g") === col("__g2") && col("__m") === col("__m2"))
+            .select(col("g"), col("src"), col("dst"))
+        }
+        acc
+      case PMod(q, min, max) =>
+        require(min >= 0 && (max < 0 || max >= min), s"bad path mod {$min,$max}")
+        if (max < 0) {
+          val head =
+            if (min == 0) identity
+            else pairsGFrom(nq, PFixedLength(q, min), seeds)
+          val star = pairsGFrom(nq, PZeroOrMore(q), reseed(head))
+          head.select(col("g"), col("src"), col("dst").as("__m"))
+            .join(star.select(col("g").as("__g2"), col("src").as("__m2"), col("dst")),
+              col("g") === col("__g2") && col("__m") === col("__m2"))
+            .select(col("g"), col("src"), col("dst")).distinct()
+        } else {
+          val parts = (math.max(min, 1) to max)
+            .map(k => pairsGFrom(nq, PFixedLength(q, k), seeds))
+          val fixed = if (parts.isEmpty) identity else parts.reduce(_ union _)
+          val withZero = if (min == 0) fixed.union(identity) else fixed
+          withZero.distinct()
+        }
+      case PDistinct(q) => pairsGFrom(nq, q, seeds).distinct()
+      case PMulti(q) => pairsGFrom(nq, q, seeds)
+      case PShortest(q) =>
+        throw new UnsupportedOperationException(
+          s"P_Shortest is not implemented (matching the reference): $q")
+    }
   }
 
   /** Per-graph zero-length node set: (g, n, n) for every term occurring

@@ -158,6 +158,30 @@ class SeededPathSpec extends AnyFunSuite {
     assert(lexSet(out2, "o") == Set(EX + "nowhere"))
   }
 
+  test("GRAPH ?var: constant-root closure seeds per-graph cones") {
+    import graft.model.Quad
+    val EXq = EX
+    def q(s: String, o: String, gn: String) = Quad(
+      i(s), i("p"), i(o), i(gn))
+    // g1: root→a→b plus a 30-cycle; g2: root→x only
+    val quads =
+      Seq(q("root", "a", "g1"), q("a", "b", "g1"), q("root", "x", "g2")) ++
+        (0 until 30).map(k => q(s"c$k", s"c${(k + 1) % 30}", "g1"))
+    val gdf = spark.createDataset(quads).toDF()
+    spark.conf.set("graft.graphVarEnumMax", "0") // single-plan only
+    try {
+      val out = Compiler.compile(GraphVarEnum("gr",
+        PathPattern(c(i("root")), POneOrMore(PLink(EXq + "p")), v("y"))), gdf)
+      val rows = out.select(col("gr").getField("lex"), col("y").getField("lex"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        (EXq + "g1", EXq + "a"), (EXq + "g1", EXq + "b"), (EXq + "g2", EXq + "x")))
+      // the seeded per-graph walk stops at cone depth, not cycle diameter
+      assert(Graphs.lastClosureRounds <= 4,
+        s"per-graph seeded closure ran ${Graphs.lastClosureRounds} rounds")
+    } finally spark.conf.unset("graft.graphVarEnumMax")
+  }
+
   test("encoded snapshot: id-space seeded walk matches struct result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seeded_enc")
       .toString + "/snap"
