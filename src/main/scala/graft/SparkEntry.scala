@@ -52,6 +52,7 @@ object SparkEntry {
     "t8_pii_scrub"      -> OpsQueries.t8_pii_scrub _,
     "t9_text_query"     -> OpsQueries.t9_text_query _,
     "t10_text_fuzzy"    -> OpsQueries.t10_text_fuzzy _,
+    "t11_text_indexed"  -> OpsQueries.t11_text_indexed _,
     "d8_dedup_clusters" -> OpsQueries.d8_dedup_clusters _,
     "c1_corpus_filter"  -> OpsQueries.c1_corpus_filter _,
     "c2_pack_sequences" -> OpsQueries.c2_pack_sequences _,
@@ -567,6 +568,15 @@ object SparkEntry {
                                    ORDER BY draw, doc_id) AS BIGINT) AS pos
          FROM t""",
     "t9_text_query" ->
+      """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS doc,
+           CAST(len(list_intersect(
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+             ['spark', 'vector'])) AS BIGINT) AS score
+         FROM documents
+         WHERE len(list_intersect(
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+             ['spark', 'vector'])) > 0""",
+    "t11_text_indexed" ->
       """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS doc,
            CAST(len(list_intersect(
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),

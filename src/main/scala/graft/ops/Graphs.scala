@@ -17,12 +17,11 @@ object Graphs {
    * round extends paths by one hop, so the default covers any graph of
    * diameter ≤ 10^4; a legitimate deeper chain must raise the cap
    * explicitly). */
-  /** Serializes closure runs: the loop must toggle a session-global SQL
-   * conf (below), and two concurrent closures on one session would race
-   * on it — the finally of one could restore the stale mid-run value of
-   * the other. One lock per JVM is enough: closures on different
-   * SparkSessions are rare and still correct, just serialized. SHARED
-   * with Rules.closure, which toggles the same conf key. */
+  /** JVM-wide lock for SESSION-GLOBAL conf toggles. Graphs' own loops no
+   * longer need it (they isolate via [[isolatedLoopSession]]); it remains
+   * for Rules.closure, whose loop plans compiled rule queries against the
+   * caller's session and therefore still save/toggle/restore the
+   * constraint-propagation key on it. */
   private[graft] val closureLock = new Object
 
   /** Rounds taken by the most recent closure loop on this JVM (either
@@ -37,27 +36,45 @@ object Graphs {
    * UnionBase.rewriteConstraints throws "key not found: attr" when a
    * LogicalRDD child carries constraints referencing pre-checkpoint
    * attribute ids). The loops' plans are tiny — constraints buy nothing
-   * — so switch propagation off for the duration. NOTE the toggle is
-   * session-global: a concurrent query on the same session during a
-   * closure run would also plan without constraint propagation — a
-   * (documented) performance-only effect, never a correctness one. */
-  private def withConstraintPropagationOff[A](
-      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.getOption(cpKey)
-    spark.conf.set(cpKey, "false")
-    try body
-    finally cpPrev match {
-      case Some(v) => spark.conf.set(cpKey, v)
-      case None => spark.conf.unset(cpKey)
+   * — so the loop runs with propagation OFF in an ISOLATED session
+   * (`SparkSession.newSession` + the graftbridge lift): the caller's
+   * session conf is never touched, so queries planning concurrently keep
+   * constraint propagation. Only localCheckpoint outputs (self-contained
+   * LogicalRDD leaves) cross the session boundary, in both directions. */
+  private def isolatedLoopSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val iso = spark.newSession()
+    // newSession starts from the SparkConf baseline — mirror the caller's
+    // RUNTIME conf so loop planning (shuffle partitions, AQE, …) behaves
+    // identically; non-modifiable keys are skipped
+    spark.conf.getAll.foreach { case (k, v) =>
+      try iso.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
     }
+    iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    iso
   }
 
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame =
-    closureLock.synchronized {
-      withConstraintPropagationOff(edges.sparkSession)(
-        transitiveClosure0(edges, maxIter))
-    }
+  /** Lift a frame into `target` via its ANALYZED plan. Loop inputs lift
+   * BEFORE materialization: the input plan may itself contain
+   * checkpointed unions (a nested closure inside PAlt feeding an outer
+   * closure), which trip UnionBase.rewriteConstraints exactly like the
+   * loop's own accumulators — optimizing + executing it under the
+   * isolated session keeps the caller's conf untouched for the whole
+   * run. Results lift back as self-contained LogicalRDD leaves. */
+  private def lift(target: org.apache.spark.sql.SparkSession,
+                   df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.SessionBridge.ofRows(
+      target, df.queryExecution.analyzed)
+
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize the edge relation under the CALLER's session (full
+    // planning, no checkpointed unions yet), then loop isolated
+    val iso = isolatedLoopSession(spark)
+    val e0 = lift(iso, edges.toDF("src", "dst").distinct()).localCheckpoint(true)
+    val acc = transitiveClosure0(e0, maxIter)
+    lift(spark, acc)
+  }
 
   /** Seeded reachability — the ALP analog proper (PathEngine.java:49–122
    * seeds a BFS from the bound node and visits only the reachable cone).
@@ -70,16 +87,21 @@ object Graphs {
    * a `<root> :dep+ ?x` over a billion-edge graph never materializes the
    * all-pairs closure. */
   def reachableFrom(edges: DataFrame, seeds: DataFrame,
-                    maxIter: Int = 10000): DataFrame =
-    closureLock.synchronized {
-      withConstraintPropagationOff(edges.sparkSession)(
-        reachableFrom0(edges, seeds, maxIter))
-    }
+                    maxIter: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    val iso = isolatedLoopSession(spark)
+    val e0 = lift(iso, edges.toDF("src", "dst").distinct()).localCheckpoint(true)
+    val s0 = lift(iso, seeds.toDF("n").distinct()).localCheckpoint(true)
+    val acc = reachableFrom0(e0, s0, maxIter)
+    lift(spark, acc)
+  }
 
+  /** `edges`/`seeds` must be distinct + checkpointed (the public entry
+   * prepares and lifts them). */
   private def reachableFrom0(edges: DataFrame, seeds: DataFrame,
                              maxIter: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
-    var frontier = seeds.toDF("n").distinct()
+    val e = edges
+    var frontier = seeds
       .join(e, col("n") === col("src"))
       .select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
@@ -110,8 +132,10 @@ object Graphs {
     acc
   }
 
+  /** `edges` must be distinct + checkpointed (the public entry prepares
+   * and lifts it). */
   private def transitiveClosure0(edges: DataFrame, maxIter: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
+    val e = edges
     var acc = e
     var frontier = e
     var iter = 0

@@ -669,6 +669,27 @@ object OpsQueries {
         TermCols.lex(col("score")).cast("long").as("score"))
   }
 
+  /** t9 through the MATERIALIZED postings layout (the persisted-index
+   * face, `TextIndex.materializePostings` / `searchIndexed`): the same
+   * "spark vector" query served from the token-bucketed parquet store —
+   * partition-pruned to the two query tokens' buckets — with the same
+   * DuckDB oracle as t9. Commit-once per input dir (resume-by-manifest,
+   * like the r25/r27 encoded snapshots). */
+  def t11_text_indexed(s: SparkSession, d: String): DataFrame = {
+    import graft.algebra.TermCols
+    import graft.text.TextIndex
+    val dir = s"/tmp/graft_textidx_${graft.store.TripleStore.inputDigest(d)}"
+    if (!TextIndex.isCommitted(dir)) {
+      val g = Tables.documents(s, d).select(
+        TermCols.iriTerm(concat(lit("urn:doc:"), col("doc_id"))).as("s"),
+        TermCols.const(graft.model.Term.iri("urn:p:text")).as("p"),
+        TermCols.strTerm(col("text")).as("o"))
+      TextIndex.materializePostings(g, dir)
+    }
+    TextIndex.searchIndexed(s, dir, "spark vector", None)
+      .select(TermCols.lex(col("s")).as("doc"), col("score"))
+  }
+
   /** t9's query-parser surface widened: FUZZY term (vactor~1 reaches
    * "vector" through the vocabulary edit-distance expansion — a hit exact
    * match misses) plus the NOT operator (-spark). The DuckDB oracle

@@ -128,40 +128,55 @@ object TextIndex {
    */
   def search(graph: DataFrame, pred: Option[String], q: String,
              limit: Option[Int]): DataFrame = {
-    val spark = graph.sparkSession
-    import spark.implicits._
-    val pq = parseQuery(q)
     val preds = pred.toSeq
+    searchCore(graph.sparkSession, parseQuery(q),
+      tokens => postings(graph, preds).filter(col("token").isin(tokens: _*)),
+      () => postings(graph, preds).select(col("token")).distinct(),
+      () => scopedLiterals(graph, preds).select(col("s"), col("o")).distinct(),
+      limit)
+  }
+
+  /** Search over pluggable postings sources — shared by the in-memory
+   * face ([[search]]) and the materialized-layout face
+   * ([[searchIndexed]]). `postFor(tokens)`: (s, o, token) rows whose
+   * token ∈ tokens (the store face bucket-prunes here); `vocab()`: the
+   * distinct token dictionary (fuzzy expansion — Lucene's term-dict
+   * automaton walk analog, full-dictionary by nature); `lits()`:
+   * distinct (s, o) scoped literals (phrase widening). */
+  private def searchCore(spark: org.apache.spark.sql.SparkSession,
+                         pq: ParsedQuery,
+                         postFor: Seq[String] => DataFrame,
+                         vocab: () => DataFrame,
+                         lits: () => DataFrame,
+                         limit: Option[Int]): DataFrame = {
+    import spark.implicits._
     // SLOT TABLE: each positive query term is a slot; a fuzzy term's slot
-    // is filled by every vocabulary token within its edit distance (the
-    // distributed analog of Lucene's FuzzyQuery term-dictionary automaton
-    // walk: the DISTINCT token vocabulary is scanned once per query, with
-    // a length prefilter, never the corpus). Scoring counts SLOTS, so a
+    // is filled by every vocabulary token within its edit distance —
+    // expansions COLLECT to the driver (bounded: an edit-≤2 neighborhood
+    // of one token), so the postings probe runs on a concrete token list
+    // the store face can bucket-prune with. Scoring counts SLOTS, so a
     // fuzzy term matching three vocabulary tokens still scores 1 — same
     // as Lucene's one-query-term semantics.
-    val exactSlots =
-      if (pq.terms.isEmpty) None
-      else Some(pq.terms.zipWithIndex.toDF("token", "__slot"))
-    val fuzzySlots =
-      if (pq.fuzzy.isEmpty) None
+    val exactSlots = pq.terms.zipWithIndex
+    val fuzzySlots: Seq[(String, Int)] =
+      if (pq.fuzzy.isEmpty) Nil
       else {
-        val vocab = postings(graph, preds).select(col("token")).distinct()
-        Some(pq.fuzzy.zipWithIndex.map { case ((t, d), j) =>
-          vocab
-            .filter(length(col("token")).between(t.length - d, t.length + d))
+        val v = vocab()
+        pq.fuzzy.zipWithIndex.flatMap { case ((t, d), j) =>
+          v.filter(length(col("token")).between(t.length - d, t.length + d))
             .filter(levenshtein(col("token"), lit(t)) <= d)
-            .select(col("token"), lit(pq.terms.size + j).as("__slot"))
-        }.reduce(_ union _))
+            .select(col("token")).collect()
+            .map(r => (r.getString(0), pq.terms.size + j))
+        }
       }
-    val slotTable = (exactSlots, fuzzySlots) match {
-      case (Some(e), Some(f)) => Some(e.union(f))
-      case (e, f) => e.orElse(f)
-    }
+    val slots = exactSlots ++ fuzzySlots
+    val slotTable = if (slots.isEmpty) None else Some(slots.toDF("token", "__slot"))
     val nPosSlots = pq.terms.size + pq.fuzzy.size
-    // term hits: candidate rows from the postings, joined to the (tiny,
-    // broadcast) slot table BEFORE any shuffle; __tc = matched slots
+    // term hits: candidate rows from the postings, pruned to the concrete
+    // token list BEFORE any shuffle, joined to the (tiny, broadcast)
+    // slot table; __tc = matched slots
     val termHits = slotTable.map(st =>
-      postings(graph, preds)
+      postFor(slots.map(_._1).distinct)
         .join(broadcast(st), "token")
         .groupBy(col("s"), col("o"))
         .agg(count_distinct(col("__slot")).as("__tc")))
@@ -172,12 +187,10 @@ object TextIndex {
     val based: DataFrame = termHits match {
       case Some(th) if pq.phrases.isEmpty || pq.conj => th
       case Some(th) =>
-        scopedLiterals(graph, preds).select(col("s"), col("o")).distinct()
-          .join(th, Seq("s", "o"), "left_outer")
+        lits().join(th, Seq("s", "o"), "left_outer")
           .withColumn("__tc", coalesce(col("__tc"), lit(0L)))
       case None =>
-        scopedLiterals(graph, preds).select(col("s"), col("o")).distinct()
-          .withColumn("__tc", lit(0L))
+        lits().withColumn("__tc", lit(0L))
     }
     val pc: Column =
       if (pq.phrases.isEmpty) lit(0L)
@@ -195,8 +208,7 @@ object TextIndex {
     val scored1 =
       if (pq.notTerms.isEmpty) scored0
       else scored0.join(
-        postings(graph, preds).filter(col("token").isin(pq.notTerms: _*))
-          .select(col("s"), col("o")).distinct(),
+        postFor(pq.notTerms).select(col("s"), col("o")).distinct(),
         Seq("s", "o"), "left_anti")
     val scored = pq.notPhrases.foldLeft(scored1)((d, p) =>
       d.filter(!lower(TermCols.lex(col("o"))).contains(p)))
@@ -206,5 +218,78 @@ object TextIndex {
           TermCols.lex(col("o"))).limit(n)
       case None => scored
     }
+  }
+
+  // ---- materialized postings layout (the persisted-index analog) --------
+
+  /** Number of token hash buckets in a materialized postings layout. */
+  val DefaultBuckets = 64
+
+  private def tokenBucket(token: Column, buckets: Int): Column =
+    pmod(xxhash64(token), lit(buckets)).cast("int")
+
+  /**
+   * Materialize the analyzed postings as a TOKEN-BUCKETED store layout
+   * beside SPO/POS/OSP — the Spark-first twin of jena-text's persisted
+   * Lucene sidecar (TextIndexLucene.java): rows (s, p, o term structs +
+   * token), written `partitionBy(bucket)` with an in-partition sort on
+   * token. A keyword query then touches ONLY its terms' bucket
+   * directories (partition pruning) and, inside them, only the row
+   * groups whose token min/max straddle the terms (parquet predicate
+   * pushdown on the sorted column) — at 100 TB a 3-term query reads
+   * 3/64ths of the index directory tree, not the corpus. Commit protocol
+   * matches TripleStore (atomic manifest; resume = isCommitted). */
+  def materializePostings(graph: DataFrame, dir: String,
+                          predicates: Seq[String] = Nil,
+                          buckets: Int = DefaultBuckets,
+                          partitions: Int = 32): Long = {
+    val spark = graph.sparkSession
+    postings(graph, predicates)
+      .withColumn("bucket", tokenBucket(col("token"), buckets))
+      .repartitionByRange(partitions, col("bucket"), col("token"))
+      .sortWithinPartitions(col("bucket"), col("token"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    val n = spark.read.parquet(s"$dir/postings").count()
+    graft.store.TripleStore.writeManifest(
+      java.nio.file.Paths.get(dir, "manifest.json"), Map(
+        "layout" -> "text-postings",
+        "buckets" -> buckets.toString,
+        "predicates" -> predicates.mkString(","),
+        "n_postings" -> n.toString))
+    n
+  }
+
+  def isCommitted(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "manifest.json"))
+
+  /** Keyword search over a committed postings layout: same semantics and
+   * scoring as [[search]], with the postings probes pruned to the query
+   * tokens' BUCKET directories before the token filter. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    q: String, limit: Option[Int]): DataFrame = {
+    val manifest = graft.store.TripleStore.readManifest(
+      java.nio.file.Paths.get(dir, "manifest.json"))
+    val buckets = manifest.getOrElse("buckets", DefaultBuckets.toString).toInt
+    def post: DataFrame = spark.read.parquet(s"$dir/postings")
+    searchCore(spark, parseQuery(q),
+      tokens => {
+        // bucket ids computed by the SAME Spark expression that wrote the
+        // layout, evaluated on a local frame of the query tokens (no
+        // driver-side hash reimplementation to drift) → partition pruning;
+        // token isin → row-group pruning within the pruned directories
+        import spark.implicits._
+        val bs = tokens.toDF("token")
+          .select(tokenBucket(col("token"), buckets).as("b"))
+          .collect().map(_.getInt(0)).distinct.toSeq
+        post
+          .filter(col("bucket").isin(bs: _*))
+          .filter(col("token").isin(tokens: _*))
+          .select(col("s"), col("p"), col("o"), col("token"))
+      },
+      () => post.select(col("token")).distinct(),
+      () => post.select(col("s"), col("o")).distinct(),
+      limit)
   }
 }

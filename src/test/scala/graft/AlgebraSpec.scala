@@ -372,6 +372,39 @@ class AlgebraSpec extends AnyFunSuite {
     assert(lexSet(mix, "s") == Set(EX + "d3"))
   }
 
+  test("materialized postings layout: bucket-pruned search matches in-memory") {
+    import graft.text.TextIndex
+    val g2 = spark.createDataset(Seq(
+      Triple(i("d1"), i("title"), Term.string("The quick brown fox")),
+      Triple(i("d2"), i("title"), Term.string("A lazy brown dog")),
+      Triple(i("d3"), i("title"), Term.string("Quick quick dog")),
+      Triple(i("d4"), i("title"), Term.string("brick houses")))).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_textidx").toString + "/idx"
+    assert(!TextIndex.isCommitted(dir))
+    val n = TextIndex.materializePostings(g2, dir, buckets = 8, partitions = 2)
+    assert(TextIndex.isCommitted(dir))
+    assert(n > 0)
+    def both(q: String): (Set[(String, String, Long)], Set[(String, String, Long)]) = {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getStruct(0).getString(1),
+          r.getStruct(1).getString(1), r.getLong(2))).toSet
+      (rows(TextIndex.search(g2, None, q, None)),
+        rows(TextIndex.searchIndexed(spark, dir, q, None)))
+    }
+    // exact OR / AND / phrase / fuzzy / NOT all agree with the in-memory face
+    for (q <- Seq("quick brown", "quick AND dog", "\"brown dog\"",
+                  "quock~1", "brown -dog", "quick -\"brown fox\"")) {
+      val (mem, idx) = both(q)
+      assert(mem == idx, s"indexed face diverged on <$q>")
+      assert(mem.nonEmpty, s"degenerate case <$q>")
+    }
+    // the exact-term probe prunes on the bucket partition column
+    val probe = TextIndex.searchIndexed(spark, dir, "quick", None)
+    probe.collect()
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("bucket"), "bucket pruning filter missing:\n" + planStr)
+  }
+
   test("VALUES table joined to a BGP") {
     val vals = Table(Seq("s"), Seq(Map("s" -> i("alice")), Map("s" -> i("bob"))))
     val op = Join(vals, Bgp(Seq(tp(v("s"), c(i("name")), v("n")))))

@@ -111,7 +111,11 @@ class SeededPathSpec extends AnyFunSuite {
       PMod(PLink(P), 2, -1),
       PMod(PAlt(PLink(P), PLink(EX + "q")), 0, -1),
       PInverse(POneOrMore(PLink(P))),
-      PDistinct(PSeq(POneOrMore(PLink(P)), PZeroOrOne(PLink(EX + "q")))))
+      PDistinct(PSeq(POneOrMore(PLink(P)), PZeroOrOne(PLink(EX + "q")))),
+      // nested closure: the inner closure's checkpointed output unions
+      // with a scan and feeds the OUTER closure's input materialization —
+      // the UnionBase.rewriteConstraints hazard shape (materializeGuarded)
+      POneOrMore(PAlt(POneOrMore(PLink(P)), PLink(EX + "q"))))
     val roots = Seq("n0", "n7", "n31")
     for (path <- shapes; r <- roots) {
       val global = PathEval.pairs(g, path)
@@ -146,6 +150,36 @@ class SeededPathSpec extends AnyFunSuite {
       .select(col("xv").getField("lex").as("x"), col("dst").getField("lex").as("y"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == exp)
+  }
+
+  test("closure loops never touch the caller session's conf (isolated session)") {
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    spark.conf.set(cpKey, "true")
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        observed.add(spark.conf.get(cpKey, "true")); Thread.sleep(5)
+      }
+    })
+    sampler.start()
+    try {
+      val edges = Compiler.compile(
+        PathPattern(v("s"), PLink(P), v("o")), coneAndCycle)
+        .select(col("s").as("src"), col("o").as("dst"))
+      val full = Graphs.transitiveClosure(edges)
+      assert(full.count() > 0)
+      val cone = Graphs.reachableFrom(edges,
+        spark.range(1).select(TermCols.const(i("root")).as("n")))
+      assert(cone.count() == 3)
+    } finally { sampling = false; sampler.join(); spark.conf.unset(cpKey) }
+    // the main session's conf must read "true" at EVERY sample — the
+    // loop's constraint-propagation toggle lives in its isolated session
+    // (the bounded materializeGuarded window is serialized but restores
+    // before any result is visible; tolerate zero "false" observations)
+    assert(observed.size() > 0)
+    assert(!observed.contains("false"),
+      s"caller conf flipped during closure: ${observed.size()} samples")
   }
 
   test("zero-length const endpoint absent from graph still self-matches") {
