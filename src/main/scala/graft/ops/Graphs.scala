@@ -27,9 +27,9 @@ object Graphs {
   /** Rounds taken by the most recent closure loop on this JVM (either
    * [[transitiveClosure]] or [[reachableFrom]]) — a test-only trace hook:
    * specs assert a seeded cone query stops after cone-depth rounds while
-   * the global closure of the same graph needs diameter rounds. Writes
-   * happen under [[closureLock]], so reads after a closure call are
-   * well-ordered. */
+   * the global closure of the same graph needs diameter rounds.
+   * Volatile, last-writer-wins; concurrent closures would interleave
+   * (single-threaded specs are the only readers). */
   @volatile private[graft] var lastClosureRounds: Int = 0
 
   /** Constraint propagation trips over checkpointed unions here (Spark's

@@ -59,7 +59,9 @@ object TextIndex {
 
   /** Parsed keyword query: bare terms, quoted phrases, FUZZY terms
    * (`term~` / `term~1` / `term~2` — Lucene FuzzyQuery, default
-   * maxEdits 2), NEGATED terms/phrases (`-term`, `-"..."`, or a `NOT`
+   * maxEdits 2), WILDCARD terms (`term*` / `te?m` — Lucene
+   * WildcardQuery/PrefixQuery, expanded against the token vocabulary),
+   * NEGATED terms/phrases/wildcards (`-term`, `-"..."`, or a `NOT`
    * keyword — Lucene's prohibit operator), and whether an explicit AND
    * appeared (Lucene's default operator is OR). Reference query-parser
    * surface: TextIndexLucene.java:60 (QueryParser syntax). */
@@ -67,10 +69,22 @@ object TextIndex {
                                fuzzy: Seq[(String, Int)] = Nil,
                                notTerms: Seq[String] = Nil,
                                notPhrases: Seq[String] = Nil,
-                               conj: Boolean = false) {
-    require(terms.nonEmpty || phrases.nonEmpty || fuzzy.nonEmpty,
+                               conj: Boolean = false,
+                               wild: Seq[String] = Nil,
+                               notWild: Seq[String] = Nil) {
+    require(terms.nonEmpty || phrases.nonEmpty || fuzzy.nonEmpty ||
+      wild.nonEmpty,
       "text query needs at least one positive term or phrase")
   }
+
+  /** Anchored token regex for a wildcard term (`*` = any run, `?` = one
+   * character — Lucene WildcardQuery). */
+  private[text] def wildcardRegex(w: String): String =
+    "^" + w.flatMap {
+      case '*' => "[\\p{L}\\p{Nd}]*"
+      case '?' => "[\\p{L}\\p{Nd}]"
+      case c => java.util.regex.Pattern.quote(c.toString)
+    } + "$"
 
   def parseQuery(q: String): ParsedQuery = {
     // units: optionally-negated phrase, or optionally-negated word with an
@@ -81,10 +95,20 @@ object TextIndex {
     var fuzzy = Vector[(String, Int)]()
     var notTerms = Vector[String]()
     var notPhrases = Vector[String]()
+    var wild = Vector[String]()
+    var notWild = Vector[String]()
     var conj = false
     var pendingNot = false
     def analyze(w: String): Seq[String] =
       w.toLowerCase.split(s"[^\\p{L}\\p{Nd}]+").toSeq.filter(_.nonEmpty)
+    // wildcard analysis keeps * and ? (WildcardQuery); a pattern with no
+    // concrete character at all ("*") is dropped like Lucene's
+    // disallowed match-all term
+    def analyzeWild(w: String): Option[String] = {
+      val kept = w.toLowerCase.filter(c =>
+        c == '*' || c == '?' || Character.isLetterOrDigit(c))
+      if (kept.exists(Character.isLetterOrDigit)) Some(kept) else None
+    }
     unitRe.findAllMatchIn(q).foreach { m =>
       if (m.group(2) != null) { // phrase
         val neg = m.group(1) == "-" || pendingNot
@@ -109,6 +133,9 @@ object TextIndex {
               analyze(base).foreach(t => fuzzy :+= (t, math.min(dist, 2)))
             case fuzzyRe(base, _) => // negated fuzzy degrades to exact NOT
               notTerms ++= analyze(base)
+            case w if w.contains("*") || w.contains("?") =>
+              analyzeWild(w).foreach(p =>
+                if (neg) notWild :+= p else wild :+= p)
             case w =>
               if (neg) notTerms ++= analyze(w) else terms ++= analyze(w)
           }
@@ -116,7 +143,8 @@ object TextIndex {
       }
     }
     ParsedQuery(terms.distinct, phrases.distinct, fuzzy.distinct,
-      notTerms.distinct, notPhrases.distinct, conj)
+      notTerms.distinct, notPhrases.distinct, conj,
+      wild.distinct, notWild.distinct)
   }
 
   /**
@@ -158,20 +186,25 @@ object TextIndex {
     // fuzzy term matching three vocabulary tokens still scores 1 — same
     // as Lucene's one-query-term semantics.
     val exactSlots = pq.terms.zipWithIndex
+    lazy val v = vocab() // shared by fuzzy / wildcard / NOT-wildcard walks
     val fuzzySlots: Seq[(String, Int)] =
-      if (pq.fuzzy.isEmpty) Nil
-      else {
-        val v = vocab()
-        pq.fuzzy.zipWithIndex.flatMap { case ((t, d), j) =>
-          v.filter(length(col("token")).between(t.length - d, t.length + d))
-            .filter(levenshtein(col("token"), lit(t)) <= d)
-            .select(col("token")).collect()
-            .map(r => (r.getString(0), pq.terms.size + j))
-        }
+      pq.fuzzy.zipWithIndex.flatMap { case ((t, d), j) =>
+        v.filter(length(col("token")).between(t.length - d, t.length + d))
+          .filter(levenshtein(col("token"), lit(t)) <= d)
+          .select(col("token")).collect()
+          .map(r => (r.getString(0), pq.terms.size + j))
       }
-    val slots = exactSlots ++ fuzzySlots
+    // wildcard terms (Lucene WildcardQuery): expand against the
+    // vocabulary by anchored regex; each pattern is ONE slot
+    val wildSlots: Seq[(String, Int)] =
+      pq.wild.zipWithIndex.flatMap { case (w, j) =>
+        v.filter(col("token").rlike(wildcardRegex(w)))
+          .select(col("token")).collect()
+          .map(r => (r.getString(0), pq.terms.size + pq.fuzzy.size + j))
+      }
+    val slots = exactSlots ++ fuzzySlots ++ wildSlots
     val slotTable = if (slots.isEmpty) None else Some(slots.toDF("token", "__slot"))
-    val nPosSlots = pq.terms.size + pq.fuzzy.size
+    val nPosSlots = pq.terms.size + pq.fuzzy.size + pq.wild.size
     // term hits: candidate rows from the postings, pruned to the concrete
     // token list BEFORE any shuffle, joined to the (tiny, broadcast)
     // slot table; __tc = matched slots
@@ -205,10 +238,13 @@ object TextIndex {
     // NOT operator (Lucene prohibit): drop candidates whose literal
     // contains any excluded token (postings anti-join — same isin pruning
     // as the positive probe) or excluded phrase (post-filter)
+    val notTokens = (pq.notTerms ++ pq.notWild.flatMap(w =>
+      v.filter(col("token").rlike(wildcardRegex(w)))
+        .select(col("token")).collect().map(_.getString(0)))).distinct
     val scored1 =
-      if (pq.notTerms.isEmpty) scored0
+      if (notTokens.isEmpty) scored0
       else scored0.join(
-        postFor(pq.notTerms).select(col("s"), col("o")).distinct(),
+        postFor(notTokens).select(col("s"), col("o")).distinct(),
         Seq("s", "o"), "left_anti")
     val scored = pq.notPhrases.foldLeft(scored1)((d, p) =>
       d.filter(!lower(TermCols.lex(col("o"))).contains(p)))

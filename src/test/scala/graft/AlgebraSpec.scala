@@ -370,6 +370,21 @@ class AlgebraSpec extends AnyFunSuite {
     // AND + fuzzy + NOT composed
     val mix = Sparql.select(q("""?s text:query "quock~1 AND dog -lazy" ."""), g2)
     assert(lexSet(mix, "s") == Set(EX + "d3"))
+    // wildcard: prefix br* reaches brown AND brick
+    val wc = Sparql.select(q("""?s text:query "br*" ."""), g2)
+    assert(lexSet(wc, "s") == Set(EX + "d1", EX + "d2", EX + "d4"))
+    // single-char wildcard
+    val wc2 = Sparql.select(q("""?s text:query "qu?ck" ."""), g2)
+    assert(lexSet(wc2, "s") == Set(EX + "d1", EX + "d3"))
+    // a wildcard pattern is ONE slot: multi-token match still scores 1
+    val wsc = graft.text.TextIndex.search(g2, None, "br*", None)
+    assert(wsc.collect().forall(_.getLong(2) == 1L))
+    // negated wildcard: brown docs without any d* token
+    val nw = Sparql.select(q("""?s text:query "brown -d*" ."""), g2)
+    assert(lexSet(nw, "s") == Set(EX + "d1"))
+    // AND with an unmatched wildcard = empty (the slot can never fill)
+    val uw = Sparql.select(q("""?s text:query "brown AND zz*" ."""), g2)
+    assert(uw.count() == 0)
   }
 
   test("materialized postings layout: bucket-pruned search matches in-memory") {
