@@ -182,6 +182,24 @@ class SeededPathSpec extends AnyFunSuite {
       s"caller conf flipped during closure: ${observed.size()} samples")
   }
 
+  test("closure rounds broadcast the small frontier against the edge relation") {
+    import spark.implicits._
+    // representative round shape: a big edge relation, a tiny frontier —
+    // the join must come out broadcast (shuffle-free round), which is the
+    // structural reason seeded cone walks stay cheap at cluster scale
+    val e = (0 until 50000).map(k => (k.toLong, (k * 7 + 3) % 50000L))
+      .toDF("src", "dst").localCheckpoint(true)
+    val frontier = Seq((1L, 10L), (2L, 17L), (3L, 24L))
+      .toDF("src", "dst").localCheckpoint(true)
+    val next = frontier.alias("f")
+      .join(e.alias("e"), col("f.dst") === col("e.src"))
+      .select(col("f.src").as("src"), col("e.dst").as("dst"))
+    next.collect()
+    val plan = next.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "frontier probe should broadcast:\n" + plan)
+  }
+
   test("zero-length const endpoint absent from graph still self-matches") {
     // { ?s :p* :nowhere } binds ?s = :nowhere (SPARQL 18.4 ZeroLengthPath)
     val out = Compiler.compile(
