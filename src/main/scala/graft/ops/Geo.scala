@@ -106,6 +106,11 @@ object Geo {
     sfIntersects(a.orNull, b.orNull)
       .map(v => Term.lit(v.toString, Term.XSD + "boolean")).orNull)
 
+  private def boolPredUdf(f: (Term, Term) => Option[Boolean]) =
+    udf((a: Option[Term], b: Option[Term]) =>
+      f(a.orNull, b.orNull)
+        .map(v => Term.lit(v.toString, Term.XSD + "boolean")).orNull)
+
   private[graft] def registerFunctions(): Unit = {
     graft.functions.Registry.registerFunction(GEOF + "distance", {
       case Seq(a, b) => distUdf(a, b,
@@ -133,6 +138,17 @@ object Geo {
       case other => throw new IllegalArgumentException(
         s"geof:sfIntersects takes 2 arguments, got ${other.size}")
     })
+    // the rest of the simple-features topology set (DE-9IM-lite)
+    Seq(("sfDisjoint", sfDisjoint _), ("sfTouches", sfTouches _),
+      ("sfCrosses", sfCrosses _), ("sfOverlaps", sfOverlaps _),
+      ("sfEquals", sfEquals _)).foreach { case (name, f) =>
+      val u = boolPredUdf(f)
+      graft.functions.Registry.registerFunction(GEOF + name, {
+        case Seq(a, b) => u(a, b)
+        case other => throw new IllegalArgumentException(
+          s"geof:$name takes 2 arguments, got ${other.size}")
+      })
+    }
   }
 
   /**
@@ -364,6 +380,182 @@ object Geo {
     }
     for (ga <- parseGeom(a); gb <- parseGeom(b)) yield go(ga, gb)
   }
+
+  // ---- DE-9IM-lite: the remaining simple-features predicates ------------
+  //
+  // touches / crosses / overlaps / disjoint / equals for the
+  // point/linestring/polygon subset, built from the same orientation-sign
+  // + ray-parity primitives as sfIntersects (reference:
+  // geof/topological/*.java → JTS relate). No exact arithmetic exists
+  // here (documented): interior/boundary classification follows double
+  // rounding, and interior-intersection testing uses vertex + midpoint
+  // samples plus proper-crossing detection — exact for the generic
+  // cases, approximate for adversarially degenerate ones.
+
+  private def strictlyInRings(x: Double, y: Double,
+                              rings: Seq[Seq[(Double, Double)]]): Boolean =
+    pointInRings(x, y, rings) && !pointOnSegs(x, y, ringEdges(rings))
+
+  private def properCross(s1: Seq[((Double, Double), (Double, Double))],
+                          s2: Seq[((Double, Double), (Double, Double))]): Boolean =
+    s1.exists { case ((ax, ay), (bx, by)) =>
+      s2.exists { case ((cx, cy), (dx, dy)) =>
+        val o1 = orient(ax, ay, bx, by, cx, cy)
+        val o2 = orient(ax, ay, bx, by, dx, dy)
+        val o3 = orient(cx, cy, dx, dy, ax, ay)
+        val o4 = orient(cx, cy, dx, dy, bx, by)
+        ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+          ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+      }
+    }
+
+  private def midpoints(segs: Seq[((Double, Double), (Double, Double))]) =
+    segs.map { case ((ax, ay), (bx, by)) => ((ax + bx) / 2, (ay + by) / 2) }
+
+  /** Collinear overlap of positive length between two segment sets. */
+  private def collinearOverlap(
+      s1: Seq[((Double, Double), (Double, Double))],
+      s2: Seq[((Double, Double), (Double, Double))]): Boolean =
+    s1.exists { case ((ax, ay), (bx, by)) =>
+      s2.exists { case ((cx, cy), (dx, dy)) =>
+        orient(ax, ay, bx, by, cx, cy) == 0 &&
+          orient(ax, ay, bx, by, dx, dy) == 0 && {
+            // project on the dominant axis; overlap length > 0
+            val horiz = math.abs(bx - ax) >= math.abs(by - ay)
+            val (a1, a2, b1, b2) =
+              if (horiz) (math.min(ax, bx), math.max(ax, bx),
+                math.min(cx, dx), math.max(cx, dx))
+              else (math.min(ay, by), math.max(ay, by),
+                math.min(cy, dy), math.max(cy, dy))
+            math.min(a2, b2) > math.max(a1, b1)
+          }
+      }
+    }
+
+  /** Do the INTERIORS of two geometries intersect? (The discriminator
+   * between touches and crosses/overlaps/within.) */
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (GPoint(x1, y1), GPoint(x2, y2)) => x1 == x2 && y1 == y2
+    case (GPoint(x, y), GLine(p)) =>
+      // a point's interior is itself; a line's interior excludes its two
+      // end vertices
+      val segs = lineSegs(p)
+      pointOnSegs(x, y, segs) &&
+        !((x, y) == p.head || (x, y) == p.last)
+    case (GPoint(x, y), GPolygon(rs)) => strictlyInRings(x, y, rs)
+    case (GLine(p1), GLine(p2)) =>
+      // interior of a polyline = everything except its two GLOBAL end
+      // vertices; interior samples = interior vertices + segment midpoints
+      val (s1, s2) = (lineSegs(p1), lineSegs(p2))
+      def interiorHit(pts: Seq[(Double, Double)],
+                      other: Seq[(Double, Double)]) =
+        pts.exists { case (x, y) =>
+          pointOnSegs(x, y, lineSegs(other)) &&
+            (x, y) != other.head && (x, y) != other.last
+        }
+      properCross(s1, s2) || collinearOverlap(s1, s2) ||
+        interiorHit(p1.tail.init ++ midpoints(s1), p2) ||
+        interiorHit(p2.tail.init ++ midpoints(s2), p1)
+    case (GLine(p), GPolygon(rs)) =>
+      val segs = lineSegs(p)
+      p.exists { case (x, y) => strictlyInRings(x, y, rs) } ||
+        midpoints(segs).exists { case (x, y) => strictlyInRings(x, y, rs) } ||
+        properCross(segs, ringEdges(rs))
+    case (GPolygon(r1), GPolygon(r2)) =>
+      r1.flatten.exists { case (x, y) => strictlyInRings(x, y, r2) } ||
+        r2.flatten.exists { case (x, y) => strictlyInRings(x, y, r1) } ||
+        midpoints(ringEdges(r1)).exists { case (x, y) => strictlyInRings(x, y, r2) } ||
+        midpoints(ringEdges(r2)).exists { case (x, y) => strictlyInRings(x, y, r1) } ||
+        properCross(ringEdges(r1), ringEdges(r2))
+    case _ => interiorsIntersect(b, a)
+  }
+
+  private def dim(g: Geom): Int = g match {
+    case _: GPoint => 0
+    case _: GLine => 1
+    case _: GPolygon => 2
+  }
+
+  /** geof:sfDisjoint — the exact complement of [[sfIntersects]]. */
+  def sfDisjoint(a: Term, b: Term): Option[Boolean] =
+    sfIntersects(a, b).map(!_)
+
+  /** geof:sfTouches — geometries intersect but ONLY at boundaries
+   * (interiors disjoint). Point×point never touches (empty boundary). */
+  def sfTouches(a: Term, b: Term): Option[Boolean] =
+    for (ga <- parseGeom(a); gb <- parseGeom(b); i <- sfIntersects(a, b))
+      yield (ga, gb) match {
+        case (_: GPoint, _: GPoint) => false
+        case _ => i && !interiorsIntersect(ga, gb)
+      }
+
+  /** geof:sfCrosses — interiors intersect and the intersection's
+   * dimension is lower than both inputs' max: line×line proper point
+   * crossings, line×polygon pass-throughs (part of the line's interior
+   * inside, part outside). Points and polygon×polygon pairs never
+   * cross (SF dimension rules). */
+  def sfCrosses(a: Term, b: Term): Option[Boolean] =
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
+      case (GLine(p1), GLine(p2)) =>
+        properCross(lineSegs(p1), lineSegs(p2))
+      case (GLine(p), GPolygon(rs)) => lineCrossesPolygon(p, rs)
+      case (GPolygon(rs), GLine(p)) => lineCrossesPolygon(p, rs)
+      case _ => false
+    }
+
+  private def lineCrossesPolygon(p: Seq[(Double, Double)],
+                                 rs: Seq[Seq[(Double, Double)]]): Boolean = {
+    val samples = p ++ midpoints(lineSegs(p))
+    def strictlyOut(x: Double, y: Double) =
+      !pointInRings(x, y, rs) && !pointOnSegs(x, y, ringEdges(rs))
+    interiorsIntersect(GLine(p), GPolygon(rs)) &&
+      samples.exists { case (x, y) => strictlyOut(x, y) }
+  }
+
+  /** geof:sfOverlaps — same dimension, interiors intersect, neither
+   * contains the other (containment tested by vertex+midpoint samples —
+   * same approximation class as the rest of this module). */
+  def sfOverlaps(a: Term, b: Term): Option[Boolean] =
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
+      case (GLine(p1), GLine(p2)) =>
+        val (s1, s2) = (lineSegs(p1), lineSegs(p2))
+        def onAll(pts: Seq[(Double, Double)],
+                  segs: Seq[((Double, Double), (Double, Double))]) =
+          pts.forall { case (x, y) => pointOnSegs(x, y, segs) }
+        collinearOverlap(s1, s2) &&
+          !onAll(p1 ++ midpoints(s1), s2) && !onAll(p2 ++ midpoints(s2), s1)
+      case (GPolygon(r1), GPolygon(r2)) =>
+        def covered(inner: Seq[Seq[(Double, Double)]],
+                    outer: Seq[Seq[(Double, Double)]]) =
+          (inner.flatten ++ midpoints(ringEdges(inner))).forall {
+            case (x, y) => pointInRings(x, y, outer) ||
+              pointOnSegs(x, y, ringEdges(outer))
+          } && !properCross(ringEdges(inner), ringEdges(outer))
+        interiorsIntersect(ga, gb) && !covered(r1, r2) && !covered(r2, r1)
+      case _ => false
+    }
+
+  /** geof:sfEquals — topological equality for the subset: coordinate
+   * equality for points; for lines/polygons, mutual coverage of vertex +
+   * midpoint samples with no proper crossings (vertex-redistribution
+   * tolerant, same approximation class as sfOverlaps' containment). */
+  def sfEquals(a: Term, b: Term): Option[Boolean] =
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
+      case (GPoint(x1, y1), GPoint(x2, y2)) => x1 == x2 && y1 == y2
+      case (GLine(p1), GLine(p2)) =>
+        val (s1, s2) = (lineSegs(p1), lineSegs(p2))
+        (p1 ++ midpoints(s1)).forall { case (x, y) => pointOnSegs(x, y, s2) } &&
+          (p2 ++ midpoints(s2)).forall { case (x, y) => pointOnSegs(x, y, s1) }
+      case (GPolygon(r1), GPolygon(r2)) =>
+        def coveredBy(inner: Seq[Seq[(Double, Double)]],
+                      outer: Seq[Seq[(Double, Double)]]) =
+          (inner.flatten ++ midpoints(ringEdges(inner))).forall {
+            case (x, y) => pointInRings(x, y, outer) ||
+              pointOnSegs(x, y, ringEdges(outer))
+          } && !properCross(ringEdges(inner), ringEdges(outer))
+        coveredBy(r1, r2) && coveredBy(r2, r1)
+      case _ => false
+    }
 
   /**
    * CONSTANT-polygon segment-intersection as a pure codegen'd Column

@@ -215,6 +215,50 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.sfIntersects(Term.string("nope"), poly).isEmpty)
   }
 
+  test("DE-9IM-lite: touches / crosses / overlaps / disjoint / equals") {
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    val box = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // --- touches: boundary-only contact
+    assert(Geo.sfTouches(wkt("POINT(5 0)"), box).get)           // on edge
+    assert(!Geo.sfTouches(wkt("POINT(5 5)"), box).get)          // interior
+    assert(Geo.sfTouches(wkt("POLYGON((10 0, 20 0, 20 10, 10 10, 10 0))"), box).get) // shared edge
+    assert(!Geo.sfTouches(wkt("POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))"), box).get)   // overlap
+    assert(Geo.sfTouches(wkt("LINESTRING(10 2, 10 8)"), box).get) // along edge
+    assert(Geo.sfTouches(wkt("LINESTRING(10 5, 20 5)"), box).get) // endpoint on edge
+    assert(!Geo.sfTouches(wkt("POINT(1 1)"), wkt("POINT(1 1)")).get) // empty boundary
+    // line endpoint touching another line's endpoint
+    assert(Geo.sfTouches(wkt("LINESTRING(0 0, 5 5)"), wkt("LINESTRING(5 5, 9 0)")).get)
+    // lines crossing do NOT touch
+    assert(!Geo.sfTouches(wkt("LINESTRING(0 0, 10 10)"), wkt("LINESTRING(0 10, 10 0)")).get)
+    // --- crosses
+    assert(Geo.sfCrosses(wkt("LINESTRING(0 0, 10 10)"), wkt("LINESTRING(0 10, 10 0)")).get)
+    assert(!Geo.sfCrosses(wkt("LINESTRING(0 0, 4 0)"), wkt("LINESTRING(2 0, 8 0)")).get) // collinear = overlaps
+    assert(Geo.sfCrosses(wkt("LINESTRING(-5 5, 15 5)"), box).get)  // through the box
+    assert(Geo.sfCrosses(box, wkt("LINESTRING(5 5, 15 5)")).get)   // in-to-out
+    assert(!Geo.sfCrosses(wkt("LINESTRING(2 2, 8 8)"), box).get)   // fully inside = within
+    assert(!Geo.sfCrosses(wkt("POINT(5 5)"), box).get)             // points never cross
+    // --- overlaps
+    assert(Geo.sfOverlaps(wkt("LINESTRING(0 0, 4 0)"), wkt("LINESTRING(2 0, 8 0)")).get)
+    assert(!Geo.sfOverlaps(wkt("LINESTRING(0 0, 10 0)"), wkt("LINESTRING(2 0, 8 0)")).get) // containment
+    assert(Geo.sfOverlaps(box, wkt("POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))")).get)
+    assert(!Geo.sfOverlaps(box, wkt("POLYGON((2 2, 3 2, 3 3, 2 3, 2 2))")).get) // contained
+    assert(!Geo.sfOverlaps(box, wkt("LINESTRING(-5 5, 15 5)")).get) // dim mismatch
+    // --- disjoint = NOT intersects
+    assert(Geo.sfDisjoint(wkt("POINT(50 50)"), box).get)
+    assert(!Geo.sfDisjoint(wkt("POINT(5 5)"), box).get)
+    // --- equals (vertex-redistribution tolerant)
+    assert(Geo.sfEquals(box, wkt("POLYGON((0 0, 5 0, 10 0, 10 10, 0 10, 0 0))")).get)
+    assert(Geo.sfEquals(box,
+      wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 5, 0 0))")).get) // extra collinear vertex → equal
+    assert(!Geo.sfEquals(box,
+      wkt("POLYGON((0 0, 12 0, 12 10, 0 10, 0 0))")).get) // genuinely different ring
+    assert(Geo.sfEquals(wkt("LINESTRING(0 0, 10 0)"), wkt("LINESTRING(0 0, 5 0, 10 0)")).get)
+    assert(!Geo.sfEquals(wkt("LINESTRING(0 0, 10 0)"), wkt("LINESTRING(0 0, 8 0)")).get)
+    assert(Geo.sfEquals(wkt("POINT(3 4)"), wkt("POINT(3 4)")).get)
+    // eval error propagates
+    assert(Geo.sfTouches(Term.string("junk"), box).isEmpty)
+  }
+
   test("segIntersectsPolygonCol matches the scalar composite on clean data") {
     import spark.implicits._
     val rings = Geo.parsePolygon("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
