@@ -285,11 +285,14 @@ object Geo {
     if (pts.length < 2) None else Some(pts)
   }
 
-  /** Parsed geometry union for the scalar predicates. */
+  /** Parsed geometry union for the scalar predicates. `GMulti` covers
+   * MULTIPOINT / MULTILINESTRING / MULTIPOLYGON / GEOMETRYCOLLECTION
+   * (and the EMPTY geometries, as zero components). */
   sealed trait Geom
   final case class GPoint(lon: Double, lat: Double) extends Geom
   final case class GLine(pts: Seq[(Double, Double)]) extends Geom
   final case class GPolygon(rings: Seq[Seq[(Double, Double)]]) extends Geom
+  final case class GMulti(comps: Seq[Geom]) extends Geom
 
   def parseGeom(t: Term): Option[Geom] = {
     if (t == null || !t.isLiteral || t.dt != WKT_DT) return None
@@ -299,6 +302,84 @@ object Geo {
       catch { case _: NumberFormatException => None }
     else parseLineString(t.lex).map(GLine.apply)
       .orElse(parsePolygon(t.lex).map(GPolygon.apply))
+      .orElse(parseWktMulti(t.lex))
+  }
+
+  /** Recursive-descent WKT for the multi/collection types (+ EMPTY for
+   * every type) — the simple types keep their regex fast paths above. */
+  private def parseWktMulti(lex0: String): Option[Geom] = {
+    if (lex0 == null) return None
+    val lex = lex0.replaceFirst("^\\s*<[^>]*>\\s*", "").trim
+    val c = new WktCursor(lex)
+    c.geometry().filter { _ => c.ws(); c.i == lex.length }
+  }
+
+  private final class WktCursor(s: String) {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def word(): String = {
+      ws(); val st = i
+      while (i < s.length && s.charAt(i).isLetter) i += 1
+      s.substring(st, i).toUpperCase
+    }
+    private def eat(ch: Char): Boolean = {
+      ws(); if (i < s.length && s.charAt(i) == ch) { i += 1; true } else false
+    }
+    private def num(): Option[Double] = {
+      ws(); val st = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      if (i == st) None
+      else try Some(s.substring(st, i).toDouble)
+      catch { case _: NumberFormatException => None }
+    }
+    /** x y [z [m]] — extra ordinates consumed and dropped. */
+    private def coord(): Option[(Double, Double)] =
+      for (x <- num(); y <- num()) yield { num().foreach(_ => num()); (x, y) }
+    private def list[A](one: () => Option[A]): Option[Seq[A]] = {
+      if (!eat('(')) return None
+      val out = scala.collection.mutable.ArrayBuffer[A]()
+      var ok = true
+      var more = true
+      while (ok && more) {
+        one() match {
+          case Some(a) => out += a; more = eat(',')
+          case None => ok = false
+        }
+      }
+      if (ok && eat(')')) Some(out.toSeq) else None
+    }
+    private def ring(): Option[Seq[(Double, Double)]] =
+      list(() => coord()).flatMap { pts =>
+        val r = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
+        if (r.length < 3) None else Some(r)
+      }
+    private def emptyOr(f: => Option[Geom]): Option[Geom] = {
+      ws()
+      if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; Some(GMulti(Nil)) }
+      else f
+    }
+    def geometry(): Option[Geom] = word() match {
+      case "POINT" => emptyOr(list(() => coord()).collect {
+        case Seq((x, y)) => GPoint(x, y) })
+      case "LINESTRING" => emptyOr(list(() => coord())
+        .filter(_.length >= 2).map(GLine.apply))
+      case "POLYGON" => emptyOr(list(() => ring()).map(GPolygon.apply))
+      case "MULTIPOINT" => emptyOr(list { () =>
+        // points optionally wrapped in their own parens
+        ws()
+        if (i < s.length && s.charAt(i) == '(')
+          list(() => coord()).collect { case Seq(p) => p }
+        else coord()
+      }.map(ps => GMulti(ps.map { case (x, y) => GPoint(x, y) })))
+      case "MULTILINESTRING" => emptyOr(list(() =>
+        list(() => coord()).filter(_.length >= 2).map(GLine.apply))
+        .map(GMulti.apply))
+      case "MULTIPOLYGON" => emptyOr(list(() =>
+        list(() => ring()).map(GPolygon.apply)).map(GMulti.apply))
+      case "GEOMETRYCOLLECTION" => emptyOr(list(() => geometry())
+        .map(GMulti.apply))
+      case _ => None
+    }
   }
 
   /** Orientation sign of (p→q→r): >0 counter-clockwise, <0 clockwise,
@@ -376,6 +457,7 @@ object Geo {
         r1.flatten.exists { case (x, y) => pointInRings(x, y, r2) } ||
           r2.flatten.exists { case (x, y) => pointInRings(x, y, r1) } ||
           segsCross(ringEdges(r1), ringEdges(r2))
+      case (GMulti(cs), g) => cs.exists(c => go(c, g))
       case (x, y) => go(y, x) // remaining cases are the symmetric flips
     }
     for (ga <- parseGeom(a); gb <- parseGeom(b)) yield go(ga, gb)
@@ -467,6 +549,7 @@ object Geo {
         midpoints(ringEdges(r1)).exists { case (x, y) => strictlyInRings(x, y, r2) } ||
         midpoints(ringEdges(r2)).exists { case (x, y) => strictlyInRings(x, y, r1) } ||
         properCross(ringEdges(r1), ringEdges(r2))
+    case (GMulti(cs), g) => cs.exists(c => interiorsIntersect(c, g))
     case _ => interiorsIntersect(b, a)
   }
 
@@ -474,88 +557,114 @@ object Geo {
     case _: GPoint => 0
     case _: GLine => 1
     case _: GPolygon => 2
+    case GMulti(cs) => if (cs.isEmpty) -1 else cs.map(dim).max
   }
+
+  // component-set helpers for the generalized (multi-aware) predicates
+  private def coversPt(g: Geom, x: Double, y: Double): Boolean = g match {
+    case GPoint(px, py) => px == x && py == y
+    case GLine(p) => pointOnSegs(x, y, lineSegs(p))
+    case GPolygon(rs) =>
+      pointInRings(x, y, rs) || pointOnSegs(x, y, ringEdges(rs))
+    case GMulti(cs) => cs.exists(coversPt(_, x, y))
+  }
+  private def interiorPt(g: Geom, x: Double, y: Double): Boolean = g match {
+    case GPoint(px, py) => px == x && py == y
+    case GLine(p) => pointOnSegs(x, y, lineSegs(p)) &&
+      (x, y) != p.head && (x, y) != p.last
+    case GPolygon(rs) => strictlyInRings(x, y, rs)
+    case GMulti(cs) => cs.exists(interiorPt(_, x, y))
+  }
+  private def samplePts(g: Geom): Seq[(Double, Double)] = g match {
+    case GPoint(x, y) => Seq((x, y))
+    case GLine(p) => p ++ midpoints(lineSegs(p))
+    case GPolygon(rs) => rs.flatten ++ midpoints(ringEdges(rs))
+    case GMulti(cs) => cs.flatMap(samplePts)
+  }
+  private def allSegsOf(g: Geom): Seq[((Double, Double), (Double, Double))] =
+    g match {
+      case _: GPoint => Nil
+      case GLine(p) => lineSegs(p)
+      case GPolygon(rs) => ringEdges(rs)
+      case GMulti(cs) => cs.flatMap(allSegsOf)
+    }
+  private def lineSegsOf(g: Geom): Seq[((Double, Double), (Double, Double))] =
+    g match {
+      case GLine(p) => lineSegs(p)
+      case GMulti(cs) => cs.flatMap(lineSegsOf)
+      case _ => Nil
+    }
+  /** Sample-coverage containment: every sample of `a` covered by `b` and
+   * no proper edge crossing — the approximation class of this module. */
+  private def coveredBy(a: Geom, b: Geom): Boolean =
+    samplePts(a).forall { case (x, y) => coversPt(b, x, y) } &&
+      !properCross(allSegsOf(a), allSegsOf(b))
 
   /** geof:sfDisjoint — the exact complement of [[sfIntersects]]. */
   def sfDisjoint(a: Term, b: Term): Option[Boolean] =
     sfIntersects(a, b).map(!_)
 
   /** geof:sfTouches — geometries intersect but ONLY at boundaries
-   * (interiors disjoint). Point×point never touches (empty boundary). */
+   * (interiors disjoint). Point×point pairs come out false automatically:
+   * a point's interior IS the point, so any shared point intersects
+   * interiors. */
   def sfTouches(a: Term, b: Term): Option[Boolean] =
     for (ga <- parseGeom(a); gb <- parseGeom(b); i <- sfIntersects(a, b))
-      yield (ga, gb) match {
-        case (_: GPoint, _: GPoint) => false
-        case _ => i && !interiorsIntersect(ga, gb)
-      }
+      yield i && !interiorsIntersect(ga, gb)
 
-  /** geof:sfCrosses — interiors intersect and the intersection's
-   * dimension is lower than both inputs' max: line×line proper point
-   * crossings, line×polygon pass-throughs (part of the line's interior
-   * inside, part outside). Points and polygon×polygon pairs never
-   * cross (SF dimension rules). */
+  /** geof:sfCrosses — interiors intersect and the intersection is
+   * lower-dimensional than the higher-dimensional input, per the SF
+   * dimension table: (multi)point vs line/polygon (some point interior
+   * to the other, some point outside), line×line proper crossings,
+   * line×polygon pass-throughs. Same-dimension non-point pairs never
+   * cross (that is overlaps' domain). */
   def sfCrosses(a: Term, b: Term): Option[Boolean] =
-    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
-      case (GLine(p1), GLine(p2)) =>
-        properCross(lineSegs(p1), lineSegs(p2))
-      case (GLine(p), GPolygon(rs)) => lineCrossesPolygon(p, rs)
-      case (GPolygon(rs), GLine(p)) => lineCrossesPolygon(p, rs)
-      case _ => false
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield {
+      val (da, db) = (dim(ga), dim(gb))
+      def ptsCross(pts: Geom, other: Geom): Boolean = {
+        val ps = samplePts(pts)
+        ps.exists { case (x, y) => interiorPt(other, x, y) } &&
+          ps.exists { case (x, y) => !coversPt(other, x, y) }
+      }
+      def lineCrossesArea(l: Geom, ar: Geom): Boolean =
+        interiorsIntersect(l, ar) &&
+          samplePts(l).exists { case (x, y) => !coversPt(ar, x, y) }
+      (da, db) match {
+        case (0, 1) | (0, 2) => ptsCross(ga, gb)
+        case (1, 0) | (2, 0) => ptsCross(gb, ga)
+        case (1, 1) => properCross(lineSegsOf(ga), lineSegsOf(gb))
+        case (1, 2) => lineCrossesArea(ga, gb)
+        case (2, 1) => lineCrossesArea(gb, ga)
+        case _ => false
+      }
     }
 
-  private def lineCrossesPolygon(p: Seq[(Double, Double)],
-                                 rs: Seq[Seq[(Double, Double)]]): Boolean = {
-    val samples = p ++ midpoints(lineSegs(p))
-    def strictlyOut(x: Double, y: Double) =
-      !pointInRings(x, y, rs) && !pointOnSegs(x, y, ringEdges(rs))
-    interiorsIntersect(GLine(p), GPolygon(rs)) &&
-      samples.exists { case (x, y) => strictlyOut(x, y) }
-  }
-
-  /** geof:sfOverlaps — same dimension, interiors intersect, neither
-   * contains the other (containment tested by vertex+midpoint samples —
-   * same approximation class as the rest of this module). */
+  /** geof:sfOverlaps — same dimension, interiors intersect, and neither
+   * covers the other (containment tested by vertex+midpoint samples —
+   * same approximation class as the rest of this module). Line pairs
+   * additionally require a positive-length collinear run (a point-only
+   * crossing is crosses, not overlaps). */
   def sfOverlaps(a: Term, b: Term): Option[Boolean] =
-    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
-      case (GLine(p1), GLine(p2)) =>
-        val (s1, s2) = (lineSegs(p1), lineSegs(p2))
-        def onAll(pts: Seq[(Double, Double)],
-                  segs: Seq[((Double, Double), (Double, Double))]) =
-          pts.forall { case (x, y) => pointOnSegs(x, y, segs) }
-        collinearOverlap(s1, s2) &&
-          !onAll(p1 ++ midpoints(s1), s2) && !onAll(p2 ++ midpoints(s2), s1)
-      case (GPolygon(r1), GPolygon(r2)) =>
-        def covered(inner: Seq[Seq[(Double, Double)]],
-                    outer: Seq[Seq[(Double, Double)]]) =
-          (inner.flatten ++ midpoints(ringEdges(inner))).forall {
-            case (x, y) => pointInRings(x, y, outer) ||
-              pointOnSegs(x, y, ringEdges(outer))
-          } && !properCross(ringEdges(inner), ringEdges(outer))
-        interiorsIntersect(ga, gb) && !covered(r1, r2) && !covered(r2, r1)
-      case _ => false
+    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield {
+      val (da, db) = (dim(ga), dim(gb))
+      da == db && (da match {
+        case 0 => interiorsIntersect(ga, gb) &&
+          !coveredBy(ga, gb) && !coveredBy(gb, ga)
+        case 1 => collinearOverlap(lineSegsOf(ga), lineSegsOf(gb)) &&
+          !coveredBy(ga, gb) && !coveredBy(gb, ga)
+        case 2 => interiorsIntersect(ga, gb) &&
+          !coveredBy(ga, gb) && !coveredBy(gb, ga)
+        case _ => false
+      })
     }
 
-  /** geof:sfEquals — topological equality for the subset: coordinate
-   * equality for points; for lines/polygons, mutual coverage of vertex +
-   * midpoint samples with no proper crossings (vertex-redistribution
-   * tolerant, same approximation class as sfOverlaps' containment). */
+  /** geof:sfEquals — topological equality for the subset: equal
+   * dimensions plus mutual sample coverage with no proper crossings
+   * (vertex-redistribution and component-split tolerant — a LINESTRING
+   * equals the MULTILINESTRING that partitions it). */
   def sfEquals(a: Term, b: Term): Option[Boolean] =
-    for (ga <- parseGeom(a); gb <- parseGeom(b)) yield (ga, gb) match {
-      case (GPoint(x1, y1), GPoint(x2, y2)) => x1 == x2 && y1 == y2
-      case (GLine(p1), GLine(p2)) =>
-        val (s1, s2) = (lineSegs(p1), lineSegs(p2))
-        (p1 ++ midpoints(s1)).forall { case (x, y) => pointOnSegs(x, y, s2) } &&
-          (p2 ++ midpoints(s2)).forall { case (x, y) => pointOnSegs(x, y, s1) }
-      case (GPolygon(r1), GPolygon(r2)) =>
-        def coveredBy(inner: Seq[Seq[(Double, Double)]],
-                      outer: Seq[Seq[(Double, Double)]]) =
-          (inner.flatten ++ midpoints(ringEdges(inner))).forall {
-            case (x, y) => pointInRings(x, y, outer) ||
-              pointOnSegs(x, y, ringEdges(outer))
-          } && !properCross(ringEdges(inner), ringEdges(outer))
-        coveredBy(r1, r2) && coveredBy(r2, r1)
-      case _ => false
-    }
+    for (ga <- parseGeom(a); gb <- parseGeom(b))
+      yield dim(ga) == dim(gb) && coveredBy(ga, gb) && coveredBy(gb, ga)
 
   /**
    * CONSTANT-polygon segment-intersection as a pure codegen'd Column

@@ -259,6 +259,44 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.sfTouches(Term.string("junk"), box).isEmpty)
   }
 
+  test("multi-geometries: MULTI*/GEOMETRYCOLLECTION parse + predicates") {
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    val box = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val mp = wkt("MULTIPOINT((5 5), (50 50))")
+    val mpBare = wkt("MULTIPOINT(5 5, 50 50)")
+    val ml = wkt("MULTILINESTRING((0 0, 4 0), (20 20, 30 30))")
+    val mpoly = wkt("MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0)), ((20 20, 30 20, 30 30, 20 30, 20 20)))")
+    val gc = wkt("GEOMETRYCOLLECTION(POINT(5 5), LINESTRING(20 20, 30 30))")
+    // intersects: any component
+    assert(Geo.sfIntersects(mp, box).get)
+    assert(Geo.sfIntersects(mpBare, box).get)
+    assert(!Geo.sfIntersects(ml, box).get ||
+      Geo.sfIntersects(ml, box).get == Geo.sfIntersects(box, ml).get) // symmetric
+    assert(Geo.sfIntersects(wkt("MULTILINESTRING((0 0, 4 0))"),
+      wkt("LINESTRING(2 0, 8 0)")).get)
+    assert(Geo.sfIntersects(gc, wkt("POINT(5 5)")).get)
+    assert(Geo.sfIntersects(mpoly, wkt("POINT(25 25)")).get)
+    assert(Geo.sfDisjoint(mpoly, wkt("POINT(15 15)")).get)
+    // crosses: a multipoint with one point inside and one outside CROSSES
+    assert(Geo.sfCrosses(mp, box).get)
+    assert(!Geo.sfCrosses(wkt("MULTIPOINT((5 5), (6 6))"), box).get) // all inside = within
+    // touches via a component boundary only
+    assert(Geo.sfTouches(wkt("MULTIPOINT((5 0), (50 50))"), box).get)
+    // equals: a line equals the multiline that partitions it
+    assert(Geo.sfEquals(wkt("LINESTRING(0 0, 10 0)"),
+      wkt("MULTILINESTRING((0 0, 4 0), (4 0, 10 0))")).get)
+    assert(!Geo.sfEquals(wkt("LINESTRING(0 0, 10 0)"),
+      wkt("MULTILINESTRING((0 0, 4 0), (6 0, 10 0))")).get) // gap
+    // overlaps across components
+    assert(Geo.sfOverlaps(wkt("MULTIPOINT(1 1, 2 2)"),
+      wkt("MULTIPOINT(2 2, 3 3)")).get)
+    // EMPTY geometries intersect nothing, equal each other
+    assert(Geo.sfDisjoint(wkt("POINT EMPTY"), box).get)
+    assert(Geo.sfEquals(wkt("POINT EMPTY"), wkt("MULTIPOLYGON EMPTY")).get)
+    // malformed multi → eval error
+    assert(Geo.sfIntersects(wkt("MULTIPOINT((5 5)"), box).isEmpty)
+  }
+
   test("segIntersectsPolygonCol matches the scalar composite on clean data") {
     import spark.implicits._
     val rings = Geo.parsePolygon("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
