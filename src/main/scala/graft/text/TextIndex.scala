@@ -300,6 +300,38 @@ object TextIndex {
   def isCommitted(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "manifest.json"))
 
+  /** Append one micro-batch of triples into a COMMITTED postings layout —
+   * incremental indexing, the jena-text TextDocProducer/StreamRDF analog.
+   * Checkpoint-recovery re-delivery may duplicate postings ROWS, but
+   * never RESULTS: scoring counts distinct slots per (s, o), candidate
+   * and NOT sets are distinct — storage-level duplication is
+   * semantically idempotent (compaction = re-materialize). */
+  def appendPostingsBatch(batch: DataFrame, dir: String,
+                          predicates: Seq[String] = Nil): Unit = {
+    val manifest = graft.store.TripleStore.readManifest(
+      java.nio.file.Paths.get(dir, "manifest.json"))
+    val buckets = manifest.getOrElse("buckets", DefaultBuckets.toString).toInt
+    postings(batch, predicates)
+      .withColumn("bucket", tokenBucket(col("token"), buckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Streaming maintenance of a postings layout: every micro-batch of the
+   * triple stream appends its analyzed postings (resumable via the
+   * checkpoint — §2.11's manifest discipline, streaming face). Caller
+   * picks the trigger and starts the returned writer. */
+  def maintainPostingsStream(triples: DataFrame, dir: String,
+                             checkpoint: String,
+                             predicates: Seq[String] = Nil):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    triples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) =>
+        appendPostingsBatch(b, dir, predicates))
+
   /** Keyword search over a committed postings layout: same semantics and
    * scoring as [[search]], with the postings probes pruned to the query
    * tokens' BUCKET directories before the token filter. */

@@ -16,6 +16,43 @@ class StreamingSpec extends AnyFunSuite {
   private val EX = "http://example/"
   private def line(k: Int) = s"<${EX}s$k> <${EX}p> " + "\"" + k + "\" ."
 
+  test("streaming postings maintenance: appended docs become searchable") {
+    import spark.implicits._
+    import graft.text.TextIndex
+    val idx = Files.createTempDirectory("st_textidx").toString + "/idx"
+    val in = Files.createTempDirectory("st_textidx_in").toString
+    val ckpt = Files.createTempDirectory("st_textidx_ck").toString
+    // initial committed layout over one document
+    val g0 = spark.createDataset(Seq(
+      Triple(Term.iri(EX + "d1"), Term.iri(EX + "title"),
+        Term.string("The quick brown fox")))).toDF()
+    TextIndex.materializePostings(g0, idx, buckets = 8, partitions = 1)
+    def hits(q: String): Set[String] =
+      TextIndex.searchIndexed(spark, idx, q, None)
+        .collect().map(_.getStruct(0).getString(1)).toSet
+    assert(hits("brown") == Set(EX + "d1"))
+    // stream a second document in as N-Triples micro-batches
+    Files.writeString(java.nio.file.Paths.get(in, "a.nt"),
+      s"""<${EX}d2> <${EX}title> "A lazy brown dog" .""" + "\n")
+    val q = TextIndex.maintainPostingsStream(
+        StreamIngest.readNTriplesStream(spark, in).toDF(), idx, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(hits("brown") == Set(EX + "d1", EX + "d2"))
+    assert(hits("quick") == Set(EX + "d1"))
+    // a replayed batch (checkpoint re-delivery) duplicates rows but not
+    // results — scoring counts distinct slots, candidates are distinct
+    val g2 = spark.createDataset(Seq(
+      Triple(Term.iri(EX + "d2"), Term.iri(EX + "title"),
+        Term.string("A lazy brown dog")))).toDF()
+    TextIndex.appendPostingsBatch(g2, idx)
+    assert(hits("brown") == Set(EX + "d1", EX + "d2"))
+    val scores = TextIndex.searchIndexed(spark, idx, "lazy brown", None)
+      .collect().map(r => (r.getStruct(0).getString(1), r.getLong(2))).toMap
+    assert(scores(EX + "d2") == 2L) // duplication did not inflate the score
+  }
+
   test("streaming N-Triples ingest: files appear -> triples land; resume skips done work") {
     val in = Files.createTempDirectory("st_in").toString
     val out = Files.createTempDirectory("st_out").toString
