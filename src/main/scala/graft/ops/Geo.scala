@@ -149,6 +149,25 @@ object Geo {
           s"geof:$name takes 2 arguments, got ${other.size}")
       })
     }
+    // non-topological geometry functions (wktLiteral → wktLiteral)
+    def geomFnUdf(f: Geom => Option[Geom]) = udf((a: Option[Term]) =>
+      a.flatMap(t => parseGeom(t)).flatMap(f).map(wktTerm).orNull)
+    Seq(("envelope", envelope _), ("boundary", boundary _),
+      ("convexHull", convexHull _)).foreach { case (name, f) =>
+      val u = geomFnUdf(f)
+      graft.functions.Registry.registerFunction(GEOF + name, {
+        case Seq(a) => u(a)
+        case other => throw new IllegalArgumentException(
+          s"geof:$name takes 1 argument, got ${other.size}")
+      })
+    }
+    val sridUdf = udf((a: Option[Term]) => a.flatMap(getSrid)
+      .map(s => Term.lit(s, Term.XSD + "anyURI")).orNull)
+    graft.functions.Registry.registerFunction(GEOF + "getSRID", {
+      case Seq(a) => sridUdf(a)
+      case other => throw new IllegalArgumentException(
+        s"geof:getSRID takes 1 argument, got ${other.size}")
+    })
   }
 
   /**
@@ -665,6 +684,107 @@ object Geo {
   def sfEquals(a: Term, b: Term): Option[Boolean] =
     for (ga <- parseGeom(a); gb <- parseGeom(b))
       yield dim(ga) == dim(gb) && coveredBy(ga, gb) && coveredBy(gb, ga)
+
+  // ---- non-topological geometry functions (geof:envelope / boundary /
+  //      convexHull / getSRID — jena-geosparql's JTS-free-implementable
+  //      subset; buffer and the set-operation functions need real
+  //      polygon clipping and stay out of scope) ------------------------
+
+  private def fmt(d: Double): String =
+    if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+      d.toLong.toString
+    else d.toString
+
+  private def fmtPt(p: (Double, Double)): String = s"${fmt(p._1)} ${fmt(p._2)}"
+
+  /** Serialize a parsed geometry back to WKT. */
+  def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT(${fmt(x)} ${fmt(y)})"
+    case GLine(p) => s"LINESTRING(${p.map(fmtPt).mkString(", ")})"
+    case GPolygon(rs) => "POLYGON(" + rs.map(r =>
+      "(" + (r :+ r.head).map(fmtPt).mkString(", ") + ")").mkString(", ") + ")"
+    case GMulti(Nil) => "GEOMETRYCOLLECTION EMPTY"
+    case GMulti(cs) if cs.forall(_.isInstanceOf[GPoint]) =>
+      "MULTIPOINT(" + cs.map { case GPoint(x, y) => s"(${fmt(x)} ${fmt(y)})" }
+        .mkString(", ") + ")"
+    case GMulti(cs) if cs.forall(_.isInstanceOf[GLine]) =>
+      "MULTILINESTRING(" + cs.map { case GLine(p) =>
+        "(" + p.map(fmtPt).mkString(", ") + ")" }.mkString(", ") + ")"
+    case GMulti(cs) => "GEOMETRYCOLLECTION(" + cs.map(toWkt).mkString(", ") + ")"
+  }
+
+  def wktTerm(g: Geom): Term = Term.lit(toWkt(g), WKT_DT)
+
+  /** geof:envelope — bounding box as a polygon (degenerate inputs give a
+   * POINT or axis-aligned LINESTRING, JTS Envelope semantics). */
+  def envelope(g: Geom): Option[Geom] = {
+    val pts = samplePts(g)
+    if (pts.isEmpty) return Some(GMulti(Nil))
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+    Some(
+      if (x0 == x1 && y0 == y1) GPoint(x0, y0)
+      else if (x0 == x1 || y0 == y1) GLine(Seq((x0, y0), (x1, y1)))
+      else GPolygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1)))))
+  }
+
+  /** geof:boundary — point: empty; line: MOD-2 endpoints (JTS
+   * Mod2BoundaryNodeRule — endpoints shared by an even number of
+   * component ends cancel, so a closed line has an empty boundary);
+   * polygon: its rings as closed linestrings. */
+  def boundary(g: Geom): Option[Geom] = {
+    def lineEnds(geom: Geom): Seq[(Double, Double)] = geom match {
+      case GLine(p) => Seq(p.head, p.last)
+      case GMulti(cs) => cs.flatMap(lineEnds)
+      case _ => Nil
+    }
+    def ringsOf(geom: Geom): Seq[Seq[(Double, Double)]] = geom match {
+      case GPolygon(rs) => rs
+      case GMulti(cs) => cs.flatMap(ringsOf)
+      case _ => Nil
+    }
+    val oddEnds = lineEnds(g).groupBy(identity).collect {
+      case (p, occ) if occ.size % 2 == 1 => p
+    }.toSeq.sortBy(identity)
+    val ringLines = ringsOf(g).map(r => GLine(r :+ r.head))
+    val comps = oddEnds.map { case (x, y) => GPoint(x, y) } ++ ringLines
+    Some(comps match {
+      case Seq(one) => one
+      case cs => GMulti(cs)
+    })
+  }
+
+  /** geof:convexHull — Andrew's monotone chain over every vertex
+   * (degenerate inputs give POINT / LINESTRING). */
+  def convexHull(g: Geom): Option[Geom] = {
+    val pts = samplePts(g).distinct.sorted
+    if (pts.isEmpty) return Some(GMulti(Nil))
+    if (pts.length == 1) return Some(GPoint(pts.head._1, pts.head._2))
+    def half(ps: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+      val h = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      ps.foreach { p =>
+        while (h.length >= 2 && orient(h(h.length - 2)._1, h(h.length - 2)._2,
+          h.last._1, h.last._2, p._1, p._2) <= 0) h.remove(h.length - 1)
+        h += p
+      }
+      h.toSeq
+    }
+    val lower = half(pts)
+    val upper = half(pts.reverse)
+    val hull = (lower.init ++ upper.init)
+    if (hull.length <= 1) Some(GPoint(pts.head._1, pts.head._2))
+    else if (hull.length == 2) Some(GLine(hull))
+    else Some(GPolygon(Seq(hull)))
+  }
+
+  /** geof:getSRID — the geometry literal's CRS IRI (explicit prefix, else
+   * the geo:wktLiteral default CRS84). */
+  val DEFAULT_CRS = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+  def getSrid(t: Term): Option[String] = {
+    if (t == null || !t.isLiteral || t.dt != WKT_DT) return None
+    val m = java.util.regex.Pattern.compile("^\\s*<([^>]*)>").matcher(t.lex)
+    Some(if (m.find()) m.group(1) else DEFAULT_CRS)
+  }
 
   /**
    * CONSTANT-polygon segment-intersection as a pure codegen'd Column

@@ -297,6 +297,74 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.sfIntersects(wkt("MULTIPOINT((5 5)"), box).isEmpty)
   }
 
+  test("geometry functions: envelope / boundary / convexHull / getSRID") {
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    def geom(s: String) = Geo.parseGeom(wkt(s)).get
+    // envelope
+    assert(Geo.toWkt(Geo.envelope(geom("LINESTRING(1 2, 5 8, 3 0)")).get) ==
+      "POLYGON((1 0, 5 0, 5 8, 1 8, 1 0))")
+    assert(Geo.toWkt(Geo.envelope(geom("POINT(3 4)")).get) == "POINT(3 4)")
+    assert(Geo.toWkt(Geo.envelope(geom("LINESTRING(0 2, 0 9)")).get) ==
+      "LINESTRING(0 2, 0 9)")
+    // boundary: line endpoints; closed line empty; polygon rings; mod-2
+    assert(Geo.toWkt(Geo.boundary(geom("LINESTRING(0 0, 5 5)")).get) ==
+      "MULTIPOINT((0 0), (5 5))")
+    assert(Geo.toWkt(Geo.boundary(geom("LINESTRING(0 0, 5 0, 5 5, 0 0)")).get) ==
+      "GEOMETRYCOLLECTION EMPTY")
+    assert(Geo.toWkt(Geo.boundary(geom("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")).get) ==
+      "LINESTRING(0 0, 4 0, 4 4, 0 4, 0 0)")
+    // mod-2: two lines sharing an endpoint — the shared one cancels
+    assert(Geo.toWkt(Geo.boundary(
+      geom("MULTILINESTRING((0 0, 5 5), (5 5, 9 0))")).get) ==
+      "MULTIPOINT((0 0), (9 0))")
+    // convex hull
+    assert(Geo.toWkt(Geo.convexHull(
+      geom("MULTIPOINT(0 0, 4 0, 4 4, 0 4, 2 2, 1 3)")).get) ==
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(Geo.toWkt(Geo.convexHull(geom("MULTIPOINT(0 0, 2 2, 4 4)")).get) ==
+      "LINESTRING(0 0, 4 4)")
+    assert(Geo.toWkt(Geo.convexHull(geom("POINT(7 7)")).get) == "POINT(7 7)")
+    // getSRID: explicit CRS prefix vs CRS84 default
+    assert(Geo.getSrid(wkt("POINT(1 2)")).get == Geo.DEFAULT_CRS)
+    assert(Geo.getSrid(wkt(
+      "<http://www.opengis.net/def/crs/EPSG/0/4326> POINT(1 2)")).get ==
+      "http://www.opengis.net/def/crs/EPSG/0/4326")
+    // hull of a polygon contains the polygon (sample check)
+    val hull = Geo.convexHull(geom("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))")).get
+    assert(Geo.sfIntersects(Geo.wktTerm(hull), wkt("POINT(45 45)")).get) // concavity filled
+  }
+
+  test("WKT round-trip + parser robustness (never throws)") {
+    def wkt(s: String) = Term.lit(s, Geo.WKT_DT)
+    // parse → toWkt → parse is a fixpoint on the multi types
+    for (s <- Seq(
+      "MULTIPOINT((1 2), (3 4))",
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3, 4 0))",
+      "GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(0 0, 1 1))",
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")) {
+      val g1 = Geo.parseGeom(wkt(s)).get
+      val g2 = Geo.parseGeom(wkt(Geo.toWkt(g1))).get
+      assert(g1 == g2, s"round-trip drift on $s")
+    }
+    // malformed / junk inputs: Option.empty, never an exception
+    for (junk <- Seq("", "POINT", "POINT(", "POINT(1)", "POINT(a b)",
+      "MULTIPOINT((1 2)", "MULTIPOLYGON(((0 0, 1 0)))", "POLYGON(0 0, 1 1)",
+      "GEOMETRYCOLLECTION(POINT(1 2), )", "LINESTRING(1 1)",
+      "GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(GEOMETRYCOLLECTION EMPTY)))",
+      "MULTIPOINT(1 2, )", " POINT(1 2)", "POINT(1 2) extra")) {
+      assert(Geo.parseGeom(wkt(junk)).forall {
+        case Geo.GMulti(_) => true; case g => g != null },
+        s"parser misbehaved on <$junk>")
+    }
+    // pseudo-random byte noise: parse must return cleanly
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(30)).map(_ =>
+        "MULTIPOINT()LINES, 0123.eE-(".charAt(rnd.nextInt(27))).mkString
+      Geo.parseGeom(wkt(s)) // must not throw
+    }
+  }
+
   test("segIntersectsPolygonCol matches the scalar composite on clean data") {
     import spark.implicits._
     val rings = Geo.parsePolygon("POLYGON((0 0, 60 0, 60 30, 30 30, 30 60, 0 60, 0 0))").get
