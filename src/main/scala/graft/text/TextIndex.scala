@@ -220,7 +220,10 @@ object TextIndex {
     val based: DataFrame = termHits match {
       case Some(th) if pq.phrases.isEmpty || pq.conj => th
       case Some(th) =>
-        lits().join(th, Seq("s", "o"), "left_outer")
+        // FULL outer: `lits` may be a PRUNED phrase-candidate set (the
+        // n-gram store face) rather than every scoped literal, so term
+        // hits outside it must survive with __pc-only scoring still 0
+        lits().join(th, Seq("s", "o"), "full_outer")
           .withColumn("__tc", coalesce(col("__tc"), lit(0L)))
       case None =>
         lits().withColumn("__tc", lit(0L))
@@ -275,10 +278,25 @@ object TextIndex {
    * pushdown on the sorted column) — at 100 TB a 3-term query reads
    * 3/64ths of the index directory tree, not the corpus. Commit protocol
    * matches TripleStore (atomic manifest; resume = isCommitted). */
+  /** Character trigrams (incl. spaces/punctuation) of a string column —
+   * the n-gram-field analog: a literal contains phrase P as a substring
+   * ONLY IF its trigram set covers P's trigrams, so grams prune phrase
+   * candidates without changing the exact contains() verdict. */
+  private def charTrigramsExpr(colName: String): String =
+    s"""array_distinct(filter(transform(
+          sequence(1, greatest(length(lower($colName)) - 2, 0)),
+          i -> substring(lower($colName), i, 3)), g -> length(g) = 3))"""
+
+  /** Driver-side twin of [[charTrigramsExpr]] for the query phrase. */
+  private[text] def charTrigrams(s: String): Seq[String] =
+    if (s.length < 3) Nil
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+
   def materializePostings(graph: DataFrame, dir: String,
                           predicates: Seq[String] = Nil,
                           buckets: Int = DefaultBuckets,
-                          partitions: Int = 32): Long = {
+                          partitions: Int = 32,
+                          ngrams: Boolean = false): Long = {
     val spark = graph.sparkSession
     postings(graph, predicates)
       .withColumn("bucket", tokenBucket(col("token"), buckets))
@@ -287,12 +305,27 @@ object TextIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
+    if (ngrams) {
+      // opt-in phrase-pruning field: one row per (literal, distinct char
+      // trigram) — the Lucene n-gram side-field cost, paid at index time
+      // so phrase queries stop scanning every literal
+      scopedLiterals(graph, predicates)
+        .select(col("s"), col("o"),
+          explode(expr(charTrigramsExpr("o.lex"))).as("gram"))
+        .withColumn("bucket", tokenBucket(col("gram"), buckets))
+        .repartitionByRange(partitions, col("bucket"), col("gram"))
+        .sortWithinPartitions(col("bucket"), col("gram"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$dir/ngrams")
+    }
     val n = spark.read.parquet(s"$dir/postings").count()
     graft.store.TripleStore.writeManifest(
       java.nio.file.Paths.get(dir, "manifest.json"), Map(
         "layout" -> "text-postings",
         "buckets" -> buckets.toString,
         "predicates" -> predicates.mkString(","),
+        "ngrams" -> ngrams.toString,
         "n_postings" -> n.toString))
     n
   }
@@ -316,6 +349,17 @@ object TextIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
+    // a layout with the n-gram phrase field must keep it current too —
+    // otherwise streamed documents would silently miss pruned phrase
+    // queries (candidates come FROM this field)
+    if (manifest.get("ngrams").contains("true"))
+      scopedLiterals(batch, predicates)
+        .select(col("s"), col("o"),
+          explode(expr(charTrigramsExpr("o.lex"))).as("gram"))
+        .withColumn("bucket", tokenBucket(col("gram"), buckets))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket")
+        .parquet(s"$dir/ngrams")
   }
 
   /** Streaming maintenance of a postings layout: every micro-batch of the
@@ -340,24 +384,44 @@ object TextIndex {
     val manifest = graft.store.TripleStore.readManifest(
       java.nio.file.Paths.get(dir, "manifest.json"))
     val buckets = manifest.getOrElse("buckets", DefaultBuckets.toString).toInt
+    val hasNgrams = manifest.get("ngrams").contains("true")
     def post: DataFrame = spark.read.parquet(s"$dir/postings")
-    searchCore(spark, parseQuery(q),
-      tokens => {
-        // bucket ids computed by the SAME Spark expression that wrote the
-        // layout, evaluated on a local frame of the query tokens (no
-        // driver-side hash reimplementation to drift) → partition pruning;
-        // token isin → row-group pruning within the pruned directories
-        import spark.implicits._
-        val bs = tokens.toDF("token")
-          .select(tokenBucket(col("token"), buckets).as("b"))
-          .collect().map(_.getInt(0)).distinct.toSeq
-        post
-          .filter(col("bucket").isin(bs: _*))
-          .filter(col("token").isin(tokens: _*))
-          .select(col("s"), col("p"), col("o"), col("token"))
-      },
+    // bucket ids computed by the SAME Spark expression that wrote the
+    // layout, evaluated on a local frame of the query values (no
+    // driver-side hash reimplementation to drift) → partition pruning;
+    // the value isin → row-group pruning within the pruned directories
+    def bucketsOf(values: Seq[String]): Seq[Int] = {
+      import spark.implicits._
+      values.toDF("v").select(tokenBucket(col("v"), buckets).as("b"))
+        .collect().map(_.getInt(0)).distinct.toSeq
+    }
+    val pq = parseQuery(q)
+    // phrase candidates from the n-gram field when it exists: a literal
+    // can contain a phrase only if it carries ALL the phrase's trigrams —
+    // probe the gram postings (bucket-pruned) instead of scanning every
+    // literal; the exact contains() verdict is unchanged downstream.
+    // Phrases shorter than one trigram keep the full scan.
+    def phraseCandidates: Option[DataFrame] =
+      if (!hasNgrams || pq.phrases.isEmpty ||
+          pq.phrases.exists(_.length < 3)) None
+      else Some(pq.phrases.map { p =>
+        val grams = charTrigrams(p)
+        spark.read.parquet(s"$dir/ngrams")
+          .filter(col("bucket").isin(bucketsOf(grams): _*))
+          .filter(col("gram").isin(grams: _*))
+          .groupBy(col("s"), col("o"))
+          .agg(count_distinct(col("gram")).as("__gc"))
+          .filter(col("__gc") === grams.size)
+          .select(col("s"), col("o"))
+      }.reduce(_ union _).distinct())
+    searchCore(spark, pq,
+      tokens => post
+        .filter(col("bucket").isin(bucketsOf(tokens): _*))
+        .filter(col("token").isin(tokens: _*))
+        .select(col("s"), col("p"), col("o"), col("token")),
       () => post.select(col("token")).distinct(),
-      () => post.select(col("s"), col("o")).distinct(),
+      () => phraseCandidates.getOrElse(
+        post.select(col("s"), col("o")).distinct()),
       limit)
   }
 }

@@ -418,6 +418,32 @@ class AlgebraSpec extends AnyFunSuite {
     probe.collect()
     val planStr = probe.queryExecution.executedPlan.toString
     assert(planStr.contains("bucket"), "bucket pruning filter missing:\n" + planStr)
+
+    // ---- n-gram phrase field: same results, pruned candidates ----
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_textidx_ng")
+      .toString + "/idx"
+    TextIndex.materializePostings(g2, dir2, buckets = 8, partitions = 1,
+      ngrams = true)
+    for (q <- Seq("\"brown dog\"", "\"quick brown\" dog", "lazy -\"brown fox\"",
+                  "\"quick AND brown\"")) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getStruct(0).getString(1),
+          r.getStruct(1).getString(1), r.getLong(2))).toSet
+      assert(rows(TextIndex.searchIndexed(spark, dir2, q, None)) ==
+        rows(TextIndex.search(g2, None, q, None)),
+        s"ngram face diverged on <$q>")
+    }
+    // streamed appends keep the gram field current
+    val extra = spark.createDataset(Seq(
+      Triple(i("d9"), i("title"), Term.string("another brown dog here")))).toDF()
+    TextIndex.appendPostingsBatch(extra, dir2)
+    val ph = TextIndex.searchIndexed(spark, dir2, "\"brown dog\"", None)
+      .collect().map(_.getStruct(0).getString(1)).toSet
+    assert(ph == Set(EX + "d2", EX + "d9"))
+    // a sub-trigram phrase falls back to the full literal scan (still exact)
+    val short = TextIndex.searchIndexed(spark, dir2, "\"og\"", None)
+      .collect().map(_.getStruct(0).getString(1)).toSet
+    assert(short == Set(EX + "d2", EX + "d3", EX + "d9"))
   }
 
   test("VALUES table joined to a BGP") {
